@@ -1,0 +1,75 @@
+package graft.embed
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build the denormalized `vectors` table: one row per position, carrying
+  * the embedding plus the payload the reference stores in Qdrant
+  * (repo_postgres_caqti.ml:640-698, embedding_worker.ml:250-256).
+  *
+  * Scale design:
+  *   - Embedding is computed once per DISTINCT fen (content-addressed by
+  *     vector_id = md5(fen)) then joined back -- the reference's in-memory
+  *     embeddings cache (embeddings_cache.ml) expressed as dedup+join.
+  *     Identical positions across millions of games (openings!) collapse.
+  *   - `players` is broadcast (small dimension); the positions->games join
+  *     shuffles on game_id, which downstream consumers reuse.
+  *   - Incremental runs: anti-join on vector_id against the existing
+  *     vectors table replaces the reference's job queue (0001_init.sql
+  *     embedding_jobs + FOR UPDATE SKIP LOCKED claim).
+  */
+object VectorsJob {
+
+  /** Game phase from ply (engine extension: the reference leaves position
+    * tags empty at ingest and fills them from annotations later; a
+    * deterministic ply-derived phase keeps the phase/theme filter path
+    * exercisable end-to-end).
+    */
+  def phaseCol(ply: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(ply <= 20, "opening").when(ply <= 60, "middlegame")
+      .otherwise("endgame")
+
+  def build(spark: SparkSession, games: DataFrame, players: DataFrame,
+      positions: DataFrame, embedder: Embedder = DeterministicEmbedder(),
+      existing: Option[DataFrame] = None): DataFrame = {
+
+    // E8: embed once per distinct fen; cache-as-dedup.
+    val todo = positions.select("vector_id", "fen").dropDuplicates("vector_id")
+    val fresh = existing match {
+      case Some(ex) => todo.join(ex.select("vector_id"), Seq("vector_id"),
+        "left_anti")
+      case None => todo
+    }
+    val embedded = fresh.withColumn("embedding",
+      embedder.embedCol(col("fen")).cast("array<float>"))
+
+    val w = players.select(col("id").as("white_player_id"),
+      col("name").as("white"))
+    val b = players.select(col("id").as("black_player_id"),
+      col("name").as("black"))
+
+    // E4 payload join: positions x games x players(x2). players broadcast.
+    val payload = positions
+      .join(games.select("game_id", "white_player_id", "black_player_id",
+        "opening_slug", "opening_name", "eco_code", "result",
+        "white_rating", "black_rating"), Seq("game_id"))
+      .join(broadcast(w), Seq("white_player_id"), "left")
+      .join(broadcast(b), Seq("black_player_id"), "left")
+      .select(
+        col("vector_id"), col("game_id"), col("ply"), col("san"),
+        col("side_to_move"), col("fen"),
+        array(phaseCol(col("ply"))).as("phases"),
+        array().cast("array<string>").as("themes"),
+        array().cast("array<string>").as("keywords"),
+        col("opening_slug"), col("opening_name"),
+        col("eco_code").as("eco"), col("result"),
+        col("white_rating").as("white_elo"),
+        col("black_rating").as("black_elo"),
+        col("white"), col("black"))
+
+    payload.join(embedded.select("vector_id", "embedding"), Seq("vector_id"))
+  }
+
+  def write(vectors: DataFrame, outDir: String): Unit =
+    vectors.write.mode("overwrite").parquet(s"$outDir/vectors")
+}

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math as Catalyst column expressions (no UDFs): built from
+  * higher-order functions (`zip_with` / `aggregate`) so everything stays
+  * inside whole-stage codegen and needs no serialization boundary.
+  *
+  * Reference semantics: cosine distance over 1536-d float vectors
+  * (/root/reference/lib/core/config.ml:96-97, repo_qdrant.ml:132-170).
+  */
+object VectorFunctions {
+
+  /** Sequential-fold dot product: deterministic order (array order), exact
+    * same result every run and engine.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+
+  /** Cosine against a fixed query vector (broadcast as a literal array). */
+  def cosineToQuery(col: Column, query: Seq[Double]): Column =
+    cosine(col.cast("array<double>"), array(query.map(lit): _*))
+
+  /** Score normalizer: NaN/inf -> 0, clamp [0,1]
+    * (reference hybrid_planner.ml:68-70).
+    */
+  def normalizeScore(s: Column): Column =
+    when(isnan(s) || s === Double.PositiveInfinity || s === Double.NegativeInfinity, 0.0)
+      .otherwise(least(greatest(s, lit(0.0)), lit(1.0)))
+}

@@ -1,0 +1,204 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.chess.{Chess, Fen}
+
+/** PGN corpus -> relational chess tables, as one distributed lineage:
+  *
+  *   read (wholetext) -> flatMap(split games) -> map(parse + metadata +
+  *   SAN->FEN replay) -> project games / explode positions / dedup players
+  *
+  * Scale design (100 TB corpus, 1000 executors):
+  *   - Splitting is per-file and parse/replay is per-game: embarrassingly
+  *     parallel, no shuffle until the final player dedup (which is tiny:
+  *     the player dimension is orders of magnitude smaller than games).
+  *   - ids are DETERMINISTIC content hashes, not sequences:
+  *     game_id = hash(source_file, game_index, raw_pgn) and
+  *     player_id = hash(player key). Foreign keys are therefore computed
+  *     locally with zero joins/shuffles -- the reference's transactional
+  *     player upsert (repo_postgres_caqti.ml:503-523) becomes a stateless
+  *     hash + a small `dropDuplicates` dimension build.
+  *   - Malformed games become rows with `parse_ok=false` + `error`, never
+  *     exceptions (error-channel parity with pgn_parser.ml:204-260).
+  *
+  * Reference: /root/reference/lib/cli/ingest_command.ml (entry),
+  * lib/storage/repo_postgres_caqti.ml:536-586 (insert pipeline).
+  */
+object IngestJob {
+
+  /** One game after parse + replay; positions nested until projection. */
+  final case class GameRecord(
+      game_id: Long,
+      source_file: String,
+      game_index: Int,
+      event: Option[String], site: Option[String], round: Option[String],
+      played_on: Option[String], // normalized YYYY-MM-DD (or raw passthrough)
+      white_name: String, white_fide_id: Option[String], white_rating: Option[Int],
+      black_name: String, black_fide_id: Option[String], black_rating: Option[Int],
+      eco_code: Option[String], opening_name: Option[String],
+      opening_slug: Option[String], result: Option[String],
+      ply_count: Int,
+      tags: Map[String, String],
+      pgn: String,
+      parse_ok: Boolean,
+      error: Option[String],
+      positions: Seq[PositionRecord])
+
+  final case class PositionRecord(
+      ply: Int, move_number: Int, side_to_move: String,
+      san: String, fen: String, fen_valid: Boolean, vector_id: String)
+
+  /** Stable 64-bit id: first 8 bytes (big-endian) of md5 over the
+    * ' '-joined parts, masked non-negative. Content-derived ids make every
+    * run reproducible and every FK computable without a join.
+    */
+  def stableId(parts: String*): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(parts.mkString(" ").getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v & Long.MaxValue
+  }
+
+  /** Player key: fide id if present, else lowercase name (reference lookup
+    * order, repo_postgres_caqti.ml:503-523).
+    */
+  def playerKey(name: String, fideId: Option[String]): String =
+    fideId.map(f => s"fide:$f").getOrElse("name:" + name.trim.toLowerCase)
+
+  def playerId(name: String, fideId: Option[String]): Long =
+    stableId("player", playerKey(name, fideId))
+
+  /** Parse + replay one raw game (pure; runs inside tasks). */
+  def processGame(sourceFile: String, index: Int, raw: String): GameRecord = {
+    val gameId = stableId("game", sourceFile, index.toString, raw)
+    PgnParser.parse(raw) match {
+      case Left(err) =>
+        GameRecord(gameId, sourceFile, index, None, None, None, None,
+          "", None, None, "", None, None, None, None, None, None,
+          0, Map.empty, raw, parse_ok = false, error = Some(err), positions = Nil)
+      case Right(parsed) =>
+        val meta = GameMetadata.ofHeaders(parsed.headers)
+        val sans = parsed.moves.map(_.san)
+        val (positions, replayError) = Chess.fensOfMoves(sans) match {
+          case Left(err) => (Seq.empty[PositionRecord], Some(err))
+          case Right(fens) =>
+            val pos = parsed.moves.zip(fens).map { case (m, fen) =>
+              val normalized = Fen.normalize(fen)
+              PositionRecord(
+                ply = m.ply,
+                move_number = m.turn,
+                // side ABOUT to move after this ply -- parity with
+                // repo_postgres_caqti.ml:501 (ply % 2 = 1 -> black).
+                side_to_move = if (m.ply % 2 == 1) "black" else "white",
+                san = m.san,
+                fen = normalized.getOrElse(fen),
+                fen_valid = normalized.isRight,
+                vector_id = Fen.hash(normalized.getOrElse(fen)))
+            }
+            (pos, None)
+        }
+        GameRecord(gameId, sourceFile, index,
+          meta.event, meta.site, meta.round, meta.date,
+          meta.white.name, meta.white.fideId, meta.white.rating,
+          meta.black.name, meta.black.fideId, meta.black.rating,
+          meta.ecoCode, meta.openingName, meta.openingSlug, meta.result,
+          positions.length,
+          parsed.headers.toMap,
+          raw,
+          parse_ok = replayError.isEmpty,
+          error = replayError,
+          positions = positions)
+    }
+  }
+
+  /** Split whole-file PGN text into per-game records. */
+  def gamesFromText(spark: SparkSession,
+      files: Dataset[(String, String)]): Dataset[GameRecord] = {
+    import spark.implicits._
+    files.flatMap { case (path, text) =>
+      PgnParser.splitGames(text).map { slot =>
+        processGame(path, slot.index, slot.raw)
+      }
+    }
+  }
+
+  /** Read a directory/glob of .pgn files. wholetext keeps one game dump per
+    * record; at 100 TB the dumps are many files, so parallelism comes from
+    * file count (and games-per-file via the flatMap above).
+    */
+  def readPgn(spark: SparkSession, path: String): Dataset[GameRecord] = {
+    import spark.implicits._
+    val files = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("path"), col("value"))
+      .as[(String, String)]
+    gamesFromText(spark, files)
+  }
+
+  final case class ChessTables(games: DataFrame, players: DataFrame,
+      positions: DataFrame, issues: DataFrame)
+
+  /** Project the nested records into the relational model. */
+  def tables(spark: SparkSession, records: Dataset[GameRecord]): ChessTables = {
+    import spark.implicits._
+    val ok = records.filter(_.parse_ok)
+
+    val games = ok.map { g =>
+      (g.game_id, playerId(g.white_name, g.white_fide_id),
+        playerId(g.black_name, g.black_fide_id),
+        g.event, g.site, g.round, g.played_on,
+        g.eco_code, g.opening_name, g.opening_slug, g.result,
+        g.white_rating, g.black_rating, g.ply_count, g.tags, g.pgn,
+        g.source_file, g.game_index)
+    }.toDF("game_id", "white_player_id", "black_player_id", "event", "site",
+      "round", "date_raw", "eco_code", "opening_name", "opening_slug",
+      "result", "white_rating", "black_rating", "ply_count", "tags", "pgn",
+      "source_file", "game_index")
+      .withColumn("played_on", to_date(col("date_raw"), "yyyy-MM-dd"))
+
+    val players = ok.flatMap { g =>
+      Seq(
+        (playerId(g.white_name, g.white_fide_id), g.white_name,
+          g.white_fide_id, g.white_rating),
+        (playerId(g.black_name, g.black_fide_id), g.black_name,
+          g.black_fide_id, g.black_rating))
+    }.toDF("id", "name", "fide_id", "rating")
+      // dimension build: one row per player id; rating_peak = max seen.
+      .groupBy("id")
+      .agg(first("name", ignoreNulls = true).as("name"),
+        first("fide_id", ignoreNulls = true).as("fide_id"),
+        max("rating").as("rating_peak"))
+
+    val positions = ok.flatMap { g =>
+      g.positions.map(p => (g.game_id, p.ply, p.move_number, p.side_to_move,
+        p.san, p.fen, p.fen_valid, p.vector_id))
+    }.toDF("game_id", "ply", "move_number", "side_to_move", "san", "fen",
+      "fen_valid", "vector_id")
+
+    val issues = records.filter(!_.parse_ok).map(g =>
+      (g.source_file, g.game_index, g.error.getOrElse("unknown"),
+        g.pgn.take(200)))
+      .toDF("source_file", "game_index", "error", "preview")
+
+    ChessTables(games, players, positions, issues)
+  }
+
+  def run(spark: SparkSession, inputPath: String): ChessTables =
+    tables(spark, readPgn(spark, inputPath))
+
+  /** Persist tables. `positions` carries the heavy rows (~80x games);
+    * `games` partitioned by year for partition pruning on date predicates
+    * at 100 TB.
+    */
+  def write(t: ChessTables, outDir: String): Unit = {
+    t.games
+      .withColumn("year", coalesce(year(col("played_on")), lit(0)))
+      .write.mode("overwrite").partitionBy("year")
+      .parquet(s"$outDir/games")
+    t.players.write.mode("overwrite").parquet(s"$outDir/players")
+    t.positions.write.mode("overwrite").parquet(s"$outDir/positions")
+    t.issues.write.mode("overwrite").parquet(s"$outDir/issues")
+  }
+}

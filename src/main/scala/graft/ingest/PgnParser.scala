@@ -161,7 +161,11 @@ object PgnParser {
       val trimmed = line.trim
       val isHeader = trimmed.startsWith("[")
       val isEvent = trimmed.startsWith("[Event")
-      val hasMoveToken = !isHeader && trimmed.nonEmpty
+      // '%' escape lines and ';' comment lines are not move text (PGN
+      // import format) -- without this a leading '%' banner would split
+      // into a phantom moveless game.
+      val hasMoveToken = !isHeader && trimmed.nonEmpty &&
+        !trimmed.startsWith("%") && !trimmed.startsWith(";")
       if (isEvent && haveMoves && collected.nonEmpty) {
         finalize()
         collected = List(line)
