@@ -1,0 +1,54 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+import graft.query.{HybridExecutor, QueryIntent, ResultFormatter}
+import graft.embed.DeterministicEmbedder
+
+/** CLI: NL question -> hybrid search over ingested tables.
+  *
+  *   runMain graft.app.QueryApp <tablesDir> "<question>" [limit] [offset]
+  *
+  * Mirrors POST /query (reference services/api/chessmate_api.ml:586-724)
+  * minus the HTTP envelope: same plan, same scoring, same pagination.
+  */
+object QueryApp {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: QueryApp <tablesDir> <question> [limit] [offset]")
+    val dir = args(0)
+    val question = args(1)
+    val limit = if (args.length > 2) Some(args(2).toInt) else None
+    val offset = if (args.length > 3) Some(args(3).toInt) else None
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-query")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val plan = QueryIntent.analyse(QueryIntent.Request(question, limit, offset))
+    println(s"[plan] cleaned='${plan.cleanedText}' limit=${plan.limit} " +
+      s"offset=${plan.offset} filters=${plan.filters} rating=${plan.rating} " +
+      s"keywords=${plan.keywords}")
+
+    val games = spark.read.parquet(s"$dir/games")
+    val players = spark.read.parquet(s"$dir/players")
+    val vectors =
+      try Some(spark.read.parquet(s"$dir/vectors"))
+      catch { case _: Throwable => None }
+
+    val exec = HybridExecutor.execute(spark,
+      HybridExecutor.Tables(games, players, vectors), plan,
+      DeterministicEmbedder(dims = vectors.map(v =>
+        v.selectExpr("size(embedding)").head().getInt(0)).getOrElse(1536)))
+
+    exec.warnings.foreach(w => println(s"[warning] $w"))
+    val rows = exec.results.collect()
+    println(s"[results] total=${exec.total} returned=${rows.length} " +
+      s"has_more=${exec.hasMore}")
+    println(ResultFormatter.summarize(rows.toSeq))
+    rows.foreach(r => println(ResultFormatter.resultFields(r)))
+    spark.stop()
+  }
+}

@@ -1,0 +1,214 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.embed.{DeterministicEmbedder, Embedder}
+import graft.functions.VectorFunctions._
+import graft.query.QueryIntent.Plan
+
+/** The hybrid retrieval engine (reference lib/query/hybrid_executor.ml),
+  * as ONE DataFrame DAG per query:
+  *
+  *   games x players  --filter/sort/page-->  summaries (date-ordered page)
+  *   vectors --payload-filter--> cosine top-k --> per-game hit collapse
+  *   summaries LEFT JOIN hits --> score columns --> stable sort --> limit
+  *
+  * Scale notes:
+  *   - Both the game page and the KNN are `orderBy(...).limit(n)` =>
+  *     Catalyst TakeOrderedAndProject: per-partition top-k then a single
+  *     tiny merge -- no global sort, no single-partition shuffle at any
+  *     data size.
+  *   - The hit frame is <= max(3*limit,15) rows => broadcast join.
+  *   - Pagination windows only ever run over the already-limited page
+  *     (<= offset+limit <= 1000 rows), never the full table.
+  */
+object HybridExecutor {
+
+  final case class Tables(games: DataFrame, players: DataFrame,
+      vectors: Option[DataFrame])
+
+  final case class Execution(results: DataFrame, total: Long, hasMore: Boolean,
+      warnings: Seq[String])
+
+  val vectorWeight = 0.75
+  val keywordWeight = 0.25
+  val agentWeight = 0.4 // total = min(1, 0.6*heuristic + 0.4*agent)
+
+  /** games x players(x2, broadcast) -> the reference's game_summary shape
+    * (repo_postgres_caqti.ml:215-227).
+    */
+  def summaries(games: DataFrame, players: DataFrame): DataFrame = {
+    val w = players.select(col("id").as("white_player_id"),
+      col("name").as("white"))
+    val b = players.select(col("id").as("black_player_id"),
+      col("name").as("black"))
+    games
+      .join(broadcast(w), Seq("white_player_id"), "left")
+      .join(broadcast(b), Seq("black_player_id"), "left")
+      .select(col("game_id"), coalesce(col("white"), lit("")).as("white"),
+        coalesce(col("black"), lit("")).as("black"), col("event"),
+        col("played_on"), date_format(col("played_on"), "yyyy-MM-dd")
+          .as("played_on_str"),
+        col("eco_code"), col("opening_name"), col("opening_slug"),
+        col("result"), col("white_rating"), col("black_rating"))
+  }
+
+  /** Summary keyword tokens (V8): alnum runs of length >= 3 from
+    * white/black/event/opening_name/opening_slug, lowercased, dedup-sorted.
+    */
+  def summaryTokensCol: Column = {
+    val src = concat_ws(" ", col("white"), col("black"), col("event"),
+      col("opening_name"), col("opening_slug"))
+    array_sort(array_distinct(filter(
+      split(lower(src), "[^a-z0-9]+"), t => length(t) >= 3)))
+  }
+
+  /** Deterministic query vector (query_embedding_provider.ml:27-42):
+    * tokens = keywords if non-empty else [cleaned_text], mean of per-token
+    * buckets per dim.
+    */
+  def queryVector(plan: Plan, embedder: DeterministicEmbedder): Array[Double] = {
+    val tokens =
+      if (plan.keywords.nonEmpty) plan.keywords else List(plan.cleanedText)
+    val dims = embedder.dims
+    val out = new Array[Double](dims)
+    if (tokens.isEmpty) return out
+    var d = 0
+    while (d < dims) {
+      var sum = 0L
+      tokens.foreach { t => sum += embedder.bucket(t, d) }
+      out(d) = math.max(0.0, math.min(1.0,
+        sum.toDouble / (tokens.length * 10000.0)))
+      d += 1
+    }
+    out
+  }
+
+  /** V3+V5: payload-filtered cosine top-k, collapsed per game
+    * (score=max, lists=lowercased dedup-sorted unions).
+    */
+  def vectorHits(vectors: DataFrame, plan: Plan, qv: Array[Double]): DataFrame = {
+    val k = math.max(3 * plan.limit, 15)
+    val lower_ = (c: Column) => transform(c, x => lower(x))
+    vectors
+      .where(PlanCompiler.vectorPredicate(plan))
+      .withColumn("score",
+        normalizeScore(cosineToQuery(col("embedding"), qv.toSeq)))
+      .orderBy(desc("score"), desc("vector_id"))
+      .limit(k)
+      .groupBy("game_id")
+      .agg(max("score").as("hit_score"),
+        array_sort(array_distinct(lower_(flatten(collect_list("phases")))))
+          .as("hit_phases"),
+        array_sort(array_distinct(lower_(flatten(collect_list("themes")))))
+          .as("hit_themes"),
+        array_sort(array_distinct(lower_(flatten(collect_list("keywords")))))
+          .as("hit_keywords"))
+  }
+
+  /** Full execution of a plan. */
+  def execute(spark: SparkSession, tables: Tables, plan: Plan,
+      embedder: DeterministicEmbedder = DeterministicEmbedder()): Execution = {
+
+    val base = summaries(tables.games, tables.players)
+    val filtered = base.where(PlanCompiler.gamePredicate(plan))
+    val total = filtered.count()
+
+    // R3 page: played_on DESC NULLS LAST, id DESC; TakeOrderedAndProject.
+    val pageOrder = Seq(col("played_on").desc_nulls_last, col("game_id").desc)
+    val pageLimit = plan.offset + plan.limit
+    val page0 = filtered.orderBy(pageOrder: _*).limit(pageLimit)
+    val page = if (plan.offset == 0) page0 else {
+      // window over <= offset+limit rows only (already limited above).
+      val wspec = Window.orderBy(pageOrder: _*)
+      page0.withColumn("__rn", row_number().over(wspec))
+        .where(col("__rn") > plan.offset).drop("__rn")
+    }
+
+    // Vector stage (degrades to fallback scoring when no vectors table --
+    // the reference's "vector search unavailable" path).
+    val (withHits, warnings) = tables.vectors match {
+      case Some(vectors) =>
+        val qv = queryVector(plan, embedder)
+        val hits = vectorHits(vectors, plan, qv)
+        (page.join(broadcast(hits), Seq("game_id"), "left"), Seq.empty[String])
+      case None =>
+        (page.withColumn("hit_score", lit(null).cast("double"))
+          .withColumn("hit_phases", lit(null).cast("array<string>"))
+          .withColumn("hit_themes", lit(null).cast("array<string>"))
+          .withColumn("hit_keywords", lit(null).cast("array<string>")),
+          Seq("Vector search unavailable (no vectors table)"))
+    }
+
+    val ratingMatch = PlanCompiler.ratingPredicate(plan.rating)
+
+    // V10 fallback score for games without a vector hit.
+    val fallback: Column =
+      if (plan.filters.isEmpty) when(ratingMatch, 0.6).otherwise(0.0)
+      else {
+        val matched = plan.filters.map(f =>
+          when(PlanCompiler.filterMatchCol(f), 1).otherwise(0))
+          .reduce(_ + _)
+        when(!ratingMatch, 0.0)
+          .otherwise(lit(0.4) + lit(0.6) * matched / lit(plan.filters.size))
+      }
+
+    val vectorScore =
+      when(col("hit_score").isNotNull,
+        when(ratingMatch, least(col("hit_score"), lit(1.0))).otherwise(0.0))
+        .otherwise(fallback)
+
+    // V8/V9 keyword overlap over summary tokens merged with hit keywords.
+    val tokens = when(col("hit_keywords").isNotNull,
+      array_sort(array_distinct(concat(summaryTokensCol, col("hit_keywords")))))
+      .otherwise(summaryTokensCol)
+    val kwArray = array(plan.keywords.map(lit): _*)
+    val keywordScore =
+      if (plan.keywords.isEmpty) lit(0.0)
+      else size(array_intersect(kwArray, col("tokens"))).cast("double") /
+        lit(math.max(1, plan.keywords.size)).cast("double")
+
+    val planPhases = plan.filters.filter(_.field == "phase").map(_.value)
+      .distinct.sorted
+    val planThemes = plan.filters.filter(_.field == "theme").map(_.value)
+      .distinct.sorted
+    def mergedList(planList: Seq[String], hitCol: Column): Column = {
+      val planArr = if (planList.isEmpty) array().cast("array<string>")
+        else array(planList.map(lit): _*)
+      when(hitCol.isNotNull && size(hitCol) > 0,
+        array_sort(array_distinct(concat(planArr, hitCol))))
+        .otherwise(planArr)
+    }
+
+    val scored = withHits
+      .withColumn("tokens", tokens)
+      .withColumn("vector_score", vectorScore)
+      .withColumn("keyword_score", keywordScore)
+      .withColumn("total_score",
+        lit(vectorWeight) * col("vector_score") +
+          lit(keywordWeight) * col("keyword_score"))
+      .withColumn("phases", mergedList(planPhases, col("hit_phases")))
+      .withColumn("themes", mergedList(planThemes, col("hit_themes")))
+      .withColumn("keywords",
+        array_sort(array_distinct(concat(
+          array(plan.keywords.map(k => lit(k.toLowerCase)): _*),
+          col("tokens")))))
+
+    // V13: stable sort -- score desc, ties keep the page's date order
+    // (OCaml List.sort is stable; Spark orderBy is not, so the original
+    // order keys are explicit tiebreakers).
+    val ranked = scored
+      .orderBy(desc("total_score"), col("played_on").desc_nulls_last,
+        col("game_id").desc)
+      .limit(plan.limit)
+      .select("game_id", "white", "black", "event", "played_on_str",
+        "eco_code", "opening_name", "opening_slug", "result",
+        "white_rating", "black_rating", "total_score", "vector_score",
+        "keyword_score", "phases", "themes", "keywords")
+
+    val returned = math.min(plan.limit.toLong, math.max(0L, total - plan.offset))
+    Execution(ranked, total, hasMore = plan.offset + returned < total,
+      warnings = warnings)
+  }
+}
