@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / fingerprinting primitives as Catalyst column
+  * expressions. Everything is built from md5 + integer arithmetic so each
+  * operator has an EXACT cross-engine oracle (DuckDB SQL computes the
+  * same bytes) -- no engine-specific hash functions, no float-order
+  * nondeterminism (ratios are a single division of integer counts).
+  *
+  * These power the beyond-reference LLM-data-pipeline operators
+  * (BASELINE.json:6): dedup (minhash/simhash/jaccard), language ID,
+  * quality scoring, token counting, document fingerprinting.
+  */
+object TextFunctions {
+
+  /** Lowercase alnum word tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Word n-gram shingles joined by single spaces. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+
+  /** MinHash signature: k seeded md5 hashes, lexicographic-min hex string
+    * per seed. String-min avoids hex->int conversions entirely, so Spark
+    * and any SQL oracle agree byte-for-byte. Empty input -> sentinel
+    * hashes (md5 of "seed:").
+    */
+  def minhashSignature(shing: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), seed =>
+      coalesce(
+        array_min(transform(shing, s =>
+          md5(concat(seed.cast("string"), lit(":"), s)))),
+        md5(concat(seed.cast("string"), lit(":")))))
+
+  /** LSH band keys: group the signature into bands of `rows` values, hash
+    * each band. Returns array of (band_index, band_hash) structs.
+    */
+  def minhashBands(sig: Column, k: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(k / rows - 1)), b =>
+      struct(b.as("band"),
+        md5(concat_ws(",", slice(sig, b * rows + 1, lit(rows))))
+          .as("band_hash")))
+
+  /** Jaccard similarity of two string arrays (as sets): single integer
+    * division -> deterministic across engines.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd)).cast("double")
+    val uni = size(array_union(ad, bd)).cast("double")
+    when(uni === 0.0, 0.0).otherwise(inter / uni)
+  }
+
+  /** Hex nibble value (0..15) at 1-based position `pos` of md5(s). */
+  private def nib(s: Column, pos: Column): Column =
+    conv(md5(s).substr(pos, lit(1)), 16, 10).cast("int")
+
+  /** SimHash over word tokens as a `bits`-char '0'/'1' string (MSB-first
+    * per nibble). bit j of token t = bit (3 - j%4) of hex nibble (j/4) of
+    * md5(t); simhash bit = majority vote (sum of +-1 > 0).
+    */
+  def simhash(toks: Column, bits: Int): Column = {
+    require(bits % 4 == 0 && bits <= 128)
+    val bitCols = (0 until bits).map { j =>
+      val nibIdx = j / 4 + 1 // 1-based hex position
+      val shift = 3 - (j % 4) // MSB-first within nibble
+      val div = 1 << shift
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc + ((nib(t, lit(nibIdx)) / div).cast("int") % 2) * 2 - 1)
+      when(vote > 0, "1").otherwise("0")
+    }
+    concat(bitCols: _*)
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hammingBits(a: Column, b: Column, bits: Int): Column =
+    aggregate(sequence(lit(1), lit(bits)), lit(0), (acc, i) =>
+      acc + when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1).otherwise(0))
+
+  /** OpenRefine-style fingerprint: md5 of space-joined sorted distinct
+    * tokens. Word-order and duplication invariant.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling content hash per fixed-size token window (document segment
+    * fingerprinting); returns array of window md5s.
+    */
+  def windowFingerprints(text: Column, window: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < window, array(md5(concat_ws(" ", t))))
+      .otherwise(transform(sequence(lit(0), size(t) - window), i =>
+        md5(concat_ws(" ",
+          slice(t, i + 1, lit(window))))))
+  }
+
+  // --- language ID (marker-token heuristic) ---------------------------
+
+  /** Marker stopword lists per language. Deterministic, public knowledge;
+    * scores = |tokens ∩ markers| / |tokens| (integer-count division).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "mit", "von", "zu", "auf", "im", "den"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it",
+      "for", "on", "with", "as", "at"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los",
+      "las", "es", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que",
+      "pour", "dans", "qui", "au", "pas"),
+    "zh" -> Seq("de", "shi", "zai", "you", "wo", "ta", "le", "bu", "ren",
+      "zhe", "men", "lai", "ge", "shang"))
+
+  def langScore(toks: Column, markers: Seq[String]): Column = {
+    val markerArr = array(markers.map(lit): _*)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(markerArr, t))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Predicted language: argmax marker score, alphabetical tiebreak
+    * (greatest(...) over structs compares score then inverted lang order
+    * is avoided by alphabetical-first listing + strict > comparison).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // fold over alphabetical language order; strict > keeps the first
+    // (alphabetically-earliest) language on ties.
+    val init = struct(lit(-1.0).as("score"), lit("und").as("lang"))
+    langMarkers.foldLeft(init: Column) { case (best, (lang, markers)) =>
+      val s = langScore(toks, markers)
+      when(s > best.getField("score"),
+        struct(s.as("score"), lit(lang).as("lang"))).otherwise(best)
+    }.getField("lang")
+  }
+
+  // --- quality scoring ------------------------------------------------
+
+  val qualityStopwords: Seq[String] = langMarkers.toMap.apply("en")
+
+  /** Heuristic quality features; every ratio is one integer-count
+    * division.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nTokens = size(toks)
+    val alphaChars = length(regexp_replace(lower(text), "[^a-z]", ""))
+    val digitChars = length(regexp_replace(text, "[^0-9]", ""))
+    val punctChars = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    val stopArr = array(qualityStopwords.map(lit): _*)
+    val stopHits = size(filter(toks, t => array_contains(stopArr, t)))
+    val meanTokLen = when(nTokens === 0, 0.0).otherwise(
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+        nTokens.cast("double"))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "mean_token_len" -> meanTokLen,
+      "alpha_ratio" -> safeRatio(alphaChars, nChars),
+      "digit_ratio" -> safeRatio(digitChars, nChars),
+      "punct_ratio" -> safeRatio(punctChars, nChars),
+      "stopword_ratio" -> when(nTokens === 0, 0.0)
+        .otherwise(stopHits.cast("double") / nTokens.cast("double")))
+  }
+
+  private def safeRatio(num: Column, den: Column): Column =
+    when(den === 0, 0.0).otherwise(num.cast("double") / den.cast("double"))
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with high
+    * alpha ratio and some stopwords, penalizes digit/punct noise.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lengthTerm = least(f("n_tokens").cast("double") / 100.0, lit(1.0))
+    val score = lit(0.25) * lengthTerm +
+      lit(0.35) * f("alpha_ratio") +
+      lit(0.25) * least(f("stopword_ratio") * 5.0, lit(1.0)) +
+      lit(0.15) * (lit(1.0) - least(f("digit_ratio") * 5.0, lit(1.0)))
+    least(greatest(score, lit(0.0)), lit(1.0))
+  }
+
+  /** Whitespace token count + BPE-ish sub-token count ([a-z]+ runs,
+    * single digits, single punctuation marks -- a deterministic proxy for
+    * tokenizer cost accounting).
+    */
+  def whitespaceTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))
+}

@@ -1,0 +1,308 @@
+package graft.gate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Relational operator inventory for the correctness gate (SURVEY.md §2.5
+  * R-series + §2.9 coverage notes), expressed over the driver's TPC-H-ish
+  * tables with exact DuckDB oracles.
+  *
+  * Determinism rules used throughout (cross-engine hash-match):
+  *   - money/double sums -> SUM(CAST(FLOOR(x*100) AS BIGINT)) "cents":
+  *     exact integers under any aggregation order;
+  *   - averages -> one double division of two exact integers;
+  *   - timestamps -> epoch micros (exact int) or yyyy-MM-dd strings;
+  *   - every ORDER BY carries a unique tiebreak key.
+  */
+object RelationalQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R4/R7-style grouped aggregate (TPC-H Q1 shape).
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_cents"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // Filter + projection pushdown (R1-style predicate -> parquet scan).
+    "q2_filter" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate").cast("date") >= "1995-01-01" &&
+          col("l_shipdate").cast("date") <= "1996-12-31" &&
+          col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+    }),
+
+    // 3-table join + aggregate (E4 payload-join shape).
+    "q3_join_agg" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val nation = Tables.nation(s, d)
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents"))
+    }),
+
+    // Broadcast dimension join chain (I5 opening-catalog shape).
+    "q4_dims" -> ((s, d) => {
+      val region = Tables.region(s, d)
+      val nation = Tables.nation(s, d)
+      val customer = Tables.customer(s, d)
+      customer
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("customer_cnt"),
+          countDistinct("n_name").as("nation_cnt"))
+    }),
+
+    // LEFT join + ORDER BY ... LIMIT (R3 game-search scan shape).
+    "q5_left_join_sort" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"),
+          "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"))
+        .orderBy(col("order_date").desc, col("o_orderkey").desc)
+        .limit(50)
+    }),
+
+    // Semi-join by id set (R5 PGN batch fetch shape).
+    "q6_semi_join" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d).where(col("o_totalprice") > 400000)
+        .select("o_orderkey")
+      Tables.lineitem(s, d)
+        .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("line_cnt"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"))
+    }),
+
+    // Top-k with deterministic tiebreak (V3/V13 TakeOrderedAndProject).
+    "q7_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // Offset pagination via row_number over an already-limited page
+    // (R3 OFFSET; scale-safe: window runs on <= 120 rows).
+    "q8_pagination" -> ((s, d) => {
+      val ordCols = Seq(col("o_orderdate").desc, col("o_orderkey").desc)
+      val page = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy(col("order_date").desc, col("o_orderkey").desc)
+        .limit(120)
+      page.withColumn("rn", row_number().over(
+        Window.orderBy(col("order_date").desc, col("o_orderkey").desc)))
+        .where(col("rn") > 100)
+    }),
+
+    // DISTINCT (exact dedup primitive).
+    "q9_distinct" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderstatus", "o_orderpriority")
+        .distinct()),
+
+    // Set operations: UNION/INTERSECT/EXCEPT.
+    "q10_setops" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val auto = c.where(col("c_mktsegment") === "AUTOMOBILE")
+        .select("c_custkey")
+      val rich = c.where(col("c_acctbal") > 5000).select("c_custkey")
+      val firstNation = c.where(col("c_nationkey") === 0).select("c_custkey")
+      auto.intersect(rich).union(firstNation).except(
+        c.where(col("c_acctbal") < 0).select("c_custkey"))
+        .distinct()
+    }),
+
+    // Window functions: row_number / lag / exact running sum per user.
+    // events.ts arrives as raw nanosecond longs (nanosAsLong).
+    "q11_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("runsum_micro",
+          sum(floor(col("value") * 1000000).cast("long")).over(wSum))
+        .where(col("rn") <= 5)
+    }),
+
+    // Range/theta join against a small inline band table (I5 ECO-range
+    // broadcast join shape).
+    "q12_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(("small", 0, 10), ("mid", 10, 25), ("large", 25, 51))
+        .toDF("band", "lo", "hi")
+      Tables.lineitem(s, d)
+        .join(broadcast(bands),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"))
+    }),
+
+    // Conditional aggregation (CASE pivot).
+    "q13_conditional_agg" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+            .as("urgent_cnt"))
+        .withColumn("urgent_ratio",
+          col("urgent_cnt").cast("double") / col("cnt").cast("double"))
+    }),
+
+    // ROLLUP grouping sets (SQL form: the Dataset rollup API trips the
+    // ambiguous-self-join analyzer on re-read relations; SQL is identical
+    // Catalyst plans without the Dataset-id bookkeeping).
+    "q14_rollup" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      Tables.nation(s, d).createOrReplaceTempView("g_nation")
+      Tables.region(s, d).createOrReplaceTempView("g_region")
+      s.sql(
+        """SELECT r_name, n_name, COUNT(*) AS cnt
+           FROM g_customer JOIN g_nation ON c_nationkey = n_nationkey
+           JOIN g_region ON n_regionkey = r_regionkey
+           GROUP BY ROLLUP(r_name, n_name)""")
+    }),
+
+    // JSON field extraction (tags JSONB analog -- games.tags parse-on-read).
+    "q15_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .groupBy("k_val").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Tumbling event-time window (streaming-style agg in batch; §2.9).
+    // 6h buckets via exact epoch-microsecond arithmetic on the ns longs.
+    "q16_tumble" -> ((s, d) => {
+      val bucketUs = 6L * 3600 * 1000000
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("w_start_us",
+          expr(s"ts_us div $bucketUs") * bucketUs)
+        .groupBy("w_start_us", "event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 1000000).cast("long")).as("value_micro"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+           SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+           COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q2_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+           AND CAST(l_shipdate AS DATE) <= DATE '1996-12-31'
+           AND l_quantity < 10""",
+    "q3_join_agg" ->
+      """SELECT n_name, COUNT(*) AS order_cnt,
+           SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS revenue_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q4_dims" ->
+      """SELECT r_name, COUNT(*) AS customer_cnt,
+           COUNT(DISTINCT n_name) AS nation_cnt
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q5_left_join_sort" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_orderstatus,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         ORDER BY order_date DESC, o_orderkey DESC LIMIT 50""",
+    "q6_semi_join" ->
+      """SELECT COUNT(*) AS line_cnt,
+           SUM(CAST(l_quantity AS BIGINT)) AS qty_sum
+         FROM lineitem WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""",
+    "q7_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "q8_pagination" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             ROW_NUMBER() OVER (ORDER BY strftime(o_orderdate, '%Y-%m-%d') DESC,
+               o_orderkey DESC) AS rn
+           FROM orders) t
+         WHERE rn > 100 AND rn <= 120""",
+    "q9_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q10_setops" ->
+      """SELECT DISTINCT c_custkey FROM (
+           (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+           UNION
+           SELECT c_custkey FROM customer WHERE c_nationkey = 0
+           EXCEPT
+           SELECT c_custkey FROM customer WHERE c_acctbal < 0)""",
+    "q11_window" ->
+      """SELECT * FROM (
+           SELECT event_id, user_id,
+             epoch_ns(ts)//1000 AS ts_us, value,
+             ROW_NUMBER() OVER w AS rn,
+             LAG(value, 1) OVER w AS prev_value,
+             SUM(CAST(FLOOR(value*1000000) AS BIGINT))
+               OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS runsum_micro
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id)) t
+         WHERE rn <= 5""",
+    "q12_range_join" ->
+      """SELECT band, COUNT(*) AS cnt,
+           SUM(CAST(l_quantity AS BIGINT)) AS qty_sum
+         FROM lineitem
+         JOIN (VALUES ('small', 0, 10), ('mid', 10, 25), ('large', 25, 51))
+           v(band, lo, hi)
+           ON l_quantity >= lo AND l_quantity < hi
+         GROUP BY band""",
+    "q13_conditional_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS urgent_cnt,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS urgent_ratio
+         FROM orders GROUP BY o_orderstatus""",
+    "q14_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS cnt
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)""",
+    "q15_json" ->
+      """SELECT CAST(props->>'k' AS INT) AS k_val, COUNT(*) AS cnt
+         FROM events GROUP BY k_val""",
+    "q16_tumble" ->
+      """SELECT (epoch_ns(ts)//1000//21600000000) * 21600000000 AS w_start_us,
+           event_type, COUNT(*) AS cnt,
+           SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS value_micro
+         FROM events GROUP BY 1, 2""")
+}

@@ -1,0 +1,66 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns + typed
+  * metadata, with decode/feature steps as per-partition batch functions.
+  *
+  * The image/audio codecs are NOT available in this environment, so the
+  * decode kernel is a clearly-marked deterministic stub; everything the
+  * cluster cares about -- schema, partition-level batching, column
+  * pruning, the UDF seam -- is real. Swapping `decodeStub` for an actual
+  * codec (or an `mapInPandas`-style vectorized bridge on PySpark) changes
+  * no plumbing.
+  */
+object Multimodal {
+
+  final case class MediaMeta(byte_len: Int, content_md5: String,
+      format: String, width: Int, height: Int)
+
+  /** STUB decode: deterministic fake dimensions derived from the content
+    * hash (stands in for an image decoder; see module doc).
+    */
+  def decodeStub(bytes: Array[Byte]): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(bytes)
+    val hex = d.map("%02x".format(_)).mkString
+    val w = 16 + (java.lang.Integer.parseInt(hex.substring(0, 4), 16) % 4080)
+    val h = 16 + (java.lang.Integer.parseInt(hex.substring(4, 8), 16) % 4080)
+    val fmt = (d(8) & 3) match {
+      case 0 => "jpeg"; case 1 => "png"; case 2 => "webp"; case _ => "gif"
+    }
+    MediaMeta(bytes.length, hex, fmt, w, h)
+  }
+
+  /** Attach decoded metadata to a binary media column. Runs as a
+    * per-partition map (one decoder instance per partition, batch-shaped
+    * like a real codec bridge).
+    */
+  def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
+    val enc = Encoders.product[MediaMeta]
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idx = df.schema.fieldIndex(binCol)
+    val metaDf: Dataset[(Long, MediaMeta)] = df
+      .select(xxhash64(col(binCol)).as("__k"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // decoder init would happen here, once per partition
+        it.map { case (k, bytes) => (k, decodeStub(bytes)) }
+      }
+    df.withColumn("__k", xxhash64(col(binCol)))
+      .join(metaDf.toDF("__k", "__media"), Seq("__k"))
+      .drop("__k")
+      .select(col("*"), col("__media.*")).drop("__media")
+  }
+
+  /** Deterministic frame-sample positions for a (fake-)video column:
+    * `n` evenly spaced byte offsets -- the partition/batch shape of a real
+    * frame sampler.
+    */
+  def frameSampleOffsets(df: DataFrame, binCol: String, n: Int): DataFrame =
+    df.withColumn("frame_offsets",
+      transform(sequence(lit(0), lit(n - 1)), i =>
+        (i * greatest(length(col(binCol)) - 1, lit(1))) / lit(math.max(1, n - 1))))
+}

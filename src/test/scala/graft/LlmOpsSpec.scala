@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.llmops.{Ann, Dedup, Multimodal, TextAnalysis}
+
+class LlmOpsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val embeddings = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("tokens/shingles/jaccard basics") {
+    import spark.implicits._
+    val df = Seq("The quick brown fox; the quick brown dog").toDF("t")
+    val row = df.select(tokens(col("t")).as("tk"),
+      shingles(tokens(col("t")), 3).as("sh")).head()
+    assert(row.getSeq[String](0) ==
+      Seq("the", "quick", "brown", "fox", "the", "quick", "brown", "dog"))
+    assert(row.getSeq[String](1).head == "the quick brown")
+    assert(row.getSeq[String](1).length == 6)
+  }
+
+  test("exact dedup keeps canonical min id") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("id", "text")
+    val groups = Dedup.exactGroups(df, "id", "text")
+    assert(groups.count() == 2)
+    assert(groups.where("dup_count = 2").select("canonical_id")
+      .head().getLong(0) == 1L)
+    assert(Dedup.exactDedup(df, "id", "text").count() == 2)
+  }
+
+  test("minhash LSH finds shuffled near-dup, skips unrelated") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = a + " nu" // tiny tail change: high shingle overlap
+    val c = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val pairs = Dedup.minhashPairs(df, "id", "text", threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: order-invariant (hamming 0 for shuffled doc), disjoint docs excluded") {
+    import spark.implicits._
+    val a = "red green blue yellow purple orange pink brown black white"
+    val shuffled = a.split(" ").reverse.mkString(" ")
+    val df = Seq((1L, a), (2L, shuffled),
+      (3L, "cat dog mouse horse cow sheep goat hen duck pig"))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", bits = 64,
+      maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getInt(2) == 0))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("ngram jaccard pairs on real docs stay under control") {
+    val pairs = Dedup.ngramJaccardPairs(docs.limit(50), "doc_id", "text",
+      threshold = 0.2)
+    pairs.collect().foreach { r =>
+      assert(r.getDouble(2) >= 0.2 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("brute-force ANN: top-1 of a row's own vector is itself") {
+    val q = embeddings.where("vec_id = 7")
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    val top = Ann.bruteForceTopK(embeddings, "vec_id", "embedding", q, 3)
+      .collect()
+    assert(top.head.getLong(0) == 7L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    assert(top.head.getDouble(1) >= top(1).getDouble(1))
+  }
+
+  test("IVF ANN: query's own cell contains the exact match") {
+    val q = embeddings.where("vec_id = 7")
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    val top = Ann.ivfTopK(embeddings, "vec_id", "embedding", q, 3, bits = 4)
+      .collect()
+    assert(top.head.getLong(0) == 7L)
+  }
+
+  test("knnJoin yields k neighbors per left row within cells") {
+    val knn = Ann.knnJoin(embeddings.limit(40), embeddings.limit(40),
+      "vec_id", "embedding", k = 2, bits = 2)
+    val counts = knn.groupBy("lid").count().collect()
+    assert(counts.nonEmpty)
+    counts.foreach(r => assert(r.getLong(1) <= 2))
+  }
+
+  test("langId deterministic and stable on documents") {
+    val out = TextAnalysis.withLangId(docs.limit(20), "text")
+      .select("lang_pred").distinct().collect().map(_.getString(0))
+    assert(out.forall(Set("de", "en", "es", "fr", "zh", "und").contains))
+  }
+
+  test("quality features: ratios bounded, score in [0,1]") {
+    val out = TextAnalysis.withQuality(docs.limit(50), "text").collect()
+    out.foreach { r =>
+      val s = r.getAs[Double]("quality_score")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getAs[Double]("alpha_ratio") <= 1.0)
+    }
+  }
+
+  test("token counts: bpeish >= ws tokens on plain text") {
+    val out = TextAnalysis.withTokenCounts(docs.limit(50), "text").collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("bpeish_tokens") >= r.getAs[Int]("ws_tokens"))
+    }
+  }
+
+  test("fingerprint is word-order invariant") {
+    import spark.implicits._
+    val df = Seq(("a", "one two three"), ("b", "three two one two"))
+      .toDF("id", "text")
+    val fps = TextAnalysis.withFingerprint(df, "text")
+      .select("fingerprint").collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("multimodal: media meta stub attaches deterministic schema") {
+    import spark.implicits._
+    val df = Seq(("a", "somebytes"), ("b", "other")).toDF("id", "payload")
+      .withColumn("media", col("payload").cast("binary"))
+    val out = Multimodal.withMediaMeta(df, "media")
+    val row = out.where("id = 'a'").select("byte_len", "content_md5",
+      "format", "width", "height").head()
+    assert(row.getInt(0) == 9)
+    assert(row.getString(1).length == 32)
+    assert(row.getInt(3) >= 16 && row.getInt(4) >= 16)
+    // deterministic across runs
+    val row2 = Multimodal.withMediaMeta(df, "media").where("id = 'a'")
+      .select("width").head()
+    assert(row2.getInt(0) == row.getInt(3))
+  }
+
+  test("embedding near-dup pairs empty at high threshold (sanity)") {
+    val pairs = Dedup.embeddingPairs(embeddings, "vec_id", "embedding",
+      threshold = 0.95, prefixBits = 4)
+    assert(pairs.count() == 0)
+  }
+}
