@@ -124,15 +124,14 @@ object TextFunctions {
         size(toks).cast("double"))
   }
 
-  /** Predicted language: argmax marker score, alphabetical tiebreak
-    * (greatest(...) over structs compares score then inverted lang order
-    * is avoided by alphabetical-first listing + strict > comparison).
+  /** Predicted language: argmax marker score; ties favor the
+    * alphabetically-earliest language (fold order is alphabetical and
+    * replacement requires strictly greater score); all-zero scores ->
+    * "und".
     */
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    // fold over alphabetical language order; strict > keeps the first
-    // (alphabetically-earliest) language on ties.
-    val init = struct(lit(-1.0).as("score"), lit("und").as("lang"))
+    val init = struct(lit(0.0).as("score"), lit("und").as("lang"))
     langMarkers.foldLeft(init: Column) { case (best, (lang, markers)) =>
       val s = langScore(toks, markers)
       when(s > best.getField("score"),

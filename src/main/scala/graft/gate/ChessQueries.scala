@@ -1,0 +1,243 @@
+package graft.gate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.chess.{Chess, Openings}
+import graft.core.Fixtures
+import graft.embed.{DeterministicEmbedder, VectorsJob}
+import graft.ingest.{IngestJob, PgnParser}
+import graft.query.{HybridExecutor, QueryIntent}
+
+/** Chessmate-workload gate queries over the bundled reference fixtures.
+  *
+  * Oracles are DuckDB VALUES tables: golden values anchored in the
+  * reference's own test suite (test_chess_parsing.ml, test_query.ml,
+  * test_integration.ml -- see FIXTURES.md) plus pure-Scala replay for the
+  * full FEN lists (the chess core itself is golden-tested against the
+  * reference FENs in ChessCoreSpec).
+  */
+object ChessQueries {
+
+  /** Build fixture tables once per session (tiny corpus, cached). */
+  private var cached: Option[(SparkSession, IngestJob.ChessTables, DataFrame)] =
+    None
+
+  val embedDims = 16
+
+  def data(s: SparkSession): (IngestJob.ChessTables, DataFrame) =
+    synchronized {
+      cached match {
+        case Some((sess, t, v)) if sess eq s => (t, v)
+        case _ =>
+          import s.implicits._
+          val files = s.createDataset(Fixtures.all)
+          val t = IngestJob.tables(s, IngestJob.gamesFromText(s, files))
+          val v = VectorsJob.build(s, t.games, t.players, t.positions,
+            DeterministicEmbedder(embedDims))
+          t.games.cache(); t.players.cache(); t.positions.cache(); v.cache()
+          cached = Some((s, t, v))
+          (t, v)
+      }
+    }
+
+  private def sq(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** Driver-side pure replay of a fixture -> (file, ply, san, fen) rows. */
+  private def replayRows(name: String, text: String): Seq[(String, Int, String, String)] = {
+    val game = PgnParser.parseGames(text).toOption.get.head
+    val fens = Chess.fensOfMoves(game.moves.map(_.san)).toOption.get
+    game.moves.zip(fens).map { case (m, f) => (name, m.ply, m.san, f) }
+  }
+
+  private lazy val allReplayRows: Seq[(String, Int, String, String)] =
+    Fixtures.all.flatMap { case (n, t) => replayRows(n, t) }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // I2/S2-S5: distributed PGN split + parse + SAN->FEN replay.
+    "chess_fen_replay" -> ((s, _) => {
+      val (t, _) = data(s)
+      t.positions
+        .join(t.games.select("game_id", "source_file"), Seq("game_id"))
+        .select(col("source_file"), col("ply"), col("san"), col("fen"))
+    }),
+
+    // I4: content addressing vector_id = md5(fen) (DuckDB recomputes md5).
+    "chess_vector_id" -> ((s, _) => {
+      val (t, _) = data(s)
+      t.positions
+        .join(t.games.select("game_id", "source_file"), Seq("game_id"))
+        .select(col("source_file"), col("ply"), col("vector_id"))
+    }),
+
+    // I5: opening catalog (ECO ranges, canonical names, slugs).
+    "chess_openings_catalog" -> ((s, _) => {
+      import s.implicits._
+      Openings.all.map(e => (e.ecoStart, e.ecoEnd, e.slug))
+        .toDF("eco_start", "eco_end", "slug")
+    }),
+
+    // I5 lookup path: ECO code -> slug via range join against the catalog.
+    "chess_eco_lookup" -> ((s, _) => {
+      import s.implicits._
+      val codes = Seq("A05", "A83", "B13", "B52", "C07", "C65", "D32",
+        "D85", "E15", "E76", "Z99").toDF("eco")
+      val catalog = Openings.all.map(e => (e.ecoStart, e.ecoEnd, e.slug))
+        .toDF("eco_start", "eco_end", "cat_slug")
+      codes.join(broadcast(catalog),
+        col("eco") >= col("eco_start") && col("eco") <= col("eco_end"),
+        "left")
+        .select(col("eco"), coalesce(col("cat_slug"), lit("none")).as("slug"))
+    }),
+
+    // S6/I1/R6: ingest stats per fixture (counts from the reference's
+    // integration suite + README).
+    "chess_ingest_stats" -> ((s, _) => {
+      val (t, _) = data(s)
+      val posStats = t.positions.groupBy("game_id")
+        .agg(count(lit(1)).as("positions"),
+          sum(when(col("fen_valid"), 1).otherwise(0)).as("valid_fens"),
+          countDistinct("vector_id").as("distinct_positions"))
+      t.games.join(posStats, Seq("game_id"))
+        .select(col("source_file"), col("ply_count"), col("positions"),
+          col("valid_fens"), col("distinct_positions"),
+          coalesce(col("eco_code"), lit("-")).as("eco"),
+          coalesce(col("result"), lit("*")).as("result"),
+          coalesce(col("white_rating").cast("string"), lit("-")).as("white_elo"))
+    }),
+
+    // Q1-Q10: NL planner goldens (reference test_query.ml).
+    "chess_plan_golden" -> ((s, _) => {
+      import s.implicits._
+      val questions = Seq(
+        (1, "Find top 3 King's Indian games where white is rated at least 2500 and black is 100 points lower"),
+        (2, "Show me five games that end in a draw in the French Defense endgame"),
+        (3, "Show black wins with a queenside majority in the endgame"),
+        (4, "find 10 sicilian games with tactics"),
+        (5, "white win over 2700 elo"))
+      questions.map { case (id, q) =>
+        val p = QueryIntent.analyse(QueryIntent.Request(q))
+        (id, p.limit, p.offset,
+          p.rating.whiteMin.map(_.toString).getOrElse("-"),
+          p.rating.blackMin.map(_.toString).getOrElse("-"),
+          p.rating.maxRatingDelta.map(_.toString).getOrElse("-"),
+          p.filters.map(f => s"${f.field}=${f.value}").mkString("|"),
+          p.keywords.mkString("|"))
+      }.toDF("qid", "lim", "off", "white_min", "black_min", "delta",
+        "filters", "keywords")
+    }),
+
+    // Full degraded-mode hybrid execution (V10/V11/V13 formulas
+    // end-to-end) -- "show me black wins" over the fixtures, no vectors.
+    "chess_hybrid_fallback" -> ((s, _) => {
+      val (t, _) = data(s)
+      val plan = QueryIntent.analyse(
+        QueryIntent.Request("show me black wins", Some(10)))
+      HybridExecutor.execute(s,
+        HybridExecutor.Tables(t.games, t.players, None), plan)
+        .results
+        .select(col("white"), col("black"), col("result"),
+          col("vector_score"), col("keyword_score"), col("total_score"))
+    }),
+
+    // Full vector-path hybrid execution: deterministic scores over the
+    // fixture corpus (weaker rows-only oracle: scores come from the
+    // 16-dim deterministic embedding pipeline).
+    "chess_hybrid_vector" -> ((s, _) => {
+      val (t, v) = data(s)
+      val plan = QueryIntent.analyse(
+        QueryIntent.Request("games with smyslov", Some(10)))
+      HybridExecutor.execute(s,
+        HybridExecutor.Tables(t.games, t.players, Some(v)), plan,
+        DeterministicEmbedder(embedDims))
+        .results
+        .select(col("white"), col("black"),
+          floor(col("total_score") * 1000).cast("long").as("score_milli"))
+    }))
+
+  def oracles: Map[String, String] = {
+    val fenValues = allReplayRows.map { case (f, ply, san, fen) =>
+      s"(${sq(f)}, $ply, ${sq(san)}, ${sq(fen)})"
+    }.mkString(", ")
+    val vidValues = allReplayRows.map { case (f, ply, _, fen) =>
+      s"(${sq(f)}, $ply, ${sq(fen)})"
+    }.mkString(", ")
+    Map(
+      "chess_fen_replay" ->
+        s"SELECT * FROM (VALUES $fenValues) t(source_file, ply, san, fen)",
+      // DuckDB recomputes the content address from the golden FENs.
+      "chess_vector_id" ->
+        s"""SELECT source_file, ply, md5(fen) AS vector_id
+            FROM (VALUES $vidValues) t(source_file, ply, fen)""",
+      "chess_openings_catalog" ->
+        """SELECT * FROM (VALUES
+           ('A00','A39','white_first_moves_other_than_1_e4_1_d4'),
+           ('A40','A44','1_d4_without_1_d5_1_nf6_or_1_f5_atypical_replies_to_1_d4'),
+           ('A45','A49','1_d4_nf6_without_2_c4_atypical_replies_to_1_nf6'),
+           ('A50','A79','1_d4_nf6_2_c4_without_2_e6_or_2_g6_atypical_indian_systems'),
+           ('A80','A99','dutch_defense'),
+           ('B00','B09','1_e4_without_1_c6_1_c5_1_e6_1_e5'),
+           ('B10','B19','caro_kann_defense'),
+           ('B20','B99','sicilian_defense'),
+           ('C00','C19','french_defense'),
+           ('C20','C99','1_e4_e5_double_king_pawn_games'),
+           ('D00','D69','1_d4_d5_double_queen_pawn_games'),
+           ('D70','D99','grunfeld_defense'),
+           ('E00','E59','1_d4_nf6_2_c4_e6_indian_systems_with_e6'),
+           ('E60','E99','kings_indian_defense')
+           ) t(eco_start, eco_end, slug)""",
+      "chess_eco_lookup" ->
+        """SELECT * FROM (VALUES
+           ('A05','white_first_moves_other_than_1_e4_1_d4'),
+           ('A83','dutch_defense'),
+           ('B13','caro_kann_defense'),
+           ('B52','sicilian_defense'),
+           ('C07','french_defense'),
+           ('C65','1_e4_e5_double_king_pawn_games'),
+           ('D32','1_d4_d5_double_queen_pawn_games'),
+           ('D85','grunfeld_defense'),
+           ('E15','1_d4_nf6_2_c4_e6_indian_systems_with_e6'),
+           ('E76','kings_indian_defense'),
+           ('Z99','none')
+           ) t(eco, slug)""",
+      // 1 game / 6 positions (integration suite), 77 positions (README),
+      // 16 plies (annotated fixture); Seirawan Elo 2568, eco E11 / B33 /
+      // none per the fixture headers.
+      "chess_ingest_stats" ->
+        """SELECT * FROM (VALUES
+           ('sample_game.pgn', 6, 6, 6, 6, '-', '1-0', '-'),
+           ('extended_sample_game.pgn', 77, 77, 77, 77, 'E11', '0-1', '2568'),
+           ('annotated_game.pgn', 16, 16, 16, 16, '-', '1-0', '-')
+           ) t(source_file, ply_count, positions, valid_fens,
+               distinct_positions, eco, result, white_elo)""",
+      // Golden plans: rows 1-2 from reference test_query.ml asserts;
+      // 3-5 hand-derived from the same planner rules.
+      "chess_plan_golden" ->
+        """SELECT * FROM (VALUES
+           (1, 3, 0, '2500', '-', '100',
+            'eco_range=E60-E99|opening=kings_indian_defense',
+            'kings|indian|white|2500|black|100'),
+           (2, 5, 0, '-', '-', '-',
+            'eco_range=C00-C19|opening=french_defense|phase=endgame|result=1/2-1/2',
+            'five|end|draw|french|defense|endgame'),
+           (3, 50, 0, '-', '-', '-',
+            'phase=endgame|result=0-1|theme=queenside_majority',
+            'black|queenside|majority|endgame'),
+           (4, 10, 0, '-', '-', '-',
+            'eco_range=B20-B99|opening=sicilian_defense|theme=tactics',
+            'sicilian|tactics'),
+           (5, 50, 0, '2700', '-', '-', 'result=1-0', 'white|2700')
+           ) t(qid, lim, off, white_min, black_min, delta, filters, keywords)""",
+      // Degraded mode over fixtures: only the extended game is 0-1;
+      // filters all match -> fallback vector 1.0; keywords=['black'] with
+      // no summary-token overlap -> keyword 0; total 0.75.
+      "chess_hybrid_fallback" ->
+        """SELECT white, black, result,
+             CAST(vector_score AS DOUBLE) AS vector_score,
+             CAST(keyword_score AS DOUBLE) AS keyword_score,
+             CAST(total_score AS DOUBLE) AS total_score
+           FROM (VALUES
+           ('Seirawan, Y', 'Smyslov, V', '0-1', 1.0, 0.0, 0.75)
+           ) t(white, black, result, vector_score, keyword_score, total_score)"""
+    )
+  }
+}

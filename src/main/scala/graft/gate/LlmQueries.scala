@@ -1,0 +1,336 @@
+package graft.gate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.llmops.{Ann, Dedup, TextAnalysis}
+
+/** LLM-data-pipeline gate queries over the driver's documents/embeddings
+  * tables, each with an exact DuckDB oracle. The oracles re-implement the
+  * md5-based primitives in pure SQL, so a hash-match proves the whole
+  * Spark pipeline (tokenize -> shingle -> hash -> band -> join) computes
+  * the documented algorithm, not merely something self-consistent.
+  */
+object LlmQueries {
+
+  // DuckDB token list for lower(text) split on non-alnum runs.
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  // DuckDB: first-8-hex-chars-of-md5 -> unsigned 32-bit integer.
+  private def duckHex8(e: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9), i ->
+        (strpos('0123456789abcdef', substr(md5($e), CAST(i AS INT), 1)) - 1)
+          * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup groups (hash-groupBy).
+    "llm_exact_dedup" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
+
+    // Document fingerprint (sorted-distinct-token md5).
+    "llm_fingerprint" -> ((s, d) =>
+      TextAnalysis.withFingerprint(Tables.documents(s, d), "text")
+        .select("doc_id", "fingerprint")),
+
+    // MinHash signatures: 8 seeded min-hashes banded into 2 LSH keys.
+    "llm_minhash_bands" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = shingles(tokens(col("text")), 3)
+      docs.select(col("doc_id"), minhashBands(
+        minhashSignature(sh, 8), 8, 4).as("bands"))
+        .select(col("doc_id"), explode(col("bands")).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.band_hash"))
+    }),
+
+    // MinHash LSH near-dup pairs verified by shingle Jaccard >= 0.8.
+    "llm_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 8, bandRows = 4, threshold = 0.8)
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 1000000).cast("long").as("jaccard_micro"))),
+
+    // 16-bit SimHash per document.
+    "llm_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), simhash(tokens(col("text")), 16).as("simhash16"))),
+
+    // Language ID scores + argmax prediction.
+    "llm_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = tokens(col("text"))
+      TextAnalysis.withLangId(docs, "text")
+        .select(col("doc_id"), col("lang"), col("lang_pred"),
+          floor(langScore(t, langMarkers.toMap.apply("en")) * 1000000)
+            .cast("long").as("en_score_micro"))
+    }),
+
+    // Quality features + composite score (micro-quantized).
+    "llm_quality" -> ((s, d) =>
+      TextAnalysis.withQuality(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          floor(col("mean_token_len") * 1000000).cast("long")
+            .as("mean_token_len_micro"),
+          floor(col("alpha_ratio") * 1000000).cast("long")
+            .as("alpha_ratio_micro"),
+          floor(col("stopword_ratio") * 1000000).cast("long")
+            .as("stopword_ratio_micro"),
+          floor(col("quality_score") * 1000000).cast("long")
+            .as("quality_micro"))),
+
+    // Token accounting: whitespace + BPE-ish counts.
+    "llm_token_counts" -> ((s, d) =>
+      TextAnalysis.withTokenCounts(Tables.documents(s, d), "text")
+        .select("doc_id", "ws_tokens", "bpeish_tokens")),
+
+    // Brute-force ANN top-10 around vec_id 7 (micro-quantized cosine).
+    "llm_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .select(col("id").as("vec_id"),
+          floor(col("score") * 1000000).cast("long").as("cosine_micro"))
+    }),
+
+    // Top-20 most-similar embedding pairs within sign-bit LSH buckets
+    // (near-dup scan shape over the full table).
+    "llm_emb_pairs" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.embeddingPairs(emb, "vec_id", "embedding",
+        threshold = -1.0, prefixBits = 2)
+        .select(col("id_a"), col("id_b"),
+          floor(col("cosine") * 1000000).cast("long").as("cosine_micro"))
+        .orderBy(desc("cosine_micro"), col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
+    // Deterministic embedder parity: 4-dim embeddings of the first 5
+    // documents, exploded to (doc_id, dim, bucket-sum values).
+    "llm_embed_check" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 5)
+      val e = graft.embed.DeterministicEmbedder(dims = 4)
+      docs.select(col("doc_id"),
+        posexplode(e.embedCol(col("text"))).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("dim"),
+          floor(col("v") * 1000000).cast("long").as("v_micro"))
+    }),
+
+    // Multimodal metadata over text-as-binary (decode stub plumbing:
+    // byte length + content hash are the real, verifiable parts).
+    "llm_multimodal_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).as("byte_len"),
+          md5(col("payload")).as("content_md5"))))
+
+  def oracles: Map[String, String] = Map(
+    "llm_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+           COUNT(*) AS dup_count
+         FROM documents GROUP BY md5(text)""",
+    "llm_fingerprint" ->
+      s"""SELECT doc_id,
+            md5(array_to_string(list_sort(list_distinct($duckToks)), ' '))
+              AS fingerprint
+          FROM documents""",
+    "llm_minhash_bands" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $duckToks AS ws FROM documents),
+          sh AS (
+            SELECT doc_id,
+              CASE WHEN len(ws) < 3 THEN []
+                ELSE list_transform(range(1, len(ws) - 1), i ->
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' ||
+                  ws[CAST(i AS INT)+2]) END AS sh
+            FROM toks),
+          sig AS (
+            SELECT doc_id,
+              list_transform(range(0, 8), s ->
+                coalesce(
+                  list_min(list_transform(sh, x ->
+                    md5(CAST(s AS VARCHAR) || ':' || x))),
+                  md5(CAST(s AS VARCHAR) || ':'))) AS sig
+            FROM sh)
+          SELECT doc_id, CAST(b AS INT) AS band,
+            md5(sig[CAST(b*4+1 AS INT)] || ',' || sig[CAST(b*4+2 AS INT)] ||
+                ',' || sig[CAST(b*4+3 AS INT)] || ',' ||
+                sig[CAST(b*4+4 AS INT)]) AS band_hash
+          FROM sig, (VALUES (0), (1)) bands(b)""",
+    "llm_minhash_pairs" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $duckToks AS ws FROM documents),
+          sh AS (
+            SELECT doc_id,
+              CASE WHEN len(ws) < 3 THEN []
+                ELSE list_transform(range(1, len(ws) - 1), i ->
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' ||
+                  ws[CAST(i AS INT)+2]) END AS sh
+            FROM toks WHERE len(ws) >= 3),
+          sig AS (
+            SELECT doc_id, sh,
+              list_transform(range(0, 8), s ->
+                list_min(list_transform(sh, x ->
+                  md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
+            FROM sh),
+          banded AS (
+            SELECT doc_id, sh, CAST(b AS INT) AS band,
+              md5(sig[CAST(b*4+1 AS INT)] || ',' || sig[CAST(b*4+2 AS INT)] ||
+                  ',' || sig[CAST(b*4+3 AS INT)] || ',' ||
+                  sig[CAST(b*4+4 AS INT)]) AS band_hash
+            FROM sig, (VALUES (0), (1)) bands(b)),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+              l.sh AS sh_a, r.sh AS sh_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id),
+          verified AS (
+            SELECT id_a, id_b,
+              CAST(len(list_intersect(list_distinct(sh_a),
+                                      list_distinct(sh_b))) AS DOUBLE) /
+              CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) AS j
+            FROM cand)
+          SELECT id_a, id_b,
+            CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_micro
+          FROM verified WHERE j >= 0.8""",
+    "llm_simhash" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $duckToks AS ws FROM documents)
+          SELECT doc_id,
+            array_to_string(list_transform(range(0, 16), j ->
+              CASE WHEN list_sum(list_transform(ws, t ->
+                ((strpos('0123456789abcdef',
+                    substr(md5(t), CAST(j // 4 + 1 AS INT), 1)) - 1)
+                  // CAST(2 ** (3 - j % 4) AS INT)) % 2 * 2 - 1)) > 0
+              THEN '1' ELSE '0' END), '') AS simhash16
+          FROM toks""",
+    "llm_langid" -> {
+      val perLang = langMarkers.map { case (lang, ms) =>
+        val arr = ms.map(m => s"'$m'").mkString("[", ",", "]")
+        s"""SELECT doc_id, '$lang' AS plang,
+             CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(ws, t -> list_contains($arr, t)))
+                 AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS score
+           FROM toks"""
+      }.mkString(" UNION ALL ")
+      s"""WITH toks AS (
+            SELECT doc_id, lang, $duckToks AS ws FROM documents),
+          scores AS ($perLang),
+          best AS (
+            SELECT doc_id, plang, score,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, plang ASC) AS rn
+            FROM scores)
+          SELECT t.doc_id, t.lang,
+            CASE WHEN b.score = 0.0 THEN 'und' ELSE b.plang END AS lang_pred,
+            CAST(FLOOR((SELECT s.score FROM scores s
+              WHERE s.doc_id = t.doc_id AND s.plang = 'en') * 1000000)
+              AS BIGINT) AS en_score_micro
+          FROM toks t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1"""
+    },
+    "llm_quality" -> {
+      val stopArr = qualityStopwords.map(m => s"'$m'").mkString("[", ",", "]")
+      s"""WITH t AS (
+            SELECT doc_id, text, $duckToks AS ws FROM documents)
+          SELECT doc_id,
+            length(text) AS n_chars,
+            len(ws) AS n_tokens,
+            CAST(FLOOR(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+              CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+              / CAST(len(ws) AS DOUBLE) END * 1000000) AS BIGINT)
+              AS mean_token_len_micro,
+            CAST(FLOOR(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+              CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                AS DOUBLE) / CAST(length(text) AS DOUBLE) END * 1000000)
+              AS BIGINT) AS alpha_ratio_micro,
+            CAST(FLOOR(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+              CAST(len(list_filter(ws, x -> list_contains($stopArr, x)))
+                AS DOUBLE) / CAST(len(ws) AS DOUBLE) END * 1000000)
+              AS BIGINT) AS stopword_ratio_micro,
+            CAST(FLOOR(
+              least(greatest(
+                0.25 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+                + 0.35 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                      AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+                + 0.25 * least((CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                    CAST(len(list_filter(ws, x -> list_contains($stopArr, x)))
+                      AS DOUBLE) / CAST(len(ws) AS DOUBLE) END) * 5.0, 1.0)
+                + 0.15 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                      AS DOUBLE) / CAST(length(text) AS DOUBLE) END) * 5.0,
+                    1.0)), 0.0), 1.0) * 1000000) AS BIGINT) AS quality_micro
+          FROM t"""
+    },
+    "llm_token_counts" ->
+      """SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+             AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+             AS bpeish_tokens
+         FROM documents""",
+    "llm_ann_topk" ->
+      """WITH q AS (
+           SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+         scored AS (
+           SELECT vec_id,
+             list_sum(list_transform(range(1, len(embedding) + 1), i ->
+               CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+               * CAST(qv[CAST(i AS INT)] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(embedding, x ->
+                CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(qv, x ->
+                CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+           FROM embeddings, q)
+         SELECT vec_id, CAST(FLOOR(c * 1000000) AS BIGINT) AS cosine_micro
+         FROM scored ORDER BY c DESC, vec_id LIMIT 10""",
+    "llm_emb_pairs" ->
+      """WITH v AS (
+           SELECT vec_id,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) AS bucket,
+             embedding FROM embeddings),
+         pairs AS (
+           SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(l.embedding) + 1), i ->
+               CAST(l.embedding[CAST(i AS INT)] AS DOUBLE)
+               * CAST(r.embedding[CAST(i AS INT)] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(l.embedding, x ->
+                CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(r.embedding, x ->
+                CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+           FROM v l JOIN v r
+             ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         SELECT id_a, id_b, CAST(FLOOR(c * 1000000) AS BIGINT) AS cosine_micro
+         FROM pairs
+         ORDER BY cosine_micro DESC, id_a, id_b LIMIT 20""",
+    "llm_embed_check" -> {
+      val hex8tok = duckHex8("t || ':' || CAST(dim AS VARCHAR)")
+      s"""WITH toks AS (
+            SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x <> '') AS ws
+            FROM documents WHERE doc_id < 5),
+          dims AS (SELECT CAST(d AS INT) AS dim
+                   FROM (VALUES (0), (1), (2), (3)) v(d)),
+          vals AS (
+            SELECT doc_id, dim,
+              CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                least(greatest(
+                  CAST(list_sum(list_transform(ws, t -> $hex8tok % 10000))
+                    AS DOUBLE) / (CAST(len(ws) AS DOUBLE) * 10000.0),
+                  0.0), 1.0) END AS v
+            FROM toks, dims)
+          SELECT doc_id, dim,
+            CAST(FLOOR(v * 1000000) AS BIGINT) AS v_micro
+          FROM vals"""
+    },
+    "llm_multimodal_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
+           md5(text) AS content_md5
+         FROM documents""")
+}
