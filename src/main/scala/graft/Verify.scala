@@ -14,6 +14,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as raw ns longs.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // test tables are single-row-group files; allow sub-file splits
+      .config("spark.sql.files.maxPartitionBytes", "4194304")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

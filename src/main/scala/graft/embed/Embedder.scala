@@ -65,17 +65,20 @@ final case class DeterministicEmbedder(dims: Int = 1536) extends Embedder {
   }
 
   def embedCol(text: Column): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
     // hash32 as a column expr: conv(hex8, 16, 10) -> unsigned 32-bit value.
     def bucketCol(tok: Column, dim: Column): Column =
       conv(substring(md5(concat(tok, lit(":"), dim.cast("string"))), 1, 8),
         16, 10).cast("long") % 10000L
-    transform(sequence(lit(0), lit(dims - 1)), dim => {
-      val sum = aggregate(toks, lit(0L), (acc, t) => acc + bucketCol(t, dim))
-      val n = size(toks)
-      when(n === 0, 0.0).otherwise(
-        least(greatest(sum.cast("double") / (n.cast("double") * 10000.0),
-          lit(0.0)), lit(1.0)))
-    })
+    // bind: evaluate the tokenizer once per row, not once per dim.
+    graft.functions.TextFunctions.bind(
+      filter(split(lower(text), "\\s+"), t => length(t) > 0)) { toks =>
+      transform(sequence(lit(0), lit(dims - 1)), dim => {
+        val sum = aggregate(toks, lit(0L), (acc, t) => acc + bucketCol(t, dim))
+        val n = size(toks)
+        when(n === 0, 0.0).otherwise(
+          least(greatest(sum.cast("double") / (n.cast("double") * 10000.0),
+            lit(0.0)), lit(1.0)))
+      })
+    }
   }
 }

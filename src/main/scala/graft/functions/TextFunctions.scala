@@ -15,27 +15,40 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Let-binding for column expressions: HOF lambda arguments are bound to
+    * VALUES, while plain Column arguments are expression TREES that get
+    * re-evaluated at every reference. `bind(e)(f)` evaluates `e` exactly
+    * once per row -- without it, an expression like shingles(tokens(x))
+    * re-tokenizes the text at every element access (observed 50x slowdowns).
+    */
+  def bind(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), v => f(v)), 1)
+
   /** Lowercase alnum word tokens. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
   /** Word n-gram shingles joined by single spaces. */
-  def shingles(toks: Column, n: Int): Column =
+  def shingles(toksExpr: Column, n: Int): Column = bind(toksExpr) { toks =>
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
         concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
 
   /** MinHash signature: k seeded md5 hashes, lexicographic-min hex string
     * per seed. String-min avoids hex->int conversions entirely, so Spark
     * and any SQL oracle agree byte-for-byte. Empty input -> sentinel
-    * hashes (md5 of "seed:").
+    * hashes (md5 of "seed:"). Column-expression form for composition;
+    * the hot path is Dedup.minhashBandKeys (compiled UDF).
     */
-  def minhashSignature(shing: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), seed =>
-      coalesce(
-        array_min(transform(shing, s =>
-          md5(concat(seed.cast("string"), lit(":"), s)))),
-        md5(concat(seed.cast("string"), lit(":")))))
+  def minhashSignature(shingExpr: Column, k: Int): Column =
+    bind(shingExpr) { shing =>
+      transform(sequence(lit(0), lit(k - 1)), seed =>
+        coalesce(
+          array_min(transform(shing, s =>
+            md5(concat(seed.cast("string"), lit(":"), s)))),
+          md5(concat(seed.cast("string"), lit(":")))))
+    }
 
   /** LSH band keys: group the signature into bands of `rows` values, hash
     * each band. Returns array of (band_index, band_hash) structs.
@@ -49,13 +62,14 @@ object TextFunctions {
   /** Jaccard similarity of two string arrays (as sets): single integer
     * division -> deterministic across engines.
     */
-  def jaccard(a: Column, b: Column): Column = {
-    val ad = array_distinct(a)
-    val bd = array_distinct(b)
-    val inter = size(array_intersect(ad, bd)).cast("double")
-    val uni = size(array_union(ad, bd)).cast("double")
-    when(uni === 0.0, 0.0).otherwise(inter / uni)
-  }
+  def jaccard(a: Column, b: Column): Column =
+    bind(array_distinct(a)) { ad =>
+      bind(array_distinct(b)) { bd =>
+        val inter = size(array_intersect(ad, bd)).cast("double")
+        val uni = size(array_union(ad, bd)).cast("double")
+        when(uni === 0.0, 0.0).otherwise(inter / uni)
+      }
+    }
 
   /** Hex nibble value (0..15) at 1-based position `pos` of md5(s). */
   private def nib(s: Column, pos: Column): Column =
@@ -65,17 +79,19 @@ object TextFunctions {
     * per nibble). bit j of token t = bit (3 - j%4) of hex nibble (j/4) of
     * md5(t); simhash bit = majority vote (sum of +-1 > 0).
     */
-  def simhash(toks: Column, bits: Int): Column = {
+  def simhash(toksExpr: Column, bits: Int): Column = {
     require(bits % 4 == 0 && bits <= 128)
-    val bitCols = (0 until bits).map { j =>
-      val nibIdx = j / 4 + 1 // 1-based hex position
-      val shift = 3 - (j % 4) // MSB-first within nibble
-      val div = 1 << shift
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc + ((nib(t, lit(nibIdx)) / div).cast("int") % 2) * 2 - 1)
-      when(vote > 0, "1").otherwise("0")
+    bind(toksExpr) { toks =>
+      val bitCols = (0 until bits).map { j =>
+        val nibIdx = j / 4 + 1 // 1-based hex position
+        val shift = 3 - (j % 4) // MSB-first within nibble
+        val div = 1 << shift
+        val vote = aggregate(toks, lit(0),
+          (acc, t) => acc + ((nib(t, lit(nibIdx)) / div).cast("int") % 2) * 2 - 1)
+        when(vote > 0, "1").otherwise("0")
+      }
+      concat(bitCols: _*)
     }
-    concat(bitCols: _*)
   }
 
   /** Hamming distance between two equal-length bit strings. */
@@ -92,13 +108,13 @@ object TextFunctions {
   /** Rolling content hash per fixed-size token window (document segment
     * fingerprinting); returns array of window md5s.
     */
-  def windowFingerprints(text: Column, window: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < window, array(md5(concat_ws(" ", t))))
-      .otherwise(transform(sequence(lit(0), size(t) - window), i =>
-        md5(concat_ws(" ",
-          slice(t, i + 1, lit(window))))))
-  }
+  def windowFingerprints(text: Column, window: Int): Column =
+    bind(tokens(text)) { t =>
+      when(size(t) < window, array(md5(concat_ws(" ", t))))
+        .otherwise(transform(sequence(lit(0), size(t) - window), i =>
+          md5(concat_ws(" ",
+            slice(t, i + 1, lit(window))))))
+    }
 
   // --- language ID (marker-token heuristic) ---------------------------
 
@@ -117,20 +133,20 @@ object TextFunctions {
     "zh" -> Seq("de", "shi", "zai", "you", "wo", "ta", "le", "bu", "ren",
       "zhe", "men", "lai", "ge", "shang"))
 
-  def langScore(toks: Column, markers: Seq[String]): Column = {
-    val markerArr = array(markers.map(lit): _*)
-    when(size(toks) === 0, 0.0).otherwise(
-      size(filter(toks, t => array_contains(markerArr, t))).cast("double") /
-        size(toks).cast("double"))
-  }
+  def langScore(toksExpr: Column, markers: Seq[String]): Column =
+    bind(toksExpr) { toks =>
+      val markerArr = array(markers.map(lit): _*)
+      when(size(toks) === 0, 0.0).otherwise(
+        size(filter(toks, t => array_contains(markerArr, t))).cast("double") /
+          size(toks).cast("double"))
+    }
 
   /** Predicted language: argmax marker score; ties favor the
     * alphabetically-earliest language (fold order is alphabetical and
     * replacement requires strictly greater score); all-zero scores ->
     * "und".
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = bind(tokens(text)) { toks =>
     val init = struct(lit(0.0).as("score"), lit("und").as("lang"))
     langMarkers.foldLeft(init: Column) { case (best, (lang, markers)) =>
       val s = langScore(toks, markers)
@@ -147,26 +163,29 @@ object TextFunctions {
     * division.
     */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
     val nChars = length(text)
-    val nTokens = size(toks)
     val alphaChars = length(regexp_replace(lower(text), "[^a-z]", ""))
     val digitChars = length(regexp_replace(text, "[^0-9]", ""))
     val punctChars = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
     val stopArr = array(qualityStopwords.map(lit): _*)
-    val stopHits = size(filter(toks, t => array_contains(stopArr, t)))
-    val meanTokLen = when(nTokens === 0, 0.0).otherwise(
-      aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
-        nTokens.cast("double"))
+    val meanTokLen = bind(tokens(text)) { toks =>
+      when(size(toks) === 0, 0.0).otherwise(
+        aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+          size(toks).cast("double"))
+    }
+    val stopRatio = bind(tokens(text)) { toks =>
+      when(size(toks) === 0, 0.0).otherwise(
+        size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+          size(toks).cast("double"))
+    }
     Seq(
       "n_chars" -> nChars,
-      "n_tokens" -> nTokens,
+      "n_tokens" -> size(tokens(text)),
       "mean_token_len" -> meanTokLen,
       "alpha_ratio" -> safeRatio(alphaChars, nChars),
       "digit_ratio" -> safeRatio(digitChars, nChars),
       "punct_ratio" -> safeRatio(punctChars, nChars),
-      "stopword_ratio" -> when(nTokens === 0, 0.0)
-        .otherwise(stopHits.cast("double") / nTokens.cast("double")))
+      "stopword_ratio" -> stopRatio)
   }
 
   private def safeRatio(num: Column, den: Column): Column =

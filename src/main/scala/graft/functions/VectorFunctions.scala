@@ -38,4 +38,33 @@ object VectorFunctions {
   def normalizeScore(s: Column): Column =
     when(isnan(s) || s === Double.PositiveInfinity || s === Double.NegativeInfinity, 0.0)
       .otherwise(least(greatest(s, lit(0.0)), lit(1.0)))
+
+  // --- compiled fast paths -------------------------------------------
+  // Spark's higher-order functions evaluate lambdas interpretively per
+  // element; for pair-scan hot loops (millions of cosines) a compiled
+  // Scala UDF with a tight while-loop is ~10x faster and computes the
+  // IDENTICAL sequential fold (same doubles, same oracle hash).
+
+  private def dotF(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  val dotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Array[Double], b: Array[Double]) => dotF(a, b))
+
+  val cosineUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Array[Double], b: Array[Double]) => {
+      val d = dotF(a, b)
+      val na = math.sqrt(dotF(a, a))
+      val nb = math.sqrt(dotF(b, b))
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
+    })
+
+  /** Fast cosine (compiled UDF; exact same result as [[cosine]]). */
+  def cosineFast(a: Column, b: Column): Column =
+    cosineUdf(a.cast("array<double>"), b.cast("array<double>"))
 }

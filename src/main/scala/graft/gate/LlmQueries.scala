@@ -35,15 +35,12 @@ object LlmQueries {
       TextAnalysis.withFingerprint(Tables.documents(s, d), "text")
         .select("doc_id", "fingerprint")),
 
-    // MinHash signatures: 8 seeded min-hashes banded into 2 LSH keys.
-    "llm_minhash_bands" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val sh = shingles(tokens(col("text")), 3)
-      docs.select(col("doc_id"), minhashBands(
-        minhashSignature(sh, 8), 8, 4).as("bands"))
-        .select(col("doc_id"), explode(col("bands")).as("b"))
-        .select(col("doc_id"), col("b.band"), col("b.band_hash"))
-    }),
+    // MinHash signatures: 8 seeded min-hashes banded into 2 LSH keys
+    // (aggregation-based path -- scales linearly).
+    "llm_minhash_bands" -> ((s, d) =>
+      Dedup.minhashBandKeys(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 8, bandRows = 4)
+        .select(col("id").as("doc_id"), col("band"), col("band_hash"))),
 
     // MinHash LSH near-dup pairs verified by shingle Jaccard >= 0.8.
     "llm_minhash_pairs" -> ((s, d) =>
@@ -150,11 +147,9 @@ object LlmQueries {
           sig AS (
             SELECT doc_id,
               list_transform(range(0, 8), s ->
-                coalesce(
-                  list_min(list_transform(sh, x ->
-                    md5(CAST(s AS VARCHAR) || ':' || x))),
-                  md5(CAST(s AS VARCHAR) || ':'))) AS sig
-            FROM sh)
+                list_min(list_transform(sh, x ->
+                  md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
+            FROM sh WHERE len(sh) > 0)
           SELECT doc_id, CAST(b AS INT) AS band,
             md5(sig[CAST(b*4+1 AS INT)] || ',' || sig[CAST(b*4+2 AS INT)] ||
                 ',' || sig[CAST(b*4+3 AS INT)] || ',' ||

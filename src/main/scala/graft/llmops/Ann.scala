@@ -68,7 +68,7 @@ object Ann {
         col("cell"))
     val scored = l.join(r, Seq("cell"))
       .where(col("lid") =!= col("rid"))
-      .select(col("lid"), col("rid"), cosine(col("lv"), col("rv")).as("score"))
+      .select(col("lid"), col("rid"), cosineFast(col("lv"), col("rv")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lid").orderBy(desc("score"), col("rid"))
     scored.withColumn("__rn", row_number().over(w))

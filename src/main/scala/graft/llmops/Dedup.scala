@@ -32,6 +32,60 @@ object Dedup {
           .partitionBy("content_hash").orderBy(col(idCol))))
       .where(col("__rn") === 1).drop("__rn", "content_hash")
 
+  /** Compiled per-row minhash band keys: k seeded md5-min signature ->
+    * bandRows-grouped band hashes, in one tight loop with a reused
+    * MessageDigest. Entirely MAP-SIDE -- nothing shuffles until the
+    * band-key candidate join, which is the shape that scales to 100 TB.
+    * Byte-identical to the column-expression primitives in TextFunctions
+    * (same md5 hex strings, same lexicographic mins).
+    */
+  private def bandKeysF(k: Int, bandRows: Int): Seq[String] => Seq[String] = {
+    (sh: Seq[String]) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(s: String): String = {
+        val d = md.digest(s.getBytes("UTF-8"))
+        val out = new Array[Char](32)
+        var i = 0
+        while (i < 16) {
+          out(2 * i) = "0123456789abcdef" ((d(i) >> 4) & 0xf)
+          out(2 * i + 1) = "0123456789abcdef" (d(i) & 0xf)
+          i += 1
+        }
+        new String(out)
+      }
+      val sig = new Array[String](k)
+      var s = 0
+      while (s < k) {
+        var m: String = null
+        sh.foreach { x =>
+          val h = hex(s.toString + ":" + x)
+          if (m == null || h < m) m = h
+        }
+        sig(s) = m
+        s += 1
+      }
+      (0 until k / bandRows).map { b =>
+        hex(sig.slice(b * bandRows, b * bandRows + bandRows).mkString(","))
+      }
+    }
+  }
+
+  /** MinHash LSH band keys. Returns (id, band, band_hash); docs with no
+    * shingles have no bands.
+    */
+  def minhashBandKeys(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bandRows: Int): DataFrame = {
+    val keysUdf = udf(bandKeysF(k, bandRows))
+    // The signature loop is compute-bound (k x shingles md5s per row);
+    // single-row-group files would otherwise pin it to one task.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    spread.select(col(idCol).as("id"),
+      shingles(tokens(col(textCol)), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("band", "band_hash")))
+  }
+
   /** MinHash+LSH near-dup pairs.
     *
     * shingle(n-gram) -> k-minhash signature -> bands -> bucket join ->
@@ -42,25 +96,38 @@ object Dedup {
       shingleN: Int = 3, k: Int = 32, bandRows: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val base = df.select(col(idCol).as("id"),
-      shingles(tokens(col(textCol)), shingleN).as("sh"))
+      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
-    val sigs = base.withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sigs.select(col("id"), col("sh"),
-      explode(minhashBands(col("sig"), k, bandRows)).as("b"))
-      .select(col("id"), col("sh"), col("b.band"), col("b.band_hash"))
+    // candidate ids first (narrow self-join on the band keys), shingle
+    // arrays attached once per side AFTER pair dedup -- the wide arrays
+    // never ride through the LSH shuffle.
+    val banded = minhashBandKeys(df, idCol, textCol, shingleN, k, bandRows)
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") &&
           col("l.band_hash") === col("r.band_hash") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     candidates
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Compiled set-Jaccard (same integer-count division as
+    * TextFunctions.jaccard; HashSet instead of per-pair array HOFs).
+    */
+  val jaccardUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Seq[String], b: Seq[String]) => {
+      val sa = a.toSet
+      val sb = b.toSet
+      val inter = sa.count(sb.contains)
+      val uni = sa.size + sb.size - inter
+      if (uni == 0) 0.0 else inter.toDouble / uni.toDouble
+    })
 
   /** SimHash near-dup pairs: `bits`-bit simhash, banded into bits/bandBits
     * chunks for candidate generation, hamming-distance verification.
@@ -131,7 +198,7 @@ object Dedup {
     withKey.as("l").join(withKey.as("r"),
       col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        VectorFunctions.cosine(col("l.v"), col("r.v")).as("cosine"))
+        VectorFunctions.cosineFast(col("l.v"), col("r.v")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }
