@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dump physical plans of the load-bearing pipelines for scale review:
+  * confirms predicate pushdown (PushedFilters), column pruning
+  * (ReadSchema), broadcast joins, and TakeOrderedAndProject top-k.
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def show(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n========== $name ==========")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+    }
+
+    // 1. Filter+projection pushdown into the parquet scan.
+    show("q2_filter pushdown") {
+      graft.gate.RelationalQueries.queries("q2_filter")(spark, sf)
+    }
+    // 2. Broadcast dimension joins.
+    show("q3_join_agg broadcast") {
+      graft.gate.RelationalQueries.queries("q3_join_agg")(spark, sf)
+    }
+    // 3. Top-k => TakeOrderedAndProject (no global sort).
+    show("q7_topk") {
+      graft.gate.RelationalQueries.queries("q7_topk")(spark, sf)
+    }
+    // 4. Hybrid query end-to-end.
+    import spark.implicits._
+    val files = spark.createDataset(graft.core.Fixtures.all)
+    val t = graft.ingest.IngestJob.tables(spark,
+      graft.ingest.IngestJob.gamesFromText(spark, files))
+    val e = graft.embed.DeterministicEmbedder(16)
+    val v = graft.embed.VectorsJob.build(spark, t.games, t.players,
+      t.positions, e)
+    val plan = graft.query.QueryIntent.analyse(graft.query.QueryIntent
+      .Request("games where white is rated at least 2500", Some(5)))
+    show("hybrid ranked results") {
+      graft.query.HybridExecutor.execute(spark,
+        graft.query.HybridExecutor.Tables(t.games, t.players, Some(v)),
+        plan, e).results
+    }
+    // 5. KNN scored scan on its own.
+    show("vector knn top-k") {
+      graft.query.HybridExecutor.vectorHits(v, plan,
+        graft.query.HybridExecutor.queryVector(plan, e))
+    }
+    spark.stop()
+  }
+}
