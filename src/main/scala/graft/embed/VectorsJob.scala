@@ -59,7 +59,11 @@ object VectorsJob {
         col("vector_id"), col("game_id"), col("ply"), col("san"),
         col("side_to_move"), col("fen"),
         array(phaseCol(col("ply"))).as("phases"),
-        array().cast("array<string>").as("themes"),
+        // I7 theme features over the position SAN + any annotation tags;
+        // fixture corpus has no annotations so this is usually empty
+        // (parity: reference positions start with empty tags too).
+        graft.chess.PositionFeatures.themesCol(array(col("san")))
+          .as("themes"),
         array().cast("array<string>").as("keywords"),
         col("opening_slug"), col("opening_name"),
         col("eco_code").as("eco"), col("result"),

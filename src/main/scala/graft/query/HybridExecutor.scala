@@ -112,7 +112,18 @@ object HybridExecutor {
       embedder: DeterministicEmbedder = DeterministicEmbedder()): Execution = {
 
     val base = summaries(tables.games, tables.players)
-    val filtered = base.where(PlanCompiler.gamePredicate(plan))
+    val prefiltered = base.where(PlanCompiler.gamePredicate(plan))
+    // R1 vector_only: semi/anti-join against embedded game ids (the
+    // reference's `positions.vector_id IS (NOT) NULL` EXISTS clause).
+    val filtered = plan.filters.find(_.field.toLowerCase == "vector_only")
+      .flatMap { f =>
+        tables.vectors.map { v =>
+          val embedded = v.select("game_id").distinct()
+          val joinType =
+            if (f.value.trim.toLowerCase == "false") "left_anti" else "left_semi"
+          prefiltered.join(embedded, Seq("game_id"), joinType)
+        }
+      }.getOrElse(prefiltered)
     val total = filtered.count()
 
     // R3 page: played_on DESC NULLS LAST, id DESC; TakeOrderedAndProject.
