@@ -139,6 +139,23 @@ object ChessQueries {
           col("vector_score"), col("keyword_score"), col("total_score"))
     }),
 
+    // KNN chain verification: embed(fen) -> cosine vs query vector ->
+    // top-k -> per-game max collapse, over the fixture corpus. The DuckDB
+    // oracle recomputes the ENTIRE chain (md5 bucket embedding, cosine,
+    // top-k, group-max) from the golden FEN values in pure SQL.
+    "chess_knn_collapse" -> ((s, _) => {
+      val (t, v) = data(s)
+      // default limit 50 -> k = 150 > 99 positions: no top-k boundary,
+      // so duplicate FENs across games can't introduce tie ambiguity.
+      val plan = QueryIntent.analyse(QueryIntent.Request("smyslov"))
+      val qv = HybridExecutor.queryVector(plan, DeterministicEmbedder(embedDims))
+      HybridExecutor.vectorHits(v, plan, qv)
+        .select(col("game_id"),
+          floor(col("hit_score") * 1000000).cast("long").as("score_micro"))
+        .join(t.games.select(col("game_id"), col("source_file")), Seq("game_id"))
+        .select("source_file", "score_micro")
+    }),
+
     // Full vector-path hybrid execution: deterministic scores over the
     // fixture corpus (weaker rows-only oracle: scores come from the
     // 16-dim deterministic embedding pipeline).
@@ -161,7 +178,47 @@ object ChessQueries {
     val vidValues = allReplayRows.map { case (f, ply, _, fen) =>
       s"(${sq(f)}, $ply, ${sq(fen)})"
     }.mkString(", ")
+    // DuckDB: first 8 hex chars of md5(e) as unsigned 32-bit int.
+    def hex8(e: String): String =
+      s"""CAST(list_sum(list_transform(range(1, 9), i ->
+          (strpos('0123456789abcdef', substr(md5($e), CAST(i AS INT), 1)) - 1)
+            * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT)"""
+    val knnOracle = {
+      val dims = embedDims
+      s"""WITH pos(source_file, ply, fen) AS (VALUES $vidValues),
+          ftok AS (
+            SELECT DISTINCT fen,
+              list_filter(string_split_regex(lower(fen), '\\s+'),
+                x -> x <> '') AS ws
+            FROM pos),
+          -- 16-dim deterministic embedding, float32-rounded like the
+          -- stored vectors table (CAST AS REAL), then back to double.
+          evec AS (
+            SELECT fen, list_transform(range(0, $dims), d ->
+              CAST(CAST(least(greatest(
+                CAST(list_sum(list_transform(ws, t ->
+                  ${hex8("t || ':' || CAST(d AS VARCHAR)")} % 10000))
+                  AS DOUBLE) / (CAST(len(ws) AS DOUBLE) * 10000.0),
+                0.0), 1.0) AS REAL) AS DOUBLE)) AS e
+            FROM ftok),
+          -- query vector: tokens = ['smyslov'] (plan keywords), unrounded.
+          qvec AS (
+            SELECT list_transform(range(0, $dims), d ->
+              CAST(${hex8("'smyslov:' || CAST(d AS VARCHAR)")} % 10000
+                AS DOUBLE) / 10000.0) AS q),
+          scored AS (
+            SELECT p.source_file,
+              list_sum(list_transform(range(1, $dims + 1), i ->
+                e[CAST(i AS INT)] * q[CAST(i AS INT)])) /
+              (sqrt(list_sum(list_transform(e, x -> x * x))) *
+               sqrt(list_sum(list_transform(q, x -> x * x)))) AS c
+            FROM pos p JOIN evec v ON p.fen = v.fen, qvec)
+          SELECT source_file,
+            CAST(FLOOR(MAX(c) * 1000000) AS BIGINT) AS score_micro
+          FROM scored GROUP BY source_file"""
+    }
     Map(
+      "chess_knn_collapse" -> knnOracle,
       "chess_fen_replay" ->
         s"SELECT * FROM (VALUES $fenValues) t(source_file, ply, san, fen)",
       // DuckDB recomputes the content address from the golden FENs.
