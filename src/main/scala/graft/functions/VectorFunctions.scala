@@ -67,4 +67,10 @@ object VectorFunctions {
   /** Fast cosine (compiled UDF; exact same result as [[cosine]]). */
   def cosineFast(a: Column, b: Column): Column =
     cosineUdf(a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Fast cosine against a fixed query vector (compiled; exact same
+    * result as [[cosineToQuery]]).
+    */
+  def cosineToQueryFast(c: Column, query: Seq[Double]): Column =
+    cosineUdf(c.cast("array<double>"), typedLit(query))
 }

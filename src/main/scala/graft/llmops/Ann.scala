@@ -21,7 +21,7 @@ object Ann {
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int): DataFrame =
     df.select(col(idCol).as("id"),
-      cosineToQuery(col(vecCol), query).as("score"))
+      cosineToQueryFast(col(vecCol), query).as("score"))
       .orderBy(desc("score"), col("id"))
       .limit(k)
 
@@ -49,7 +49,7 @@ object Ann {
     withCell(df, vecCol, bits)
       .where(col("cell").isin(cells: _*))
       .select(col(idCol).as("id"),
-        cosineToQuery(col(vecCol), query).as("score"))
+        cosineToQueryFast(col(vecCol), query).as("score"))
       .orderBy(desc("score"), col("id"))
       .limit(k)
   }

@@ -94,7 +94,7 @@ object HybridExecutor {
     vectors
       .where(PlanCompiler.vectorPredicate(plan))
       .withColumn("score",
-        normalizeScore(cosineToQuery(col("embedding"), qv.toSeq)))
+        normalizeScore(cosineToQueryFast(col("embedding"), qv.toSeq)))
       .orderBy(desc("score"), desc("vector_id"))
       .limit(k)
       .groupBy("game_id")
@@ -107,9 +107,17 @@ object HybridExecutor {
           .as("hit_keywords"))
   }
 
-  /** Full execution of a plan. */
+  /** Full execution of a plan.
+    *
+    * @param computeTotal when false, skips the COUNT(*) scan (total = -1,
+    *   hasMore approximated from the page size). At 100 TB the exact
+    *   total is a second full pass over the filtered scan -- callers that
+    *   only need the page should opt out (the reference always pays it:
+    *   repo_postgres_caqti.ml:293).
+    */
   def execute(spark: SparkSession, tables: Tables, plan: Plan,
-      embedder: DeterministicEmbedder = DeterministicEmbedder()): Execution = {
+      embedder: DeterministicEmbedder = DeterministicEmbedder(),
+      computeTotal: Boolean = true): Execution = {
 
     val base = summaries(tables.games, tables.players)
     val prefiltered = base.where(PlanCompiler.gamePredicate(plan))
@@ -124,7 +132,7 @@ object HybridExecutor {
           prefiltered.join(embedded, Seq("game_id"), joinType)
         }
       }.getOrElse(prefiltered)
-    val total = filtered.count()
+    val total = if (computeTotal) filtered.count() else -1L
 
     // R3 page: played_on DESC NULLS LAST, id DESC; TakeOrderedAndProject.
     val pageOrder = Seq(col("played_on").desc_nulls_last, col("game_id").desc)
@@ -218,8 +226,12 @@ object HybridExecutor {
         "white_rating", "black_rating", "total_score", "vector_score",
         "keyword_score", "phases", "themes", "keywords")
 
-    val returned = math.min(plan.limit.toLong, math.max(0L, total - plan.offset))
-    Execution(ranked, total, hasMore = plan.offset + returned < total,
-      warnings = warnings)
+    val hasMore =
+      if (computeTotal) {
+        val returned = math.min(plan.limit.toLong,
+          math.max(0L, total - plan.offset))
+        plan.offset + returned < total
+      } else false // unknown without the count; callers opted out
+    Execution(ranked, total, hasMore, warnings = warnings)
   }
 }
