@@ -21,7 +21,8 @@ object Ann {
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int): DataFrame =
     df.select(col(idCol).as("id"),
-      cosineToQueryFast(col(vecCol), query).as("score"))
+      graft.functions.CosineSimilarity(col(vecCol),
+        org.apache.spark.sql.functions.typedLit(query)).as("score"))
       .orderBy(desc("score"), col("id"))
       .limit(k)
 
@@ -49,7 +50,8 @@ object Ann {
     withCell(df, vecCol, bits)
       .where(col("cell").isin(cells: _*))
       .select(col(idCol).as("id"),
-        cosineToQueryFast(col(vecCol), query).as("score"))
+        graft.functions.CosineSimilarity(col(vecCol),
+        org.apache.spark.sql.functions.typedLit(query)).as("score"))
       .orderBy(desc("score"), col("id"))
       .limit(k)
   }
@@ -68,7 +70,7 @@ object Ann {
         col("cell"))
     val scored = l.join(r, Seq("cell"))
       .where(col("lid") =!= col("rid"))
-      .select(col("lid"), col("rid"), cosineFast(col("lv"), col("rv")).as("score"))
+      .select(col("lid"), col("rid"), graft.functions.CosineSimilarity(col("lv"), col("rv")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lid").orderBy(desc("score"), col("rid"))
     scored.withColumn("__rn", row_number().over(w))

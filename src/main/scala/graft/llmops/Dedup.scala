@@ -198,7 +198,7 @@ object Dedup {
     withKey.as("l").join(withKey.as("r"),
       col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        VectorFunctions.cosineFast(col("l.v"), col("r.v")).as("cosine"))
+        graft.functions.CosineSimilarity(col("l.v"), col("r.v")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

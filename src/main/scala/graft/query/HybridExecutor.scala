@@ -94,7 +94,8 @@ object HybridExecutor {
     vectors
       .where(PlanCompiler.vectorPredicate(plan))
       .withColumn("score",
-        normalizeScore(cosineToQueryFast(col("embedding"), qv.toSeq)))
+        normalizeScore(graft.functions.CosineSimilarity(col("embedding"),
+          org.apache.spark.sql.functions.typedLit(qv.toSeq))))
       .orderBy(desc("score"), desc("vector_id"))
       .limit(k)
       .groupBy("game_id")
