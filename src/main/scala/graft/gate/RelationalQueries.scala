@@ -194,6 +194,29 @@ object RelationalQueries {
         .groupBy("k_val").agg(count(lit(1)).as("cnt"))
     }),
 
+    // Correlated EXISTS (Catalyst decorrelates to a semi-join).
+    "q17_exists" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM g_orders o
+           WHERE EXISTS (SELECT 1 FROM g_lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey
+                           AND l.l_quantity >= 49)
+           ORDER BY o_orderkey LIMIT 100""")
+    }),
+
+    // Scalar subquery (orders above the global mean price; mean via
+    // exact integer cents so the threshold is engine-identical).
+    "q18_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql(
+        """SELECT COUNT(*) AS above_avg_cnt FROM g_orders
+           WHERE o_totalprice * 100 >
+             (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                       AS DOUBLE) / COUNT(*) FROM g_orders)""")
+    }),
+
     // Tumbling event-time window (streaming-style agg in batch; §2.9).
     // 6h buckets via exact epoch-microsecond arithmetic on the ns longs.
     "q16_tumble" -> ((s, d) => {
@@ -300,6 +323,17 @@ object RelationalQueries {
     "q15_json" ->
       """SELECT CAST(props->>'k' AS INT) AS k_val, COUNT(*) AS cnt
          FROM events GROUP BY k_val""",
+    "q17_exists" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_quantity >= 49)
+         ORDER BY o_orderkey LIMIT 100""",
+    "q18_scalar_subquery" ->
+      """SELECT COUNT(*) AS above_avg_cnt FROM orders
+         WHERE o_totalprice * 100 >
+           (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                     AS DOUBLE) / COUNT(*) FROM orders)""",
     "q16_tumble" ->
       """SELECT (epoch_ns(ts)//1000//21600000000) * 21600000000 AS w_start_us,
            event_type, COUNT(*) AS cnt,
