@@ -201,4 +201,23 @@ object IngestJob {
     t.positions.write.mode("overwrite").parquet(s"$outDir/positions")
     t.issues.write.mode("overwrite").parquet(s"$outDir/issues")
   }
+
+  /** Bucketed variant (saveAsTable; requires a warehouse): positions and
+    * games bucketed by game_id so the positions<->games join -- the
+    * backbone of the vectors build and every per-game analysis -- is
+    * co-located with NO shuffle on either side. At 100 TB this removes
+    * the single largest exchange in the pipeline; size `buckets` to ~2-4x
+    * target cluster cores.
+    */
+  def writeBucketed(t: ChessTables, db: String, buckets: Int = 64): Unit = {
+    val spark = t.games.sparkSession
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    t.games.write.mode("overwrite")
+      .bucketBy(buckets, "game_id").sortBy("game_id")
+      .saveAsTable(s"$db.games")
+    t.positions.write.mode("overwrite")
+      .bucketBy(buckets, "game_id").sortBy("game_id", "ply")
+      .saveAsTable(s"$db.positions")
+    t.players.write.mode("overwrite").saveAsTable(s"$db.players")
+  }
 }

@@ -167,18 +167,23 @@ object Dedup {
       array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
     // Jaccard >= t implies size ratio within [t, 1/t]: band by log-size so
-    // only adjacent bands need comparing.
+    // only same-or-adjacent bands need comparing. Adjacency is expressed
+    // as an EQUI-join by exploding each row to probe keys (band, band+1):
+    // an OR-of-bands condition would plan as a nested-loop cross join.
     val logBase = math.log(math.max(1.25, 1.0 / threshold))
     val withBand = base.withColumn("band",
-      floor(log(size(col("sh")).cast("double")) / logBase))
-    val joined = withBand.as("l").join(withBand.as("r"),
-      col("l.id") < col("r.id") &&
-        (col("l.band") === col("r.band") ||
-          col("l.band") === col("r.band") + 1 ||
-          col("l.band") + 1 === col("r.band")))
-    joined.select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-      jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
+      floor(log(size(col("sh")).cast("double")) / logBase).cast("long"))
+    val left = withBand.select(col("id"), col("sh"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1))
+        .as("probe"))
+    val right = withBand.withColumnRenamed("band", "probe")
+    left.as("l")
+      .join(right.as("r"),
+        col("l.probe") === col("r.probe") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        jaccardUdf(col("l.sh"), col("r.sh")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Embedding near-dup: cosine >= threshold pairs via sign-bit LSH
