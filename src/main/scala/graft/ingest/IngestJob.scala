@@ -212,6 +212,8 @@ object IngestJob {
   def writeBucketed(t: ChessTables, db: String, buckets: Int = 64): Unit = {
     val spark = t.games.sparkSession
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Seq("games", "positions", "players").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $db.$n"))
     t.games.write.mode("overwrite")
       .bucketBy(buckets, "game_id").sortBy("game_id")
       .saveAsTable(s"$db.games")
