@@ -156,19 +156,24 @@ object ChessQueries {
         .select("source_file", "score_micro")
     }),
 
-    // Full vector-path hybrid execution: deterministic scores over the
-    // fixture corpus (weaker rows-only oracle: scores come from the
-    // 16-dim deterministic embedding pipeline).
+    // Full vector-path hybrid execution over the fixture corpus: the
+    // DuckDB oracle recomputes the ENTIRE path -- 16-dim embedding,
+    // cosine, per-game max collapse, summary-token keyword overlap, and
+    // the 0.75/0.25 blend -- from golden FENs + literal metadata.
+    // Default limit 50 -> k=150 > 99 positions and no page cut, so no
+    // ordering/tie sensitivity anywhere.
     "chess_hybrid_vector" -> ((s, _) => {
       val (t, v) = data(s)
       val plan = QueryIntent.analyse(
-        QueryIntent.Request("games with smyslov", Some(10)))
+        QueryIntent.Request("games with smyslov"))
       HybridExecutor.execute(s,
         HybridExecutor.Tables(t.games, t.players, Some(v)), plan,
         DeterministicEmbedder(embedDims))
         .results
         .select(col("white"), col("black"),
-          floor(col("total_score") * 1000).cast("long").as("score_milli"))
+          floor(col("vector_score") * 1000000).cast("long").as("vector_micro"),
+          floor(col("keyword_score") * 1000000).cast("long").as("keyword_micro"),
+          floor(col("total_score") * 1000000).cast("long").as("total_micro"))
     }))
 
   def oracles: Map[String, String] = {
@@ -217,8 +222,45 @@ object ChessQueries {
             CAST(FLOOR(MAX(c) * 1000000) AS BIGINT) AS score_micro
           FROM scored GROUP BY source_file"""
     }
+    // Full hybrid blend on top of the same embedding/cosine CTEs: summary
+    // metadata written literally from the fixture headers; keyword =
+    // |{smyslov} ∩ summary_tokens| / 1; total = 0.75*v + 0.25*k.
+    val hybridVectorOracle = {
+      val prefix = knnOracle.substring(0, knnOracle.lastIndexOf("SELECT"))
+      s"""$prefix,
+          collapsed AS (
+            SELECT source_file, MAX(c) AS hit FROM scored GROUP BY source_file),
+          meta(source_file, white, black, event, opening_name, opening_slug)
+            AS (VALUES
+            ('sample_game.pgn', 'Sample White', 'Sample Black',
+             'Test Event', NULL, NULL),
+            ('extended_sample_game.pgn', 'Seirawan, Y', 'Smyslov, V',
+             'Interpolis International Tournament',
+             '1.d4 Nf6 2.c4 e6: Indian systems with ...e6',
+             '1_d4_nf6_2_c4_e6_indian_systems_with_e6'),
+            ('annotated_game.pgn', 'Annotator, A', 'Responder, B',
+             'Annotated Fixture', NULL, NULL)),
+          scored_games AS (
+            SELECT m.white, m.black,
+              least(co.hit, 1.0) AS v,
+              CASE WHEN list_contains(
+                list_filter(string_split_regex(lower(
+                  concat_ws(' ', m.white, m.black, m.event,
+                    coalesce(m.opening_name, ''),
+                    coalesce(m.opening_slug, ''))), '[^a-z0-9]+'),
+                  x -> length(x) >= 3), 'smyslov')
+                THEN 1.0 ELSE 0.0 END AS kw
+            FROM meta m JOIN collapsed co ON co.source_file = m.source_file)
+          SELECT white, black,
+            CAST(FLOOR(v * 1000000) AS BIGINT) AS vector_micro,
+            CAST(FLOOR(kw * 1000000) AS BIGINT) AS keyword_micro,
+            CAST(FLOOR((0.75 * v + 0.25 * kw) * 1000000) AS BIGINT)
+              AS total_micro
+          FROM scored_games"""
+    }
     Map(
       "chess_knn_collapse" -> knnOracle,
+      "chess_hybrid_vector" -> hybridVectorOracle,
       "chess_fen_replay" ->
         s"SELECT * FROM (VALUES $fenValues) t(source_file, ply, san, fen)",
       // DuckDB recomputes the content address from the golden FENs.
