@@ -53,15 +53,15 @@ object Bench {
     val files = spark.createDataset(corpus)
 
     var positionCount = 0L
+    var t: graft.ingest.IngestJob.ChessTables = null
     val ingestSec = time {
-      val t = graft.ingest.IngestJob.tables(spark,
-        graft.ingest.IngestJob.gamesFromText(spark, files))
+      t = graft.ingest.IngestJob.tables(spark,
+        graft.ingest.IngestJob.gamesFromText(spark, files),
+        persistRecords = true)
       t.games.cache(); t.players.cache(); t.positions.cache()
       positionCount = t.positions.count()
       t.games.count(); t.players.count()
     }
-    val t = graft.ingest.IngestJob.tables(spark,
-      graft.ingest.IngestJob.gamesFromText(spark, files))
     val embedder = graft.embed.DeterministicEmbedder(dims = 256)
     var vectors: org.apache.spark.sql.DataFrame = null
     val embedSec = time {

@@ -26,7 +26,8 @@ object IngestApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val t = IngestJob.run(spark, in)
+    val t = IngestJob.tables(spark, IngestJob.readPgn(spark, in),
+      persistRecords = true)
     IngestJob.write(t, out)
     val games = spark.read.parquet(s"$out/games")
     val players = spark.read.parquet(s"$out/players")

@@ -140,47 +140,64 @@ object IngestJob {
   final case class ChessTables(games: DataFrame, players: DataFrame,
       positions: DataFrame, issues: DataFrame)
 
-  /** Project the nested records into the relational model. */
-  def tables(spark: SparkSession, records: Dataset[GameRecord]): ChessTables = {
+  /** Project the nested records into the relational model.
+    *
+    * Encoding discipline: the typed record dataset is converted to a
+    * DataFrame ONCE (player ids computed in the same pass); all four
+    * projections are then pure column ops (select/explode/groupBy) over
+    * that frame -- no per-projection case-class decode/encode cycles,
+    * which dominate wall time on wide nested records.
+    *
+    * @param persistRecords persist the converted frame so parse+replay
+    *   runs once for all four projections (MEMORY_AND_DISK: spills
+    *   instead of recomputing at 100 TB). Callers own unpersist.
+    */
+  def tables(spark: SparkSession, records0: Dataset[GameRecord],
+      persistRecords: Boolean = false): ChessTables = {
     import spark.implicits._
-    val ok = records.filter(_.parse_ok)
+    // one encode pass: attach FK ids while still typed, then to rows.
+    val df0 = records0.map { g =>
+      (g, playerId(g.white_name, g.white_fide_id),
+        playerId(g.black_name, g.black_fide_id))
+    }.toDF("g", "white_player_id", "black_player_id")
+      .select(col("g.*"), col("white_player_id"), col("black_player_id"))
+    val df =
+      if (persistRecords)
+        df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df0
+    val ok = df.where(col("parse_ok"))
 
-    val games = ok.map { g =>
-      (g.game_id, playerId(g.white_name, g.white_fide_id),
-        playerId(g.black_name, g.black_fide_id),
-        g.event, g.site, g.round, g.played_on,
-        g.eco_code, g.opening_name, g.opening_slug, g.result,
-        g.white_rating, g.black_rating, g.ply_count, g.tags, g.pgn,
-        g.source_file, g.game_index)
-    }.toDF("game_id", "white_player_id", "black_player_id", "event", "site",
-      "round", "date_raw", "eco_code", "opening_name", "opening_slug",
-      "result", "white_rating", "black_rating", "ply_count", "tags", "pgn",
-      "source_file", "game_index")
+    val games = ok.select(col("game_id"), col("white_player_id"),
+      col("black_player_id"), col("event"), col("site"), col("round"),
+      col("played_on").as("date_raw"), col("eco_code"), col("opening_name"),
+      col("opening_slug"), col("result"), col("white_rating"),
+      col("black_rating"), col("ply_count"), col("tags"), col("pgn"),
+      col("source_file"), col("game_index"))
       .withColumn("played_on", to_date(col("date_raw"), "yyyy-MM-dd"))
 
-    val players = ok.flatMap { g =>
-      Seq(
-        (playerId(g.white_name, g.white_fide_id), g.white_name,
-          g.white_fide_id, g.white_rating),
-        (playerId(g.black_name, g.black_fide_id), g.black_name,
-          g.black_fide_id, g.black_rating))
-    }.toDF("id", "name", "fide_id", "rating")
+    val players = ok.select(explode(array(
+      struct(col("white_player_id").as("id"), col("white_name").as("name"),
+        col("white_fide_id").as("fide_id"), col("white_rating").as("rating")),
+      struct(col("black_player_id").as("id"), col("black_name").as("name"),
+        col("black_fide_id").as("fide_id"), col("black_rating").as("rating"))))
+      .as("p"))
+      .select(col("p.*"))
       // dimension build: one row per player id; rating_peak = max seen.
       .groupBy("id")
       .agg(first("name", ignoreNulls = true).as("name"),
         first("fide_id", ignoreNulls = true).as("fide_id"),
         max("rating").as("rating_peak"))
 
-    val positions = ok.flatMap { g =>
-      g.positions.map(p => (g.game_id, p.ply, p.move_number, p.side_to_move,
-        p.san, p.fen, p.fen_valid, p.vector_id))
-    }.toDF("game_id", "ply", "move_number", "side_to_move", "san", "fen",
-      "fen_valid", "vector_id")
+    val positions = ok
+      .select(col("game_id"), explode(col("positions")).as("p"))
+      .select(col("game_id"), col("p.ply"), col("p.move_number"),
+        col("p.side_to_move"), col("p.san"), col("p.fen"),
+        col("p.fen_valid"), col("p.vector_id"))
 
-    val issues = records.filter(!_.parse_ok).map(g =>
-      (g.source_file, g.game_index, g.error.getOrElse("unknown"),
-        g.pgn.take(200)))
-      .toDF("source_file", "game_index", "error", "preview")
+    val issues = df.where(!col("parse_ok"))
+      .select(col("source_file"), col("game_index"),
+        coalesce(col("error"), lit("unknown")).as("error"),
+        substring(col("pgn"), 1, 200).as("preview"))
 
     ChessTables(games, players, positions, issues)
   }
