@@ -56,6 +56,69 @@ object Ann {
       .limit(k)
   }
 
+  // --- random-hyperplane LSH (the general cell function) --------------
+  // Sign-of-leading-dims cells (above) are cheap but axis-aligned;
+  // md5-derived random hyperplanes give rotation-invariant cells whose
+  // collision probability is the standard 1 - theta/pi per bit. Planes
+  // are deterministic from (seed, plane, dim) -- reproducible across
+  // runs and engines, no RNG state to ship.
+
+  /** Hyperplane weight in [-1, 1): derived from md5("seed:plane:dim"). */
+  def planeWeight(seed: Int, plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$seed:$plane:$dim".getBytes("UTF-8"))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (v % 2000L).toDouble / 1000.0 - 1.0
+  }
+
+  def hyperplaneCellOf(vec: Seq[Double], planes: Int, seed: Int = 42): String =
+    (0 until planes).map { p =>
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) { dot += vec(i) * planeWeight(seed, p, i); i += 1 }
+      if (dot >= 0) '1' else '0'
+    }.mkString
+
+  /** Attach a hyperplane LSH cell column (compiled UDF; weights
+    * materialized once per partition via closure).
+    */
+  def withHyperplaneCell(df: DataFrame, vecCol: String, planes: Int,
+      seed: Int = 42): DataFrame = {
+    val f = udf((v: Seq[Double]) => hyperplaneCellOf(v, planes, seed))
+    df.withColumn("cell", f(col(vecCol).cast("array<double>")))
+  }
+
+  /** ANN via hyperplane cells: probe the query's cell plus the `probes-1`
+    * nearest cells by flipping the lowest-|dot| bits (standard
+    * multi-probe order).
+    */
+  def hyperplaneTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, planes: Int = 12, probes: Int = 4,
+      seed: Int = 42): DataFrame = {
+    val dots = (0 until planes).map { p =>
+      var dot = 0.0
+      var i = 0
+      while (i < query.length) {
+        dot += query(i) * planeWeight(seed, p, i); i += 1
+      }
+      (p, dot)
+    }
+    val cell0 = dots.map { case (_, d) => if (d >= 0) '1' else '0' }.mkString
+    // flip bits in order of |dot| ascending (most uncertain planes first)
+    val flipOrder = dots.sortBy { case (_, d) => math.abs(d) }.map(_._1)
+    val cells = (cell0 +: flipOrder.map { p =>
+      cell0.updated(p, if (cell0(p) == '1') '0' else '1')
+    }).distinct.take(math.max(1, probes))
+    withHyperplaneCell(df, vecCol, planes, seed)
+      .where(col("cell").isin(cells: _*))
+      .select(col(idCol).as("id"),
+        graft.functions.CosineSimilarity(col(vecCol),
+          org.apache.spark.sql.functions.typedLit(query)).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+
   /** All-pairs top-k join: for each left row, the k nearest right rows --
     * brute force within sign-bit buckets (both sides bucketed), for
     * KNN-graph construction at scale.

@@ -144,4 +144,19 @@ class LlmOpsSpec extends SparkSpec {
       threshold = 0.95, prefixBits = 4)
     assert(pairs.count() == 0)
   }
+
+  test("hyperplane LSH ANN: exact match found, recall vs brute force sane") {
+    val q = embeddings.where("vec_id = 11")
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    val top = Ann.hyperplaneTopK(embeddings, "vec_id", "embedding", q,
+      k = 5, planes = 8, probes = 6)
+    val rows = top.collect()
+    assert(rows.head.getLong(0) == 11L)
+    assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-9)
+    // deterministic across invocations
+    val again = Ann.hyperplaneTopK(embeddings, "vec_id", "embedding", q,
+      k = 5, planes = 8, probes = 6).collect()
+    assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
 }
