@@ -115,6 +115,20 @@ object LlmQueries {
           floor(col("v") * 1000000).cast("long").as("v_micro"))
     }),
 
+    // Document chunking: overlapping 32-token windows, stride 24.
+    "llm_chunking" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(
+        Tables.documents(s, d).select("doc_id", "text"), "text",
+        window = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk_text")).as("chunk_md5"), col("chunk_tokens"))),
+
+    // Corpus vocabulary: top-100 tokens by total count.
+    "llm_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(Tables.documents(s, d), "text")
+        .orderBy(desc("total_count"), col("token"))
+        .limit(100)),
+
     // Multimodal metadata over text-as-binary (decode stub plumbing:
     // byte length + content hash are the real, verifiable parts).
     "llm_multimodal_meta" -> ((s, d) =>
@@ -327,5 +341,32 @@ object LlmQueries {
     "llm_multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
            md5(text) AS content_md5
-         FROM documents""")
+         FROM documents""",
+    "llm_chunking" ->
+      s"""WITH t AS (
+            SELECT doc_id, $duckToks AS ws FROM documents),
+          n AS (
+            SELECT doc_id, ws,
+              greatest(CAST(ceil((len(ws) - 32) / 24.0) AS INT) + 1, 1)
+                AS n_chunks
+            FROM t),
+          chunks AS (
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+              array_to_string(ws[CAST(i*24+1 AS INT):CAST(i*24+32 AS INT)],
+                ' ') AS chunk_text,
+              least(len(ws) - CAST(i AS INT)*24, 32) AS chunk_tokens
+            FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS i))
+          SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_md5,
+            chunk_tokens
+          FROM chunks""",
+    "llm_vocab" ->
+      s"""WITH t AS (
+            SELECT doc_id, md5(text) AS doc_key, $duckToks AS ws
+            FROM documents),
+          tok AS (
+            SELECT doc_key, unnest(ws) AS token FROM t)
+          SELECT token, COUNT(*) AS total_count,
+            COUNT(DISTINCT doc_key) AS doc_freq
+          FROM tok GROUP BY token
+          ORDER BY total_count DESC, token LIMIT 100""")
 }
