@@ -115,6 +115,20 @@ object LlmQueries {
           floor(col("v") * 1000000).cast("long").as("v_micro"))
     }),
 
+    // KNN graph: top-3 neighbors per vector within sign-bit cells.
+    "llm_knn_graph" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.knnJoin(emb, emb, "vec_id", "embedding", k = 3, bits = 2)
+        .select(col("lid"), col("rid"),
+          floor(col("score") * 1000000).cast("long").as("cosine_micro"))
+    }),
+
+    // SimHash near-dup pairs: 16-bit hashes, 4-bit band candidates,
+    // hamming <= 3 verification.
+    "llm_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        bits = 16, bandBits = 4, maxHamming = 3)),
+
     // Document chunking: overlapping 32-token windows, stride 24.
     "llm_chunking" -> ((s, d) =>
       TextAnalysis.chunkDocuments(
@@ -342,6 +356,62 @@ object LlmQueries {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
            md5(text) AS content_md5
          FROM documents""",
+    "llm_knn_graph" ->
+      """WITH v AS (
+           SELECT vec_id,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) AS cell,
+             embedding FROM embeddings),
+         pairs AS (
+           SELECT l.vec_id AS lid, r.vec_id AS rid,
+             list_sum(list_transform(range(1, len(l.embedding) + 1), i ->
+               CAST(l.embedding[CAST(i AS INT)] AS DOUBLE)
+               * CAST(r.embedding[CAST(i AS INT)] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(l.embedding, x ->
+                CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(r.embedding, x ->
+                CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+           FROM v l JOIN v r
+             ON l.cell = r.cell AND l.vec_id <> r.vec_id),
+         ranked AS (
+           SELECT lid, rid, c,
+             ROW_NUMBER() OVER (PARTITION BY lid ORDER BY c DESC, rid)
+               AS rn
+           FROM pairs)
+         SELECT lid, rid, CAST(FLOOR(c * 1000000) AS BIGINT) AS cosine_micro
+         FROM ranked WHERE rn <= 3""",
+    "llm_simhash_pairs" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $duckToks AS ws FROM documents),
+          sh AS (
+            SELECT doc_id,
+              array_to_string(list_transform(range(0, 16), j ->
+                CASE WHEN list_sum(list_transform(ws, t ->
+                  ((strpos('0123456789abcdef',
+                      substr(md5(t), CAST(j // 4 + 1 AS INT), 1)) - 1)
+                    // CAST(2 ** (3 - j % 4) AS INT)) % 2 * 2 - 1)) > 0
+                THEN '1' ELSE '0' END), '') AS h
+            FROM toks),
+          banded AS (
+            SELECT doc_id, h, CAST(b AS INT) AS band,
+              substr(h, CAST(b*4+1 AS INT), 4) AS chunk
+            FROM sh, (VALUES (0), (1), (2), (3)) bands(b)),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+              l.h AS h_a, r.h AS h_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.chunk = r.chunk
+             AND l.doc_id < r.doc_id)
+          SELECT id_a, id_b,
+            CAST(list_sum(list_transform(range(1, 17), i ->
+              CASE WHEN substr(h_a, CAST(i AS INT), 1)
+                     <> substr(h_b, CAST(i AS INT), 1)
+                THEN 1 ELSE 0 END)) AS INT) AS hamming
+          FROM cand
+          WHERE list_sum(list_transform(range(1, 17), i ->
+              CASE WHEN substr(h_a, CAST(i AS INT), 1)
+                     <> substr(h_b, CAST(i AS INT), 1)
+                THEN 1 ELSE 0 END)) <= 3""",
     "llm_chunking" ->
       s"""WITH t AS (
             SELECT doc_id, $duckToks AS ws FROM documents),
