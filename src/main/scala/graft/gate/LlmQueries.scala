@@ -125,9 +125,12 @@ object LlmQueries {
 
     // SimHash near-dup pairs: 16-bit hashes, 4-bit band candidates,
     // hamming <= 3 verification.
+    // capped slice: 16-bit simhash over a vocab-identical corpus has
+    // quadratic band collisions by construction; 600 docs verifies the
+    // algorithm (the full sf0.01 set) without a pathological pair count.
     "llm_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-        bits = 16, bandBits = 4, maxHamming = 3)),
+      Dedup.simhashPairs(Tables.documents(s, d).where(col("doc_id") < 600),
+        "doc_id", "text", bits = 16, bandBits = 4, maxHamming = 3)),
 
     // Document chunking: overlapping 32-token windows, stride 24.
     "llm_chunking" -> ((s, d) =>
@@ -382,7 +385,8 @@ object LlmQueries {
          FROM ranked WHERE rn <= 3""",
     "llm_simhash_pairs" ->
       s"""WITH toks AS (
-            SELECT doc_id, $duckToks AS ws FROM documents),
+            SELECT doc_id, $duckToks AS ws FROM documents
+            WHERE doc_id < 600),
           sh AS (
             SELECT doc_id,
               array_to_string(list_transform(range(0, 16), j ->

@@ -151,10 +151,23 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hammingBits(col("sh_a"), col("sh_b"), bits))
+      .withColumn("hamming", hammingUdf(col("sh_a"), col("sh_b")))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Compiled bit-string hamming distance (same values as
+    * TextFunctions.hammingBits; candidate sets can reach millions of
+    * pairs, where the per-position HOF is ~60x slower).
+    */
+  val hammingUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: String, b: String) => {
+      var d = 0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
+      d
+    })
 
   /** N-gram Jaccard similarity for ALL pairs above a floor, LSH-free but
     * bucketed by a cheap length band so comparisons stay local. Intended
