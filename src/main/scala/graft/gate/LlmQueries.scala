@@ -132,6 +132,16 @@ object LlmQueries {
       Dedup.simhashPairs(Tables.documents(s, d).where(col("doc_id") < 600),
         "doc_id", "text", bits = 16, bandBits = 4, maxHamming = 3)),
 
+    // N-gram Jaccard near-dup pairs via size-banding. The oracle is
+    // BRUTE FORCE over all pairs: a hash-match proves the log-size
+    // banding generates every pair above the threshold (no false
+    // negatives), not merely that both engines band identically.
+    "llm_ngram_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 1000000).cast("long").as("jaccard_micro"))),
+
     // Document chunking: overlapping 32-token windows, stride 24.
     "llm_chunking" -> ((s, d) =>
       TextAnalysis.chunkDocuments(
@@ -359,6 +369,25 @@ object LlmQueries {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
            md5(text) AS content_md5
          FROM documents""",
+    "llm_ngram_pairs" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $duckToks AS ws FROM documents),
+          sh AS (
+            SELECT doc_id,
+              list_distinct(CASE WHEN len(ws) < 3 THEN []
+                ELSE list_transform(range(1, len(ws) - 1), i ->
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' ||
+                  ws[CAST(i AS INT)+2]) END) AS sh
+            FROM toks),
+          nonempty AS (SELECT * FROM sh WHERE len(sh) > 0),
+          pairs AS (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+              CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+              CAST(len(list_distinct(l.sh || r.sh)) AS DOUBLE) AS j
+            FROM nonempty l JOIN nonempty r ON l.doc_id < r.doc_id)
+          SELECT id_a, id_b,
+            CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_micro
+          FROM pairs WHERE j >= 0.8""",
     "llm_knn_graph" ->
       """WITH v AS (
            SELECT vec_id,
