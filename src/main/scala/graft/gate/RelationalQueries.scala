@@ -194,6 +194,54 @@ object RelationalQueries {
         .groupBy("k_val").agg(count(lit(1)).as("cnt"))
     }),
 
+    // TPC-H Q3 shape: 3-way join, filter both sides, agg, top-k.
+    "q19_shipping_priority" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .where(col("o_orderdate").cast("date") < "1996-01-01")
+      val lineitem = Tables.lineitem(s, d)
+        .where(col("l_shipdate").cast("date") > "1996-01-01")
+      val customer = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue by customer, top-k.
+    "q20_returned_items" -> ((s, d) => {
+      Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape: HAVING over an aggregated subquery feeding a join.
+    "q21_big_orders" -> ((s, d) => {
+      val bigKeys = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .where(col("total_qty") > 150)
+      Tables.orders(s, d)
+        .join(bigKeys, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("total_qty"))
+        .orderBy(desc("total_qty"), col("o_orderkey"))
+        .limit(50)
+    }),
+
     // Correlated EXISTS (Catalyst decorrelates to a semi-join).
     "q17_exists" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("g_orders")
@@ -323,6 +371,39 @@ object RelationalQueries {
     "q15_json" ->
       """SELECT CAST(props->>'k' AS INT) AS k_val, COUNT(*) AS cnt
          FROM events GROUP BY k_val""",
+    "q19_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+             AS revenue_cents
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) > DATE '1996-01-01'
+           AND c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey, order_date
+         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "q20_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+           SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+             AS revenue_cents
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
+    "q21_big_orders" ->
+      """SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date, total_qty
+         FROM orders
+         JOIN (SELECT l_orderkey,
+                 SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING total_qty > 150) big
+           ON o_orderkey = big.l_orderkey
+         ORDER BY total_qty DESC, o_orderkey LIMIT 50""",
     "q17_exists" ->
       """SELECT o_orderkey, o_totalprice FROM orders o
          WHERE EXISTS (SELECT 1 FROM lineitem l
