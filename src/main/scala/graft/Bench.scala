@@ -34,10 +34,18 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // 1) Gate queries (SURVEY §2 inventory) on the sf tables.
+    // A failed query records -elapsed (negative sentinel) so a broken query
+    // can't masquerade as a fast one in the bench JSON.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = time {
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      var failed = false
+      val sec = time {
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
       }
+      results(name) = if (failed) -sec else sec
     }
 
     // 2) Chessmate workload (BASELINE.md metrics), on a synthetic corpus:

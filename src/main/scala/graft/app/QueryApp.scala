@@ -6,18 +6,27 @@ import graft.embed.DeterministicEmbedder
 
 /** CLI: NL question -> hybrid search over ingested tables.
   *
-  *   runMain graft.app.QueryApp <tablesDir> "<question>" [limit] [offset]
+  *   runMain graft.app.QueryApp <tablesDir> <question words...> [--limit=N] [--offset=N]
   *
   * Mirrors POST /query (reference services/api/chessmate_api.ml:586-724)
   * minus the HTTP envelope: same plan, same scoring, same pagination.
   */
 object QueryApp {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: QueryApp <tablesDir> <question> [limit] [offset]")
+    require(args.length >= 2,
+      "usage: QueryApp <tablesDir> <question...> [--limit=N] [--offset=N]")
     val dir = args(0)
-    val question = args(1)
-    val limit = if (args.length > 2) Some(args(2).toInt) else None
-    val offset = if (args.length > 3) Some(args(3).toInt) else None
+    // sbt's runMain tokenizes on whitespace, so the question arrives as
+    // many tokens; limit/offset are explicit flags (a bare trailing int
+    // would be ambiguous with rating numbers in the question itself).
+    val rest = args.drop(1)
+    val limit = rest.collectFirst { case s if s.startsWith("--limit=") =>
+      s.stripPrefix("--limit=").toInt }
+    val offset = rest.collectFirst { case s if s.startsWith("--offset=") =>
+      s.stripPrefix("--offset=").toInt }
+    val question = rest.filterNot(_.startsWith("--")).mkString(" ")
+    require(question.nonEmpty,
+      "usage: QueryApp <tablesDir> <question...> [--limit=N] [--offset=N]")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-query")

@@ -20,8 +20,13 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
       sums: Map[String, Column]): DataFrame = {
     require(salts > 0)
+    // Salt must not be a pure function of row content: a hot group made of
+    // EXACT-duplicate rows would land in one (key, salt) bucket. Mix in
+    // physical position (partition id + per-partition row id) so identical
+    // rows still spread across the salt space.
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(salts))) // row-content salt
+      pmod(hash(df.columns.map(col) :+ spark_partition_id()
+        :+ monotonically_increasing_id(): _*), lit(salts)))
     val partialAggs =
       count(lit(1)).as("__cnt") +:
         sums.toSeq.map { case (name, c) => sum(c).as(s"__sum_$name") }

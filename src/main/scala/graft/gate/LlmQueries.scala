@@ -152,7 +152,8 @@ object LlmQueries {
 
     // Corpus vocabulary: top-100 tokens by total count.
     "llm_vocab" -> ((s, d) =>
-      TextAnalysis.vocabulary(Tables.documents(s, d), "text")
+      TextAnalysis.vocabulary(Tables.documents(s, d), "text",
+        idCol = Some("doc_id"))
         .orderBy(desc("total_count"), col("token"))
         .limit(100)),
 
@@ -464,7 +465,7 @@ object LlmQueries {
           FROM chunks""",
     "llm_vocab" ->
       s"""WITH t AS (
-            SELECT doc_id, md5(text) AS doc_key, $duckToks AS ws
+            SELECT doc_id, doc_id AS doc_key, $duckToks AS ws
             FROM documents),
           tok AS (
             SELECT doc_key, unnest(ws) AS token FROM t)

@@ -279,11 +279,14 @@ object RelationalQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    // NOTE: every SUM that reaches the output is wrapped CAST(... AS BIGINT):
+    // DuckDB's SUM(BIGINT) yields HUGEINT (int128), which the driver's
+    // Arrow-based fetch renders as float64 and hash-mismatches Spark's int64.
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-           SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
-           SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
            COUNT(*) AS cnt
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q2_filter" ->
@@ -295,7 +298,8 @@ object RelationalQueries {
            AND l_quantity < 10""",
     "q3_join_agg" ->
       """SELECT n_name, COUNT(*) AS order_cnt,
-           SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS revenue_cents
+           CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
@@ -312,7 +316,7 @@ object RelationalQueries {
          ORDER BY order_date DESC, o_orderkey DESC LIMIT 50""",
     "q6_semi_join" ->
       """SELECT COUNT(*) AS line_cnt,
-           SUM(CAST(l_quantity AS BIGINT)) AS qty_sum
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
          FROM lineitem WHERE l_orderkey IN
            (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""",
     "q7_topk" ->
@@ -342,15 +346,15 @@ object RelationalQueries {
              epoch_ns(ts)//1000 AS ts_us, value,
              ROW_NUMBER() OVER w AS rn,
              LAG(value, 1) OVER w AS prev_value,
-             SUM(CAST(FLOOR(value*1000000) AS BIGINT))
+             CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT))
                OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS runsum_micro
+               AS BIGINT) AS runsum_micro
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id)) t
          WHERE rn <= 5""",
     "q12_range_join" ->
       """SELECT band, COUNT(*) AS cnt,
-           SUM(CAST(l_quantity AS BIGINT)) AS qty_sum
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
          FROM lineitem
          JOIN (VALUES ('small', 0, 10), ('mid', 10, 25), ('large', 25, 51))
            v(band, lo, hi)
@@ -358,8 +362,8 @@ object RelationalQueries {
          GROUP BY band""",
     "q13_conditional_agg" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
-             AS urgent_cnt,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS BIGINT) AS urgent_cnt,
            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS urgent_ratio
          FROM orders GROUP BY o_orderstatus""",
@@ -373,8 +377,8 @@ object RelationalQueries {
          FROM events GROUP BY k_val""",
     "q19_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-           SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT))
-             AS revenue_cents
+           CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+             AS BIGINT) AS revenue_cents
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -385,8 +389,8 @@ object RelationalQueries {
          ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
     "q20_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-           SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT))
-             AS revenue_cents
+           CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+             AS BIGINT) AS revenue_cents
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -399,7 +403,7 @@ object RelationalQueries {
            strftime(o_orderdate, '%Y-%m-%d') AS order_date, total_qty
          FROM orders
          JOIN (SELECT l_orderkey,
-                 SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
                FROM lineitem GROUP BY l_orderkey
                HAVING total_qty > 150) big
            ON o_orderkey = big.l_orderkey
@@ -418,6 +422,7 @@ object RelationalQueries {
     "q16_tumble" ->
       """SELECT (epoch_ns(ts)//1000//21600000000) * 21600000000 AS w_start_us,
            event_type, COUNT(*) AS cnt,
-           SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS value_micro
+           CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT)
+             AS value_micro
          FROM events GROUP BY 1, 2""")
 }

@@ -169,34 +169,53 @@ object Dedup {
       d
     })
 
-  /** N-gram Jaccard similarity for ALL pairs above a floor, LSH-free but
-    * bucketed by a cheap length band so comparisons stay local. Intended
-    * for small/medium corpora or post-LSH verification; minhashPairs is
-    * the scale path.
+  /** Exact n-gram Jaccard pairs (every pair with J >= threshold) via
+    * PREFIX FILTERING (the SSJoin/PPJoin family, public literature):
+    * under any single global token order, two sets with J(A,B) >= t must
+    * share at least one token within each side's first
+    * |s| - ceil(t*|s|) + 1 tokens. Ordering tokens by ascending corpus
+    * document-frequency puts the RAREST shingles in the prefix, so the
+    * candidate equi-join on prefix tokens stays near-linear even when all
+    * documents have similar lengths (the case that degenerates a
+    * length-banding scheme to O(n^2)). Exact: verification recomputes
+    * true Jaccard on the candidates; completeness is the prefix lemma.
+    *
+    * Scale shape: shuffles are groupBy(token) for frequencies, the
+    * token-frequency join, groupBy(id) to rebuild ordered arrays, and the
+    * prefix-token equi-join -- all key-partitioned, AQE-splittable; no
+    * cross join anywhere.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
-    // Jaccard >= t implies size ratio within [t, 1/t]: band by log-size so
-    // only same-or-adjacent bands need comparing. Adjacency is expressed
-    // as an EQUI-join by exploding each row to probe keys (band, band+1):
-    // an OR-of-bands condition would plan as a nested-loop cross join.
-    val logBase = math.log(math.max(1.25, 1.0 / threshold))
-    val withBand = base.withColumn("band",
-      floor(log(size(col("sh")).cast("double")) / logBase).cast("long"))
-    val left = withBand.select(col("id"), col("sh"),
-      explode(array(col("band") - 1, col("band"), col("band") + 1))
-        .as("probe"))
-    val right = withBand.withColumnRenamed("band", "probe")
-    left.as("l")
-      .join(right.as("r"),
-        col("l.probe") === col("r.probe") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        jaccardUdf(col("l.sh"), col("r.sh")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    val toks = base.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Per-doc tokens sorted by (df, tok) -- a deterministic total order.
+    val ordered = toks.join(freq, "tok")
+      .groupBy("id")
+      .agg(first(col("sz")).as("sz"),
+        sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
+    val plen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val pref = ordered.select(col("id"), col("sz"),
+      explode(transform(slice(col("o"), lit(1), plen), x => x("tok")))
+        .as("tok"))
+    // J >= t bounds the size ratio: |A| >= t|B| and |B| >= t|A|.
+    val cand = pref.as("l")
+      .join(pref.as("r"),
+        col("l.tok") === col("r.tok") && col("l.id") < col("r.id") &&
+          col("l.sz") >= col("r.sz") * threshold &&
+          col("r.sz") >= col("l.sz") * threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardUdf(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** Embedding near-dup: cosine >= threshold pairs via sign-bit LSH

@@ -34,25 +34,26 @@ object Multimodal {
   }
 
   /** Attach decoded metadata to a binary media column. Runs as a
-    * per-partition map (one decoder instance per partition, batch-shaped
-    * like a real codec bridge).
+    * per-partition map over the ORIGINAL rows (one decoder instance per
+    * partition, batch-shaped like a real codec bridge) -- no join, so
+    * duplicate payloads can't multiply rows and row identity/order within
+    * a partition is preserved.
     */
   def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
-    val enc = Encoders.product[MediaMeta]
     val spark = df.sparkSession
-    import spark.implicits._
     val idx = df.schema.fieldIndex(binCol)
-    val metaDf: Dataset[(Long, MediaMeta)] = df
-      .select(xxhash64(col(binCol)).as("__k"), col(binCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // decoder init would happen here, once per partition
-        it.map { case (k, bytes) => (k, decodeStub(bytes)) }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields ++
+        Encoders.product[MediaMeta].schema.fields)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      // decoder init would happen here, once per partition
+      it.map { row =>
+        val m = decodeStub(row.getAs[Array[Byte]](idx))
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++
+          Seq(m.byte_len, m.content_md5, m.format, m.width, m.height))
       }
-    df.withColumn("__k", xxhash64(col(binCol)))
-      .join(metaDf.toDF("__k", "__media"), Seq("__k"))
-      .drop("__k")
-      .select(col("*"), col("__media.*")).drop("__media")
+    }(rowEnc).toDF()
   }
 
   /** Deterministic frame-sample positions for a (fake-)video column:

@@ -53,10 +53,15 @@ object TextAnalysis {
 
   /** Corpus vocabulary: token -> document frequency + total count
     * (the groupBy that feeds tokenizer training / stopword mining).
+    *
+    * @param idCol document identity for doc_freq; pass the table's id so
+    *              exact-duplicate texts each count (None falls back to
+    *              md5(text), which collapses duplicates).
     */
-  def vocabulary(df: DataFrame, textCol: String): DataFrame =
+  def vocabulary(df: DataFrame, textCol: String,
+      idCol: Option[String] = None): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"),
-      md5(col(textCol)).as("doc_key"))
+      idCol.map(col).getOrElse(md5(col(textCol))).as("doc_key"))
       .groupBy("token")
       .agg(count(lit(1)).as("total_count"),
         countDistinct("doc_key").as("doc_freq"))

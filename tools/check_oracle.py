@@ -13,8 +13,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon_value(v):
+    # mirror the driver: results flow through pandas, where DuckDB HUGEINT
+    # (SUM over BIGINT) and DECIMAL become float64 — canonically distinct
+    # from int64. Oracles must CAST output SUMs to BIGINT to match Spark.
+    import decimal
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        return "DEC:" + str(v)  # deliberately never matches int/float canon
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
@@ -63,16 +69,24 @@ def main(sf_dir, out_dir):
             print(f"[MISS] {name}: no parquet output")
             fail += 1
             continue
-        got = con.execute(
-            f"select * from parquet_scan('{pdir}/*.parquet')").fetchall()
-        got_cols = [d[0] for d in con.description]
+        gt = con.execute(
+            f"select * from parquet_scan('{pdir}/*.parquet')").arrow()
+        got_cols = gt.schema.names
+        got = [tuple(r[c] for c in got_cols) for r in gt.to_pylist()]
         try:
-            exp = con.execute(sql).fetchall()
-            exp_cols = [d[0] for d in con.description]
+            et = con.execute(sql).arrow()
+            exp_cols = et.schema.names
+            exp = [tuple(r[c] for c in exp_cols) for r in et.to_pylist()]
         except Exception as e:
             print(f"[ERR ] {name}: oracle SQL failed: {e}")
             fail += 1
             continue
+        sus = [f for f, t in zip(et.schema.names, et.schema.types)
+               if str(t).startswith("decimal")]
+        if sus:
+            print(f"[WARN] {name}: oracle emits decimal/hugeint cols {sus} "
+                  "(driver's pandas fetch turns these into float64 -> "
+                  "hash mismatch vs Spark int64; CAST to BIGINT)")
         if sorted(got_cols) != sorted(exp_cols):
             print(f"[FAIL] {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             fail += 1
