@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.NamedExpression
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization: group each key's events into sessions where
+  * consecutive events are less than `gap` apart.
+  *
+  * Batch path uses Spark's native `session_window` (3.2+): a single
+  * groupBy(key, session_window) — one shuffle, codegen'd session merge,
+  * and the SAME operator works under Structured Streaming with a
+  * watermark, so the batch and streaming definitions of a "session"
+  * cannot drift. Semantics: a session spans [first_ts, last_ts + gap);
+  * an event at exactly last_ts + gap starts a NEW session (diff >= gap
+  * splits).
+  */
+object Sessionize {
+
+  /** Per-session summary over an epoch-MICROSECOND long ts column.
+    *
+    * @param df      input
+    * @param keyCol  session key (e.g. user id)
+    * @param tsUsCol event time, epoch micros (long)
+    * @param gapUs   session gap, microseconds
+    * @param aggs    extra aggregates; each must carry an alias (.as(...))
+    * @return (keyCol, session_start_us, session_end_us, n_events, aggs...)
+    */
+  def sessions(df: DataFrame, keyCol: String, tsUsCol: String, gapUs: Long,
+      aggs: Seq[Column] = Nil): DataFrame = {
+    val aggNames = aggs.map(_.expr match {
+      case ne: NamedExpression => ne.name
+      case other => throw new IllegalArgumentException(
+        s"sessionize aggs must be aliased, got: $other")
+    })
+    val base = min(col(tsUsCol)).as("session_start_us") +:
+      max(col(tsUsCol)).as("session_end_us") +:
+      count(lit(1)).as("n_events") +: aggs
+    df.groupBy(col(keyCol),
+        session_window(timestamp_micros(col(tsUsCol)), s"$gapUs microseconds"))
+      .agg(base.head, base.tail: _*)
+      .select((Seq(keyCol, "session_start_us", "session_end_us", "n_events")
+        ++ aggNames).map(col): _*)
+  }
+}
