@@ -24,6 +24,11 @@ object QueryApp {
       s.stripPrefix("--limit=").toInt }
     val offset = rest.collectFirst { case s if s.startsWith("--offset=") =>
       s.stripPrefix("--offset=").toInt }
+    rest.filter(_.startsWith("--")).foreach { t =>
+      require(t.startsWith("--limit=") || t.startsWith("--offset="),
+        s"unrecognized flag '$t'; " +
+          "usage: QueryApp <tablesDir> <question...> [--limit=N] [--offset=N]")
+    }
     val question = rest.filterNot(_.startsWith("--")).mkString(" ")
     require(question.nonEmpty,
       "usage: QueryApp <tablesDir> <question...> [--limit=N] [--offset=N]")

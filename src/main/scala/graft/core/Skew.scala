@@ -14,19 +14,30 @@ object Skew {
 
   /** Two-phase salted count+sum aggregate.
     *
-    * @param salts number of salt buckets the hot keys spread over
-    * @param sums  numeric columns to sum (name -> expr)
+    * The salt MUST be a deterministic function of row content: a salt built
+    * from spark_partition_id()/monotonically_increasing_id()/rand() makes the
+    * shuffle map output indeterminate, and on a fetch-failure retry the
+    * recomputed map tasks emit different salts than what surviving reducers
+    * already consumed — double-counting or losing rows (SPARK-23207 class).
+    * We therefore salt by hash(all columns). The one case this cannot spread
+    * is a hot group consisting of EXACT-duplicate rows; for that, pass a
+    * pre-existing stable uniquifier column (a source row id, file offset,
+    * etc.) via `uniquifier` and it is mixed into the salt.
+    *
+    * @param salts      number of salt buckets the hot keys spread over
+    * @param sums       numeric columns to sum (name -> expr)
+    * @param uniquifier optional stable per-row id column for spreading
+    *                   exact-duplicate hot rows
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
-      sums: Map[String, Column]): DataFrame = {
+      sums: Map[String, Column], uniquifier: Option[String] = None): DataFrame = {
     require(salts > 0)
-    // Salt must not be a pure function of row content: a hot group made of
-    // EXACT-duplicate rows would land in one (key, salt) bucket. Mix in
-    // physical position (partition id + per-partition row id) so identical
-    // rows still spread across the salt space.
+    uniquifier.foreach { u =>
+      require(df.columns.contains(u), s"uniquifier column '$u' not in input")
+    }
+    val saltInputs = df.columns.map(col) ++ uniquifier.map(col)
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col) :+ spark_partition_id()
-        :+ monotonically_increasing_id(): _*), lit(salts)))
+      pmod(hash(saltInputs: _*), lit(salts)))
     val partialAggs =
       count(lit(1)).as("__cnt") +:
         sums.toSeq.map { case (name, c) => sum(c).as(s"__sum_$name") }

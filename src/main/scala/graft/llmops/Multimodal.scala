@@ -42,6 +42,10 @@ object Multimodal {
   def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
     val spark = df.sparkSession
     val idx = df.schema.fieldIndex(binCol)
+    val metaNames = Encoders.product[MediaMeta].schema.fieldNames
+    val clash = metaNames.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withMediaMeta output columns already present in input: ${clash.mkString(", ")}")
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields ++
         Encoders.product[MediaMeta].schema.fields)

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.NamedExpression
 import org.apache.spark.sql.functions._
 
 /** Gap-based sessionization: group each key's events into sessions where
@@ -28,18 +27,15 @@ object Sessionize {
     */
   def sessions(df: DataFrame, keyCol: String, tsUsCol: String, gapUs: Long,
       aggs: Seq[Column] = Nil): DataFrame = {
-    val aggNames = aggs.map(_.expr match {
-      case ne: NamedExpression => ne.name
-      case other => throw new IllegalArgumentException(
-        s"sessionize aggs must be aliased, got: $other")
-    })
     val base = min(col(tsUsCol)).as("session_start_us") +:
       max(col(tsUsCol)).as("session_end_us") +:
       count(lit(1)).as("n_events") +: aggs
-    df.groupBy(col(keyCol),
+    val out = df.groupBy(col(keyCol),
         session_window(timestamp_micros(col(tsUsCol)), s"$gapUs microseconds"))
       .agg(base.head, base.tail: _*)
-      .select((Seq(keyCol, "session_start_us", "session_end_us", "n_events")
-        ++ aggNames).map(col): _*)
+    // Output order after agg is (key, session_window, session_start_us,
+    // session_end_us, n_events, aggs...); agg names are taken positionally
+    // from the schema rather than via Column.expr (not public API).
+    out.select(out.columns.filterNot(_ == "session_window").map(col): _*)
   }
 }
