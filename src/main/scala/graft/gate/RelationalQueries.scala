@@ -276,6 +276,34 @@ object RelationalQueries {
         .groupBy("w_start_us", "event_type")
         .agg(count(lit(1)).as("cnt"),
           sum(floor(col("value") * 1000000).cast("long")).as("value_micro"))
+    }),
+
+    // Gap-based sessionization via native session_window (one shuffle;
+    // same operator works under Structured Streaming). Gap 6h.
+    "q22_sessionize" -> ((s, d) => {
+      val gapUs = 6L * 3600 * 1000000
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      graft.operators.Sessionize.sessions(e, "user_id", "ts_us", gapUs,
+        aggs = Seq(
+          sum(floor(col("value") * 1000000).cast("long")).as("value_micro")))
+    }),
+
+    // As-of join (latest purchase at-or-before each click, per user) —
+    // union + single keyed window carry, no range join, one shuffle.
+    "q23_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_ts_us"),
+          col("event_id").as("p_event_id"),
+          floor(col("value") * 1000000).cast("long").as("p_value_micro"))
+      graft.operators.AsofJoin.asof(clicks, purchases, Seq("user_id"),
+        leftTs = "ts_us", rightTs = "p_ts_us",
+        payload = Seq("p_event_id", "p_value_micro"), tiebreak = "p_event_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -424,5 +452,40 @@ object RelationalQueries {
            event_type, COUNT(*) AS cnt,
            CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT)
              AS value_micro
-         FROM events GROUP BY 1, 2""")
+         FROM events GROUP BY 1, 2""",
+    // session_window semantics: consecutive-event gap STRICTLY > 6h splits
+    // (Spark merges at exactly ==gap); session bounds are min/max event
+    // time (not +gap).
+    "q22_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts)//1000 AS ts_us, value FROM events),
+         m AS (
+           SELECT user_id, ts_us, value,
+             CASE WHEN ts_us - LAG(ts_us)
+                 OVER (PARTITION BY user_id ORDER BY ts_us) > 21600000000
+               THEN 1 ELSE 0 END AS new_s
+           FROM e),
+         g AS (
+           SELECT user_id, ts_us, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id, MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT)
+             AS value_micro
+         FROM g GROUP BY user_id, sid""",
+    // (user_id, ts_us) is unique per event type in the generator, so the
+    // ASOF tie rule can't differ from our max-tiebreak rule.
+    "q23_asof_join" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
+             event_type, value
+           FROM events)
+         SELECT l.event_id, l.user_id, l.ts_us,
+           r.event_id AS p_event_id,
+           CAST(FLOOR(r.value*1000000) AS BIGINT) AS p_value_micro
+         FROM (SELECT * FROM e WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND r.ts_us <= l.ts_us""")
 }

@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * groupBy(key, session_window) — one shuffle, codegen'd session merge,
   * and the SAME operator works under Structured Streaming with a
   * watermark, so the batch and streaming definitions of a "session"
-  * cannot drift. Semantics: a session spans [first_ts, last_ts + gap);
-  * an event at exactly last_ts + gap starts a NEW session (diff >= gap
-  * splits).
+  * cannot drift. Semantics: an event at exactly last_ts + gap EXTENDS
+  * the current session (verified against Spark 4: windows merge when
+  * next.start <= prev.end); only diff > gap starts a new session.
   */
 object Sessionize {
 
