@@ -119,6 +119,129 @@ object Ann {
       .limit(k)
   }
 
+  // --- IVF with data-derived centroids --------------------------------
+  // Sign-bit and hyperplane cells are data-oblivious: on near-isotropic
+  // embeddings their recall/scan tradeoff is poor (measured in
+  // BASELINE.md). Real IVF trains centroids on the data itself, so cells
+  // follow the actual density. Scale shape: train on a bounded
+  // deterministic sample driver-side (at 100 TB: ~1M sampled rows,
+  // k-means on the driver, centroids broadcast in the UDF closure),
+  // assign cells in ONE scan, write bucketed-by-cell; each query probes
+  // the `probes` nearest cells only.
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Deterministic k-means (cosine metric) over a hash-sampled subset.
+    * Sampling filters on pmod(hash(vec), stride)==0 -- deterministic
+    * under any partitioning/retry, unlike df.sample. Initialization is a
+    * greedy k-means++-style farthest-first over the sample; `iters` Lloyd
+    * rounds follow. Empty cells keep their previous centroid.
+    */
+  def trainCentroids(df: DataFrame, vecCol: String, nCells: Int,
+      iters: Int = 5, sampleCap: Int = 20000): Array[Array[Double]] = {
+    require(nCells > 0)
+    val total = df.count()
+    val stride = math.max(1L, total / math.max(1, sampleCap))
+    val sample = df
+      .where(pmod(hash(col(vecCol).cast("array<double>")), lit(stride)) === 0)
+      .select(col(vecCol).cast("array<double>"))
+      .limit(sampleCap)
+      .collect()
+      .map(r => l2normalize(r.getSeq[Double](0).toArray))
+    require(sample.nonEmpty, "empty training sample")
+
+    // farthest-first init (deterministic: start from the lexicographically
+    // smallest hash position = first sampled row)
+    val cents = scala.collection.mutable.ArrayBuffer[Array[Double]](sample(0))
+    while (cents.length < math.min(nCells, sample.length)) {
+      var best = -1; var bestD = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        var near = Double.MinValue
+        var c = 0
+        while (c < cents.length) {
+          val d = dot(sample(i), cents(c)); if (d > near) near = d; c += 1
+        }
+        // pick the point whose max-similarity to existing centroids is lowest
+        if (near < bestD) { bestD = near; best = i }
+        i += 1
+      }
+      cents += sample(best)
+    }
+
+    var centroids = cents.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(
+        new Array[Double](sample(0).length))
+      val counts = new Array[Int](centroids.length)
+      var i = 0
+      while (i < sample.length) {
+        var bc = 0; var bd = Double.MinValue; var c = 0
+        while (c < centroids.length) {
+          val d = dot(sample(i), centroids(c))
+          if (d > bd) { bd = d; bc = c }
+          c += 1
+        }
+        var j = 0
+        while (j < sample(i).length) { sums(bc)(j) += sample(i)(j); j += 1 }
+        counts(bc) += 1
+        i += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) else l2normalize(sums(c))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id (compiled UDF; centroids ride the closure
+    * as one broadcast-sized array).
+    */
+  def withIvfCentroidCell(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val f = udf { (v: Seq[Double]) =>
+      val x = l2normalize(v.toArray)
+      var bc = 0; var bd = Double.MinValue; var c = 0
+      while (c < centroids.length) {
+        val d = dot(x, centroids(c)); if (d > bd) { bd = d; bc = c }; c += 1
+      }
+      bc
+    }
+    df.withColumn("cell", f(col(vecCol).cast("array<double>")))
+  }
+
+  /** ANN via trained centroids: probe the `probes` cells nearest the
+    * query, exact cosine within the probe set. Returns (id, score).
+    */
+  def ivfCentroidTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, centroids: Array[Array[Double]],
+      probes: Int = 1): DataFrame = {
+    val q = l2normalize(query.toArray)
+    val order = centroids.indices
+      .map(c => (c, dot(q, centroids(c)))).sortBy(-_._2)
+      .map(_._1).take(math.max(1, probes))
+    withIvfCentroidCell(df, vecCol, centroids)
+      .where(col("cell").isin(order: _*))
+      .select(col(idCol).as("id"),
+        graft.functions.CosineSimilarity(col(vecCol),
+          org.apache.spark.sql.functions.typedLit(query)).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+
   /** All-pairs top-k join: for each left row, the k nearest right rows --
     * brute force within sign-bit buckets (both sides bucketed), for
     * KNN-graph construction at scale.

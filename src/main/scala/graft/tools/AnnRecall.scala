@@ -46,6 +46,29 @@ object AnnRecall {
         f"  avg scanned = ${scanSum / queries.length}%d / $n rows")
     }
 
+    // trained-centroid IVF: cells follow the data density (the scale
+    // path; sign/hyperplane variants below are the data-oblivious floor)
+    Seq((16, 2), (16, 4), (32, 4), (32, 8)).foreach { case (cells, probes) =>
+      val cents = Ann.trainCentroids(emb, "embedding", cells)
+      val celled = Ann.withIvfCentroidCell(emb, "embedding", cents).cache()
+      recall(s"ivf-centroid($cells cells, $probes probes)",
+        q => Ann.ivfCentroidTopK(emb, "vec_id", "embedding", q, k, cents,
+          probes),
+        q => {
+          val qn = q.toArray
+          val order = cents.indices.map { c =>
+            var s = 0.0; var i = 0
+            var nq = 0.0
+            while (i < qn.length) { nq += qn(i) * qn(i); i += 1 }
+            i = 0
+            while (i < qn.length) { s += qn(i) / math.sqrt(nq) * cents(c)(i); i += 1 }
+            (c, s)
+          }.sortBy(-_._2).map(_._1).take(probes)
+          celled.where(col("cell").isin(order: _*)).count()
+        })
+      celled.unpersist()
+    }
+
     recall("ivf(bits=3, probes=2)",
       q => Ann.ivfTopK(emb, "vec_id", "embedding", q, k, bits = 3, probes = 2),
       q => n / 8 * 2)
