@@ -38,4 +38,29 @@ object Sessionize {
     // from the schema rather than via Column.expr (not public API).
     out.select(out.columns.filterNot(_ == "session_window").map(col): _*)
   }
+
+  /** Streaming variant: the SAME session_window aggregation over a
+    * streaming DataFrame, with a watermark bounding session state. In
+    * append mode a session emits once the watermark passes its close
+    * (last_ts + gap): state is dropped after emission, so per-key state
+    * size is bounded by the number of OPEN sessions -- this is what makes
+    * gap sessionization feasible on an unbounded 100 TB/day stream,
+    * where a batch groupBy would need the full history.
+    *
+    * @param watermarkDelay max event lateness, e.g. "10 minutes"
+    */
+  def streamingSessions(df: DataFrame, keyCol: String, tsUsCol: String,
+      gapUs: Long, watermarkDelay: String,
+      aggs: Seq[Column] = Nil): DataFrame = {
+    val base = min(col(tsUsCol)).as("session_start_us") +:
+      max(col(tsUsCol)).as("session_end_us") +:
+      count(lit(1)).as("n_events") +: aggs
+    val out = df
+      .withColumn("__event_ts", timestamp_micros(col(tsUsCol)))
+      .withWatermark("__event_ts", watermarkDelay)
+      .groupBy(col(keyCol),
+        session_window(col("__event_ts"), s"$gapUs microseconds"))
+      .agg(base.head, base.tail: _*)
+    out.select(out.columns.filterNot(_ == "session_window").map(col): _*)
+  }
 }

@@ -76,6 +76,38 @@ class SessionOpsSpec extends SparkSpec {
       (13L, None)))
   }
 
+  test("streaming sessions match the batch operator (append after watermark)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val in = mem.toDF().toDF("user_id", "ts_us")
+    val q = Sessionize.streamingSessions(in, "user_id", "ts_us",
+        gapUs = 100L, watermarkDelay = "0 microseconds")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two sessions' worth of events for user 1
+      mem.addData((1L, 0L), (1L, 50L), (1L, 300L))
+      q.processAllAvailable()
+      // batch 2: far-future event advances the watermark past both closes
+      mem.addData((2L, 1000000L))
+      q.processAllAvailable()
+      val emitted = spark.table("sessions_out")
+        .orderBy("user_id", "session_start_us")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // the user-2 session is still open (watermark at its own ts), but
+      // both user-1 sessions closed and must match the batch operator
+      val batch = Sessionize.sessions(
+          Seq((1L, 0L), (1L, 50L), (1L, 300L)).toDF("user_id", "ts_us"),
+          "user_id", "ts_us", gapUs = 100L)
+        .orderBy("user_id", "session_start_us")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(emitted === batch)
+      assert(emitted === Seq((1L, 0L, 50L, 2L), (1L, 300L, 300L, 1L)))
+    } finally q.stop()
+  }
+
   test("asof: payload fields travel together (no cross-row mixing)") {
     val out = AsofJoin.asof(left, right, Seq("user_id"),
         leftTs = "ts_us", rightTs = "p_ts_us",
