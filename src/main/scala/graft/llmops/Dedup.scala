@@ -183,7 +183,13 @@ object Dedup {
     * Scale shape: shuffles are groupBy(token) for frequencies, the
     * token-frequency join, groupBy(id) to rebuild ordered arrays, and the
     * prefix-token equi-join -- all key-partitioned, AQE-splittable; no
-    * cross join anywhere.
+    * cross join anywhere. The ordered per-doc shingle array (already
+    * shuffled for prefix extraction) also serves as the verification
+    * input (Jaccard is order-insensitive), so the raw text is never
+    * joined back; the three uses of `ordered` are identical subtrees that
+    * ReuseExchange deduplicates (measured faster than persist(), whose
+    * array materialization cost exceeds the recompute it saves at this
+    * scale -- at 100 TB write `ordered` to a stage table instead).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -198,10 +204,11 @@ object Dedup {
       .groupBy("id")
       .agg(first(col("sz")).as("sz"),
         sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
+      .select(col("id"), col("sz"),
+        transform(col("o"), x => x("tok")).as("o"))
     val plen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     val pref = ordered.select(col("id"), col("sz"),
-      explode(transform(slice(col("o"), lit(1), plen), x => x("tok")))
-        .as("tok"))
+      explode(slice(col("o"), lit(1), plen)).as("tok"))
     // J >= t bounds the size ratio: |A| >= t|B| and |B| >= t|A|.
     val cand = pref.as("l")
       .join(pref.as("r"),
@@ -211,8 +218,10 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(ordered.select(col("id").as("id_a"), col("o").as("sh_a")),
+        Seq("id_a"))
+      .join(ordered.select(col("id").as("id_b"), col("o").as("sh_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccardUdf(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
