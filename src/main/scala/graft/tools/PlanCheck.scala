@@ -35,6 +35,14 @@ object PlanCheck {
     show("q7_topk") {
       graft.gate.RelationalQueries.queries("q7_topk")(spark, sf)
     }
+    // 3b. Sessionize: ONE shuffle on the key, session merge inside agg.
+    show("q22_sessionize single shuffle") {
+      graft.gate.RelationalQueries.queries("q22_sessionize")(spark, sf)
+    }
+    // 3c. As-of join: union + window carry -- one shuffle, no join node.
+    show("q23_asof_join window carry") {
+      graft.gate.RelationalQueries.queries("q23_asof_join")(spark, sf)
+    }
     // 4. Hybrid query end-to-end.
     import spark.implicits._
     val files = spark.createDataset(graft.core.Fixtures.all)
