@@ -304,6 +304,19 @@ object RelationalQueries {
       graft.operators.AsofJoin.asof(clicks, purchases, Seq("user_id"),
         leftTs = "ts_us", rightTs = "p_ts_us",
         payload = Seq("p_event_id", "p_value_micro"), tiebreak = "p_event_id")
+    }),
+
+    // Two-phase salted aggregation (hot-key spread); must equal the plain
+    // one-phase GROUP BY -- the oracle is exactly that.
+    "q24_salted_agg" -> ((s, d) => {
+      graft.core.Skew.saltedAgg(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"),
+            floor(col("l_extendedprice") * 100).cast("long").as("price_cents")),
+        keys = Seq("l_returnflag"), salts = 16,
+        sums = Map(
+          "qty_sum" -> col("l_quantity").cast("long"),
+          "price_cents_sum" -> col("price_cents")))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -487,5 +500,11 @@ object RelationalQueries {
            CAST(FLOOR(r.value*1000000) AS BIGINT) AS p_value_micro
          FROM (SELECT * FROM e WHERE event_type = 'click') l
          ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') r
-           ON l.user_id = r.user_id AND r.ts_us <= l.ts_us""")
+           ON l.user_id = r.user_id AND r.ts_us <= l.ts_us""",
+    "q24_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             AS price_cents_sum
+         FROM lineitem GROUP BY l_returnflag""")
 }
