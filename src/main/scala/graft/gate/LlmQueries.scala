@@ -157,6 +157,12 @@ object LlmQueries {
         .orderBy(desc("total_count"), col("token"))
         .limit(100)),
 
+    // BM25 ranked retrieval (k1=1.2, b=0.75), micro-quantized per-term
+    // scores so float addition order is irrelevant.
+    "llm_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("spark", "join", "vector", "stream"), k = 25)),
+
     // Multimodal metadata over text-as-binary (decode stub plumbing:
     // byte length + content hash are the real, verifiable parts).
     "llm_multimodal_meta" -> ((s, d) =>
@@ -472,5 +478,31 @@ object LlmQueries {
           SELECT token, COUNT(*) AS total_count,
             COUNT(DISTINCT doc_key) AS doc_freq
           FROM tok GROUP BY token
-          ORDER BY total_count DESC, token LIMIT 100""")
+          ORDER BY total_count DESC, token LIMIT 100""",
+    // BM25: idf = ln((N-df+0.5)/(df+0.5)+1); per-(doc,term) scores are
+    // FLOORed to micros BEFORE the per-doc sum, exactly as the Spark side.
+    "llm_bm25" ->
+      s"""WITH t AS (
+            SELECT doc_id, $duckToks AS ws FROM documents),
+          dl AS (SELECT doc_id, len(ws) AS dl FROM t),
+          stats AS (
+            SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS dl_sum
+            FROM dl),
+          tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(ws) AS tok FROM t)
+            WHERE tok IN ('spark', 'join', 'vector', 'stream')
+            GROUP BY doc_id, tok),
+          dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+          SELECT doc_id,
+            CAST(SUM(CAST(FLOOR(
+              ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+              * (tf * 2.2)
+              / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                  / (CAST(dl_sum AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+              * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+          FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY doc_id
+          ORDER BY score_micro DESC, doc_id LIMIT 25""")
 }

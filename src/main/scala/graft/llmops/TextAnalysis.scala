@@ -65,4 +65,49 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("total_count"),
         countDistinct("doc_key").as("doc_freq"))
+
+  /** BM25 top-k document ranking for a bag of query terms (Robertson
+    * k1/b form, idf = ln((N - df + 0.5)/(df + 0.5) + 1) as in Lucene).
+    * Replaces keyword-overlap scoring (reference hybrid_executor.ml
+    * V8/V9) with a principled ranked-retrieval scorer.
+    *
+    * Determinism across engines: each per-(doc, term) score is quantized
+    * to integer MICROS before the per-doc sum, so float addition order
+    * can't change the result; corpus stats (N, total length) ride a
+    * broadcast 1-row frame -- no driver round-trip, whole thing is one
+    * DAG. Scale shape: tf is one explode+filter+groupBy on (doc, term)
+    * where the filter keeps ONLY query terms (tiny); df is a groupBy of
+    * that; both broadcastable; final agg shuffles (doc) once; top-k is
+    * TakeOrderedAndProject.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val docToks = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("ws"))
+    val docLen = docToks.select(col("doc_id"), size(col("ws")).as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("dl_sum"))
+    val tf = docToks
+      .select(col("doc_id"), explode(col("ws")).as("tok"))
+      .where(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val avgdl = col("dl_sum").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val termScore = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(dfreq), "tok")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score_micro",
+        floor(termScore * 1000000).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("term_score_micro").as("score_micro"))
+      .orderBy(desc("score_micro"), col("doc_id"))
+      .limit(k)
+  }
 }
