@@ -92,6 +92,21 @@ object LlmQueries {
           floor(col("score") * 1000000).cast("long").as("cosine_micro"))
     }),
 
+    // Scale-path ANN: trained-centroid IVF, 4-probe. No SQL oracle
+    // (k-means isn't SQL-expressible) -> driver records rows-only;
+    // exactness-on-probe-set + clustered-recall are AnnCentroidSpec's
+    // job, recall/scan numbers are BASELINE.md's.
+    "llm_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val cents = Ann.trainCentroids(emb, "embedding", nCells = 16)
+      Ann.ivfCentroidTopK(emb, "vec_id", "embedding", q, 10, cents,
+        probes = 4)
+        .select(col("id").as("vec_id"),
+          floor(col("score") * 1000000).cast("long").as("cosine_micro"))
+    }),
+
     // Top-20 most-similar embedding pairs within sign-bit LSH buckets
     // (near-dup scan shape over the full table).
     "llm_emb_pairs" -> ((s, d) => {
