@@ -306,6 +306,39 @@ object RelationalQueries {
         payload = Seq("p_event_id", "p_value_micro"), tiebreak = "p_event_id")
     }),
 
+    // Ranking window functions: rank / dense_rank / ntile / lead over a
+    // deterministic (unique-tiebreak) order within each nation.
+    "q25_rank_funcs" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+        .withColumn("rnk", rank().over(
+          Window.partitionBy("c_nationkey")
+            .orderBy(desc("acctbal_cents"), col("c_custkey"))))
+        .withColumn("drnk", dense_rank().over(
+          Window.partitionBy("c_nationkey")
+            .orderBy(desc("acctbal_cents"), col("c_custkey"))))
+        .withColumn("quartile", ntile(4).over(
+          Window.partitionBy("c_nationkey")
+            .orderBy(desc("acctbal_cents"), col("c_custkey"))))
+        .withColumn("next_bal_cents", lead("acctbal_cents", 1).over(
+          Window.partitionBy("c_nationkey")
+            .orderBy(desc("acctbal_cents"), col("c_custkey"))))
+        .where(col("rnk") <= 8)
+    }),
+
+    // CUBE grouping sets (completes ROLLUP from q14).
+    "q26_cube" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g_orders2")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS price_cents
+           FROM g_orders2
+           GROUP BY CUBE(o_orderstatus, o_orderpriority)""")
+    }),
+
     // Two-phase salted aggregation (hot-key spread); must equal the plain
     // one-phase GROUP BY -- the oracle is exactly that.
     "q24_salted_agg" -> ((s, d) => {
@@ -501,6 +534,24 @@ object RelationalQueries {
          FROM (SELECT * FROM e WHERE event_type = 'click') l
          ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND r.ts_us <= l.ts_us""",
+    "q25_rank_funcs" ->
+      """SELECT * FROM (
+           SELECT c_custkey, c_nationkey,
+             CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(4) OVER w AS quartile,
+             LEAD(CAST(FLOOR(c_acctbal * 100) AS BIGINT), 1) OVER w
+               AS next_bal_cents
+           FROM customer
+           WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY CAST(FLOOR(c_acctbal * 100) AS BIGINT) DESC, c_custkey)
+         ) t WHERE rnk <= 8""",
+    "q26_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
     "q24_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS cnt,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
