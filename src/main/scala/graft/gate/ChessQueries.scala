@@ -133,7 +133,8 @@ object ChessQueries {
       val plan = QueryIntent.analyse(
         QueryIntent.Request("show me black wins", Some(10)))
       HybridExecutor.execute(s,
-        HybridExecutor.Tables(t.games, t.players, None), plan)
+        HybridExecutor.Tables(t.games, t.players, None), plan,
+        computeTotal = false) // page-only output: skip the count scan
         .results
         .select(col("white"), col("black"), col("result"),
           col("vector_score"), col("keyword_score"), col("total_score"))
@@ -168,7 +169,8 @@ object ChessQueries {
         QueryIntent.Request("games with smyslov"))
       HybridExecutor.execute(s,
         HybridExecutor.Tables(t.games, t.players, Some(v)), plan,
-        DeterministicEmbedder(embedDims))
+        DeterministicEmbedder(embedDims),
+        computeTotal = false) // page-only output: skip the count scan
         .results
         .select(col("white"), col("black"),
           floor(col("vector_score") * 1000000).cast("long").as("vector_micro"),
