@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingDedup
+
+/** flatMapGroupsWithState custom-state dedup: first occurrence ever wins,
+  * across micro-batches -- the thing a watermarkless dropDuplicates can't
+  * promise on a stream.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicates drop across micro-batches (state persists)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val in = mem.toDF().toDF("content_md5", "doc_id")
+    val q = StreamingDedup.firstOccurrence(in, "content_md5")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(("a", 1L), ("b", 2L), ("a", 3L)) // a dup within batch
+      q.processAllAvailable()
+      mem.addData(("a", 4L), ("c", 5L)) // a dup across batches
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+        .as[(String, Long)].collect().toMap
+      assert(out.keySet === Set("a", "b", "c"))
+      assert(out("a") === 1L) // the FIRST a, not a later one
+      assert(out("c") === 5L)
+    } finally q.stop()
+  }
+
+  test("batch mode behaves like dropDuplicates on the key") {
+    val df = Seq(("x", 1L), ("y", 2L), ("x", 3L), ("z", 4L), ("y", 5L))
+      .toDF("content_md5", "doc_id")
+    val out = StreamingDedup.firstOccurrence(df, "content_md5")
+    assert(out.columns.toSeq === Seq("content_md5", "doc_id"))
+    val keys = out.select("content_md5").as[String].collect().sorted.toSeq
+    assert(keys === Seq("x", "y", "z"))
+  }
+
+  test("missing key column is rejected") {
+    val df = Seq(("x", 1L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      StreamingDedup.firstOccurrence(df, "nope")
+    }
+  }
+}
