@@ -108,6 +108,35 @@ class SessionOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tumbling window matches the batch bucket arithmetic (q16)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val bucketUs = 1000L
+    val mem = MemoryStream[(Long, Long)]
+    val in = mem.toDF().toDF("user_id", "ts_us")
+    val q = in
+      .withColumn("__event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("__event_ts", "0 microseconds")
+      .groupBy(window(col("__event_ts"), s"$bucketUs microseconds"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("w_start_us"), col("cnt"))
+      .writeStream.format("memory").queryName("tumble_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, 100L), (1L, 900L), (2L, 1500L), (1L, 2100L))
+      q.processAllAvailable()
+      mem.addData((2L, 999999L)) // advance watermark, close all windows
+      q.processAllAvailable()
+      val streamed = spark.table("tumble_out")
+        .as[(Long, Long)].collect().toMap
+      // batch q16-style bucket arithmetic over the same closed events
+      val batch = Seq(100L, 900L, 1500L, 2100L)
+        .groupBy(_ / bucketUs * bucketUs).view.mapValues(_.size.toLong).toMap
+      assert(streamed.filterKeys(_ < 999000L).toMap === batch)
+    } finally q.stop()
+  }
+
   test("asof: payload fields travel together (no cross-row mixing)") {
     val out = AsofJoin.asof(left, right, Seq("user_id"),
         leftTs = "ts_us", rightTs = "p_ts_us",
