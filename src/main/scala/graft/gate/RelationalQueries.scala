@@ -339,6 +339,23 @@ object RelationalQueries {
            GROUP BY CUBE(o_orderstatus, o_orderpriority)""")
     }),
 
+    // Exact percentiles (linear interpolation over cents ints; one
+    // double interpolation per output -> cross-engine stable at micro
+    // quantization).
+    "q27_percentile" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_orderstatus")
+        .agg(
+          floor(expr("percentile(cents, 0.25)") * 1000).cast("long")
+            .as("p25_milli"),
+          floor(expr("percentile(cents, 0.5)") * 1000).cast("long")
+            .as("p50_milli"),
+          floor(expr("percentile(cents, 0.75)") * 1000).cast("long")
+            .as("p75_milli"))
+    }),
+
     // Two-phase salted aggregation (hot-key spread); must equal the plain
     // one-phase GROUP BY -- the oracle is exactly that.
     "q24_salted_agg" -> ((s, d) => {
@@ -552,6 +569,15 @@ object RelationalQueries {
            CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS price_cents
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q27_percentile" ->
+      """SELECT o_orderstatus,
+           CAST(FLOOR(quantile_cont(CAST(FLOOR(o_totalprice*100) AS BIGINT),
+             0.25) * 1000) AS BIGINT) AS p25_milli,
+           CAST(FLOOR(quantile_cont(CAST(FLOOR(o_totalprice*100) AS BIGINT),
+             0.5) * 1000) AS BIGINT) AS p50_milli,
+           CAST(FLOOR(quantile_cont(CAST(FLOOR(o_totalprice*100) AS BIGINT),
+             0.75) * 1000) AS BIGINT) AS p75_milli
+         FROM orders GROUP BY o_orderstatus""",
     "q24_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS cnt,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
