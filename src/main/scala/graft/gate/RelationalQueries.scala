@@ -339,6 +339,18 @@ object RelationalQueries {
            GROUP BY CUBE(o_orderstatus, o_orderpriority)""")
     }),
 
+    // PIVOT: event counts per user across a fixed column set (the
+    // Dataset pivot operator with explicit values -> no extra distinct
+    // scan to discover them).
+    "q28_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
     // Exact percentiles (linear interpolation over cents ints; one
     // double interpolation per output -> cross-engine stable at micro
     // quantization).
@@ -569,6 +581,19 @@ object RelationalQueries {
            CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS price_cents
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q28_pivot" ->
+      """SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS error
+         FROM events GROUP BY user_id""",
     "q27_percentile" ->
       """SELECT o_orderstatus,
            CAST(FLOOR(quantile_cont(CAST(FLOOR(o_totalprice*100) AS BIGINT),

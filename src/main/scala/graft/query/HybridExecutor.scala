@@ -99,12 +99,14 @@ object HybridExecutor {
       .orderBy(desc("score"), desc("vector_id"))
       .limit(k)
       .groupBy("game_id")
+      // typed Aggregator (TagUnionAgg): buffer = distinct tag set with
+      // map-side partial agg, not every hit's list via collect_list
       .agg(max("score").as("hit_score"),
-        array_sort(array_distinct(lower_(flatten(collect_list("phases")))))
+        graft.functions.TagUnionAgg.lowerSortedUnion(col("phases"))
           .as("hit_phases"),
-        array_sort(array_distinct(lower_(flatten(collect_list("themes")))))
+        graft.functions.TagUnionAgg.lowerSortedUnion(col("themes"))
           .as("hit_themes"),
-        array_sort(array_distinct(lower_(flatten(collect_list("keywords")))))
+        graft.functions.TagUnionAgg.lowerSortedUnion(col("keywords"))
           .as("hit_keywords"))
   }
 
