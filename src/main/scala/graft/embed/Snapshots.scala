@@ -50,4 +50,73 @@ object Snapshots {
     val v = version.getOrElse(snaps.map(_.version).max)
     spark.read.parquet(s"$baseDir/v=$v")
   }
+
+  // --- atomic commit pointer (snapshot-isolated reads) ----------------
+  // The journal above records history; it does NOT give readers isolation
+  // from an in-flight write (a reader picking "max version" can catch a
+  // version whose parquet files are still landing). The fix is the
+  // standard manifest-pointer pattern: data lands fully under v=N, THEN a
+  // one-line _CURRENT file is atomically moved into place. Readers
+  // resolve _CURRENT and only ever see fully-committed versions; a
+  // crashed writer leaves an unpublished v-dir that vacuum() collects.
+
+  private def currentPath(baseDir: String) = Paths.get(baseDir, "_CURRENT")
+
+  /** Write `df` as the next version and atomically publish it. Returns
+    * the published snapshot. Single-writer (the engine's batch model);
+    * readers need no coordination.
+    */
+  def commit(df: DataFrame, baseDir: String): Snapshot = {
+    val snap = create(df, baseDir) // data fully lands under v=N first
+    val tmp = Paths.get(baseDir, s"_CURRENT.tmp${snap.version}")
+    Files.write(tmp, s"${snap.version}\n".getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, currentPath(baseDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    snap
+  }
+
+  /** The committed version readers should use, if any. */
+  def currentVersion(baseDir: String): Option[Int] = {
+    val p = currentPath(baseDir)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8").trim.toInt)
+  }
+
+  /** Read the committed snapshot -- never an in-flight one. */
+  def readCurrent(spark: SparkSession, baseDir: String): DataFrame = {
+    val v = currentVersion(baseDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $baseDir"))
+    spark.read.parquet(s"$baseDir/v=$v")
+  }
+
+  /** Delete version dirs that are (a) unpublished leftovers of crashed
+    * writers (newer than _CURRENT) or (b) older than the `keep` most
+    * recent committed versions. Never touches _CURRENT's target.
+    */
+  def vacuum(baseDir: String, keep: Int = 2): Seq[Int] = {
+    require(keep >= 1)
+    val cur = currentVersion(baseDir) match {
+      case Some(c) => c
+      case None => return Seq.empty // nothing published: can't tell a
+        // crashed leftover from a first write in flight -- touch nothing
+    }
+    // the journal records CREATED versions; only those at or below the
+    // pointer were ever published
+    val published = list(baseDir).map(_.version).filter(_ <= cur).sorted
+    val keepSet = (published.takeRight(keep) :+ cur).toSet
+    val dirs = Option(Paths.get(baseDir).toFile.listFiles()).getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(f => f.getName.stripPrefix("v=").toInt)
+    // everything else is superseded history (< cur, outside the keep
+    // window) or an unpublished crashed-writer leftover (> cur)
+    val doomed = dirs.filter(v => !keepSet.contains(v)).sorted
+    doomed.foreach { v =>
+      val d = Paths.get(baseDir, s"v=$v")
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    doomed.toSeq
+  }
 }
