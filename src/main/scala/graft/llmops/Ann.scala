@@ -129,40 +129,26 @@ object Ann {
   // assign cells in ONE scan, write bucketed-by-cell; each query probes
   // the `probes` nearest cells only.
 
-  private def l2normalize(v: Array[Double]): Array[Double] = {
+  private[llmops] def l2normalize(v: Array[Double]): Array[Double] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
     val n = math.sqrt(s)
     if (n == 0) v else v.map(_ / n)
   }
 
-  private def dot(a: Array[Double], b: Array[Double]): Double = {
+  private[llmops] def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
 
-  /** Deterministic k-means (cosine metric) over a hash-sampled subset.
-    * Sampling filters on pmod(hash(vec), stride)==0 -- deterministic
-    * under any partitioning/retry, unlike df.sample. Initialization is a
-    * greedy k-means++-style farthest-first over the sample; `iters` Lloyd
-    * rounds follow. Empty cells keep their previous centroid.
+  /** Deterministic Lloyd k-means over an in-memory sample (cosine/dot
+    * metric on pre-normalized inputs); shared by centroid-IVF and PQ
+    * subspace training.
     */
-  def trainCentroids(df: DataFrame, vecCol: String, nCells: Int,
-      iters: Int = 5, sampleCap: Int = 20000): Array[Array[Double]] = {
-    require(nCells > 0)
-    val total = df.count()
-    val stride = math.max(1L, total / math.max(1, sampleCap))
-    val sample = df
-      .where(pmod(hash(col(vecCol).cast("array<double>")), lit(stride)) === 0)
-      .select(col(vecCol).cast("array<double>"))
-      .limit(sampleCap)
-      .collect()
-      .map(r => l2normalize(r.getSeq[Double](0).toArray))
-    require(sample.nonEmpty, "empty training sample")
-
-    // farthest-first init (deterministic: start from the lexicographically
-    // smallest hash position = first sampled row)
+  private[llmops] def lloyd(sample: Array[Array[Double]], nCells: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty)
     val cents = scala.collection.mutable.ArrayBuffer[Array[Double]](sample(0))
     while (cents.length < math.min(nCells, sample.length)) {
       var best = -1; var bestD = Double.MaxValue
@@ -173,13 +159,11 @@ object Ann {
         while (c < cents.length) {
           val d = dot(sample(i), cents(c)); if (d > near) near = d; c += 1
         }
-        // pick the point whose max-similarity to existing centroids is lowest
         if (near < bestD) { bestD = near; best = i }
         i += 1
       }
       cents += sample(best)
     }
-
     var centroids = cents.toArray
     var it = 0
     while (it < iters) {
@@ -205,6 +189,35 @@ object Ann {
       it += 1
     }
     centroids
+  }
+
+  /** Deterministic k-means (cosine metric) over a hash-sampled subset.
+    * Sampling filters on pmod(hash(vec), stride)==0 -- deterministic
+    * under any partitioning/retry, unlike df.sample. Initialization is a
+    * greedy k-means++-style farthest-first over the sample; `iters` Lloyd
+    * rounds follow. Empty cells keep their previous centroid.
+    */
+  /** Deterministic hash-mod sample of normalized vectors (survives
+    * retries/partitioning, unlike df.sample).
+    */
+  private[llmops] def hashSample(df: DataFrame, vecCol: String,
+      sampleCap: Int): Array[Array[Double]] = {
+    val total = df.count()
+    val stride = math.max(1L, total / math.max(1, sampleCap))
+    val sample = df
+      .where(pmod(hash(col(vecCol).cast("array<double>")), lit(stride)) === 0)
+      .select(col(vecCol).cast("array<double>"))
+      .limit(sampleCap)
+      .collect()
+      .map(r => l2normalize(r.getSeq[Double](0).toArray))
+    require(sample.nonEmpty, "empty training sample")
+    sample
+  }
+
+  def trainCentroids(df: DataFrame, vecCol: String, nCells: Int,
+      iters: Int = 5, sampleCap: Int = 20000): Array[Array[Double]] = {
+    require(nCells > 0)
+    lloyd(hashSample(df, vecCol, sampleCap), nCells, iters)
   }
 
   /** Nearest-centroid cell id (compiled UDF; centroids ride the closure

@@ -1,0 +1,110 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding compression + fast
+  * approximate scoring (Jegou et al., "Product Quantization for Nearest
+  * Neighbor Search", public literature).
+  *
+  * Vectors are L2-normalized, split into `m` contiguous subspaces, and
+  * each subspace is k-means-quantized to one of `k` centroids: a D-dim
+  * float vector becomes m small ints (e.g. 64-d float64 = 512 bytes ->
+  * 8 bytes at m=8/k<=256, a 64x compression). Query scoring is ADC
+  * (asymmetric distance computation): the query stays exact; per
+  * subspace a k-entry lookup table of partial dot products is built once
+  * on the driver, and each row's approximate cosine is m table lookups
+  * -- no float math per dimension.
+  *
+  * At 100 TB this is the memory-tier path: codes for 1B vectors fit in
+  * executor memory where raw floats cannot; `adcTopK` scans codes,
+  * over-fetches `rerank` candidates by ADC score, then re-scores ONLY
+  * those exactly (one small join back to the full vectors).
+  */
+object Pq {
+
+  /** centroids(sub)(code) = centroid vector of that subspace. */
+  final case class Model(dims: Int, m: Int,
+      centroids: Array[Array[Array[Double]]]) {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    def subDim: Int = dims / m
+  }
+
+  /** Train per-subspace codebooks on a deterministic hash sample
+    * (driver-side Lloyd, like Ann.trainCentroids).
+    */
+  def train(df: DataFrame, vecCol: String, m: Int, k: Int,
+      iters: Int = 5, sampleCap: Int = 20000): Model = {
+    require(m > 0 && k > 1)
+    val sample = Ann.hashSample(df, vecCol, sampleCap)
+    val dims = sample(0).length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    val centroids = (0 until m).map { s =>
+      val chunk = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      Ann.lloyd(chunk, k, iters)
+    }.toArray
+    Model(dims, m, centroids)
+  }
+
+  /** Attach the `pq_code` column (array<int> of length m). Normalizes
+    * each vector first so ADC dot sums approximate cosine.
+    */
+  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val enc = udf { (v: Seq[Double]) =>
+      val x = Ann.l2normalize(v.toArray)
+      val sd = model.subDim
+      Array.tabulate(model.m) { s =>
+        val chunk = x.slice(s * sd, (s + 1) * sd)
+        var bc = 0; var bd = Double.MinValue; var c = 0
+        val cents = model.centroids(s)
+        while (c < cents.length) {
+          val d = Ann.dot(chunk, cents(c))
+          if (d > bd) { bd = d; bc = c }
+          c += 1
+        }
+        bc
+      }
+    }
+    df.withColumn("pq_code", enc(col(vecCol).cast("array<double>")))
+  }
+
+  /** Approximate cosine of each encoded row to `query` via ADC lookup
+    * tables (micro-quantized long, deterministic).
+    */
+  def adcScore(model: Model, query: Seq[Double]):
+      org.apache.spark.sql.Column = {
+    val q = Ann.l2normalize(query.toArray)
+    val sd = model.subDim
+    // table(s)(c) = dot(query chunk s, centroid c of subspace s)
+    val table: Array[Array[Double]] = Array.tabulate(model.m) { s =>
+      val chunk = q.slice(s * sd, (s + 1) * sd)
+      model.centroids(s).map(cvec => Ann.dot(chunk, cvec))
+    }
+    val score = udf { (code: Seq[Int]) =>
+      var s = 0.0; var i = 0
+      while (i < code.length) { s += table(i)(code(i)); i += 1 }
+      math.round(s * 1000000)
+    }
+    score(col("pq_code"))
+  }
+
+  /** Top-k by ADC with exact rerank: scan codes only, over-fetch
+    * `rerank` candidates, re-score those exactly against the original
+    * vectors. rerank >= row count degenerates to exact brute force.
+    */
+  def adcTopK(encoded: DataFrame, idCol: String, vecCol: String,
+      model: Model, query: Seq[Double], k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k)
+    val cand = encoded
+      .select(col(idCol).as("id"), col(vecCol),
+        adcScore(model, query).as("adc_micro"))
+      .orderBy(desc("adc_micro"), col("id"))
+      .limit(rerank)
+    cand.select(col("id"),
+        graft.functions.CosineSimilarity(col(vecCol),
+          org.apache.spark.sql.functions.typedLit(query)).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+}

@@ -69,6 +69,19 @@ object AnnRecall {
       celled.unpersist()
     }
 
+    // PQ+ADC: full code scan (compression path, not a row-pruning path);
+    // "scanned" reports the exact-rerank candidate count
+    Seq((8, 32, 50), (8, 32, 100)).foreach { case (m, kk, rerank) =>
+      val model = graft.llmops.Pq.train(emb, "embedding", m, kk)
+      val enc = graft.llmops.Pq.encode(emb, "embedding", model).cache()
+      enc.count()
+      recall(s"pq(m=$m,k=$kk)+rerank $rerank",
+        q => graft.llmops.Pq.adcTopK(enc, "vec_id", "embedding", model, q,
+          k, rerank),
+        _ => rerank.toLong)
+      enc.unpersist()
+    }
+
     recall("ivf(bits=3, probes=2)",
       q => Ann.ivfTopK(emb, "vec_id", "embedding", q, k, bits = 3, probes = 2),
       q => n / 8 * 2)

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llmops.{Ann, Pq}
+
+/** Product quantization: determinism, compression shape, ADC+rerank
+  * recall on clustered data, exact degeneration at full rerank.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 separated clusters in 8-d (same generator as AnnCentroidSpec)
+  private lazy val clustered = {
+    val base = Seq(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 1, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 1, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 0, 1, 0, 0, 0, 0))
+    val rows = for { c <- base.indices; i <- 0 until 40 } yield {
+      val jitter = (0 until 8).map(d =>
+        ((c * 1000 + i * 17 + d * 3) % 13 - 6) / 100.0)
+      (c.toLong * 100 + i, base(c).zip(jitter).map { case (b, j) => b + j }.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("train is deterministic; encode emits m codes per row") {
+    val a = Pq.train(clustered, "embedding", m = 4, k = 8)
+    val b = Pq.train(clustered, "embedding", m = 4, k = 8)
+    assert(a.centroids.map(_.map(_.toSeq).toSeq).toSeq ===
+      b.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    val enc = Pq.encode(clustered, "embedding", a)
+    assert(enc.count() === 160)
+    val lens = enc.select(size(col("pq_code"))).distinct()
+      .as[Int].collect().toSeq
+    assert(lens === Seq(4))
+  }
+
+  test("ADC + exact rerank recovers brute-force top-k on clustered data") {
+    val model = Pq.train(clustered, "embedding", m = 4, k = 16)
+    val enc = Pq.encode(clustered, "embedding", model)
+    val q = clustered.where(col("vec_id") === 205L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val exact = Ann.bruteForceTopK(clustered, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Pq.adcTopK(enc, "vec_id", "embedding", model, q,
+      k = 10, rerank = 40).collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall < 0.9")
+  }
+
+  test("rerank = n degenerates to exact brute force") {
+    val model = Pq.train(clustered, "embedding", m = 2, k = 4)
+    val enc = Pq.encode(clustered, "embedding", model)
+    val q = Seq(0.7, 0.1, 0.0, 0.2, 0.0, 0.0, 0.0, 0.0)
+    val exact = Ann.bruteForceTopK(clustered, "vec_id", "embedding", q, 15)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Pq.adcTopK(enc, "vec_id", "embedding", model, q,
+      k = 15, rerank = 160).collect().map(_.getLong(0)).toSeq
+    assert(full === exact)
+  }
+}
