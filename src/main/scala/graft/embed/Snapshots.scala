@@ -114,8 +114,10 @@ object Snapshots {
     val doomed = dirs.filter(v => !keepSet.contains(v)).sorted
     doomed.foreach { v =>
       val d = Paths.get(baseDir, s"v=$v")
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally walk.close()
     }
     doomed.toSeq
   }

@@ -198,15 +198,21 @@ object Ann {
     * rounds follow. Empty cells keep their previous centroid.
     */
   /** Deterministic hash-mod sample of normalized vectors (survives
-    * retries/partitioning, unlike df.sample).
+    * retries/partitioning, unlike df.sample). When the hash-mod filter
+    * passes more than sampleCap rows, the cut is made on sorted
+    * (hash, vector) order -- NOT a bare limit, whose row choice would
+    * depend on partition order and make trained centroids vary across
+    * data layouts.
     */
   private[llmops] def hashSample(df: DataFrame, vecCol: String,
       sampleCap: Int): Array[Array[Double]] = {
     val total = df.count()
     val stride = math.max(1L, total / math.max(1, sampleCap))
+    val vec = col(vecCol).cast("array<double>")
     val sample = df
-      .where(pmod(hash(col(vecCol).cast("array<double>")), lit(stride)) === 0)
-      .select(col(vecCol).cast("array<double>"))
+      .where(pmod(hash(vec), lit(stride)) === 0)
+      .select(vec.as("v"))
+      .orderBy(hash(col("v")).asc, col("v").asc)
       .limit(sampleCap)
       .collect()
       .map(r => l2normalize(r.getSeq[Double](0).toArray))

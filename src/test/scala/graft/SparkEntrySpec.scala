@@ -20,6 +20,9 @@ class SparkEntrySpec extends SparkSpec {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, s"$name produced no columns")
+      // force execution, not just analysis: runtime failures (UDF
+      // exceptions, bad data) must fail here, not in the driver gate
+      df.limit(1).collect()
     }
   }
 }
