@@ -29,7 +29,7 @@ object IngestJob {
 
   /** One game after parse + replay; positions nested until projection. */
   final case class GameRecord(
-      game_id: Long,
+      game_id: String,
       source_file: String,
       game_index: Int,
       event: Option[String], site: Option[String], round: Option[String],
@@ -49,17 +49,17 @@ object IngestJob {
       ply: Int, move_number: Int, side_to_move: String,
       san: String, fen: String, fen_valid: Boolean, vector_id: String)
 
-  /** Stable 64-bit id: first 8 bytes (big-endian) of md5 over the
-    * ' '-joined parts, masked non-negative. Content-derived ids make every
-    * run reproducible and every FK computable without a join.
+  /** Stable 128-bit id: 32-hex md5 over the ' '-joined parts (same shape
+    * as `vector_id = md5(fen)`). Content-derived ids make every run
+    * reproducible and every FK computable without a join. 128 bits, not a
+    * truncated long: at the design corpus (~5e10 games) a 63-bit id has
+    * ~100 expected birthday collisions that would silently merge games in
+    * every downstream join; at 128 bits the bound is ~1e-17.
     */
-  def stableId(parts: String*): Long = {
+  def stableId(parts: String*): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(parts.mkString(" ").getBytes("UTF-8"))
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    v & Long.MaxValue
+    md.digest(parts.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   /** Player key: fide id if present, else lowercase name (reference lookup
@@ -68,7 +68,7 @@ object IngestJob {
   def playerKey(name: String, fideId: Option[String]): String =
     fideId.map(f => s"fide:$f").getOrElse("name:" + name.trim.toLowerCase)
 
-  def playerId(name: String, fideId: Option[String]): Long =
+  def playerId(name: String, fideId: Option[String]): String =
     stableId("player", playerKey(name, fideId))
 
   /** Parse + replay one raw game (pure; runs inside tasks). */

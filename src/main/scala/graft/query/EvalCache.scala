@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** A4 agent-evaluation cache (reference lib/query/agent_cache.ml).
@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
   *     with NUL, which unlike "\n" cannot occur inside a field;
   *   - the reference encodes missing ratings as -1 sentinels; we use ""
   *     (distinct from any real rating, same collision-freedom);
-  *   - the reference keys on the candidate summary's opening_slug /
-  *     result; we key on the plan's opening/result FILTERS, which are
-  *     what gated the candidate set the evaluator saw.
+  *   - we key on BOTH the candidate summary's opening_slug/result (like
+  *     the reference, agent_cache.ml:17-36 -- evaluator prompts include
+  *     per-candidate metadata, build_candidate_block) AND the plan's
+  *     opening/result filters, which gated the candidate set the
+  *     evaluator saw -- a strictly finer key than the reference's.
+  *
+  * Soundness contract: the cache key covers (plan fields, candidate
+  * opening_slug, candidate result, first 3000 chars of pgn). A Reranker
+  * whose scores depend on candidate columns OUTSIDE that set must not be
+  * wrapped in `cached`.
   *
   * Backend is an LRU memo (reference default cap 1000, config.ml:101) on
   * the DRIVER: candidates per query are <= 25 (A1), so the working set is
@@ -53,8 +60,12 @@ object EvalCache {
     def size: Int = m.synchronized(m.size())
   }
 
-  /** Cache key for one (plan, candidate PGN) pair. */
-  def key(plan: QueryIntent.Plan, pgn: String): String = {
+  /** Cache key for one (plan, candidate) pair. `candidateSlug` /
+    * `candidateResult` are the candidate summary's opening_slug / result
+    * ("" when absent), matching the reference key (agent_cache.ml:17-36).
+    */
+  def key(plan: QueryIntent.Plan, pgn: String,
+      candidateSlug: String = "", candidateResult: String = ""): String = {
     val rating = plan.rating
     val opening = plan.filters.collect {
       case QueryIntent.MetadataFilter("opening" | "opening_slug", v) => v
@@ -71,6 +82,8 @@ object EvalCache {
       rating.maxRatingDelta.fold("")(_.toString),
       opening,
       result,
+      candidateSlug,
+      candidateResult,
       pgn.take(pgnTruncateChars))
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(parts.mkString("\u0000").getBytes("UTF-8"))
@@ -87,23 +100,32 @@ object EvalCache {
     def scores(candidates: DataFrame, plan: QueryIntent.Plan): DataFrame = {
       val spark = candidates.sparkSession
       import spark.implicits._
+      // candidate metadata columns are part of the key when present
+      // (candidate frames from Reranker.apply carry them; bare test
+      // frames may not).
+      def optCol(n: String): Column =
+        if (candidates.columns.contains(n)) coalesce(col(n), lit(""))
+        else lit("")
       val rows = candidates.select(col("game_id"),
-          coalesce(col("pgn"), lit("")).as("pgn"))
-        .as[(Long, String)].collect()
-      val keyed = rows.map { case (gid, pgn) => (gid, key(plan, pgn)) }
+          coalesce(col("pgn"), lit("")).as("pgn"),
+          optCol("opening_slug").as("slug"), optCol("result").as("res"))
+        .as[(String, String, String, String)].collect()
+      val keyed = rows.map { case (gid, pgn, slug, res) =>
+        (gid, key(plan, pgn, slug, res))
+      }
       val hits = keyed.flatMap { case (gid, k) =>
         backend.get(k).map(e => (gid, e.agentScore, e.explanation))
       }
       val missIds = keyed.collect {
         case (gid, _) if !hits.exists(_._1 == gid) => gid
       }.toSet
-      val fresh: Seq[(Long, Double, String)] =
+      val fresh: Seq[(String, Double, String)] =
         if (missIds.isEmpty) Nil
         else {
           val missDf = candidates.where(col("game_id").isin(missIds.toSeq: _*))
           val scored = inner.scores(missDf, plan)
             .select(col("game_id"), col("agent_score"), col("explanation"))
-            .as[(Long, Double, String)].collect().toSeq
+            .as[(String, Double, String)].collect().toSeq
           val keyByGid = keyed.toMap
           scored.foreach { case (gid, s, ex) =>
             keyByGid.get(gid).foreach(k => backend.put(k, Entry(s, ex)))

@@ -26,14 +26,14 @@ object ResultFormatter {
     }
 
   /** "#id white vs black (score 0.87)" (result_formatter.ml:8-15). */
-  def synopsis(gameId: Long, white: String, black: String,
+  def synopsis(gameId: String, white: String, black: String,
       score: Double): String =
     f"#$gameId $white vs $black (score $score%.2f)"
 
   /** Top-5 summary block (V14). */
   def summarize(rows: Seq[Row]): String =
     rows.take(5).map { r =>
-      synopsis(r.getAs[Long]("game_id"), r.getAs[String]("white"),
+      synopsis(r.getAs[String]("game_id"), r.getAs[String]("white"),
         r.getAs[String]("black"), r.getAs[Double]("total_score"))
     }.mkString("\n")
 
@@ -42,7 +42,7 @@ object ResultFormatter {
     val openingName = Option(r.getAs[String]("opening_name"))
       .orElse(Option(r.getAs[String]("opening_slug")).map(prettifySlug))
     Map(
-      "game_id" -> r.getAs[Long]("game_id"),
+      "game_id" -> r.getAs[String]("game_id"),
       "white" -> r.getAs[String]("white"),
       "black" -> r.getAs[String]("black"),
       "event" -> Option(r.getAs[String]("event")),

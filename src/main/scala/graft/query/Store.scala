@@ -12,7 +12,7 @@ object Store {
     * `isin` for small lists (pushed to the scan), broadcast join past the
     * literal-size threshold.
     */
-  def fetchGamePgns(games: DataFrame, ids: Seq[Long]): DataFrame = {
+  def fetchGamePgns(games: DataFrame, ids: Seq[String]): DataFrame = {
     val distinctIds = ids.distinct
     if (distinctIds.size <= 1000)
       games.where(col("game_id").isin(distinctIds: _*))

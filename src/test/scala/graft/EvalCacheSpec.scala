@@ -13,7 +13,7 @@ class EvalCacheSpec extends SparkSpec {
   private def planOf(q: String): QueryIntent.Plan =
     QueryIntent.analyse(QueryIntent.Request(q, Some(5)))
 
-  /** Counts invocations; scores game_id/10.0. */
+  /** Counts invocations; scores numeric-string game_id/10.0. */
   private class CountingReranker extends Reranker {
     var calls = 0
     var rowsScored = 0
@@ -22,13 +22,13 @@ class EvalCacheSpec extends SparkSpec {
       val n = candidates.count().toInt
       rowsScored += n
       candidates.select(col("game_id"),
-        (col("game_id") / lit(10.0)).as("agent_score"),
+        (col("game_id").cast("double") / lit(10.0)).as("agent_score"),
         lit("mock").as("explanation"))
     }
   }
 
   private def candidates(ids: Long*): DataFrame =
-    ids.map(i => (i, s"pgn-of-$i")).toDF("game_id", "pgn")
+    ids.map(i => (i.toString, s"pgn-of-$i")).toDF("game_id", "pgn")
 
   test("second evaluation with same plan+pgns is served from cache") {
     val inner = new CountingReranker
@@ -36,9 +36,9 @@ class EvalCacheSpec extends SparkSpec {
     val r = EvalCache.cached(inner, cache)
     val plan = planOf("top games in the english opening")
     val first = r.scores(candidates(10L, 20L), plan)
-      .orderBy("game_id").as[(Long, Double, String)].collect().toSeq
+      .orderBy("game_id").as[(String, Double, String)].collect().toSeq
     val second = r.scores(candidates(10L, 20L), plan)
-      .orderBy("game_id").as[(Long, Double, String)].collect().toSeq
+      .orderBy("game_id").as[(String, Double, String)].collect().toSeq
     assert(first === second)
     assert(inner.calls === 1) // 2nd scores() call never reached the agent
     assert(inner.rowsScored === 2)
@@ -88,14 +88,14 @@ class EvalCacheSpec extends SparkSpec {
     val inner = new CountingReranker
     val r = EvalCache.cached(inner, new EvalCache.LruBackend())
     val ranked = Seq(
-      (1L, 0.5, "2000-01-01", "p1"), (2L, 0.9, "2000-01-02", "p2"))
+      ("1", 0.5, "2000-01-01", "p1"), ("2", 0.9, "2000-01-02", "p2"))
       .toDF("game_id", "total_score", "played_on_str", "pgn")
     val plan = planOf("best games")
     val out = Reranker.apply(ranked, plan, r)
       .select("game_id", "total_score")
-      .as[(Long, Double)].collect().toMap
+      .as[(String, Double)].collect().toMap
     // blend: min(1, 0.6*total + 0.4*clamp(gid/10))
-    assert(math.abs(out(1L) - (0.6 * 0.5 + 0.4 * 0.1)) < 1e-9)
-    assert(math.abs(out(2L) - (0.6 * 0.9 + 0.4 * 0.2)) < 1e-9)
+    assert(math.abs(out("1") - (0.6 * 0.5 + 0.4 * 0.1)) < 1e-9)
+    assert(math.abs(out("2") - (0.6 * 0.9 + 0.4 * 0.2)) < 1e-9)
   }
 }

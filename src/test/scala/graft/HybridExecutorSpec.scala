@@ -116,7 +116,7 @@ class HybridExecutorSpec extends SparkSpec {
       "Kings Indian Defense")
     assert(ResultFormatter.yearOf(Some("1994-05-12")).contains(1994))
     assert(ResultFormatter.yearOf(Some("????")).isEmpty)
-    assert(ResultFormatter.synopsis(7L, "A", "B", 0.875) ==
-      "#7 A vs B (score 0.88)")
+    assert(ResultFormatter.synopsis("7f00ba", "A", "B", 0.875) ==
+      "#7f00ba A vs B (score 0.88)")
   }
 }

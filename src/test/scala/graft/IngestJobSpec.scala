@@ -20,8 +20,8 @@ class IngestJobSpec extends SparkSpec {
   test("sample game: 1 game, 2 players, 6 positions, all FENs valid") {
     val g = tables.games.filter("source_file = 'sample_game.pgn'")
     assert(g.count() == 1)
-    val gid = g.select("game_id").head().getLong(0)
-    val pos = tables.positions.filter(s"game_id = $gid")
+    val gid = g.select("game_id").head().getString(0)
+    val pos = tables.positions.filter(s"game_id = '$gid'")
     assert(pos.count() == 6)
     assert(pos.filter("not fen_valid").count() == 0)
     assert(pos.filter("side_to_move = 'black'").count() == 3)

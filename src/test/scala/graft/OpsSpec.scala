@@ -102,7 +102,7 @@ class OpsSpec extends SparkSpec {
     val plan = QueryIntent.analyse(QueryIntent.Request("games", Some(10)))
     val exec = graft.query.HybridExecutor.execute(spark,
       graft.query.HybridExecutor.Tables(t.games, t.players, None), plan)
-    val before = exec.results.collect().map(_.getAs[Long]("game_id"))
+    val before = exec.results.collect().map(_.getAs[String]("game_id"))
     // mock reranker: favor the LAST game, like test_query.ml's fake agent.
     val favored = before.last
     val mock = new Reranker {
@@ -110,13 +110,13 @@ class OpsSpec extends SparkSpec {
           p: QueryIntent.Plan): org.apache.spark.sql.DataFrame = {
         val s = candidates.sparkSession
         import s.implicits._
-        candidates.select("game_id").as[Long].collect().toSeq
+        candidates.select("game_id").as[String].collect().toSeq
           .map(id => (id, if (id == favored) 1.0 else 0.1, "mock"))
           .toDF("game_id", "agent_score", "explanation")
       }
     }
     val after = Reranker.apply(exec.results, plan, mock).collect()
-    assert(after.head.getAs[Long]("game_id") == favored)
+    assert(after.head.getAs[String]("game_id") == favored)
     after.foreach(r => assert(r.getAs[Double]("total_score") <= 1.0))
   }
 

@@ -52,7 +52,7 @@ class ParityStubsSpec extends SparkSpec {
   }
 
   test("store: fetch PGNs by id list (R5) and pending count (R7/I8)") {
-    val ids = tables.games.select("game_id").collect().map(_.getLong(0))
+    val ids = tables.games.select("game_id").collect().map(_.getString(0))
     val pgns = Store.fetchGamePgns(tables.games, ids.toSeq :+ ids.head)
     assert(pgns.count() == 3)
     assert(Store.pendingEmbeddingCount(tables.positions, None) ==
@@ -70,7 +70,7 @@ class ParityStubsSpec extends SparkSpec {
       graft.embed.DeterministicEmbedder(8))
     val vOnly = v.where(col("game_id") =!=
       tables.games.filter("source_file = 'sample_game.pgn'")
-        .select("game_id").head().getLong(0))
+        .select("game_id").head().getString(0))
     val plan0 = QueryIntent.analyse(QueryIntent.Request("games", Some(10)))
     val plan = plan0.copy(filters =
       List(QueryIntent.MetadataFilter("vector_only", "true")))
