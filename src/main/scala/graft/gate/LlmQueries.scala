@@ -25,6 +25,19 @@ object LlmQueries {
         (strpos('0123456789abcdef', substr(md5($e), CAST(i AS INT), 1)) - 1)
           * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT)"""
 
+  /** DuckDB replica of Ann.hyperplaneCellOf (seed 42): per plane p, the
+    * sign bit of sum_d emb[d] * w(p,d), w = (hex8(md5("42:p:d")) % 2000)
+    * / 1000 - 1. Outer lambda var is `d` -- duckHex8's internal lambda
+    * uses `i`, which must not capture the outer dimension variable.
+    */
+  private def duckHyperCell(embCol: String, planes: Int): String =
+    (0 until planes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, len($embCol) + 1),
+          d -> CAST($embCol[CAST(d AS INT)] AS DOUBLE) *
+            ((${duckHex8(s"'42:$p:' || CAST(d - 1 AS VARCHAR)")} % 2000)
+              / 1000.0 - 1.0))) >= 0 THEN '1' ELSE '0' END)"""
+    }.mkString(" || ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup groups (hash-groupBy).
     "llm_exact_dedup" -> ((s, d) =>
@@ -107,12 +120,12 @@ object LlmQueries {
           floor(col("score") * 1000000).cast("long").as("cosine_micro"))
     }),
 
-    // Top-20 most-similar embedding pairs within sign-bit LSH buckets
-    // (near-dup scan shape over the full table).
+    // Top-20 most-similar embedding pairs within random-hyperplane LSH
+    // cells (near-dup scan shape over the full table).
     "llm_emb_pairs" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Dedup.embeddingPairs(emb, "vec_id", "embedding",
-        threshold = -1.0, prefixBits = 2)
+        threshold = -1.0, planes = 2)
         .select(col("id_a"), col("id_b"),
           floor(col("cosine") * 1000000).cast("long").as("cosine_micro"))
         .orderBy(desc("cosine_micro"), col("id_a"), col("id_b"))
@@ -130,10 +143,10 @@ object LlmQueries {
           floor(col("v") * 1000000).cast("long").as("v_micro"))
     }),
 
-    // KNN graph: top-3 neighbors per vector within sign-bit cells.
+    // KNN graph: top-3 neighbors per vector within hyperplane LSH cells.
     "llm_knn_graph" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Ann.knnJoin(emb, emb, "vec_id", "embedding", k = 3, bits = 2)
+      Ann.knnJoin(emb, emb, "vec_id", "embedding", k = 3, planes = 2)
         .select(col("lid"), col("rid"),
           floor(col("score") * 1000000).cast("long").as("cosine_micro"))
     }),
@@ -347,10 +360,9 @@ object LlmQueries {
          SELECT vec_id, CAST(FLOOR(c * 1000000) AS BIGINT) AS cosine_micro
          FROM scored ORDER BY c DESC, vec_id LIMIT 10""",
     "llm_emb_pairs" ->
-      """WITH v AS (
+      s"""WITH v AS (
            SELECT vec_id,
-             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) AS bucket,
+             ${duckHyperCell("embedding", 2)} AS bucket,
              embedding FROM embeddings),
          pairs AS (
            SELECT l.vec_id AS id_a, r.vec_id AS id_b,
@@ -411,10 +423,9 @@ object LlmQueries {
             CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_micro
           FROM pairs WHERE j >= 0.8""",
     "llm_knn_graph" ->
-      """WITH v AS (
+      s"""WITH v AS (
            SELECT vec_id,
-             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) AS cell,
+             ${duckHyperCell("embedding", 2)} AS cell,
              embedding FROM embeddings),
          pairs AS (
            SELECT l.vec_id AS lid, r.vec_id AS rid,

@@ -262,15 +262,19 @@ object Ann {
   }
 
   /** All-pairs top-k join: for each left row, the k nearest right rows --
-    * brute force within sign-bit buckets (both sides bucketed), for
-    * KNN-graph construction at scale.
+    * brute force within random-hyperplane LSH cells (both sides
+    * bucketed), for KNN-graph construction at scale. Hyperplane cells,
+    * not sign-of-leading-dims: non-zero-centered embedding models pile
+    * most rows into the all-positive sign bucket, degenerating the
+    * within-cell join to near-O(n^2); random hyperplanes stay balanced
+    * under rotation/offset.
     */
   def knnJoin(left: DataFrame, right: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8): DataFrame = {
-    val l = withCell(left, vecCol, bits)
+      vecCol: String, k: Int, planes: Int = 8, seed: Int = 42): DataFrame = {
+    val l = withHyperplaneCell(left, vecCol, planes, seed)
       .select(col(idCol).as("lid"), col(vecCol).cast("array<double>").as("lv"),
         col("cell"))
-    val r = withCell(right, vecCol, bits)
+    val r = withHyperplaneCell(right, vecCol, planes, seed)
       .select(col(idCol).as("rid"), col(vecCol).cast("array<double>").as("rv"),
         col("cell"))
     val scored = l.join(r, Seq("cell"))

@@ -77,9 +77,11 @@ object Dedup {
       shingleN: Int, k: Int, bandRows: Int): DataFrame = {
     val keysUdf = udf(bandKeysF(k, bandRows))
     // The signature loop is compute-bound (k x shingles md5s per row);
-    // single-row-group files would otherwise pin it to one task.
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // single-row-group files would otherwise pin it to one task. An
+    // unconditional round-robin repartition avoids forcing an RDD
+    // conversion (df.rdd.getNumPartitions) just to decide.
+    val spread =
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     spread.select(col(idCol).as("id"),
       shingles(tokens(col(textCol)), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
@@ -227,20 +229,24 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Embedding near-dup: cosine >= threshold pairs via sign-bit LSH
-    * bucketing over `prefixBits` leading dimensions (candidates must share
-    * the sign pattern; exact cosine verifies). Brute-force fallback when
-    * prefixBits = 0 (small data / recall experiments).
+  /** Embedding near-dup: cosine >= threshold pairs via random-hyperplane
+    * LSH cells (candidates must share the full cell; exact cosine
+    * verifies). Hyperplanes, NOT sign-of-leading-dims: real embedding
+    * models produce non-zero-centered dimensions, so leading-dim sign
+    * patterns collapse most of the corpus into one bucket (near-O(n^2)
+    * pairs inside it); md5-derived random hyperplanes (Ann.planeWeight)
+    * are rotation/offset-robust with the standard 1 - theta/pi collision
+    * rate per bit. Brute-force fallback when planes = 0 (small data /
+    * recall experiments).
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.9, prefixBits: Int = 8): DataFrame = {
+      threshold: Double = 0.9, planes: Int = 8, seed: Int = 42): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val withKey =
-      if (prefixBits <= 0) v.withColumn("bucket", lit(0))
-      else v.withColumn("bucket",
-        concat((0 until prefixBits).map(i =>
-          when(element_at(col("v"), i + 1) >= 0, "1").otherwise("0")): _*))
+      if (planes <= 0) v.withColumn("bucket", lit("0"))
+      else Ann.withHyperplaneCell(v, "v", planes, seed)
+        .withColumnRenamed("cell", "bucket")
     withKey.as("l").join(withKey.as("r"),
       col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),

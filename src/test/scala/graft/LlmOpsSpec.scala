@@ -86,7 +86,7 @@ class LlmOpsSpec extends SparkSpec {
 
   test("knnJoin yields k neighbors per left row within cells") {
     val knn = Ann.knnJoin(embeddings.limit(40), embeddings.limit(40),
-      "vec_id", "embedding", k = 2, bits = 2)
+      "vec_id", "embedding", k = 2, planes = 2)
     val counts = knn.groupBy("lid").count().collect()
     assert(counts.nonEmpty)
     counts.foreach(r => assert(r.getLong(1) <= 2))
@@ -141,7 +141,7 @@ class LlmOpsSpec extends SparkSpec {
 
   test("embedding near-dup pairs empty at high threshold (sanity)") {
     val pairs = Dedup.embeddingPairs(embeddings, "vec_id", "embedding",
-      threshold = 0.95, prefixBits = 4)
+      threshold = 0.95, planes = 4)
     assert(pairs.count() == 0)
   }
 
