@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *     vector_id = md5(fen)) then joined back -- the reference's in-memory
   *     embeddings cache (embeddings_cache.ml) expressed as dedup+join.
   *     Identical positions across millions of games (openings!) collapse.
-  *   - `players` is broadcast (small dimension); the positions->games join
-  *     shuffles on game_id, which downstream consumers reuse.
+  *   - the positions->games join shuffles on game_id, which downstream
+  *     consumers reuse; the player dimension joins without a forced
+  *     broadcast (AQE decides from runtime size).
   *   - Incremental runs: anti-join on vector_id against the existing
   *     vectors table replaces the reference's job queue (0001_init.sql
   *     embedding_jobs + FOR UPDATE SKIP LOCKED claim).
@@ -48,13 +49,15 @@ object VectorsJob {
     val b = players.select(col("id").as("black_player_id"),
       col("name").as("black"))
 
-    // E4 payload join: positions x games x players(x2). players broadcast.
+    // E4 payload join: positions x games x players(x2). No forced
+    // broadcast on the player dimension (unbounded at design scale);
+    // AQE broadcasts when the runtime size allows.
     val payload = positions
       .join(games.select("game_id", "white_player_id", "black_player_id",
         "opening_slug", "opening_name", "eco_code", "result",
         "white_rating", "black_rating"), Seq("game_id"))
-      .join(broadcast(w), Seq("white_player_id"), "left")
-      .join(broadcast(b), Seq("black_player_id"), "left")
+      .join(w, Seq("white_player_id"), "left")
+      .join(b, Seq("black_player_id"), "left")
       .select(
         col("vector_id"), col("game_id"), col("ply"), col("san"),
         col("side_to_move"), col("fen"),

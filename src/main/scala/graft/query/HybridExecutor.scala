@@ -35,8 +35,12 @@ object HybridExecutor {
   val keywordWeight = 0.25
   val agentWeight = 0.4 // total = min(1, 0.6*heuristic + 0.4*agent)
 
-  /** games x players(x2, broadcast) -> the reference's game_summary shape
-    * (repo_postgres_caqti.ml:215-227).
+  /** games x players(x2) -> the reference's game_summary shape
+    * (repo_postgres_caqti.ml:215-227). No forced broadcast hint: the
+    * player dimension grows with the corpus (1e8+ players at design
+    * scale would OOM a forced broadcast); AQE broadcasts it when the
+    * runtime size is actually small, and the bucketed-table path keeps
+    * the sort-merge alternative shuffle-free.
     */
   def summaries(games: DataFrame, players: DataFrame): DataFrame = {
     val w = players.select(col("id").as("white_player_id"),
@@ -44,8 +48,8 @@ object HybridExecutor {
     val b = players.select(col("id").as("black_player_id"),
       col("name").as("black"))
     games
-      .join(broadcast(w), Seq("white_player_id"), "left")
-      .join(broadcast(b), Seq("black_player_id"), "left")
+      .join(w, Seq("white_player_id"), "left")
+      .join(b, Seq("black_player_id"), "left")
       .select(col("game_id"), coalesce(col("white"), lit("")).as("white"),
         coalesce(col("black"), lit("")).as("black"), col("event"),
         col("played_on"), date_format(col("played_on"), "yyyy-MM-dd")
