@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.chess.{Chess, Openings}
 import graft.core.Fixtures
 import graft.embed.{DeterministicEmbedder, VectorsJob}
-import graft.ingest.{IngestJob, PgnParser}
-import graft.query.{HybridExecutor, QueryIntent}
+import graft.ingest.{GameMetadata, IngestJob, PgnParser}
+import graft.query.{AgentEvaluator, HybridExecutor, QueryIntent, Reranker}
 
 /** Chessmate-workload gate queries over the bundled reference fixtures.
   *
@@ -51,6 +51,21 @@ object ChessQueries {
 
   private lazy val allReplayRows: Seq[(String, Int, String, String)] =
     Fixtures.all.flatMap { case (n, t) => replayRows(n, t) }
+
+  /** Pure-driver-side inputs for the agent-rerank oracle: per fixture
+    * game, the raw PGN slice plus the header metadata the evaluator's
+    * candidate block carries. Same precedent as [[allReplayRows]]: the
+    * ORACLE recomputes every algorithm (game_id md5, block assembly,
+    * score hash, blend, re-sort) in SQL from these raw inputs.
+    */
+  private lazy val rerankInputs: Seq[(String, Int, String, GameMetadata.Meta)] =
+    Fixtures.all.map { case (name, text) =>
+      val slot = PgnParser.splitGames(text).head
+      val game = PgnParser.parse(slot.raw).toOption.get
+      (name, slot.index, slot.raw, GameMetadata.ofHeaders(game.headers))
+    }
+
+  val rerankQuestion = "best games"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // I2/S2-S5: distributed PGN split + parse + SAN->FEN replay.
@@ -157,6 +172,32 @@ object ChessQueries {
         .select("source_file", "score_micro")
     }),
 
+    // A2/A3/A4-adjacent end-to-end agent rerank: hybrid fallback page ->
+    // candidate selection -> PGN batch fetch (R5) -> prompt block
+    // assembly -> deterministic batched backend (retry/breaker/telemetry
+    // in the path) -> clamp -> 0.6/0.4 blend -> re-sort. The DuckDB
+    // oracle recomputes EVERYTHING in SQL from the raw fixture text:
+    // game_id = md5('game <file> 0 <raw>'), the evaluator's candidate
+    // block string, score = hex32(md5(question ' ' block)) % 101 / 100,
+    // the blend, and the final rank order.
+    "chess_agent_rerank" -> ((s, _) => {
+      val (t, _) = data(s)
+      val plan = QueryIntent.analyse(QueryIntent.Request(rerankQuestion))
+      val exec = HybridExecutor.execute(s,
+        HybridExecutor.Tables(t.games, t.players, None), plan,
+        computeTotal = false)
+      val reranked = Reranker.apply(exec.results, plan,
+        new AgentEvaluator.AgentReranker(t.games))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(
+        desc("total_score"), col("played_on_str").desc_nulls_last,
+        col("game_id").desc)
+      reranked
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("white"), col("black"), col("explanation"),
+          round(col("agent_score") * 100).cast("long").as("agent_centi"),
+          floor(col("total_score") * 1000000).cast("long").as("total_micro"))
+    }),
+
     // Full vector-path hybrid execution over the fixture corpus: the
     // DuckDB oracle recomputes the ENTIRE path -- 16-dim embedding,
     // cosine, per-game max collapse, summary-token keyword overlap, and
@@ -260,9 +301,77 @@ object ChessQueries {
               AS total_micro
           FROM scored_games"""
     }
+    // Agent rerank: full SQL recomputation from raw fixture text. The
+    // heuristic total for the "best games" plan (no filters, no
+    // keywords, no rating bounds) is 0.75*0.6 + 0.25*0.0 = 0.45 for
+    // every game (V10 fallback + V8 keyword formulas, same literals the
+    // executor uses); the blend is A3's min(1, 0.6h + 0.4a).
+    val rerankOracle = {
+      def opt(v: Option[String]) = v.map(sq).getOrElse("NULL")
+      val values = rerankInputs.map { case (name, idx, raw, meta) =>
+        val playedOn = meta.date.filter(d =>
+          d.matches("\\d{4}-\\d{2}-\\d{2}") &&
+            scala.util.Try(java.time.LocalDate.parse(d)).isSuccess)
+        Seq(sq(name), idx.toString, sq(raw), sq(meta.white.name),
+          sq(meta.black.name),
+          opt(meta.result), opt(meta.ecoCode), opt(meta.openingName),
+          opt(playedOn),
+          meta.white.rating.map(r => sq(r.toString)).getOrElse("NULL"),
+          meta.black.rating.map(r => sq(r.toString)).getOrElse("NULL"))
+          .mkString("(", ", ", ")")
+      }.mkString(", ")
+      s"""WITH cand(source_file, idx, raw, white, black, result, eco, opening,
+              played_on, white_elo, black_elo) AS (VALUES $values),
+          b AS (
+            SELECT *, md5('game ' || source_file || ' ' ||
+              CAST(idx AS VARCHAR) || ' ' || raw) AS gid,
+              CASE WHEN length(raw) <= 3000 THEN raw
+                   ELSE substr(raw, 1, 3000) || chr(10) ||
+                     '... [PGN truncated]' END AS pgn_t
+            FROM cand),
+          blk AS (
+            SELECT gid, white, black, played_on,
+              'Game ID: ' || gid || chr(10) ||
+              'White: ' || white || chr(10) ||
+              'Black: ' || black || chr(10) ||
+              'Result: ' || coalesce(result, '*') || chr(10) ||
+              'Opening: ' || coalesce(opening, 'Unknown opening') ||
+                ' (' || coalesce(eco, 'Unknown ECO') || ')' || chr(10) ||
+              'Played on: ' || coalesce(played_on, 'Unknown date') || chr(10) ||
+              'Ratings (White | Black): ' || coalesce(white_elo, '?') ||
+                ' vs ' || coalesce(black_elo, '?') || chr(10) ||
+              'PGN:' || chr(10) || pgn_t AS block
+            FROM b),
+          scored AS (
+            SELECT gid, white, black, played_on,
+              ${hex8(s"${sq(rerankQuestion + " ")} || block")} % 101 AS centi
+            FROM blk),
+          blended AS (
+            -- every literal CAST to DOUBLE: DuckDB folds bare numeric
+            -- literals as DECIMAL (exact 0.462), Spark computes IEEE
+            -- doubles (0.46199999...); the floor(*1e6) differs by 1.
+            SELECT white, black, gid, played_on, centi,
+              least(CAST(1.0 AS DOUBLE),
+                CAST(0.6 AS DOUBLE) * (CAST(0.75 AS DOUBLE) *
+                  CAST(0.6 AS DOUBLE) + CAST(0.25 AS DOUBLE) *
+                  CAST(0.0 AS DOUBLE)) +
+                CAST(0.4 AS DOUBLE) * least(greatest(
+                  CAST(centi AS DOUBLE) / CAST(100.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))) AS total
+            FROM scored)
+          SELECT
+            CAST(ROW_NUMBER() OVER (ORDER BY total DESC,
+              played_on DESC NULLS LAST, gid DESC) AS BIGINT) AS rank,
+            white, black,
+            'deterministic[medium/low]' AS explanation,
+            CAST(centi AS BIGINT) AS agent_centi,
+            CAST(FLOOR(total * 1000000) AS BIGINT) AS total_micro
+          FROM blended"""
+    }
     Map(
       "chess_knn_collapse" -> knnOracle,
       "chess_hybrid_vector" -> hybridVectorOracle,
+      "chess_agent_rerank" -> rerankOracle,
       "chess_fen_replay" ->
         s"SELECT * FROM (VALUES $fenValues) t(source_file, ply, san, fen)",
       // DuckDB recomputes the content address from the golden FENs.
