@@ -30,9 +30,22 @@ object VectorsJob {
     when(ply <= 20, "opening").when(ply <= 60, "middlegame")
       .otherwise("endgame")
 
-  def build(spark: SparkSession, games: DataFrame, players: DataFrame,
-      positions: DataFrame, embedder: Embedder = DeterministicEmbedder(),
-      existing: Option[DataFrame] = None): DataFrame = {
+  /** vectors + the E6 failure ledger (reference 0001_init.sql:61-73
+    * embedding_jobs.attempts/last_error, repo_postgres_caqti.ml:450-457):
+    * rows whose embedding comes back invalid are EXCLUDED from vectors
+    * and recorded as (vector_id, fen_preview, attempts, last_error) --
+    * the embed analog of IngestJob's `issues` frame. `attempts` is the
+    * backend-side retry budget (E3's Retry runs inside the embedder
+    * call); a row still invalid after that lands here rather than
+    * vanishing.
+    */
+  final case class Result(vectors: DataFrame, failures: DataFrame)
+
+  def buildWithLedger(spark: SparkSession, games: DataFrame,
+      players: DataFrame, positions: DataFrame,
+      embedder: Embedder = DeterministicEmbedder(),
+      existing: Option[DataFrame] = None,
+      attempts: Int = graft.core.Retry.Policy().maxAttempts): Result = {
 
     // E8: embed once per distinct fen; cache-as-dedup.
     val todo = positions.select("vector_id", "fen").dropDuplicates("vector_id")
@@ -41,8 +54,21 @@ object VectorsJob {
         "left_anti")
       case None => todo
     }
-    val embedded = fresh.withColumn("embedding",
+    val embeddedAll = fresh.withColumn("embedding",
       embedder.embedCol(col("fen")).cast("array<float>"))
+
+    val errorCol =
+      when(col("embedding").isNull, "null_embedding")
+        .when(size(col("embedding")) === 0, "empty_embedding")
+        .when(size(col("embedding")) =!= embedder.dims, "wrong_dims")
+        .when(exists(col("embedding"), v => isnan(v)), "non_finite_values")
+    val failures = embeddedAll
+      .withColumn("last_error", errorCol)
+      .where(col("last_error").isNotNull)
+      .select(col("vector_id"), substring(col("fen"), 1, 120).as("fen_preview"),
+        lit(attempts).as("attempts"), col("last_error"))
+    val embedded = embeddedAll
+      .where(errorCol.isNull)
 
     val w = players.select(col("id").as("white_player_id"),
       col("name").as("white"))
@@ -74,9 +100,23 @@ object VectorsJob {
         col("black_rating").as("black_elo"),
         col("white"), col("black"))
 
-    payload.join(embedded.select("vector_id", "embedding"), Seq("vector_id"))
+    Result(
+      payload.join(embedded.select("vector_id", "embedding"), Seq("vector_id")),
+      failures)
   }
+
+  /** vectors only (failed embeds dropped; use [[buildWithLedger]] to also
+    * collect the failure ledger).
+    */
+  def build(spark: SparkSession, games: DataFrame, players: DataFrame,
+      positions: DataFrame, embedder: Embedder = DeterministicEmbedder(),
+      existing: Option[DataFrame] = None): DataFrame =
+    buildWithLedger(spark, games, players, positions, embedder,
+      existing).vectors
 
   def write(vectors: DataFrame, outDir: String): Unit =
     vectors.write.mode("overwrite").parquet(s"$outDir/vectors")
+
+  def writeFailures(failures: DataFrame, outDir: String): Unit =
+    failures.write.mode("overwrite").parquet(s"$outDir/vector_failures")
 }
