@@ -80,12 +80,46 @@ object Ann {
       if (dot >= 0) '1' else '0'
     }.mkString
 
-  /** Attach a hyperplane LSH cell column (compiled UDF; weights
-    * materialized once per partition via closure).
+  /** Per-executor memo of the plane-weight matrix: planeWeight is an md5
+    * per (plane, dim) -- recomputing it per ROW would put planes*dims
+    * md5 calls in the scan hot path. Weights are deterministic from
+    * (seed, plane, dim), so a benign racy rebuild is identical.
+    */
+  private final class PlaneWeights(planes: Int, seed: Int)
+      extends Serializable {
+    @transient @volatile private var table: Array[Array[Double]] = _
+    def get(dims: Int): Array[Array[Double]] = {
+      var t = table
+      if (t == null || t.length == 0 || t(0).length < dims) {
+        t = Array.tabulate(planes, dims)((p, d) => planeWeight(seed, p, d))
+        table = t
+      }
+      t
+    }
+  }
+
+  /** Attach a hyperplane LSH cell column. The weight matrix is
+    * materialized once per executor (lazily, at the observed dim count)
+    * -- the per-row work is just planes*dims multiply-adds.
     */
   def withHyperplaneCell(df: DataFrame, vecCol: String, planes: Int,
       seed: Int = 42): DataFrame = {
-    val f = udf((v: Seq[Double]) => hyperplaneCellOf(v, planes, seed))
+    val weights = new PlaneWeights(planes, seed)
+    val f = udf { (v: Seq[Double]) =>
+      val w = weights.get(v.length)
+      val arr = v.toArray
+      val sb = new StringBuilder(planes)
+      var p = 0
+      while (p < planes) {
+        val wp = w(p)
+        var dot = 0.0
+        var i = 0
+        while (i < arr.length) { dot += arr(i) * wp(i); i += 1 }
+        sb.append(if (dot >= 0) '1' else '0')
+        p += 1
+      }
+      sb.toString
+    }
     df.withColumn("cell", f(col(vecCol).cast("array<double>")))
   }
 
