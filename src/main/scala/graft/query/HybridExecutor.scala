@@ -25,8 +25,16 @@ import graft.query.QueryIntent.Plan
   */
 object HybridExecutor {
 
+  /** @param summariesPrebuilt optional materialized summaries projection
+    *   (games x players already joined, [[summaries]] shape). The
+    *   reference queries a warm, indexed game_summary view per request;
+    *   the Spark analog is building the projection once (cached or
+    *   written bucketed) and reusing it across queries instead of
+    *   re-joining the player dimension per query.
+    */
   final case class Tables(games: DataFrame, players: DataFrame,
-      vectors: Option[DataFrame])
+      vectors: Option[DataFrame],
+      summariesPrebuilt: Option[DataFrame] = None)
 
   final case class Execution(results: DataFrame, total: Long, hasMore: Boolean,
       warnings: Seq[String])
@@ -116,21 +124,25 @@ object HybridExecutor {
 
   /** Full execution of a plan.
     *
-    * @param computeTotal when false, skips the COUNT(*) scan (total = -1,
-    *   hasMore approximated from the page size). At 100 TB the exact
-    *   total is a second full pass over the filtered scan -- callers that
-    *   only need the page should opt out (the reference always pays it:
-    *   repo_postgres_caqti.ml:293).
+    * @param computeTotal when true (the reference always pays it:
+    *   repo_postgres_caqti.ml:293), the exact filtered total is
+    *   piggybacked onto the page scan via `Observation`/CollectMetrics
+    *   -- TakeOrderedAndProject consumes every input row, so the count
+    *   rides the SAME single pass instead of a second full scan; the
+    *   page is materialized inside this call to resolve the metric.
+    *   When false, skips the count (total = -1, hasMore unknown) and
+    *   returns a lazy frame.
     */
   def execute(spark: SparkSession, tables: Tables, plan: Plan,
       embedder: DeterministicEmbedder = DeterministicEmbedder(),
       computeTotal: Boolean = true): Execution = {
 
-    val base = summaries(tables.games, tables.players)
+    val base = tables.summariesPrebuilt
+      .getOrElse(summaries(tables.games, tables.players))
     val prefiltered = base.where(PlanCompiler.gamePredicate(plan))
     // R1 vector_only: semi/anti-join against embedded game ids (the
     // reference's `positions.vector_id IS (NOT) NULL` EXISTS clause).
-    val filtered = plan.filters.find(_.field.toLowerCase == "vector_only")
+    val filtered0 = plan.filters.find(_.field.toLowerCase == "vector_only")
       .flatMap { f =>
         tables.vectors.map { v =>
           val embedded = v.select("game_id").distinct()
@@ -139,17 +151,44 @@ object HybridExecutor {
           prefiltered.join(embedded, Seq("game_id"), joinType)
         }
       }.getOrElse(prefiltered)
-    val total = if (computeTotal) filtered.count() else -1L
+    val obs = if (computeTotal) Some(org.apache.spark.sql.Observation()) else None
+    val filtered = obs.map(o =>
+      filtered0.observe(o, count(lit(1)).as("total"))).getOrElse(filtered0)
 
     // R3 page: played_on DESC NULLS LAST, id DESC; TakeOrderedAndProject.
     val pageOrder = Seq(col("played_on").desc_nulls_last, col("game_id").desc)
     val pageLimit = plan.offset + plan.limit
-    val page0 = filtered.orderBy(pageOrder: _*).limit(pageLimit)
-    val page = if (plan.offset == 0) page0 else {
-      // window over <= offset+limit rows only (already limited above).
-      val wspec = Window.orderBy(pageOrder: _*)
-      page0.withColumn("__rn", row_number().over(wspec))
-        .where(col("__rn") > plan.offset).drop("__rn")
+    // With computeTotal the page is collected HERE, as the terminal op of
+    // its own action: a terminal orderBy.limit.collect() runs as
+    // TakeOrderedAndProject.executeCollect (per-partition top-k + driver
+    // merge, NO exchange above the metrics node), so the observed count
+    // rides the same single pass. Leaving the page lazy instead plans the
+    // downstream re-sort as a global Sort whose range-partitioning
+    // exchange SAMPLES its input -- an extra pass over the observed
+    // subtree that double-counts the metric (and an extra scan at scale).
+    // The collected page is <= offset+limit (<= ~1000) rows by design;
+    // offset is applied by dropping the already-sorted prefix, exactly
+    // what the row_number window does on the lazy path.
+    val (page, total) = obs match {
+      case Some(o) =>
+        val rows = filtered.orderBy(pageOrder: _*).limit(pageLimit).collect()
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rows.drop(plan.offset): _*),
+          org.apache.spark.sql.types.StructType(filtered.schema))
+        val t = o.get("total") match {
+          case n: Long => n
+          case n: Number => n.longValue()
+        }
+        (local, t)
+      case None =>
+        val page0 = filtered.orderBy(pageOrder: _*).limit(pageLimit)
+        val lazyPage = if (plan.offset == 0) page0 else {
+          // window over <= offset+limit rows only (already limited above).
+          val wspec = Window.orderBy(pageOrder: _*)
+          page0.withColumn("__rn", row_number().over(wspec))
+            .where(col("__rn") > plan.offset).drop("__rn")
+        }
+        (lazyPage, -1L)
     }
 
     // Vector stage (degrades to fallback scoring when no vectors table --
