@@ -218,10 +218,22 @@ ${truncatePgn(c.pgn)}"""
               backend.generate(effort, verbosity, systemMessage, user,
                 batch, plan.cleanedText))
             breaker.recordSuccess()
+            EngineMetrics.agentEvalTotal.inc(Seq("success"))
+            EngineMetrics.agentEvalLatency.observe(
+              (System.nanoTime() - started) / 1e9, Seq("success"))
             r
           } catch {
-            case t: Throwable => breaker.recordFailure(); throw t
+            case t: Throwable =>
+              breaker.recordFailure()
+              EngineMetrics.agentEvalTotal.inc(Seq("failure"))
+              EngineMetrics.agentEvalLatency.observe(
+                (System.nanoTime() - started) / 1e9, Seq("failure"))
+              EngineMetrics.breakerState.set(
+                if (breaker.state == "open") 1.0 else 0.0)
+              throw t
           }
+        EngineMetrics.breakerState.set(
+          if (breaker.state == "open") 1.0 else 0.0)
         val latencyMs = (System.nanoTime() - started) / 1e6
         val tokens = AgentTelemetry.Tokens(resp.usage.inputTokens,
           resp.usage.outputTokens, resp.usage.reasoningTokens)

@@ -119,6 +119,8 @@ object EvalCache {
       val missIds = keyed.collect {
         case (gid, _) if !hits.exists(_._1 == gid) => gid
       }.toSet
+      EngineMetrics.agentCacheTotal.inc(Seq("hit"), hits.length.toDouble)
+      EngineMetrics.agentCacheTotal.inc(Seq("miss"), missIds.size.toDouble)
       val fresh: Seq[(String, Double, String)] =
         if (missIds.isEmpty) Nil
         else {

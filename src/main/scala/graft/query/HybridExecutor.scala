@@ -136,6 +136,23 @@ object HybridExecutor {
   def execute(spark: SparkSession, tables: Tables, plan: Plan,
       embedder: DeterministicEmbedder = DeterministicEmbedder(),
       computeTotal: Boolean = true): Execution = {
+    val started = System.nanoTime()
+    try {
+      val e = execute0(spark, tables, plan, embedder, computeTotal)
+      EngineMetrics.requestsTotal.inc(Seq("hybrid", "ok"))
+      EngineMetrics.requestLatency.observe(
+        (System.nanoTime() - started) / 1e9, Seq("hybrid"))
+      e
+    } catch {
+      case t: Throwable =>
+        EngineMetrics.requestsTotal.inc(Seq("hybrid", "error"))
+        throw t
+    }
+  }
+
+  private def execute0(spark: SparkSession, tables: Tables, plan: Plan,
+      embedder: DeterministicEmbedder,
+      computeTotal: Boolean): Execution = {
 
     val base = tables.summariesPrebuilt
       .getOrElse(summaries(tables.games, tables.players))
@@ -196,6 +213,7 @@ object HybridExecutor {
     val (withHits, warnings) = tables.vectors match {
       case Some(vectors) =>
         val qv = queryVector(plan, embedder)
+        EngineMetrics.queryEmbeddingTotal.inc(Seq("deterministic"))
         val hits = vectorHits(vectors, plan, qv)
         (page.join(broadcast(hits), Seq("game_id"), "left"), Seq.empty[String])
       case None =>
