@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.llmops.{Ann, Dedup, TextAnalysis}
+import graft.llmops.{Ann, Curation, Dedup, TextAnalysis}
 
 /** LLM-data-pipeline gate queries over the driver's documents/embeddings
   * tables, each with an exact DuckDB oracle. The oracles re-implement the
@@ -42,6 +42,26 @@ object LlmQueries {
     // Exact dedup groups (hash-groupBy).
     "llm_exact_dedup" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
+
+    // Deterministic Bernoulli sample (hash-of-id filter; no RNG state).
+    "llm_sample" -> ((s, d) =>
+      Curation.deterministicSample(Tables.documents(s, d), "doc_id",
+        rate = 0.25, salt = "s1").select(col("doc_id"))),
+
+    // Per-source quota mixing: 5 best docs per source by n_chars.
+    "llm_quota" -> ((s, d) =>
+      Curation.groupQuota(Tables.documents(s, d), "source", "n_chars",
+        "doc_id", k = 5).select(col("source"), col("doc_id"),
+        col("n_chars"))),
+
+    // Benchmark decontamination: distinct-3-gram overlap counts between
+    // corpus docs (doc_id >= 10) and a stand-in benchmark (doc_id < 10).
+    "llm_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.contaminationHits(docs.where(col("doc_id") >= 10),
+        docs.where(col("doc_id") < 10), "doc_id", "text",
+        shingleN = 3, minHits = 3)
+    }),
 
     // Document fingerprint (sorted-distinct-token md5).
     "llm_fingerprint" -> ((s, d) =>
@@ -205,6 +225,37 @@ object LlmQueries {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
            COUNT(*) AS dup_count
          FROM documents GROUP BY md5(text)""",
+    "llm_sample" ->
+      s"""SELECT doc_id FROM documents
+          WHERE ${duckHex8("'s1:' || CAST(doc_id AS VARCHAR)")} % 10000
+            < 2500""",
+    "llm_quota" ->
+      """SELECT source, doc_id, n_chars FROM (
+           SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 5""",
+    "llm_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          sh AS (
+            SELECT doc_id,
+              list_distinct(CASE WHEN len(ws) < 3 THEN []
+                ELSE list_transform(range(1, len(ws) - 1), i ->
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' ||
+                  ws[CAST(i AS INT)+2]) END) AS sh
+            FROM toks),
+          bench AS (
+            SELECT DISTINCT g
+            FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id < 10)),
+          expl AS (
+            SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id >= 10),
+          hits AS (
+            SELECT doc_id, COUNT(*) AS hits FROM expl
+            WHERE g IN (SELECT g FROM bench)
+            GROUP BY doc_id)
+          SELECT doc_id AS id, CAST(hits AS BIGINT) AS hits
+          FROM hits WHERE hits >= 3""",
     "llm_fingerprint" ->
       s"""SELECT doc_id,
             md5(array_to_string(list_sort(list_distinct($duckToks)), ' '))

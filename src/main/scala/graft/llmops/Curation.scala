@@ -1,0 +1,88 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators (beyond-reference §2.9): the
+  * selection half of a data pipeline -- reproducible sampling, per-domain
+  * quota mixing, and benchmark decontamination.
+  *
+  * Scale notes (100 TB):
+  *   - deterministicSample is a pure filter over a hash of the id: no
+  *     shuffle, no RNG state, survives repartitioning/retries, and the
+  *     SAME rows are kept on every engine (the sampling analog of
+  *     content-derived ids). A seeded `df.sample` depends on partition
+  *     layout; this does not.
+  *   - groupQuota is one shuffle on the group key; the per-group top-k
+  *     goes through a rank window, so AQE can split skewed groups'
+  *     sort spill but the quota semantics stay exact.
+  *   - contamination joins the corpus against the BENCHMARK shingle set,
+  *     which is small by definition (benchmark suites are ~1e5 docs vs
+  *     1e10 training docs) -- broadcast, so the corpus never shuffles;
+  *     only the matched candidates reach the per-doc count.
+  */
+object Curation {
+
+  /** Keep a row iff hex32(md5(salt:id)) % 10000 < rate*10000 -- a
+    * deterministic Bernoulli sample at 0.01% rate resolution,
+    * recomputable in any engine with md5.
+    */
+  def sampleKeep(idCol: Column, rate: Double, salt: String): Column = {
+    val bucket = conv(substring(
+      md5(concat(lit(salt + ":"), idCol.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000L
+    bucket < math.round(rate * 10000.0)
+  }
+
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double,
+      salt: String): DataFrame =
+    df.where(sampleKeep(col(idCol), rate, salt))
+
+  /** Per-group quota: the k best rows per group by (orderCol DESC, id
+    * ASC) -- domain-quota data mixing ("at most k docs per source,
+    * best-quality first").
+    */
+  def groupQuota(df: DataFrame, groupCol: String, orderCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Distinct-shingle overlap counts between corpus docs and a benchmark
+    * frame: (id, hits) for every corpus doc sharing >= minHits distinct
+    * shingles with ANY benchmark doc. Shingle construction is exactly
+    * [[graft.functions.TextFunctions.shingles]] over
+    * [[graft.functions.TextFunctions.tokens]] (the same definition the
+    * n-gram dedup gate proves against DuckDB).
+    */
+  def contaminationHits(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      minHits: Int = 1): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.shingles(
+        graft.functions.TextFunctions.tokens(col(textCol)), shingleN))).as("sh"))
+      .distinct()
+    val docShingles = docs.select(col(idCol).as("id"),
+      explode(array_distinct(
+        graft.functions.TextFunctions.shingles(
+        graft.functions.TextFunctions.tokens(col(textCol)), shingleN))).as("sh"))
+    docShingles
+      .join(broadcast(benchShingles), Seq("sh"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("hits")) // shingles already distinct per side
+      .where(col("hits") >= minHits)
+  }
+
+  /** Corpus minus contaminated docs (decontamination before training). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, minHits: Int = 1): DataFrame = {
+    val bad = contaminationHits(docs, benchmark, idCol, textCol,
+      shingleN, minHits).select(col("id").as(idCol))
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
+}

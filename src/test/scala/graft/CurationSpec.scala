@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llmops.Curation
+
+/** §2.9 curation operators: deterministic sampling, quota mixing,
+  * decontamination.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta", "a", 36L),
+    (2L, "alpha beta gamma delta epsilon zeta", "a", 36L), // dup of 1
+    (3L, "one two three four five six seven", "a", 33L),
+    (4L, "completely different words here entirely now", "b", 45L),
+    (5L, "another unrelated document body text", "b", 36L),
+    (6L, "alpha beta gamma overlap prefix only", "b", 36L))
+    .toDF("doc_id", "text", "source", "n_chars")
+
+  test("deterministic sample: same rows every run, rate-shaped, stable") {
+    val big = spark.range(10000).toDF("doc_id")
+    val a = Curation.deterministicSample(big, "doc_id", 0.3, "s")
+      .as[Long].collect().toSet
+    val b = Curation.deterministicSample(big.repartition(7), "doc_id", 0.3, "s")
+      .as[Long].collect().toSet
+    assert(a == b) // layout-independent
+    assert(math.abs(a.size / 10000.0 - 0.3) < 0.02) // rate within 2pp
+    val other = Curation.deterministicSample(big, "doc_id", 0.3, "salt2")
+      .as[Long].collect().toSet
+    assert(a != other) // salt changes the kept set
+    // nested rates: sample(0.1) is a subset of sample(0.3) w/ same salt
+    val small = Curation.deterministicSample(big, "doc_id", 0.1, "s")
+      .as[Long].collect().toSet
+    assert(small.subsetOf(a))
+  }
+
+  test("group quota: k best per group by order col, id tiebreak") {
+    val out = Curation.groupQuota(docs, "source", "n_chars", "doc_id", 2)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    // source a: 1 and 2 (36 chars) beat 3 (33); source b: 4 (45) then
+    // tie 5/6 at 36 -> doc_id 5 wins the tiebreak.
+    assert(out == Set(("a", 1L), ("a", 2L), ("b", 4L), ("b", 5L)))
+  }
+
+  test("decontamination: overlapping docs drop, others survive") {
+    val bench = docs.where(col("doc_id") === 1)
+    val corpus = docs.where(col("doc_id") > 1)
+    val hits = Curation.contaminationHits(corpus, bench, "doc_id", "text",
+      shingleN = 3, minHits = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.contains(2L)) // exact dup: all 4 shingles hit
+    assert(hits(2L) == 4L)
+    assert(hits.contains(6L)) // shares the "alpha beta gamma" shingle
+    assert(hits(6L) == 1L)
+    assert(!hits.contains(3L) && !hits.contains(4L) && !hits.contains(5L))
+    val clean = Curation.decontaminate(corpus, bench, "doc_id", "text",
+      shingleN = 3, minHits = 1).select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(3L, 4L, 5L))
+    // minHits above the overlap keeps the partial-overlap doc
+    val lax = Curation.decontaminate(corpus, bench, "doc_id", "text",
+      shingleN = 3, minHits = 2).select("doc_id").as[Long].collect().toSet
+    assert(lax == Set(3L, 4L, 5L, 6L))
+  }
+}
