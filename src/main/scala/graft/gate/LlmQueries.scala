@@ -63,6 +63,14 @@ object LlmQueries {
         shingleN = 3, minHits = 3)
     }),
 
+    // Sequence packing (concat-and-cut): bins of 1024 "tokens"
+    // (n_chars as the token proxy) over the doc_id-ordered stream,
+    // via distributed prefix sum.
+    "llm_pack" -> ((s, d) =>
+      Curation.packSequences(Tables.documents(s, d), "doc_id", "n_chars",
+        capacity = 1024, partitions = 8)
+        .select(col("doc_id"), col("bin"), col("bin_offset"))),
+
     // Document fingerprint (sorted-distinct-token md5).
     "llm_fingerprint" -> ((s, d) =>
       TextAnalysis.withFingerprint(Tables.documents(s, d), "text")
@@ -229,6 +237,16 @@ object LlmQueries {
       s"""SELECT doc_id FROM documents
           WHERE ${duckHex8("'s1:' || CAST(doc_id AS VARCHAR)")} % 10000
             < 2500""",
+    "llm_pack" ->
+      """SELECT doc_id,
+           CAST((cb // 1024) AS BIGINT) AS bin,
+           CAST((cb % 1024) AS BIGINT) AS bin_offset
+         FROM (
+           SELECT doc_id,
+             SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chars AS cb
+           FROM documents) t""",
     "llm_quota" ->
       """SELECT source, doc_id, n_chars FROM (
            SELECT source, doc_id, n_chars,

@@ -85,4 +85,48 @@ object Curation {
       shingleN, minHits).select(col("id").as(idCol))
     docs.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** Sequence packing, concat-and-cut semantics: documents are
+    * concatenated in `idCol` order into one token stream that is cut
+    * every `capacity` tokens (how pretraining batches are actually
+    * packed); each doc lands in bin = tokens_before / capacity at
+    * offset tokens_before % capacity.
+    *
+    * Scale design: the global running sum is a DISTRIBUTED prefix sum,
+    * not a single-partition window -- range-partition by id, cumulative
+    * window WITHIN each partition, then add per-partition starting
+    * offsets computed from a tiny (numPartitions-row) driver-side scan
+    * of partition totals. The only global ordering cost is the range
+    * exchange; no stage ever funnels the corpus through one task.
+    *
+    * @return input columns + `bin` and `bin_offset` (both long)
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      capacity: Long, partitions: Int = 0): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(n, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    // per-partition token totals -> exclusive running offsets (tiny)
+    val totals = ranged.groupBy("__pid")
+      .agg(sum(col(tokensCol).cast("long")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.init.map { case (_, off) => off } // offsets(i) = sum of totals before pid i
+    val offsetByPid = totals.map(_._1).zip(offsets).toMap
+    val offsetCol = totals.map(_._1).foldRight(lit(0L)) { (pid, acc) =>
+      when(col("__pid") === pid, lit(offsetByPid(pid))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol).asc)
+    val before = offsetCol +
+      sum(col(tokensCol).cast("long")).over(w) - col(tokensCol).cast("long")
+    ranged
+      .withColumn("__before", before)
+      .withColumn("bin", expr(s"__before div ${capacity}"))
+      .withColumn("bin_offset", pmod(col("__before"), lit(capacity)))
+      .drop("__pid", "__before")
+  }
 }

@@ -43,6 +43,24 @@ class CurationSpec extends SparkSpec {
     assert(out == Set(("a", 1L), ("a", 2L), ("b", 4L), ("b", 5L)))
   }
 
+  test("sequence packing: concat-and-cut bins match the global prefix sum") {
+    val df = Seq((1L, 300L), (2L, 400L), (3L, 500L), (4L, 200L), (5L, 900L))
+      .toDF("doc_id", "tok")
+    // stream offsets: 0, 300, 700, 1200, 1400; capacity 1000
+    val out = Curation.packSequences(df, "doc_id", "tok", capacity = 1000,
+      partitions = 3)
+      .select("doc_id", "bin", "bin_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 300L), (3L, 0L, 700L),
+      (4L, 1L, 200L), (5L, 1L, 400L)))
+    // partition count must not change the packing (distributed prefix
+    // sum == global running sum)
+    val one = Curation.packSequences(df, "doc_id", "tok", 1000, 1)
+      .select("doc_id", "bin", "bin_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(one.toSeq == out.toSeq)
+  }
+
   test("decontamination: overlapping docs drop, others survive") {
     val bench = docs.where(col("doc_id") === 1)
     val corpus = docs.where(col("doc_id") > 1)
