@@ -14,8 +14,11 @@ import org.apache.spark.sql.SparkSession
   * The swap is rename-based (write to a sibling tmp dir, move the old dir
   * away, rename tmp into place, delete old): readers that START during
   * the swap window can fail -- single-writer batch semantics, same as
-  * every non-transactional parquet layout. Point-in-time readers should
-  * go through `embed/Snapshots` manifests, which this does not touch.
+  * every non-transactional parquet layout. For swap-window-free
+  * compaction use `embed/Snapshots.compactCurrent`, which lands the
+  * compacted data as a NEW committed version behind the atomic _CURRENT
+  * pointer (the Delta/Iceberg rewrite pattern); this in-place variant is
+  * for plain directories outside snapshot management.
   */
 object Compact {
 

@@ -91,6 +91,29 @@ object Snapshots {
     spark.read.parquet(s"$baseDir/v=$v")
   }
 
+  /** Compact the CURRENT snapshot into a new committed version: read
+    * v=cur, coalesce to ~targetFileBytes files, land as v=cur+1, flip
+    * the pointer atomically. Unlike an in-place rename-swap
+    * (core/Compact.compactDir), readers NEVER observe a swap window --
+    * anyone resolving _CURRENT sees either the old fully-committed
+    * version or the new one, and vacuum() reclaims superseded versions
+    * later (the Delta/Iceberg rewrite pattern on plain parquet).
+    */
+  def compactCurrent(spark: SparkSession, baseDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Snapshot = {
+    require(targetFileBytes > 0)
+    val v = currentVersion(baseDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $baseDir"))
+    val dir = new org.apache.hadoop.fs.Path(s"$baseDir/v=$v")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // coalesce, not repartition: merging files needs no shuffle
+    commit(spark.read.parquet(dir.toString).coalesce(nOut), baseDir)
+  }
+
   /** Delete version dirs that are (a) unpublished leftovers of crashed
     * writers (newer than _CURRENT) or (b) older than the `keep` most
     * recent committed versions. Never touches _CURRENT's target.

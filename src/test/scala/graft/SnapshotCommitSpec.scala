@@ -45,4 +45,24 @@ class SnapshotCommitSpec extends SparkSpec {
     // v2 kept (within keep=2 window) and still readable
     assert(Snapshots.restore(spark, dir, Some(2)).count() === 2L)
   }
+
+  test("compactCurrent: new committed version, same data, fewer files") {
+    val dir = tmp()
+    // many small files: repartition(16) on a tiny frame
+    Snapshots.commit((1L to 100L).toDF("id").repartition(16), dir)
+    def fileCount(v: Int): Int =
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir, s"v=$v"))
+        .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    assert(fileCount(1) == 16)
+    val snap = Snapshots.compactCurrent(spark, dir)
+    assert(snap.version == 2)
+    assert(Snapshots.currentVersion(dir) === Some(2))
+    assert(fileCount(2) == 1) // tiny table -> one target file
+    assert(Snapshots.readCurrent(spark, dir).as[Long].collect().sorted
+      .toSeq == (1L to 100L))
+    // the superseded version is intact until vacuum reclaims it
+    assert(fileCount(1) == 16)
+    Snapshots.vacuum(dir, keep = 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v=1")))
+  }
 }
