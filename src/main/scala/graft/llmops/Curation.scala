@@ -107,26 +107,31 @@ object Curation {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
+    // PERSISTED: repartitionByRange picks its boundaries by SAMPLING with
+    // a per-RDD seed, so two executions of the same exchange can place
+    // rows in different partitions. The per-partition totals and the
+    // cumulative window MUST see the same placement -- materialize the
+    // ranged frame once and let both subtrees read it. (MEMORY_AND_DISK:
+    // spills rather than evicting, so the placement can never be
+    // recomputed differently mid-query.)
     val ranged = df.repartitionByRange(n, col(idCol).asc)
       .withColumn("__pid", spark_partition_id())
-    // per-partition token totals -> exclusive running offsets (tiny)
-    val totals = ranged.groupBy("__pid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exclusive running offsets over the numPartitions-row totals frame
+    // (single-partition window over <= n rows -- not a scale concern)
+    val wp = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = ranged.groupBy("__pid")
       .agg(sum(col(tokensCol).cast("long")).as("__t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
-      (pid, acc + t)
-    }.init.map { case (_, off) => off } // offsets(i) = sum of totals before pid i
-    val offsetByPid = totals.map(_._1).zip(offsets).toMap
-    val offsetCol = totals.map(_._1).foldRight(lit(0L)) { (pid, acc) =>
-      when(col("__pid") === pid, lit(offsetByPid(pid))).otherwise(acc)
-    }
+      .withColumn("__off", sum(col("__t")).over(wp) - col("__t"))
+      .select("__pid", "__off")
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol).asc)
-    val before = offsetCol +
+    val before = col("__off") +
       sum(col(tokensCol).cast("long")).over(w) - col(tokensCol).cast("long")
-    ranged
+    ranged.join(broadcast(offsets), Seq("__pid"))
       .withColumn("__before", before)
       .withColumn("bin", expr(s"__before div ${capacity}"))
       .withColumn("bin_offset", pmod(col("__before"), lit(capacity)))
-      .drop("__pid", "__before")
+      .drop("__pid", "__off", "__before")
   }
 }
