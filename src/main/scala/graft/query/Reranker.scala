@@ -48,4 +48,23 @@ object Reranker {
       .orderBy(desc("total_score"), col("played_on_str").desc_nulls_last,
         col("game_id").desc)
   }
+
+  /** The reference's degraded agent behavior (hybrid_executor.ml
+    * evaluate_agent error paths): on ANY agent-tier failure -- breaker
+    * open, retries exhausted, PGN fetch error -- the query KEEPS its
+    * heuristic ranking, gains null agent columns for schema symmetry,
+    * and surfaces a warning instead of failing.
+    */
+  def applyOrFallback(ranked: DataFrame, plan: QueryIntent.Plan,
+      reranker: Reranker): (DataFrame, Seq[String]) =
+    try {
+      (apply(ranked, plan, reranker), Seq.empty)
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        (ranked
+          .withColumn("agent_score", lit(null).cast("double"))
+          .withColumn("explanation", lit(null).cast("string")),
+          Seq("Agent evaluation failed; keeping heuristic ranking: " +
+            t.getMessage))
+    }
 }

@@ -130,6 +130,25 @@ PGN:
     assert(sink.records.length == 3) // one telemetry record per call
   }
 
+  test("applyOrFallback keeps heuristic ranking when the agent dies") {
+    val dead = new Backend {
+      def generate(e: String, v: String, s: String, u: String,
+          c: Seq[Candidate], q: String): Response =
+        throw new RuntimeException("backend down")
+    }
+    val r = new AgentReranker(gamesDf, backend = dead,
+      policy = Retry.Policy(maxAttempts = 2, initialDelayMs = 1),
+      telemetry = new AgentTelemetry.BufferSink,
+      rates = AgentTelemetry.Rates(None, None, None), sleep = _ => ())
+    val (out, warnings) =
+      Reranker.applyOrFallback(candidatesDf, planOf("best games"), r)
+    val rows = out.orderBy(desc("total_score")).collect()
+    assert(rows.map(_.getAs[String]("game_id")).toSeq ==
+      Seq("g3", "g2", "g1")) // heuristic order intact
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("agent_score"))))
+    assert(warnings.exists(_.contains("keeping heuristic ranking")))
+  }
+
   test("telemetry cost: rate * tokens / 1000 per component (A6)") {
     val tokens = AgentTelemetry.Tokens(Some(2000), Some(500), None)
     val c = AgentTelemetry.cost(tokens,
