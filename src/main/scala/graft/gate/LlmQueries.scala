@@ -25,6 +25,27 @@ object LlmQueries {
         (strpos('0123456789abcdef', substr(md5($e), CAST(i AS INT), 1)) - 1)
           * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT)"""
 
+  /** DuckDB replica of TextAnalysis's composite quality score, as a
+    * scalar over a relation exposing `text` + `ws` (tokenized) columns.
+    * Shared by llm_quality (micro-quantized output) and llm_pipeline
+    * (micro-quantized filter).
+    */
+  private def duckQualityScore: String = {
+    val stopArr = qualityStopwords.map(m => s"'$m'").mkString("[", ",", "]")
+    s"""least(greatest(
+        0.25 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+        + 0.35 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+            CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+              AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+        + 0.25 * least((CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+            CAST(len(list_filter(ws, x -> list_contains($stopArr, x)))
+              AS DOUBLE) / CAST(len(ws) AS DOUBLE) END) * 5.0, 1.0)
+        + 0.15 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+            CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              AS DOUBLE) / CAST(length(text) AS DOUBLE) END) * 5.0,
+            1.0)), 0.0), 1.0)"""
+  }
+
   /** DuckDB replica of Ann.hyperplaneCellOf (seed 42): per plane p, the
     * sign bit of sum_d emb[d] * w(p,d), w = (hex8(md5("42:p:d")) % 2000)
     * / 1000 - 1. Outer lambda var is `d` -- duckHex8's internal lambda
@@ -70,6 +91,29 @@ object LlmQueries {
       Curation.packSequences(Tables.documents(s, d), "doc_id", "n_chars",
         capacity = 1024, partitions = 8)
         .select(col("doc_id"), col("bin"), col("bin_offset"))),
+
+    // CAPSTONE: the whole training-data pipeline composed end-to-end --
+    // exact dedup -> lang filter -> quality threshold (micro-quantized,
+    // so the cut is cross-engine exact) -> benchmark decontamination ->
+    // deterministic 50% sample -> sequence packing. Every stage's
+    // algorithm is individually gate-proven; this proves they compose.
+    "llm_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.where(col("doc_id") < 10)
+      val corpus = docs.where(col("doc_id") >= 10)
+      val survivors = Dedup.exactDedup(corpus, "doc_id", "text")
+      val en = survivors.where(col("lang") === "en")
+      val good = TextAnalysis.withQuality(en, "text")
+        .where(floor(col("quality_score") * 1000000).cast("long") >= 350000)
+        .select(en.columns.map(col): _*)
+      val clean = Curation.decontaminate(good, bench, "doc_id", "text",
+        shingleN = 3, minHits = 1)
+      val sampled = Curation.deterministicSample(clean, "doc_id",
+        rate = 0.5, salt = "pipe")
+      Curation.packSequences(sampled, "doc_id", "n_chars",
+        capacity = 2048, partitions = 8)
+        .select(col("doc_id"), col("bin"), col("bin_offset"))
+    }),
 
     // Document fingerprint (sorted-distinct-token md5).
     "llm_fingerprint" -> ((s, d) =>
@@ -237,6 +281,55 @@ object LlmQueries {
       s"""SELECT doc_id FROM documents
           WHERE ${duckHex8("'s1:' || CAST(doc_id AS VARCHAR)")} % 10000
             < 2500""",
+    "llm_pipeline" ->
+      s"""WITH base AS (
+            SELECT doc_id, text, lang, n_chars, $duckToks AS ws
+            FROM documents WHERE doc_id >= 10),
+          surv AS (
+            SELECT * FROM base
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+              ORDER BY doc_id) = 1),
+          en AS (SELECT * FROM surv WHERE lang = 'en'),
+          good AS (
+            SELECT doc_id, n_chars, ws FROM en
+            WHERE CAST(FLOOR($duckQualityScore * 1000000) AS BIGINT)
+              >= 350000),
+          gsh AS (
+            SELECT doc_id, n_chars,
+              list_distinct(CASE WHEN len(ws) < 3 THEN []
+                ELSE list_transform(range(1, len(ws) - 1), i ->
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' ||
+                  ws[CAST(i AS INT)+2]) END) AS sh
+            FROM good),
+          bsh AS (
+            SELECT DISTINCT g FROM (
+              SELECT unnest(list_distinct(CASE WHEN len(ws) < 3 THEN []
+                ELSE list_transform(range(1, len(ws) - 1), i ->
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' ||
+                  ws[CAST(i AS INT)+2]) END)) AS g
+              FROM (SELECT $duckToks AS ws FROM documents
+                    WHERE doc_id < 10))),
+          contaminated AS (
+            SELECT DISTINCT doc_id FROM (
+              SELECT doc_id, unnest(sh) AS g FROM gsh)
+            WHERE g IN (SELECT g FROM bsh)),
+          clean AS (
+            SELECT doc_id, n_chars FROM gsh
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          sampled AS (
+            SELECT doc_id, n_chars FROM clean
+            WHERE ${duckHex8("'pipe:' || CAST(doc_id AS VARCHAR)")} % 10000
+              < 5000),
+          packed AS (
+            SELECT doc_id,
+              SUM(n_chars) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_chars AS cb
+            FROM sampled)
+          SELECT doc_id,
+            CAST((cb // 2048) AS BIGINT) AS bin,
+            CAST((cb % 2048) AS BIGINT) AS bin_offset
+          FROM packed""",
     "llm_pack" ->
       """SELECT doc_id,
            CAST((cb // 1024) AS BIGINT) AS bin,
@@ -391,19 +484,8 @@ object LlmQueries {
               CAST(len(list_filter(ws, x -> list_contains($stopArr, x)))
                 AS DOUBLE) / CAST(len(ws) AS DOUBLE) END * 1000000)
               AS BIGINT) AS stopword_ratio_micro,
-            CAST(FLOOR(
-              least(greatest(
-                0.25 * least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
-                + 0.35 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-                      AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
-                + 0.25 * least((CASE WHEN len(ws) = 0 THEN 0.0 ELSE
-                    CAST(len(list_filter(ws, x -> list_contains($stopArr, x)))
-                      AS DOUBLE) / CAST(len(ws) AS DOUBLE) END) * 5.0, 1.0)
-                + 0.15 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                      AS DOUBLE) / CAST(length(text) AS DOUBLE) END) * 5.0,
-                    1.0)), 0.0), 1.0) * 1000000) AS BIGINT) AS quality_micro
+            CAST(FLOOR($duckQualityScore * 1000000) AS BIGINT)
+              AS quality_micro
           FROM t"""
     },
     "llm_token_counts" ->
