@@ -183,9 +183,11 @@ object ChessQueries {
     "chess_agent_rerank" -> ((s, _) => {
       val (t, _) = data(s)
       val plan = QueryIntent.analyse(QueryIntent.Request(rerankQuestion))
+      // computeTotal=true: the page comes back MATERIALIZED (single-pass
+      // count+page), so the reranker's candidate/PGN/score actions run
+      // over a 3-row local frame instead of re-executing the fixture DAG.
       val exec = HybridExecutor.execute(s,
-        HybridExecutor.Tables(t.games, t.players, None), plan,
-        computeTotal = false)
+        HybridExecutor.Tables(t.games, t.players, None), plan)
       val reranked = Reranker.apply(exec.results, plan,
         new AgentEvaluator.AgentReranker(t.games))
       val w = org.apache.spark.sql.expressions.Window.orderBy(
