@@ -69,6 +69,12 @@ object LlmQueries {
       Curation.deterministicSample(Tables.documents(s, d), "doc_id",
         rate = 0.25, salt = "s1").select(col("doc_id"))),
 
+    // Data mixing: per-language sampling rates (upsample low-resource).
+    "llm_stratified" -> ((s, d) =>
+      Curation.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+        rates = Map("en" -> 0.2, "de" -> 0.8), defaultRate = 0.5,
+        salt = "mix").select(col("doc_id"), col("lang"))),
+
     // Per-source quota mixing: 5 best docs per source by n_chars.
     "llm_quota" -> ((s, d) =>
       Curation.groupQuota(Tables.documents(s, d), "source", "n_chars",
@@ -340,6 +346,12 @@ object LlmQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                - n_chars AS cb
            FROM documents) t""",
+    "llm_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+          WHERE ${duckHex8("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000
+            < (CASE WHEN lang = 'en' THEN 2000
+                    WHEN lang = 'de' THEN 8000
+                    ELSE 5000 END)""",
     "llm_quota" ->
       """SELECT source, doc_id, n_chars FROM (
            SELECT source, doc_id, n_chars,

@@ -39,6 +39,27 @@ object Curation {
       salt: String): DataFrame =
     df.where(sampleKeep(col(idCol), rate, salt))
 
+  /** Per-stratum deterministic sampling -- the data-mixing primitive
+    * ("keep 10% of en, 100% of low-resource langs"). Same hash-of-id
+    * filter as [[deterministicSample]] with a per-stratum rate; strata
+    * not in `rates` fall back to `defaultRate`. Still a pure filter:
+    * no shuffle, layout/RNG independent, and nested (a stratum's kept
+    * set at rate r is a subset of its kept set at any r' > r).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String): DataFrame = {
+    val bucket = conv(substring(
+      md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000L
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * 10000.0))) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit(math.round(r * 10000.0)))
+          .otherwise(acc)
+    }
+    df.where(bucket < threshold)
+  }
+
   /** Per-group quota: the k best rows per group by (orderCol DESC, id
     * ASC) -- domain-quota data mixing ("at most k docs per source,
     * best-quality first").

@@ -35,6 +35,29 @@ class CurationSpec extends SparkSpec {
     assert(small.subsetOf(a))
   }
 
+  test("stratified sample: per-stratum rates, default fallback, nested") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(6000)
+      .withColumn("lang", element_at(typedLit(Seq("en", "de", "fr")),
+        (col("id") % 3).cast("int") + 1))
+      .withColumnRenamed("id", "doc_id")
+    val out = Curation.stratifiedSample(big, "doc_id", "lang",
+      Map("en" -> 0.1, "de" -> 0.9), defaultRate = 0.5, salt = "x")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2000 per lang; rates within a few points
+    assert(math.abs(out("en") / 2000.0 - 0.1) < 0.03)
+    assert(math.abs(out("de") / 2000.0 - 0.9) < 0.03)
+    assert(math.abs(out("fr") / 2000.0 - 0.5) < 0.03)
+    // per-stratum nesting: en kept at 0.1 is a subset of en at 0.9
+    import spark.implicits._
+    val low = Curation.stratifiedSample(big, "doc_id", "lang",
+      Map("en" -> 0.1), 0.0, "x").select("doc_id").as[Long].collect().toSet
+    val high = Curation.stratifiedSample(big, "doc_id", "lang",
+      Map("en" -> 0.9), 0.0, "x").select("doc_id").as[Long].collect().toSet
+    assert(low.subsetOf(high))
+  }
+
   test("group quota: k best per group by order col, id tiebreak") {
     val out = Curation.groupQuota(docs, "source", "n_chars", "doc_id", 2)
       .select("source", "doc_id").as[(String, Long)].collect().toSet
