@@ -39,24 +39,32 @@ final case class DeterministicEmbedder(dims: Int = 1536) extends Embedder {
   private def tokensOf(text: String): Array[String] =
     text.toLowerCase.split("\\s+").filter(_.nonEmpty)
 
-  private def hash32(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  // MessageDigest.digest() resets the instance, so one per embed() call is
+  // reused across all dims x tokens hashes (this is the distributed hot
+  // path: VectorsJob runs embed() inside a compiled UDF).
+  private def hash32(md: java.security.MessageDigest, s: String): Long = {
     val d = md.digest(s.getBytes("UTF-8"))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
-  def bucket(token: String, dim: Int): Long = hash32(s"$token:$dim") % 10000L
+  def bucket(token: String, dim: Int): Long =
+    hash32(java.security.MessageDigest.getInstance("MD5"),
+      s"$token:$dim") % 10000L
 
   def embed(text: String): Array[Double] = {
     val toks = tokensOf(text)
     val out = new Array[Double](dims)
     if (toks.isEmpty) return out
+    val md = java.security.MessageDigest.getInstance("MD5")
     var d = 0
     while (d < dims) {
       var sum = 0L
       var i = 0
-      while (i < toks.length) { sum += bucket(toks(i), d); i += 1 }
+      while (i < toks.length) {
+        sum += hash32(md, s"${toks(i)}:$d") % 10000L
+        i += 1
+      }
       val v = sum.toDouble / (toks.length * 10000.0)
       out(d) = math.max(0.0, math.min(1.0, v))
       d += 1

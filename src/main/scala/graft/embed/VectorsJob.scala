@@ -54,21 +54,52 @@ object VectorsJob {
         "left_anti")
       case None => todo
     }
-    val embeddedAll = fresh.withColumn("embedding",
-      embedder.embedCol(col("fen")).cast("array<float>"))
+    // Embedding + validity computed in ONE compiled pass. A column-level
+    // `when` chain over the embedding expression is the documented
+    // expression-re-evaluation hazard: Catalyst pushes the error filter
+    // through the projection by substituting the whole embedding tree
+    // into every reference, re-running the embedder ~5x per row. The UDF
+    // returns struct(embedding float[], last_error) and is marked
+    // non-deterministic so the optimizer can neither duplicate it into
+    // filter predicates nor collapse it into multi-reference projections
+    // (it IS deterministic; the flag is an evaluate-once barrier).
+    val dims = embedder.dims
+    val embedOnce = udf((fen: String) => {
+      val e = embedder.embed(fen)
+      val f =
+        if (e == null) null
+        else {
+          val a = new Array[Float](e.length)
+          var i = 0
+          while (i < e.length) { a(i) = e(i).toFloat; i += 1 }
+          a
+        }
+      val err =
+        if (f == null) "null_embedding"
+        else if (f.length == 0) "empty_embedding"
+        else if (f.length != dims) "wrong_dims"
+        else {
+          var bad = false
+          var i = 0
+          while (i < f.length && !bad) {
+            val v = f(i)
+            if (java.lang.Float.isNaN(v) || java.lang.Float.isInfinite(v))
+              bad = true
+            i += 1
+          }
+          if (bad) "non_finite_values" else null
+        }
+      (f, err)
+    }).asNondeterministic()
 
-    val errorCol =
-      when(col("embedding").isNull, "null_embedding")
-        .when(size(col("embedding")) === 0, "empty_embedding")
-        .when(size(col("embedding")) =!= embedder.dims, "wrong_dims")
-        .when(exists(col("embedding"), v => isnan(v)), "non_finite_values")
+    val embeddedAll = fresh.withColumn("__e", embedOnce(col("fen")))
     val failures = embeddedAll
-      .withColumn("last_error", errorCol)
-      .where(col("last_error").isNotNull)
+      .where(col("__e._2").isNotNull)
       .select(col("vector_id"), substring(col("fen"), 1, 120).as("fen_preview"),
-        lit(attempts).as("attempts"), col("last_error"))
+        lit(attempts).as("attempts"), col("__e._2").as("last_error"))
     val embedded = embeddedAll
-      .where(errorCol.isNull)
+      .where(col("__e._2").isNull)
+      .withColumn("embedding", col("__e._1"))
 
     val w = players.select(col("id").as("white_player_id"),
       col("name").as("white"))

@@ -77,13 +77,18 @@ object Dedup {
       shingleN: Int, k: Int, bandRows: Int): DataFrame = {
     val keysUdf = udf(bandKeysF(k, bandRows))
     // The signature loop is compute-bound (k x shingles md5s per row);
-    // single-row-group files would otherwise pin it to one task. An
-    // unconditional round-robin repartition avoids forcing an RDD
-    // conversion (df.rdd.getNumPartitions) just to decide.
-    val spread =
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    spread.select(col(idCol).as("id"),
-      shingles(tokens(col(textCol)), shingleN).as("sh"))
+    // single-row-group files would otherwise pin it to one task. Spread a
+    // NARROW (id, text) projection, hash-partitioned by id -- never the
+    // full input row (the r5 regression: round-robin repartition of the
+    // raw frame pushed every document column through a
+    // sort-before-repartition pass + full-width exchange, consumed twice
+    // by the pair self-join). Hash partitioning is deterministic, needs
+    // no pre-sort, and md5-hex ids spread uniformly; both self-join
+    // sides share this exact subtree so ReuseExchange runs it once.
+    val spread = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    spread.select(col("id"),
+      shingles(tokens(col("__text")), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("band", "band_hash")))
   }

@@ -6,6 +6,29 @@ import graft.core.Fixtures
 import graft.embed.{DeterministicEmbedder, Embedder, VectorsJob}
 import graft.ingest.IngestJob
 
+/** Embeds normally, except: fens with side-to-move 'b' -> null (a backend
+  * that exhausted its retries). Top-level class: embedders ship to
+  * executors inside the VectorsJob UDF, so they must be serializable
+  * WITHOUT capturing the test suite.
+  */
+private class FlakyEmbedder extends Embedder {
+  private val inner = DeterministicEmbedder(8)
+  def dims: Int = 8
+  def embed(text: String): Array[Double] =
+    if (text.contains(" b ")) null else inner.embed(text)
+  def embedCol(text: Column): Column =
+    when(text.contains(" b "), lit(null).cast("array<double>"))
+      .otherwise(inner.embedCol(text))
+}
+
+/** Claims 8 dims, produces 4 -- every embedding lands in the ledger. */
+private class ShortEmbedder extends Embedder {
+  def dims: Int = 8
+  private val inner = DeterministicEmbedder(4)
+  def embed(text: String): Array[Double] = inner.embed(text)
+  def embedCol(text: Column): Column = inner.embedCol(text)
+}
+
 /** E6 failure ledger: invalid embeddings land in the failures frame with
   * attempts/last_error, and never reach the vectors table.
   */
@@ -15,20 +38,6 @@ class VectorsLedgerSpec extends SparkSpec {
     import spark.implicits._
     val files = spark.createDataset(Fixtures.all)
     IngestJob.tables(spark, IngestJob.gamesFromText(spark, files))
-  }
-
-  /** Embeds normally, except: fens with side-to-move 'b' -> null (a
-    * backend that exhausted its retries), fens containing 'K' in an
-    * endgame-ish suffix... kept simple: 'b ' marker -> null.
-    */
-  private class FlakyEmbedder extends Embedder {
-    private val inner = DeterministicEmbedder(8)
-    def dims: Int = 8
-    def embed(text: String): Array[Double] =
-      if (text.contains(" b ")) null else inner.embed(text)
-    def embedCol(text: Column): Column =
-      when(text.contains(" b "), lit(null).cast("array<double>"))
-        .otherwise(inner.embedCol(text))
   }
 
   test("failed embeds land in the ledger, not the vectors table") {
@@ -55,14 +64,8 @@ class VectorsLedgerSpec extends SparkSpec {
 
   test("wrong-dims embeddings are classified distinctly") {
     import spark.implicits._
-    val shortEmbedder = new Embedder {
-      def dims: Int = 8 // claims 8, produces 4
-      private val inner = DeterministicEmbedder(4)
-      def embed(text: String): Array[Double] = inner.embed(text)
-      def embedCol(text: Column): Column = inner.embedCol(text)
-    }
     val r = VectorsJob.buildWithLedger(spark, tables.games, tables.players,
-      tables.positions, shortEmbedder)
+      tables.positions, new ShortEmbedder)
     assert(r.vectors.count() == 0)
     assert(r.failures.select("last_error").as[String].collect()
       .forall(_ == "wrong_dims"))
