@@ -32,20 +32,36 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warmResults = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    // 1) Gate queries (SURVEY §2 inventory) on the sf tables.
-    // A failed query records -elapsed (negative sentinel) so a broken query
-    // can't masquerade as a fast one in the bench JSON.
+    // 0) Warmup: materialize the shared chess fixture tables and run one
+    // trivial sf-table action, so the alphabetically-first gate query does
+    // not absorb fixture ingest + JIT warmup (r4/r5 benches mischarged
+    // 3-9s to whichever query ran first).
+    val warmupSec = time {
+      graft.gate.ChessQueries.data(spark)._1.games.count()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+    }
+
+    // 1) Gate queries (SURVEY §2 inventory) on the sf tables, each run
+    // TWICE: cold (first execution this session) and warm (repeat --
+    // shuffle files + broadcast reuse + fully JIT'd code paths). Warm is
+    // the number to compare across rounds; cold-warm gaps localize setup
+    // cost. A failed query records -elapsed (negative sentinel) so a
+    // broken query can't masquerade as a fast one in the bench JSON.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       var failed = false
-      val sec = time {
+      def run(): Double = time {
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             failed = true
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
       }
-      results(name) = if (failed) -sec else sec
+      val cold = run()
+      val warm = if (failed) cold else run()
+      results(name) = if (failed) -cold else cold
+      warmResults(name) = if (failed) -warm else warm
     }
 
     // 2) Chessmate workload (BASELINE.md metrics), on a synthetic corpus:
@@ -97,12 +113,21 @@ object Bench {
     results("chess_embed") = embedSec
     results("chess_query_p50") = queryTimes(queryTimes.length / 2)
     val total = results.values.sum // seconds only; rates appended after
+    val totalWarm = warmResults.values.sum +
+      ingestSec + embedSec + queryTimes(queryTimes.length / 2)
     results("chess_ingest_games_per_sec") = nGames / ingestSec
     results("chess_embed_positions_per_sec") = positionCount / embedSec
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
+    def jesc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // Engine counters (cache hits, breaker trips, per-stage totals) so
+    // rounds can diff behavior, not just wall times.
+    val metrics = graft.core.Metrics.default.snapshot
+      .map { case (k, v) => "\"" + jesc(k) + f"\":$v%.4f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"queries_warm":${jmap(warmResults)},"total_warm":$totalWarm%.3f,"warmup_sec":$warmupSec%.3f,"engine_metrics":$metrics,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

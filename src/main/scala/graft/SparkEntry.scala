@@ -32,4 +32,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ graft.gate.ChessQueries.oracles ++
       graft.gate.LlmQueries.oracles
+
+  /** Oracles whose SQL embeds data-derived constants (e.g. llm_ann_ivf's
+    * trained centroids as a VALUES table) -- built by Verify with the
+    * live session + sf dir and merged into oracle_sql.json.
+    */
+  def dynamicOracleSql(spark: SparkSession,
+      sfDir: String): Map[String, String] =
+    graft.gate.LlmQueries.dynamicOracles(spark, sfDir)
 }

@@ -183,10 +183,10 @@ object LlmQueries {
           floor(col("score") * 1000000).cast("long").as("cosine_micro"))
     }),
 
-    // Scale-path ANN: trained-centroid IVF, 4-probe. No SQL oracle
-    // (k-means isn't SQL-expressible) -> driver records rows-only;
-    // exactness-on-probe-set + clustered-recall are AnnCentroidSpec's
-    // job, recall/scan numbers are BASELINE.md's.
+    // Scale-path ANN: trained-centroid IVF, 4-probe. Oracle is DYNAMIC
+    // (annIvfOracleSql, merged by Verify): training is deterministic, so
+    // Verify re-trains the same centroids, injects them as a VALUES
+    // table, and DuckDB recomputes assignment + probe + top-k.
     "llm_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.where(col("vec_id") === 7)
@@ -277,6 +277,70 @@ object LlmQueries {
         .select(col("doc_id"),
           length(col("payload")).as("byte_len"),
           md5(col("payload")).as("content_md5"))))
+
+  /** llm_ann_ivf oracle, built at Verify time from the SAME deterministic
+    * training the gate query runs: k-means itself is not SQL-expressible,
+    * so the trained centroids are injected as a VALUES table and the SQL
+    * recomputes everything DOWNSTREAM of training -- l2 normalization,
+    * nearest-centroid assignment (lowest cell wins dot ties, like the
+    * compiled UDF's strict `>`), probe-cell selection (4 nearest cells to
+    * the query, stable on ties), and exact cosine top-k over the probe
+    * set. That cross-checks the distributed execution path
+    * (Ann.withIvfCentroidCell / ivfCentroidTopK); training determinism is
+    * AnnCentroidSpec's job.
+    */
+  def annIvfOracleSql(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Ann.trainCentroids(emb, "embedding", nCells = 16)
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, CAST([${c.mkString(",")}] AS DOUBLE[]))"
+    }.mkString(", ")
+    def dotN(v: String, c: String): String =
+      s"""list_sum(list_transform(range(1, len($c) + 1), i ->
+            $v[CAST(i AS INT)] * $c[CAST(i AS INT)]))"""
+    def norm(e: String): String =
+      s"""list_transform($e, x -> CAST(x AS DOUBLE) /
+            sqrt(list_sum(list_transform($e, y ->
+              CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"""
+    s"""WITH cents(cell, cv) AS (VALUES $values),
+       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+       qn AS (SELECT ${norm("qv")} AS qv FROM q),
+       probe AS (
+         SELECT cell FROM cents, qn
+         ORDER BY ${dotN("qv", "cv")} DESC, cell ASC LIMIT 4),
+       en AS (SELECT vec_id, embedding, ${norm("embedding")} AS ev
+              FROM embeddings),
+       assigned AS (
+         SELECT vec_id, embedding, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY dd DESC, cell ASC) AS rn
+         FROM (SELECT e.vec_id, e.embedding, c.cell,
+                 ${dotN("e.ev", "c.cv")} AS dd
+               FROM en e CROSS JOIN cents c)),
+       probed AS (
+         SELECT vec_id, embedding FROM assigned
+         WHERE rn = 1 AND cell IN (SELECT cell FROM probe)),
+       scored AS (
+         SELECT vec_id,
+           list_sum(list_transform(range(1, len(embedding) + 1), i ->
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             * CAST(qv[CAST(i AS INT)] AS DOUBLE))) /
+           (sqrt(list_sum(list_transform(embedding, x ->
+              CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(qv, x ->
+              CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+         FROM probed, q)
+       SELECT vec_id, CAST(FLOOR(c * 1000000) AS BIGINT) AS cosine_micro
+       FROM scored ORDER BY c DESC, vec_id LIMIT 10"""
+  }
+
+  /** Oracles that embed data-derived constants (trained centroids) and so
+    * must be built with the SparkSession + sf dir at Verify time.
+    */
+  def dynamicOracles(s: org.apache.spark.sql.SparkSession,
+      d: String): Map[String, String] =
+    Map("llm_ann_ivf" -> annIvfOracleSql(s, d))
 
   def oracles: Map[String, String] = Map(
     "llm_exact_dedup" ->

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   *     evaluator saw -- a strictly finer key than the reference's.
   *
   * Soundness contract: the cache key covers (plan fields, candidate
-  * opening_slug, candidate result, first 3000 chars of pgn). A Reranker
+  * opening_slug, candidate result, the full candidate-block fields the
+  * evaluator prompt renders -- game_id, white/black names, ratings,
+  * played_on, eco, opening name -- and the first 3000 chars of pgn).
+  * That is every column AgentEvaluator.buildCandidateBlock reads, so the
+  * bundled evaluator is key-compatible by construction; a custom Reranker
   * whose scores depend on candidate columns OUTSIDE that set must not be
   * wrapped in `cached`.
   *
@@ -60,12 +64,24 @@ object EvalCache {
     def size: Int = m.synchronized(m.size())
   }
 
+  /** Candidate columns (beyond opening_slug/result/pgn) that the bundled
+    * evaluator's prompt block renders -- all fold into the cache key so a
+    * cached score can never go stale against a block change.
+    */
+  val blockColumns: Seq[String] = Seq("game_id", "white", "black",
+    "played_on_str", "eco_code", "opening_name", "white_rating",
+    "black_rating")
+
   /** Cache key for one (plan, candidate) pair. `candidateSlug` /
     * `candidateResult` are the candidate summary's opening_slug / result
-    * ("" when absent), matching the reference key (agent_cache.ml:17-36).
+    * ("" when absent), matching the reference key (agent_cache.ml:17-36);
+    * `blockFields` carries the remaining [[blockColumns]] values (a
+    * strictly finer key than the reference's -- finer can only cause an
+    * extra miss, never a stale hit).
     */
   def key(plan: QueryIntent.Plan, pgn: String,
-      candidateSlug: String = "", candidateResult: String = ""): String = {
+      candidateSlug: String = "", candidateResult: String = "",
+      blockFields: Seq[String] = Nil): String = {
     val rating = plan.rating
     val opening = plan.filters.collect {
       case QueryIntent.MetadataFilter("opening" | "opening_slug", v) => v
@@ -84,7 +100,7 @@ object EvalCache {
       result,
       candidateSlug,
       candidateResult,
-      pgn.take(pgnTruncateChars))
+      pgn.take(pgnTruncateChars)) ++ blockFields
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(parts.mkString("\u0000").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -108,10 +124,11 @@ object EvalCache {
         else lit("")
       val rows = candidates.select(col("game_id"),
           coalesce(col("pgn"), lit("")).as("pgn"),
-          optCol("opening_slug").as("slug"), optCol("result").as("res"))
-        .as[(String, String, String, String)].collect()
-      val keyed = rows.map { case (gid, pgn, slug, res) =>
-        (gid, key(plan, pgn, slug, res))
+          optCol("opening_slug").as("slug"), optCol("result").as("res"),
+          array(blockColumns.map(n => optCol(n).cast("string")): _*).as("blk"))
+        .as[(String, String, String, String, Seq[String])].collect()
+      val keyed = rows.map { case (gid, pgn, slug, res, blk) =>
+        (gid, key(plan, pgn, slug, res, blk))
       }
       val hits = keyed.flatMap { case (gid, k) =>
         backend.get(k).map(e => (gid, e.agentScore, e.explanation))

@@ -168,13 +168,21 @@ object HybridExecutor {
           prefiltered.join(embedded, Seq("game_id"), joinType)
         }
       }.getOrElse(prefiltered)
-    val obs = if (computeTotal) Some(org.apache.spark.sql.Observation()) else None
-    val filtered = obs.map(o =>
-      filtered0.observe(o, count(lit(1)).as("total"))).getOrElse(filtered0)
-
     // R3 page: played_on DESC NULLS LAST, id DESC; TakeOrderedAndProject.
     val pageOrder = Seq(col("played_on").desc_nulls_last, col("game_id").desc)
     val pageLimit = plan.offset + plan.limit
+    // QueryIntent.analyse clamps offset (<= maxOffset) and limit
+    // (<= maxLimit), so a plan built through it always takes the
+    // single-pass Observation path below. The guard covers hand-built
+    // Plans that bypass analyse: an oversized page must not be collected
+    // to the driver, so those fall back to two distributed actions
+    // (lazy count + lazy page).
+    val collectSafe =
+      pageLimit <= QueryIntent.maxOffset + QueryIntent.maxLimit
+    val obs = if (computeTotal && collectSafe)
+      Some(org.apache.spark.sql.Observation()) else None
+    val filtered = obs.map(o =>
+      filtered0.observe(o, count(lit(1)).as("total"))).getOrElse(filtered0)
     // With computeTotal the page is collected HERE, as the terminal op of
     // its own action: a terminal orderBy.limit.collect() runs as
     // TakeOrderedAndProject.executeCollect (per-partition top-k + driver
@@ -205,7 +213,8 @@ object HybridExecutor {
           page0.withColumn("__rn", row_number().over(wspec))
             .where(col("__rn") > plan.offset).drop("__rn")
         }
-        (lazyPage, -1L)
+        val t = if (computeTotal) filtered0.count() else -1L
+        (lazyPage, t)
     }
 
     // Vector stage (degrades to fallback scoring when no vectors table --

@@ -21,6 +21,12 @@ object QueryIntent {
   val defaultLimit = 50
   val maxLimit = 500
   val defaultOffset = 0
+  /** Offset is clamped like limit: the executor's exact-total fast path
+    * collects offset+limit summary rows to the driver, so an unbounded
+    * client offset must not be able to grow that page without bound
+    * (maxOffset+maxLimit <= ~5.5k small rows, comfortably driver-safe).
+    */
+  val maxOffset = 5000
 
   private val stopwords: Set[String] = Set(
     "a", "an", "and", "any", "attack", "at", "be", "between", "by", "can",
@@ -186,7 +192,8 @@ object QueryIntent {
     val limit = request.limit.map(clamp)
       .orElse(naturalLimit.map(clamp))
       .getOrElse(defaultLimit)
-    val offset = math.max(0, request.offset.getOrElse(defaultOffset))
+    val offset =
+      math.min(maxOffset, math.max(0, request.offset.getOrElse(defaultOffset)))
     val filters = dedupFilters(metadataFromPhrases(cleaned) ++ resultFilters(cleaned))
     val keywords = extractKeywords(tokens)
     val rating = parseRating(tokens)
