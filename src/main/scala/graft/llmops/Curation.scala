@@ -114,11 +114,20 @@ object Curation {
     * offset tokens_before % capacity.
     *
     * Scale design: the global running sum is a DISTRIBUTED prefix sum,
-    * not a single-partition window -- range-partition by id, cumulative
-    * window WITHIN each partition, then add per-partition starting
-    * offsets computed from a tiny (numPartitions-row) driver-side scan
-    * of partition totals. The only global ordering cost is the range
-    * exchange; no stage ever funnels the corpus through one task.
+    * not a single-partition window -- partition the id range, cumulative
+    * window WITHIN each range, then add per-range starting offsets
+    * computed from a tiny (numPartitions-row) totals frame. No stage
+    * ever funnels the corpus through one task.
+    *
+    * Range placement is DETERMINISTIC BY CONSTRUCTION: boundaries come
+    * from a hash-mod sample of ids (layout/retry independent), sorted,
+    * and injected as literals, so the range id is a pure function of the
+    * row. This replaces the earlier repartitionByRange + persist design:
+    * repartitionByRange picks boundaries by sampling with a per-RDD
+    * seed, so the two consumers of the ranged frame (per-range totals
+    * and the cumulative window) could see DIFFERENT placements unless
+    * the whole corpus was persisted between them -- a cache of the full
+    * input this version no longer needs.
     *
     * @return input columns + `bin` and `bin_offset` (both long)
     */
@@ -128,16 +137,27 @@ object Curation {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
-    // PERSISTED: repartitionByRange picks its boundaries by SAMPLING with
-    // a per-RDD seed, so two executions of the same exchange can place
-    // rows in different partitions. The per-partition totals and the
-    // cumulative window MUST see the same placement -- materialize the
-    // ranged frame once and let both subtrees read it. (MEMORY_AND_DISK:
-    // spills rather than evicting, so the placement can never be
-    // recomputed differently mid-query.)
-    val ranged = df.repartitionByRange(n, col(idCol).asc)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idc = col(idCol)
+    // n-1 boundary ids from a bounded deterministic sample (<= sampleCap
+    // rows collected, any orderable id type). Comparisons against the
+    // literal boundaries use the column's native ordering -- the same
+    // ordering the per-range window sorts by, so ordering by
+    // (range, id) == ordering by id globally.
+    val sampleCap = 100000
+    val stride = math.max(1L, df.count() / sampleCap)
+    val sampled: Array[Any] = df
+      .where(pmod(hash(idc), lit(stride)) === 0)
+      .select(idc.as("__id")).orderBy(col("__id")).limit(sampleCap)
+      .collect().map(_.get(0))
+    val bounds: Seq[Any] =
+      if (n <= 1 || sampled.length <= 1) Nil
+      else (1 until n)
+        .map(i => sampled((i.toLong * sampled.length / n).toInt))
+        .distinct
+    val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(idc > lit(b), 1).otherwise(0)
+    }
+    val ranged = df.withColumn("__pid", pid)
     // exclusive running offsets over the numPartitions-row totals frame
     // (single-partition window over <= n rows -- not a scale concern)
     val wp = Window.orderBy(col("__pid"))

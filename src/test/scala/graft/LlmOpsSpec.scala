@@ -139,6 +139,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(row2.getInt(0) == row.getInt(3))
   }
 
+  test("hyperplane cells stay balanced on offset (all-positive-mean) vectors") {
+    import spark.implicits._
+    // Deliberately non-zero-centered vectors: every dim in [0, 1] with
+    // mean 0.5 (the DeterministicEmbedder regime, and the shape of
+    // sigmoid-output embedding models) but genuine angular diversity.
+    // This is the case r4 #2 flagged: sign-of-leading-dim bucketing sees
+    // only positive values, collapses the corpus into ONE cell, and
+    // pair-generation degenerates to O(n^2). Random hyperplanes mix
+    // positive and negative weights, so the dots straddle zero.
+    val n = 512
+    val dims = 16
+    val rows = (0 until n).map { i =>
+      (i.toLong, (0 until dims).map { d =>
+        0.5 + 0.5 * math.sin(i * 37 + d * 101)
+      })
+    }
+    val offset = rows.toDF("vec_id", "embedding")
+    // the degenerate comparison: sign-bit cells put EVERYTHING in '1111'
+    val signCells = Ann.withCell(offset, "embedding", 4)
+      .select("cell").distinct().count()
+    assert(signCells == 1L, "sign-bit cells should collapse on [0,1] data")
+    // hyperplane cells (gate default planes=8) must stay spread
+    val planes = 8
+    val hist = Ann.withHyperplaneCell(offset, "embedding", planes)
+      .groupBy("cell").count().as[(String, Long)].collect()
+    val largest = hist.map(_._2).max
+    assert(hist.length > 4, s"only ${hist.length} distinct cells")
+    assert(largest <= n / 3,
+      s"hot cell of $largest rows out of $n -- bucketing collapsed")
+    // Subquadratic candidate work: sum over cells of c^2 well under the
+    // one-bucket degenerate n^2. (When vectors are angularly
+    // NEAR-IDENTICAL -- e.g. mean >> wobble -- dense cells are correct:
+    // every pair is a true near-dup and the output itself is O(n^2).)
+    val pairWork = hist.map(c => c._2 * c._2).sum
+    assert(pairWork < n.toLong * n / 5,
+      s"within-cell pair work $pairWork ~ O(n^2)")
+    // and the operator built on the cells still yields verified pairs
+    val pairs = Dedup.embeddingPairs(offset, "vec_id", "embedding",
+      threshold = 0.95, planes = planes)
+    assert(pairs.count() > 0)
+  }
+
   test("embedding near-dup pairs empty at high threshold (sanity)") {
     val pairs = Dedup.embeddingPairs(embeddings, "vec_id", "embedding",
       threshold = 0.95, planes = 4)
