@@ -107,4 +107,23 @@ object Pq {
       .orderBy(desc("score"), col("id"))
       .limit(k)
   }
+
+  /** IVF x PQ composition (the IVFADC layout of Jegou et al. §IV, cosine
+    * flavor): rows carry BOTH a trained-centroid cell
+    * (Ann.withIvfCentroidCell) and a pq_code; a query probes the `probes`
+    * nearest cells, ADC-scores ONLY the probed rows' codes, and
+    * exact-reranks the over-fetched candidates. Cost shape at scale: the
+    * code scan touches ~probes/nCells of the table (partition-prunable
+    * when written via Ann.writePartitionedByCell), and full float vectors
+    * are read for just the `rerank` rows -- the two pruning axes
+    * (row pruning from IVF, byte pruning from PQ) multiply.
+    */
+  def ivfAdcTopK(encodedCelled: DataFrame, idCol: String, vecCol: String,
+      model: Model, centroids: Array[Array[Double]], query: Seq[Double],
+      k: Int, probes: Int, rerank: Int): DataFrame = {
+    require(rerank >= k)
+    val order = Ann.probeCells(query, centroids, probes)
+    adcTopK(encodedCelled.where(col("cell").isin(order: _*)),
+      idCol, vecCol, model, query, k, rerank)
+  }
 }

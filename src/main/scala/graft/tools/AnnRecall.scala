@@ -82,6 +82,28 @@ object AnnRecall {
       enc.unpersist()
     }
 
+    // IVF x PQ composition at EQUAL scan fraction vs IVF alone
+    // (16 cells / 4 probes = 1/4 of the table): the ADC stage reads codes
+    // instead of floats within the probed cells, exact rerank on the
+    // over-fetched candidates. "scanned" reports probed CODE rows; the
+    // float reads are only the rerank candidates.
+    {
+      val model = graft.llmops.Pq.train(emb, "embedding", 8, 32)
+      val cents = Ann.trainCentroids(emb, "embedding", 16)
+      val both = graft.llmops.Pq.encode(
+        Ann.withIvfCentroidCell(emb, "embedding", cents),
+        "embedding", model).cache()
+      both.count()
+      Seq(50, 100).foreach { rerank =>
+        recall(s"ivf(16c,4p) x pq(8,32)+rr $rerank",
+          q => graft.llmops.Pq.ivfAdcTopK(both, "vec_id", "embedding",
+            model, cents, q, k, probes = 4, rerank = rerank),
+          q => both.where(col("cell")
+            .isin(Ann.probeCells(q, cents, 4): _*)).count())
+      }
+      both.unpersist()
+    }
+
     recall("ivf(bits=3, probes=2)",
       q => Ann.ivfTopK(emb, "vec_id", "embedding", q, k, bits = 3, probes = 2),
       q => n / 8 * 2)

@@ -63,6 +63,38 @@ object PlanCheck {
       graft.query.HybridExecutor.vectorHits(v, plan,
         graft.query.HybridExecutor.queryVector(plan, e))
     }
+
+    // 6. ANN at rest: cell-partitioned vectors + probe => the cell
+    // predicate must appear as PartitionFilters on the scan (files of
+    // non-probed cells never open), not as a row filter.
+    {
+      val emb = graft.core.Tables.embeddings(spark, sf)
+      val cents = graft.llmops.Ann.trainCentroids(emb, "embedding",
+        nCells = 16)
+      val dir = java.nio.file.Files
+        .createTempDirectory("plancheck_ann").toString + "/vectors"
+      graft.llmops.Ann.writePartitionedByCell(emb, "embedding", cents, dir)
+      val q = emb.where(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val probe = graft.llmops.Ann.ivfCentroidTopKAtRest(spark, dir,
+        "vec_id", "embedding", q, 10, cents, probes = 4)
+      show("ann at rest: partition-pruned probe")(probe)
+      val scan = probe.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      val total = spark.read.parquet(dir)
+      val totalParts = total.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.selectedPartitions.partitionCount
+      val cells = graft.llmops.Ann.probeCells(q, cents, 4)
+      val probedRows = total.where(col("cell").isin(cells: _*)).count()
+      println(s"partition filters : ${scan.partitionFilters.mkString(", ")}")
+      println(s"cell partitions   : ${scan.selectedPartitions.partitionCount} probed" +
+        s" of $totalParts at rest")
+      println(s"rows scanned      : $probedRows probed of ${total.count()}" +
+        " at rest")
+    }
     spark.stop()
   }
 }

@@ -67,4 +67,30 @@ class AnnCentroidSpec extends SparkSpec {
       cents, probes = 4).collect().map(_.getLong(0)).toSeq
     assert(all === exact)
   }
+
+  test("at rest: cell-partitioned probe PRUNES partitions, matches in-memory") {
+    val cents = Ann.trainCentroids(clustered, "embedding", 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ann_at_rest").toString + "/vectors"
+    Ann.writePartitionedByCell(clustered, "embedding", cents, dir)
+    val q = clustered.where(col("vec_id") === 205L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val atRest = Ann.ivfCentroidTopKAtRest(spark, dir, "vec_id", "embedding",
+      q, 10, cents, probes = 1)
+    val inMem = Ann.ivfCentroidTopK(clustered, "vec_id", "embedding", q, 10,
+      cents, probes = 1).collect().map(_.getLong(0)).toSeq
+    assert(atRest.collect().map(_.getLong(0)).toSeq === inMem)
+    // the cell predicate must reach the scan as a PARTITION filter (file
+    // pruning), not a data filter: 1 of 4 cell directories read.
+    // sparkPlan (pre-AQE) so the scan node is reachable via collect
+    val scans = atRest.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "cell predicate did not become a partition filter")
+    val selected = scans.head.selectedPartitions.partitionCount
+    assert(selected === 1,
+      s"expected 1 pruned cell partition, scan reads $selected")
+  }
 }

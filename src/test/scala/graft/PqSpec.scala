@@ -59,4 +59,34 @@ class PqSpec extends SparkSpec {
       k = 15, rerank = 160).collect().map(_.getLong(0)).toSeq
     assert(full === exact)
   }
+
+  test("IVF x PQ: probed composition matches flat PQ on clustered data") {
+    val model = Pq.train(clustered, "embedding", m = 4, k = 16)
+    val cents = Ann.trainCentroids(clustered, "embedding", 4)
+    val both = Pq.encode(
+      Ann.withIvfCentroidCell(clustered, "embedding", cents),
+      "embedding", model)
+    val q = clustered.where(col("vec_id") === 205L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    // 1 probe on well-separated clusters: the probed cell holds the whole
+    // true top-10 (AnnCentroidSpec), so the composition scans 1/4 of the
+    // codes yet must recall at least as well as flat PQ at the same
+    // rerank budget (the probe EXCLUDES cross-cluster ADC-noise
+    // candidates that can displace true neighbors from a small
+    // over-fetch, so >= -- not ==).
+    val composed = Pq.ivfAdcTopK(both, "vec_id", "embedding", model, cents,
+      q, k = 10, probes = 1, rerank = 20).collect().map(_.getLong(0)).toSet
+    val flat = Pq.adcTopK(both, "vec_id", "embedding", model, q,
+      k = 10, rerank = 20).collect().map(_.getLong(0)).toSet
+    val exact = Ann.bruteForceTopK(clustered, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recallOf(s: Set[Long]) = (exact intersect s).size.toDouble / exact.size
+    assert(recallOf(composed) >= recallOf(flat),
+      s"composition ${recallOf(composed)} worse than flat ${recallOf(flat)}")
+    assert(recallOf(composed) >= 0.9, s"recall ${recallOf(composed)} < 0.9")
+    // probing ALL cells with full rerank degenerates to exact
+    val all = Pq.ivfAdcTopK(both, "vec_id", "embedding", model, cents,
+      q, k = 10, probes = 4, rerank = 160).collect().map(_.getLong(0)).toSet
+    assert(all === exact)
+  }
 }
