@@ -289,10 +289,7 @@ object LlmQueries {
     * (Ann.withIvfCentroidCell / ivfCentroidTopK); training determinism is
     * AnnCentroidSpec's job.
     */
-  def annIvfOracleSql(s: org.apache.spark.sql.SparkSession,
-      d: String): String = {
-    val emb = Tables.embeddings(s, d)
-    val cents = Ann.trainCentroids(emb, "embedding", nCells = 16)
+  def annIvfOracleSql(cents: Array[Array[Double]]): String = {
     val values = cents.zipWithIndex.map { case (c, i) =>
       s"($i, CAST([${c.mkString(",")}] AS DOUBLE[]))"
     }.mkString(", ")
@@ -335,12 +332,89 @@ object LlmQueries {
        FROM scored ORDER BY c DESC, vec_id LIMIT 10"""
   }
 
+  /** Minimum decision margin below which the llm_ann_ivf oracle is
+    * withheld: DuckDB sums the centroid dot products in double arithmetic
+    * whose last bits can differ from the JVM UDF's, so any ROW_NUMBER /
+    * FLOOR decision sitting within ~1e-9 of a boundary could flip the
+    * hash-match on engine rounding rather than engine semantics.
+    */
+  private val annIvfEps = 1e-9
+
+  /** True iff every FP decision the llm_ann_ivf oracle re-makes in DuckDB
+    * has a margin >= annIvfEps under the JVM's own arithmetic: (a) each
+    * vector's top-2 centroid dots (assignment), (b) the query's 4th vs
+    * 5th probe-cell dots (probe set), (c) the 10th vs 11th cosine over
+    * the probe set (top-k cut), and (d) each reported cosine's distance
+    * to its floor(c*1e6) quantization boundary. Collects the embeddings
+    * table -- Verify-time only, bounded (sf0.1 = 5k x 16 doubles).
+    */
+  private[gate] def annIvfFpSafe(s: org.apache.spark.sql.SparkSession,
+      d: String, cents: Array[Array[Double]], k: Int = 10,
+      probes: Int = 4): Boolean = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def norm(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(dot(a, a))
+      if (n == 0) a else a.map(_ / n)
+    }
+    val rows = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val q = rows.find(_._1 == 7L).get._2
+    val qn = norm(q)
+    def top2Margin(x: Array[Double]): Double = {
+      val dots = cents.map(dot(x, _)).sorted(Ordering[Double].reverse)
+      dots(0) - dots(1)
+    }
+    val assignOk = rows.forall { case (_, v) => top2Margin(norm(v)) >= annIvfEps }
+    val qDots = cents.map(dot(qn, _)).sorted(Ordering[Double].reverse)
+    val probeOk = cents.length <= probes ||
+      qDots(probes - 1) - qDots(probes) >= annIvfEps
+    // Mirror the query's assignment (strict > keeps the lowest cell) and
+    // the probe set, then check the top-k cut and quantization margins.
+    val probeSet = {
+      val idx = cents.indices.map(c => (c, dot(qn, cents(c))))
+        .sortBy { case (c, dd) => (-dd, c) }.map(_._1).take(probes).toSet
+      idx
+    }
+    val scored = rows.filter { case (_, v) =>
+      val x = norm(v)
+      var bc = 0; var bd = Double.MinValue; var c = 0
+      while (c < cents.length) {
+        val dd = dot(x, cents(c)); if (dd > bd) { bd = dd; bc = c }; c += 1
+      }
+      probeSet.contains(bc)
+    }.map { case (id, v) =>
+      (id, dot(v, q) / (math.sqrt(dot(v, v)) * math.sqrt(dot(q, q))))
+    }.sortBy { case (id, c) => (-c, id) }
+    val cutOk = scored.length <= k ||
+      scored(k - 1)._2 - scored(k)._2 >= annIvfEps
+    val quantOk = scored.take(k).forall { case (_, c) =>
+      val scaled = c * 1e6
+      math.abs(scaled - math.rint(scaled)) >= annIvfEps * 1e6 ||
+        scaled == math.rint(scaled) // exact integers (e.g. cosine 1.0) are stable
+    }
+    assignOk && probeOk && cutOk && quantOk
+  }
+
   /** Oracles that embed data-derived constants (trained centroids) and so
-    * must be built with the SparkSession + sf dir at Verify time.
+    * must be built with the SparkSession + sf dir at Verify time. The
+    * llm_ann_ivf oracle is withheld (query degrades to the driver's
+    * rows-only check) when any of its FP decision margins is within
+    * annIvfEps of a boundary -- cross-engine last-bit rounding could
+    * otherwise flip the hash-match flakily at a new scale factor.
     */
   def dynamicOracles(s: org.apache.spark.sql.SparkSession,
-      d: String): Map[String, String] =
-    Map("llm_ann_ivf" -> annIvfOracleSql(s, d))
+      d: String): Map[String, String] = {
+    val cents = Ann.trainCentroids(Tables.embeddings(s, d), "embedding",
+      nCells = 16)
+    if (annIvfFpSafe(s, d, cents)) Map("llm_ann_ivf" -> annIvfOracleSql(cents))
+    else Map.empty
+  }
 
   def oracles: Map[String, String] = Map(
     "llm_exact_dedup" ->

@@ -131,6 +131,17 @@ object Curation {
     *
     * @return input columns + `bin` and `bin_offset` (both long)
     */
+  /** Hash-filter stride for the boundary sample: CEILING division, so the
+    * expected sample size count/stride is <= cap and the hash filter --
+    * not the ordered limit -- is what bounds the sample. Floor division
+    * would give stride=1 for any cap < count < 2*cap, making every row
+    * pass the filter and limit(cap) keep only the smallest ids: boundary
+    * ids then span just the low end of the id space and the LAST range
+    * absorbs the rest of the corpus through one window partition.
+    */
+  def sampleStride(count: Long, cap: Long): Long =
+    math.max(1L, (count + cap - 1) / cap)
+
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       capacity: Long, partitions: Int = 0): DataFrame = {
     require(capacity > 0, "capacity must be positive")
@@ -144,7 +155,7 @@ object Curation {
     // ordering the per-range window sorts by, so ordering by
     // (range, id) == ordering by id globally.
     val sampleCap = 100000
-    val stride = math.max(1L, df.count() / sampleCap)
+    val stride = sampleStride(df.count(), sampleCap)
     val sampled: Array[Any] = df
       .where(pmod(hash(idc), lit(stride)) === 0)
       .select(idc.as("__id")).orderBy(col("__id")).limit(sampleCap)

@@ -171,12 +171,13 @@ object HybridExecutor {
     // R3 page: played_on DESC NULLS LAST, id DESC; TakeOrderedAndProject.
     val pageOrder = Seq(col("played_on").desc_nulls_last, col("game_id").desc)
     val pageLimit = plan.offset + plan.limit
-    // QueryIntent.analyse clamps offset (<= maxOffset) and limit
-    // (<= maxLimit), so a plan built through it always takes the
-    // single-pass Observation path below. The guard covers hand-built
-    // Plans that bypass analyse: an oversized page must not be collected
-    // to the driver, so those fall back to two distributed actions
-    // (lazy count + lazy page).
+    // QueryIntent.analyse clamps limit (<= maxLimit) but preserves any
+    // requested offset (reference parity: query_intent.ml only enforces
+    // offset >= 0). This guard is therefore the real gate: pages up to
+    // maxOffset+maxLimit rows take the single-pass Observation path and
+    // are collected to the driver; anything larger (a client paging past
+    // 5000, or a hand-built Plan) falls back to two distributed actions
+    // (lazy count + lazy window page) instead of being truncated.
     val collectSafe =
       pageLimit <= QueryIntent.maxOffset + QueryIntent.maxLimit
     val obs = if (computeTotal && collectSafe)
@@ -191,9 +192,10 @@ object HybridExecutor {
     // downstream re-sort as a global Sort whose range-partitioning
     // exchange SAMPLES its input -- an extra pass over the observed
     // subtree that double-counts the metric (and an extra scan at scale).
-    // The collected page is <= offset+limit (<= ~1000) rows by design;
-    // offset is applied by dropping the already-sorted prefix, exactly
-    // what the row_number window does on the lazy path.
+    // The collected page is <= offset+limit rows, and collectSafe bounds
+    // that by QueryIntent.maxOffset + maxLimit (= 5,500 small summary
+    // rows) by design; offset is applied by dropping the already-sorted
+    // prefix, exactly what the row_number window does on the lazy path.
     val (page, total) = obs match {
       case Some(o) =>
         val rows = filtered.orderBy(pageOrder: _*).limit(pageLimit).collect()

@@ -21,10 +21,12 @@ object QueryIntent {
   val defaultLimit = 50
   val maxLimit = 500
   val defaultOffset = 0
-  /** Offset is clamped like limit: the executor's exact-total fast path
-    * collects offset+limit summary rows to the driver, so an unbounded
-    * client offset must not be able to grow that page without bound
-    * (maxOffset+maxLimit <= ~5.5k small rows, comfortably driver-safe).
+  /** Driver-safety bound for the executor's exact-total fast path, NOT a
+    * clamp on the plan: the reference (query_intent.ml) only enforces
+    * offset >= 0, so analyse preserves any requested offset. Plans whose
+    * offset+limit exceed maxOffset+maxLimit (~5.5k small rows, the most
+    * the fast path may collect to the driver) take HybridExecutor's lazy
+    * two-action page instead of being silently truncated to page 5000.
     */
   val maxOffset = 5000
 
@@ -192,8 +194,7 @@ object QueryIntent {
     val limit = request.limit.map(clamp)
       .orElse(naturalLimit.map(clamp))
       .getOrElse(defaultLimit)
-    val offset =
-      math.min(maxOffset, math.max(0, request.offset.getOrElse(defaultOffset)))
+    val offset = math.max(0, request.offset.getOrElse(defaultOffset))
     val filters = dedupFilters(metadataFromPhrases(cleaned) ++ resultFilters(cleaned))
     val keywords = extractKeywords(tokens)
     val rating = parseRating(tokens)

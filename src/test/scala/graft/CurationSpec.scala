@@ -84,6 +84,19 @@ class CurationSpec extends SparkSpec {
     assert(one.toSeq == out.toSeq)
   }
 
+  test("sample stride: ceiling division keeps the hash filter binding") {
+    // floor division gave stride=1 for cap < count < 2*cap, so limit(cap)
+    // kept only the smallest ids and skewed the last range.
+    assert(Curation.sampleStride(50000L, 100000L) == 1L)
+    assert(Curation.sampleStride(100000L, 100000L) == 1L)
+    assert(Curation.sampleStride(150000L, 100000L) == 2L)
+    assert(Curation.sampleStride(200000L, 100000L) == 2L)
+    assert(Curation.sampleStride(200001L, 100000L) == 3L)
+    // expected sample size count/stride stays <= cap
+    for (c <- Seq(1L, 99999L, 100001L, 150000L, 999999L, 10000000L))
+      assert(c / Curation.sampleStride(c, 100000L) <= 100000L)
+  }
+
   test("decontamination: overlapping docs drop, others survive") {
     val bench = docs.where(col("doc_id") === 1)
     val corpus = docs.where(col("doc_id") > 1)

@@ -85,6 +85,20 @@ class HybridExecutorSpec extends SparkSpec {
     assert(e.hasMore)
   }
 
+  test("pagination: offset past maxOffset is preserved, not clamped") {
+    // Reference parity (query_intent.ml enforces only offset >= 0): a
+    // client paging past 5000 gets the lazy two-action path and an empty
+    // page -- never page-5000's rows.
+    val plan = QueryIntent.analyse(QueryIntent.Request("anything",
+      Some(2), Some(QueryIntent.maxOffset + 1000)))
+    assert(plan.offset == QueryIntent.maxOffset + 1000)
+    val e = exec("anything", limit = Some(2),
+      offset = Some(QueryIntent.maxOffset + 1000), withVectors = false)
+    assert(e.total == 3)
+    assert(e.results.collect().isEmpty)
+    assert(!e.hasMore)
+  }
+
   test("keyword overlap contributes 0.25-weighted score") {
     // 'smyslov' appears in the extended game's Black name.
     val e = exec("find smyslov games", limit = Some(10), withVectors = false)
