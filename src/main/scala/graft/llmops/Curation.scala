@@ -107,6 +107,17 @@ object Curation {
     docs.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Hash-filter stride for the boundary sample: CEILING division, so the
+    * expected sample size count/stride is <= cap and the hash filter --
+    * not the ordered limit -- is what bounds the sample. Floor division
+    * would give stride=1 for any cap < count < 2*cap, making every row
+    * pass the filter and limit(cap) keep only the smallest ids: boundary
+    * ids then span just the low end of the id space and the LAST range
+    * absorbs the rest of the corpus through one window partition.
+    */
+  def sampleStride(count: Long, cap: Long): Long =
+    math.max(1L, (count + cap - 1) / cap)
+
   /** Sequence packing, concat-and-cut semantics: documents are
     * concatenated in `idCol` order into one token stream that is cut
     * every `capacity` tokens (how pretraining batches are actually
@@ -131,23 +142,26 @@ object Curation {
     *
     * @return input columns + `bin` and `bin_offset` (both long)
     */
-  /** Hash-filter stride for the boundary sample: CEILING division, so the
-    * expected sample size count/stride is <= cap and the hash filter --
-    * not the ordered limit -- is what bounds the sample. Floor division
-    * would give stride=1 for any cap < count < 2*cap, making every row
-    * pass the filter and limit(cap) keep only the smallest ids: boundary
-    * ids then span just the low end of the id space and the LAST range
-    * absorbs the rest of the corpus through one window partition.
-    */
-  def sampleStride(count: Long, cap: Long): Long =
-    math.max(1L, (count + cap - 1) / cap)
-
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-      capacity: Long, partitions: Int = 0): DataFrame = {
+      capacity: Long, partitions: Int = 0,
+      persistInput: Boolean = true): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
+    // The operator makes FOUR passes over its input: the count, the
+    // boundary-id sample (both eager), the per-range totals, and the main
+    // windowed frame (both in the returned plan). These are separate
+    // actions/subtrees with no exchange to reuse, so an expensive
+    // upstream (llm_pipeline feeds a 5-stage curation chain in here)
+    // would re-execute once per pass. Persisting the input is the
+    // stage-table pattern: at 100 TB you'd write the curated corpus to a
+    // table before packing; MEMORY_AND_DISK is the in-session analog.
+    // Spark evicts LRU, so not unpersisting is safe for a long session.
+    val in = if (persistInput && df.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
     val idc = col(idCol)
     // n-1 boundary ids from a bounded deterministic sample (<= sampleCap
     // rows collected, any orderable id type). Comparisons against the
@@ -155,8 +169,8 @@ object Curation {
     // ordering the per-range window sorts by, so ordering by
     // (range, id) == ordering by id globally.
     val sampleCap = 100000
-    val stride = sampleStride(df.count(), sampleCap)
-    val sampled: Array[Any] = df
+    val stride = sampleStride(in.count(), sampleCap)
+    val sampled: Array[Any] = in
       .where(pmod(hash(idc), lit(stride)) === 0)
       .select(idc.as("__id")).orderBy(col("__id")).limit(sampleCap)
       .collect().map(_.get(0))
@@ -168,7 +182,7 @@ object Curation {
     val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(idc > lit(b), 1).otherwise(0)
     }
-    val ranged = df.withColumn("__pid", pid)
+    val ranged = in.withColumn("__pid", pid)
     // exclusive running offsets over the numPartitions-row totals frame
     // (single-partition window over <= n rows -- not a scale concern)
     val wp = Window.orderBy(col("__pid"))
