@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.llmops.{Ann, Curation, Dedup, TextAnalysis}
+import graft.llmops.{Ann, Curation, Dedup, Multimodal, TextAnalysis}
 
 /** LLM-data-pipeline gate queries over the driver's documents/embeddings
   * tables, each with an exact DuckDB oracle. The oracles re-implement the
@@ -18,6 +18,54 @@ object LlmQueries {
   // DuckDB token list for lower(text) split on non-alnum runs.
   private val duckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  // Shared CTE chain recomputing MinHash+LSH near-dup candidates and
+  // their exact Jaccard (`verified(id_a, id_b, j)`): tokenize -> 3-gram
+  // shingles -> 8 seeded md5-min signatures -> 2 bands of 4 -> band-key
+  // candidates -> set Jaccard. llm_minhash_pairs selects the >= 0.8
+  // pairs; llm_dup_clusters builds its transitive closure on top.
+  private lazy val minhashPairsCtes =
+    s"""toks AS (
+            SELECT doc_id, $duckToks AS ws FROM documents),
+          sh AS (
+            SELECT doc_id,
+              CASE WHEN len(ws) < 3 THEN []
+                ELSE list_transform(range(1, len(ws) - 1), i ->
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' ||
+                  ws[CAST(i AS INT)+2]) END AS sh
+            FROM toks WHERE len(ws) >= 3),
+          sig AS (
+            SELECT doc_id, sh,
+              list_transform(range(0, 8), s ->
+                list_min(list_transform(sh, x ->
+                  md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
+            FROM sh),
+          banded AS (
+            SELECT doc_id, sh, CAST(b AS INT) AS band,
+              md5(sig[CAST(b*4+1 AS INT)] || ',' || sig[CAST(b*4+2 AS INT)] ||
+                  ',' || sig[CAST(b*4+3 AS INT)] || ',' ||
+                  sig[CAST(b*4+4 AS INT)]) AS band_hash
+            FROM sig, (VALUES (0), (1)) bands(b)),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+              l.sh AS sh_a, r.sh AS sh_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id),
+          verified AS (
+            SELECT id_a, id_b,
+              CAST(len(list_intersect(list_distinct(sh_a),
+                                      list_distinct(sh_b))) AS DOUBLE) /
+              CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) AS j
+            FROM cand)"""
+
+  // DuckDB: parse `nchars` hex chars of an EXISTING hex string `e`
+  // starting at 1-based `start` into a non-negative integer.
+  private def duckHexAt(e: String, start: Int, nchars: Int): String =
+    s"""CAST(list_sum(list_transform(range(1, ${nchars + 1}), i ->
+        (strpos('0123456789abcdef',
+           substr($e, CAST(i + ${start - 1} AS INT), 1)) - 1)
+          * CAST(16 ** ($nchars - i) AS BIGINT))) AS BIGINT)"""
 
   // DuckDB: first-8-hex-chars-of-md5 -> unsigned 32-bit integer.
   private def duckHex8(e: String): String =
@@ -139,6 +187,16 @@ object LlmQueries {
         shingleN = 3, k = 8, bandRows = 4, threshold = 0.8)
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 1000000).cast("long").as("jaccard_micro"))),
+
+    // Near-dup CLUSTERS: distributed connected components (min-label
+    // propagation + pointer jumping) over the verified minhash pairs.
+    // Near-duplication is not transitive, so dedup needs the closure;
+    // the oracle re-derives it with a recursive CTE.
+    "llm_dup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, k = 8, bandRows = 4, threshold = 0.8),
+        "id_a", "id_b")),
 
     // 16-bit SimHash per document.
     "llm_simhash" -> ((s, d) =>
@@ -276,7 +334,32 @@ object LlmQueries {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .select(col("doc_id"),
           length(col("payload")).as("byte_len"),
-          md5(col("payload")).as("content_md5"))))
+          md5(col("payload")).as("content_md5"))),
+
+    // Full multimodal pipeline: decode (stub) -> resize identity ->
+    // batched feature extraction -> frame sampling. The decode/feature
+    // kernels are deterministic stubs (no codecs in this container), but
+    // every value is hash-derived so the oracle recomputes the ENTIRE
+    // chain -- fake dims from the content hash, resized identity,
+    // per-dim features, mid-frame offset -- in SQL.
+    "llm_media_pipeline" -> ((s, d) => {
+      val media = Tables.documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val decoded = Multimodal.withMediaMeta(media, "payload")
+      val resized = Multimodal.withResizedMeta(decoded, "content_md5",
+        targetW = 256, targetH = 256)
+      val feats = Multimodal.withMediaFeatures(resized, "resized_md5",
+        dims = 4, batchSize = 32)
+      Multimodal.frameSampleOffsets(feats, "payload", n = 3)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("resized_md5"),
+          floor(element_at(col("frame_offsets"), 2)).cast("long")
+            .as("frame_mid"),
+          posexplode(col("media_embedding")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("resized_md5"), col("frame_mid"), col("dim"),
+          floor(col("v") * 1000000).cast("long").as("v_micro"))
+    }))
 
   /** llm_ann_ivf oracle, built at Verify time from the SAME deterministic
     * training the gate query runs: k-means itself is not SQL-expressible,
@@ -544,42 +627,25 @@ object LlmQueries {
                 sig[CAST(b*4+4 AS INT)]) AS band_hash
           FROM sig, (VALUES (0), (1)) bands(b)""",
     "llm_minhash_pairs" ->
-      s"""WITH toks AS (
-            SELECT doc_id, $duckToks AS ws FROM documents),
-          sh AS (
-            SELECT doc_id,
-              CASE WHEN len(ws) < 3 THEN []
-                ELSE list_transform(range(1, len(ws) - 1), i ->
-                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' ||
-                  ws[CAST(i AS INT)+2]) END AS sh
-            FROM toks WHERE len(ws) >= 3),
-          sig AS (
-            SELECT doc_id, sh,
-              list_transform(range(0, 8), s ->
-                list_min(list_transform(sh, x ->
-                  md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
-            FROM sh),
-          banded AS (
-            SELECT doc_id, sh, CAST(b AS INT) AS band,
-              md5(sig[CAST(b*4+1 AS INT)] || ',' || sig[CAST(b*4+2 AS INT)] ||
-                  ',' || sig[CAST(b*4+3 AS INT)] || ',' ||
-                  sig[CAST(b*4+4 AS INT)]) AS band_hash
-            FROM sig, (VALUES (0), (1)) bands(b)),
-          cand AS (
-            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
-              l.sh AS sh_a, r.sh AS sh_b
-            FROM banded l JOIN banded r
-              ON l.band = r.band AND l.band_hash = r.band_hash
-             AND l.doc_id < r.doc_id),
-          verified AS (
-            SELECT id_a, id_b,
-              CAST(len(list_intersect(list_distinct(sh_a),
-                                      list_distinct(sh_b))) AS DOUBLE) /
-              CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) AS j
-            FROM cand)
+      s"""WITH $minhashPairsCtes
           SELECT id_a, id_b,
             CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_micro
           FROM verified WHERE j >= 0.8""",
+    // Transitive closure over the SAME verified minhash pairs: min
+    // reachable doc_id per node via a recursive CTE -- an independent
+    // (if quadratic) re-derivation of the distributed min-label
+    // propagation + pointer jumping the engine runs.
+    "llm_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+          pairs AS (SELECT id_a, id_b FROM verified WHERE j >= 0.8),
+          edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+          SELECT u AS id, MIN(v) AS cluster_id FROM reach GROUP BY u""",
     "llm_simhash" ->
       s"""WITH toks AS (
             SELECT doc_id, $duckToks AS ws FROM documents)
@@ -704,6 +770,34 @@ object LlmQueries {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
            md5(text) AS content_md5
          FROM documents""",
+    // Recomputes the ENTIRE stubbed media chain: fake decode dims from
+    // the content hash (hex chars 1-4 / 5-8 mod 4080 + 16; format from
+    // the low 2 bits of byte 8 = hex char 18 mod 4), resize identity
+    // hash, mid-frame offset, and the per-dim hash features.
+    "llm_media_pipeline" -> {
+      val vExpr = duckHex8("resized_md5 || ':' || CAST(dim AS VARCHAR)")
+      s"""WITH media AS (
+            SELECT doc_id, md5(text) AS hex,
+              octet_length(CAST(text AS BLOB)) AS blen
+            FROM documents WHERE doc_id < 200),
+          meta AS (
+            SELECT doc_id,
+              CASE ((strpos('0123456789abcdef', substr(hex, 18, 1)) - 1) % 4)
+                WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'webp'
+                ELSE 'gif' END AS format,
+              CAST(16 + (${duckHexAt("hex", 1, 4)} % 4080) AS INT) AS width,
+              CAST(16 + (${duckHexAt("hex", 5, 4)} % 4080) AS INT) AS height,
+              md5(hex || ':256x256') AS resized_md5,
+              CAST(FLOOR((1 * greatest(blen - 1, 1)) / 2) AS BIGINT)
+                AS frame_mid
+            FROM media),
+          dims AS (SELECT CAST(x AS INT) AS dim
+                   FROM (VALUES (0), (1), (2), (3)) v(x))
+          SELECT doc_id, format, width, height, resized_md5, frame_mid, dim,
+            CAST(FLOOR(CAST($vExpr % 10000 AS DOUBLE) / 10000.0 * 1000000)
+              AS BIGINT) AS v_micro
+          FROM meta, dims"""
+    },
     "llm_ngram_pairs" ->
       s"""WITH toks AS (
             SELECT doc_id, $duckToks AS ws FROM documents),

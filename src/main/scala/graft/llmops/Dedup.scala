@@ -258,4 +258,81 @@ object Dedup {
         graft.functions.CosineSimilarity(col("l.v"), col("r.v")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Connected components over a near-dup pair list: (id, cluster_id)
+    * with cluster_id = the MIN id reachable through any chain of pairs.
+    * This is the step that turns pairwise similarity into DEDUP GROUPS --
+    * near-duplication is not transitive, so A~B and B~C must land A, B,
+    * C in one cluster with one survivor even when A~C was never emitted.
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING. Each round
+    * (a) relaxes every node's label to the min of its neighbors' labels
+    * (one shuffle join on the edge list), then (b) replaces each label by
+    * its label's label (one self-join) -- path halving, so a chain of
+    * length d converges in O(log d) rounds rather than O(d). Both steps
+    * are key-partitioned equi-joins; nothing ever collects the graph to
+    * the driver, and each round's frame is persisted so the convergence
+    * count and the next round share one evaluation. This is the
+    * MapReduce-CC shape from public literature (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"); the driver only
+    * runs the O(log d) loop and a scalar changed-count per round.
+    *
+    * Only ids that appear in `pairs` are returned (singletons are their
+    * own cluster by definition; callers join survivors back to the
+    * corpus with a left_anti on clustered non-canonical ids).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    // label(v) = min(v, neighbors(v)) -- every node appears as src of
+    // some edge because the edge list is symmetric.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+      .persist(MEMORY_AND_DISK)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      // (a) relax: min over neighbor labels, via labels attached to dst.
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nl"))
+      val relaxed = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // (b) pointer jump: label := label(label). A label that is not a
+      // node id (already a root) keeps itself.
+      val jumped = relaxed.as("x")
+        .join(relaxed.select(col("id").as("label"),
+          col("label").as("ll")).as("y"), Seq("label"), "left")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+        .persist(MEMORY_AND_DISK)
+      changed = jumped.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = jumped
+      iters += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Survivors after near-dup clustering: the corpus minus every
+    * clustered id that is not its cluster's canonical (min) member.
+    * Composition of [[connectedComponents]] over any pair generator.
+    */
+  def nearDupSurvivors(df: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val losers = clusters.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -68,4 +68,61 @@ object Multimodal {
     df.withColumn("frame_offsets",
       transform(sequence(lit(0), lit(n - 1)), i =>
         (i * greatest(length(col(binCol)) - 1, lit(1))) / lit(math.max(1, n - 1))))
+
+  /** Resize step, stubbed at the identity level: a real resize kernel
+    * consumes the payload and emits new bytes; the stub emits the content
+    * IDENTITY those bytes would carry -- md5(content_md5 ":WxH") -- plus
+    * the target dims, as plain codegen'd column expressions. Downstream
+    * stages (feature extraction, dedup, ANN) key on content identity, so
+    * swapping in a real kernel changes no downstream plumbing.
+    */
+  def withResizedMeta(df: DataFrame, md5Col: String, targetW: Int,
+      targetH: Int): DataFrame =
+    df.withColumn("resized_md5",
+        md5(concat(col(md5Col), lit(s":${targetW}x$targetH"))))
+      .withColumn("resized_width", lit(targetW))
+      .withColumn("resized_height", lit(targetH))
+
+  /** Media feature extraction (pseudo-embedding), BATCH-shaped: the
+    * kernel receives fixed-size slices of each partition's rows -- the
+    * exact seam of a vectorized codec/model bridge (`mapInPandas`
+    * batches, ONNX batch inference). Swap the stub body for a real model
+    * call and the schema, batching, and partition mapping are unchanged.
+    *
+    * Stub features are the DeterministicEmbedder construction over the
+    * content id: v_i = hex32(md5("id:i")) % 10000 / 10000 -- one integer
+    * hash and ONE double division per dim, so any SQL oracle reproduces
+    * the doubles bit-for-bit.
+    */
+  def withMediaFeatures(df: DataFrame, md5Col: String, dims: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(dims > 0 && batchSize > 0)
+    val idx = df.schema.fieldIndex(md5Col)
+    require(!df.columns.contains("media_embedding"),
+      "withMediaFeatures output column media_embedding already present")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "media_embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)))
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      // model/codec init once per partition; inference per BATCH
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hash32(s: String): Long = {
+        val d = md.digest(s.getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }
+      it.grouped(batchSize).flatMap { batch =>
+        // a real bridge would run ONE batched forward pass here
+        batch.map { row =>
+          val id = row.getString(idx)
+          val v = Array.tabulate(dims)(i =>
+            (hash32(s"$id:$i") % 10000L).toDouble / 10000.0)
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ v.toSeq)
+        }
+      }
+    }(rowEnc).toDF()
+  }
 }

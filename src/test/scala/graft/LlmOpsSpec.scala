@@ -42,6 +42,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("connected components: chains close transitively, components stay apart") {
+    import spark.implicits._
+    // component {1..5} as a pure chain (diameter 4, exercises pointer
+    // jumping), component {10,11}, and a lone pair {20,21}.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // min id wins regardless of edge direction / order
+    val rev = Seq((5L, 1L), (9L, 3L)).toDF("id_a", "id_b")
+    val got2 = Dedup.connectedComponents(pairs.union(rev), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got2(9L) == 1L && got2(5L) == 1L)
+    // empty edge list -> empty clustering
+    assert(Dedup.connectedComponents(
+      pairs.where(lit(false)), "id_a", "id_b").count() == 0)
+  }
+
+  test("near-dup survivors: one canonical member per cluster, singletons kept") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 7L).toDF("id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "cluster_id")
+    val kept = Dedup.nearDupSurvivors(docs, "id", clusters)
+      .as[Long].collect().toSet
+    // 2 is a non-canonical member of cluster 1; 3 is its own canonical;
+    // 7 never appeared in a pair.
+    assert(kept == Set(1L, 3L, 7L))
+  }
+
   test("simhash: order-invariant (hamming 0 for shuffled doc), disjoint docs excluded") {
     import spark.implicits._
     val a = "red green blue yellow purple orange pink brown black white"
@@ -137,6 +168,36 @@ class LlmOpsSpec extends SparkSpec {
     val row2 = Multimodal.withMediaMeta(df, "media").where("id = 'a'")
       .select("width").head()
     assert(row2.getInt(0) == row.getInt(3))
+  }
+
+  test("multimodal: resize identity + batched features are deterministic") {
+    import spark.implicits._
+    val df = Seq(("a", "somebytes"), ("b", "other"), ("c", "third"))
+      .toDF("id", "payload")
+      .withColumn("media", col("payload").cast("binary"))
+    val meta = Multimodal.withMediaMeta(df, "media")
+    val resized = Multimodal.withResizedMeta(meta, "content_md5", 256, 256)
+    val r = resized.where("id = 'a'")
+      .select("resized_md5", "resized_width", "resized_height").head()
+    assert(r.getString(0).length == 32 && r.getInt(1) == 256)
+    // resize identity is a pure function of (content, target dims)
+    assert(Multimodal.withResizedMeta(meta, "content_md5", 256, 256)
+      .where("id = 'a'").select("resized_md5").head().getString(0)
+      == r.getString(0))
+    assert(Multimodal.withResizedMeta(meta, "content_md5", 128, 128)
+      .where("id = 'a'").select("resized_md5").head().getString(0)
+      != r.getString(0))
+    // features: dims-length, [0,1), batch size must not change values
+    val f1 = Multimodal.withMediaFeatures(resized, "resized_md5", dims = 6,
+      batchSize = 2).select("id", "media_embedding")
+      .as[(String, Seq[Double])].collect().toMap
+    val f2 = Multimodal.withMediaFeatures(resized, "resized_md5", dims = 6,
+      batchSize = 64).select("id", "media_embedding")
+      .as[(String, Seq[Double])].collect().toMap
+    assert(f1 == f2)
+    assert(f1("a").length == 6)
+    assert(f1.values.forall(_.forall(v => v >= 0.0 && v < 1.0)))
+    assert(f1("a") != f1("b"))
   }
 
   test("hyperplane cells stay balanced on offset (all-positive-mean) vectors") {
