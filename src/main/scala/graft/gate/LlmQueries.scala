@@ -321,6 +321,11 @@ object LlmQueries {
         .orderBy(desc("total_count"), col("token"))
         .limit(100)),
 
+    // Collocations: top-50 adjacent bigrams by integer-exact PMI lift.
+    "llm_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d), "text",
+        minCount = 5, k = 50)),
+
     // BM25 ranked retrieval (k1=1.2, b=0.75), micro-quantized per-term
     // scores so float addition order is irrelevant.
     "llm_bm25" -> ((s, d) =>
@@ -605,6 +610,30 @@ object LlmQueries {
             md5(array_to_string(list_sort(list_distinct($duckToks)), ' '))
               AS fingerprint
           FROM documents""",
+    // PMI lift = N*C(xy)/(C(x)*C(y)): exact integer products, ONE double
+    // division, micro-quantized before the ordering and top-k cut.
+    "llm_collocations" ->
+      s"""WITH toks AS (SELECT $duckToks AS ws FROM documents),
+          bi AS (
+            SELECT bigram, COUNT(*) AS c12 FROM (
+              SELECT unnest(list_transform(range(1, len(ws)), i ->
+                ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1])) AS bigram
+              FROM toks WHERE len(ws) >= 2)
+            GROUP BY bigram HAVING COUNT(*) >= 5),
+          uni AS (
+            SELECT tok, COUNT(*) AS c1
+            FROM (SELECT unnest(ws) AS tok FROM toks) GROUP BY tok),
+          tot AS (
+            SELECT SUM(greatest(len(ws) - 1, 0)) AS n_bi FROM toks)
+          SELECT bigram, c12, u1.c1 AS c1, u2.c1 AS c2,
+            CAST(FLOOR(CAST(n_bi AS DOUBLE) * CAST(c12 AS DOUBLE) /
+              (CAST(u1.c1 AS DOUBLE) * CAST(u2.c1 AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lift_micro
+          FROM bi
+          JOIN uni u1 ON split_part(bigram, ' ', 1) = u1.tok
+          JOIN uni u2 ON split_part(bigram, ' ', 2) = u2.tok
+          CROSS JOIN tot
+          ORDER BY lift_micro DESC, bigram LIMIT 50""",
     "llm_minhash_bands" ->
       s"""WITH toks AS (
             SELECT doc_id, $duckToks AS ws FROM documents),

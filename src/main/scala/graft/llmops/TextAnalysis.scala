@@ -110,4 +110,49 @@ object TextAnalysis {
       .orderBy(desc("score_micro"), col("doc_id"))
       .limit(k)
   }
+
+  /** Collocation (phrase) mining: top-k adjacent-token bigrams by a
+    * PMI-style lift ratio, lift = N * C(xy) / (C(x) * C(y)) with N =
+    * total bigram count -- the standard PMI without the log (log is
+    * monotone, so the RANKING is identical and the score stays ONE
+    * double division of exact integer products: bit-reproducible in any
+    * engine, unlike ln()). Ordering and the top-k cut compare the
+    * QUANTIZED lift (micros), so float last-bits can't reorder ties.
+    *
+    * Scale shape: one explode+groupBy on the bigram key and one on the
+    * token key; two key-partitioned joins to attach unigram counts (the
+    * vocab side is groupBy output -- AQE broadcasts it when small);
+    * corpus total rides a broadcast 1-row frame; top-k is
+    * TakeOrderedAndProject. No driver loops, no windows.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Int,
+      k: Int): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("ws"))
+    val bi = toks.select(explode(
+        graft.functions.TextFunctions.shingles(col("ws"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    val uni = toks.select(explode(col("ws")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val total = toks.select(
+      sum(greatest(size(col("ws")) - 1, lit(0)).cast("long")).as("n_bi"))
+    // tokens contain no spaces (tokenizer splits on non-alnum), so the
+    // bigram splits back losslessly.
+    bi.withColumn("t1", split(col("bigram"), " ").getItem(0))
+      .withColumn("t2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("t1"), col("c1")), Seq("t1"))
+      .join(uni.select(col("tok").as("t2"), col("c1").as("c2")), Seq("t2"))
+      .crossJoin(broadcast(total))
+      // per-FACTOR double casts (not an int64 product that could wrap at
+      // petabyte corpus sizes): double multiply/divide is IEEE-exact the
+      // same way in every engine, so parity is unaffected.
+      .withColumn("lift_micro",
+        floor(col("n_bi").cast("double") * col("c12").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double")) * 1000000)
+          .cast("long"))
+      .select(col("bigram"), col("c12"), col("c1"), col("c2"),
+        col("lift_micro"))
+      .orderBy(desc("lift_micro"), col("bigram"))
+      .limit(k)
+  }
 }

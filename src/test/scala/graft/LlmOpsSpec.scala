@@ -145,6 +145,27 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("collocations: repeated adjacent pair outranks common-word pairs") {
+    import spark.implicits._
+    // "new york" always adjacent (lift high); "the" pairs with many
+    // different successors (lift low); "rare pair" appears once (cut by
+    // minCount).
+    val docs = (1 to 6).map(i =>
+      s"the cat in new york saw the dog in new york near gate$i") ++
+      Seq("the alpha the beta the gamma the delta", "rare pair")
+    val out = TextAnalysis.collocations(docs.toDF("text"), "text",
+      minCount = 2, k = 10).collect()
+    val byBigram = out.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(byBigram.contains("new york"))
+    assert(!byBigram.keySet.exists(_.startsWith("rare")))
+    val theIn = out.filter(_.getString(0).startsWith("the "))
+      .map(_.getLong(4))
+    assert(theIn.forall(_ < byBigram("new york")))
+    // counts are exact: "new york" occurs 12 times across 6 docs
+    val ny = out.find(_.getString(0) == "new york").get
+    assert(ny.getLong(1) == 12L)
+  }
+
   test("fingerprint is word-order invariant") {
     import spark.implicits._
     val df = Seq(("a", "one two three"), ("b", "three two one two"))
