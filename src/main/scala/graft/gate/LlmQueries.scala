@@ -174,6 +174,12 @@ object LlmQueries {
       TextAnalysis.withFingerprint(Tables.documents(s, d), "text")
         .select("doc_id", "fingerprint")),
 
+    // Exact-substring dup pairs: >= 2 shared distinct 12-token rolling
+    // window fingerprints (suffix-array-style span dedup, distributed).
+    "llm_substring_dup" -> ((s, d) =>
+      Dedup.substringDupPairs(Tables.documents(s, d), "doc_id", "text",
+        window = 12, minShared = 2)),
+
     // MinHash signatures: 8 seeded min-hashes banded into 2 LSH keys
     // (aggregation-based path -- scales linearly).
     "llm_minhash_bands" -> ((s, d) =>
@@ -610,6 +616,25 @@ object LlmQueries {
             md5(array_to_string(list_sort(list_distinct($duckToks)), ' '))
               AS fingerprint
           FROM documents""",
+    // Shared 12-token rolling-window fingerprints; Spark's
+    // windowFingerprints emits md5 of the WHOLE doc when it is shorter
+    // than the window, replicated by the CASE arm.
+    "llm_substring_dup" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          wf AS (
+            SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(ws) < 12 THEN [md5(array_to_string(ws, ' '))]
+                ELSE list_transform(range(1, len(ws) - 10), i ->
+                  md5(array_to_string(
+                    list_slice(ws, CAST(i AS INT), CAST(i + 11 AS INT)),
+                    ' ')))
+              END)) AS wh
+            FROM toks)
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+            COUNT(*) AS shared_windows
+          FROM wf l JOIN wf r ON l.wh = r.wh AND l.doc_id < r.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+
     // PMI lift = N*C(xy)/(C(x)*C(y)): exact integer products, ONE double
     // division, micro-quantized before the ordering and top-k cut.
     "llm_collocations" ->

@@ -259,6 +259,29 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** Exact-substring duplication pairs: docs sharing >= minShared
+    * distinct `window`-token rolling-hash fingerprints. The distributed
+    * analog of suffix-array substring dedup from the published
+    * training-data literature ("docs sharing any 50-token span are
+    * duplicates"): a shared window hash IS a shared exact token span
+    * (md5 collisions aside), and the fingerprints are the ONLY thing
+    * shuffled -- 16 bytes per window, never the text. Scale shape: one
+    * explode + a key-partitioned self-join on the window hash + a pair
+    * groupBy; hot hashes (boilerplate spans) are the skew risk, so the
+    * join key is the hash itself and AQE's skew-split applies.
+    */
+  def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 20, minShared: Int = 1): DataFrame = {
+    val wf = df.select(col(idCol).as("id"),
+      explode(array_distinct(windowFingerprints(col(textCol), window)))
+        .as("wh"))
+    wf.as("l").join(wf.as("r"),
+        col("l.wh") === col("r.wh") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .where(col("shared_windows") >= minShared)
+  }
+
   /** Connected components over a near-dup pair list: (id, cluster_id)
     * with cluster_id = the MIN id reachable through any chain of pairs.
     * This is the step that turns pairwise similarity into DEDUP GROUPS --
@@ -281,6 +304,14 @@ object Dedup {
     * own cluster by definition; callers join survivors back to the
     * corpus with a left_anti on clustered non-canonical ids).
     */
+  /** Rounds the last connectedComponents call took to converge --
+    * observable evidence of the O(log diameter) bound (bench dumps it
+    * with the other engine metrics).
+    */
+  val ccRounds: graft.core.Metrics.Gauge = graft.core.Metrics.default.gauge(
+    "graft_cc_convergence_rounds",
+    "Rounds the last connected-components run took to converge")
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -319,6 +350,7 @@ object Dedup {
       iters += 1
     }
     edges.unpersist()
+    ccRounds.set(iters.toDouble)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds")

@@ -145,6 +145,21 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("substring dup pairs: shared token spans found, unrelated docs not") {
+    import spark.implicits._
+    val span = (1 to 15).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, s"intro words $span trailing one"),
+      (2L, s"different lead in text $span and more"),
+      (3L, "completely unrelated content with its own words here entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.substringDupPairs(df, "doc_id", "text",
+      window = 12, minShared = 2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // a 15-token shared span yields 4 shared 12-token windows
+    assert(pairs.head.getLong(2) == 4L)
+  }
+
   test("collocations: repeated adjacent pair outranks common-word pairs") {
     import spark.implicits._
     // "new york" always adjacent (lift high); "the" pairs with many
