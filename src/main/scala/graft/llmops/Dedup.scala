@@ -102,9 +102,13 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bandRows: Int = 4,
       threshold: Double = 0.7): DataFrame = {
+    // persisted: consumed by BOTH verification attach joins on different
+    // keys (id_a / id_b), which exchange reuse can't cover (round-7
+    // measurement, same rationale as ngramJaccardPairs.ordered).
     val base = df.select(col(idCol).as("id"),
       array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate ids first (narrow self-join on the band keys), shingle
     // arrays attached once per side AFTER pair dedup -- the wide arrays
     // never ride through the LSH shuffle.
@@ -193,10 +197,12 @@ object Dedup {
     * cross join anywhere. The ordered per-doc shingle array (already
     * shuffled for prefix extraction) also serves as the verification
     * input (Jaccard is order-insensitive), so the raw text is never
-    * joined back; the three uses of `ordered` are identical subtrees that
-    * ReuseExchange deduplicates (measured faster than persist(), whose
-    * array materialization cost exceeds the recompute it saves at this
-    * scale -- at 100 TB write `ordered` to a stage table instead).
+    * joined back. `ordered` has THREE consumers on different join keys
+    * (prefix explode, id_a attach, id_b attach), so exchange reuse can't
+    * cover them all; it is persisted (MEMORY_AND_DISK) -- re-measured in
+    * round 7 at 2.5x faster warm than recomputing (the round-3 note that
+    * persist lost predates the df-ordered prefix rework). At 100 TB
+    * write `ordered` to a stage table: same pattern, durable.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -213,8 +219,10 @@ object Dedup {
         sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
       .select(col("id"), col("sz"),
         transform(col("o"), x => x("tok")).as("o"))
+    val orderedP = ordered.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val plen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
-    val pref = ordered.select(col("id"), col("sz"),
+    val pref = orderedP.select(col("id"), col("sz"),
       explode(slice(col("o"), lit(1), plen)).as("tok"))
     // J >= t bounds the size ratio: |A| >= t|B| and |B| >= t|A|.
     val cand = pref.as("l")
@@ -225,9 +233,9 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
-      .join(ordered.select(col("id").as("id_a"), col("o").as("sh_a")),
+      .join(orderedP.select(col("id").as("id_a"), col("o").as("sh_a")),
         Seq("id_a"))
-      .join(ordered.select(col("id").as("id_b"), col("o").as("sh_b")),
+      .join(orderedP.select(col("id").as("id_b"), col("o").as("sh_b")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccardUdf(col("sh_a"), col("sh_b")).as("jaccard"))
