@@ -324,9 +324,14 @@ object Dedup {
       maxIters: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // persisted PRE-PARTITIONED on dst, the relax join's key: the edge
+    // list is read once per round, and InMemoryRelation keeps the
+    // partitioning, so no round re-shuffles the edges -- only the small
+    // labels frame moves each iteration.
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist(MEMORY_AND_DISK)
     // label(v) = min(v, neighbors(v)) -- every node appears as src of
     // some edge because the edge list is symmetric.

@@ -132,8 +132,12 @@ object TextAnalysis {
         graft.functions.TextFunctions.shingles(col("ws"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c12"))
       .where(col("c12") >= minCount)
+    // persisted: attached to BOTH sides of every surviving bigram (t1 and
+    // t2 joins -- different keys, so exchange reuse can't dedup them);
+    // without it each attach join re-scans and re-aggregates the corpus.
     val uni = toks.select(explode(col("ws")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = toks.select(
       sum(greatest(size(col("ws")) - 1, lit(0)).cast("long")).as("n_bi"))
     // tokens contain no spaces (tokenizer splits on non-alnum), so the
