@@ -332,6 +332,17 @@ object LlmQueries {
       TextAnalysis.collocations(Tables.documents(s, d), "text",
         minCount = 5, k = 50)),
 
+    // Gopher-style repetition signals (micro-quantized integer ratios).
+    "llm_repetition" -> ((s, d) =>
+      TextAnalysis.withRepetition(Tables.documents(s, d), "text")
+        .select(col("doc_id"),
+          floor(col("top_token_frac") * 1000000).cast("long")
+            .as("top_token_micro"),
+          floor(col("top_bigram_frac") * 1000000).cast("long")
+            .as("top_bigram_micro"),
+          floor(col("dup_trigram_frac") * 1000000).cast("long")
+            .as("dup_trigram_micro"))),
+
     // BM25 ranked retrieval (k1=1.2, b=0.75), micro-quantized per-term
     // scores so float addition order is irrelevant.
     "llm_bm25" -> ((s, d) =>
@@ -634,6 +645,48 @@ object LlmQueries {
             COUNT(*) AS shared_windows
           FROM wf l JOIN wf r ON l.wh = r.wh AND l.doc_id < r.doc_id
           GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+
+    // Max-count / distinct-count per doc need no tie-break: the FRACTION
+    // only uses the count, not which n-gram attains it.
+    "llm_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          base AS (
+            SELECT doc_id, ws,
+              CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+                i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1])
+                ELSE [] END AS bi,
+              CASE WHEN len(ws) >= 3 THEN
+                list_transform(range(1, len(ws) - 1), i ->
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' ||
+                  ws[CAST(i AS INT)+2])
+                ELSE [] END AS tri
+            FROM toks),
+          tokc AS (
+            SELECT doc_id, MAX(c) AS top_tok FROM (
+              SELECT doc_id, t, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(ws) AS t FROM base) GROUP BY 1, 2)
+            GROUP BY doc_id),
+          bic AS (
+            SELECT doc_id, MAX(c) AS top_bi FROM (
+              SELECT doc_id, b, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(bi) AS b FROM base) GROUP BY 1, 2)
+            GROUP BY doc_id)
+          SELECT b.doc_id,
+            CAST(FLOOR(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+              CAST(COALESCE(top_tok, 0) AS DOUBLE) /
+              CAST(len(ws) AS DOUBLE) END * 1000000) AS BIGINT)
+              AS top_token_micro,
+            CAST(FLOOR(CASE WHEN len(bi) = 0 THEN 0.0 ELSE
+              CAST(COALESCE(top_bi, 0) AS DOUBLE) /
+              CAST(len(bi) AS DOUBLE) END * 1000000) AS BIGINT)
+              AS top_bigram_micro,
+            CAST(FLOOR(CASE WHEN len(tri) = 0 THEN 0.0 ELSE
+              CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) /
+              CAST(len(tri) AS DOUBLE) END * 1000000) AS BIGINT)
+              AS dup_trigram_micro
+          FROM base b
+          LEFT JOIN tokc ON b.doc_id = tokc.doc_id
+          LEFT JOIN bic ON b.doc_id = bic.doc_id""",
 
     // PMI lift = N*C(xy)/(C(x)*C(y)): exact integer products, ONE double
     // division, micro-quantized before the ordering and top-k cut.

@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -109,6 +109,57 @@ object TextAnalysis {
       .agg(sum("term_score_micro").as("score_micro"))
       .orderBy(desc("score_micro"), col("doc_id"))
       .limit(k)
+  }
+
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021,
+    * public literature): documents dominated by a repeated token, bigram,
+    * or duplicated trigram spans are low-quality boilerplate. Ratios are
+    * single divisions of exact integer counts, so any SQL oracle
+    * reproduces them bit-for-bit:
+    *   - top_token_frac   = count(most frequent token) / n_tokens
+    *   - top_bigram_frac  = count(most frequent bigram) / n_bigrams
+    *   - dup_trigram_frac = (n_trigrams - distinct_trigrams) / n_trigrams
+    *
+    * Scale shape: ONE compiled map-side pass per document (a counting
+    * HashMap over the token list) -- no explode, no shuffle; the signals
+    * land as plain columns a quality cut can filter on. The UDF returns
+    * all counts in one struct and is marked non-deterministic as an
+    * evaluate-once barrier (the repo's documented CollapseProject
+    * re-evaluation hazard: six field references would otherwise inline
+    * six copies of the counting pass).
+    */
+  private val repetitionOnce = udf((ws: Seq[String]) => {
+    val tokC = scala.collection.mutable.HashMap.empty[String, Int]
+    ws.foreach(t => tokC.update(t, tokC.getOrElse(t, 0) + 1))
+    val topTok = if (tokC.isEmpty) 0 else tokC.valuesIterator.max
+    val biC = scala.collection.mutable.HashMap.empty[String, Int]
+    var i = 0
+    while (i + 1 < ws.length) {
+      val b = ws(i) + " " + ws(i + 1)
+      biC.update(b, biC.getOrElse(b, 0) + 1)
+      i += 1
+    }
+    val topBi = if (biC.isEmpty) 0 else biC.valuesIterator.max
+    val triSet = scala.collection.mutable.HashSet.empty[String]
+    i = 0
+    while (i + 2 < ws.length) {
+      triSet += (ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+      i += 1
+    }
+    (topTok, ws.length, topBi, math.max(ws.length - 1, 0),
+      triSet.size, math.max(ws.length - 2, 0))
+  }).asNondeterministic()
+
+  def withRepetition(df: DataFrame, textCol: String): DataFrame = {
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, 0.0)
+        .otherwise(num.cast("double") / den.cast("double"))
+    df.withColumn("__rep", repetitionOnce(tokens(col(textCol))))
+      .withColumn("top_token_frac", frac(col("__rep._1"), col("__rep._2")))
+      .withColumn("top_bigram_frac", frac(col("__rep._3"), col("__rep._4")))
+      .withColumn("dup_trigram_frac",
+        frac(col("__rep._6") - col("__rep._5"), col("__rep._6")))
+      .drop("__rep")
   }
 
   /** Collocation (phrase) mining: top-k adjacent-token bigrams by a

@@ -145,6 +145,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals: repeated spans score high, varied text low") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),           // one token repeated
+      (2L, "go stop go stop go stop go stop"),          // one bigram dominates
+      (3L, "alpha beta gamma delta epsilon zeta eta"))  // all distinct
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetition(df, "text")
+      .select("doc_id", "top_token_frac", "top_bigram_frac",
+        "dup_trigram_frac")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // 6x same token; 4 trigram slots, 1 distinct -> dup 3/4
+    assert(out(1L) == ((1.0, 1.0, 0.75)))
+    assert(out(2L)._1 == 0.5)                      // 'go' 4 of 8
+    assert(out(2L)._2 == 4.0 / 7.0)                // 'go stop' 4 of 7
+    assert(out(2L)._3 == 4.0 / 6.0)                // 6 slots, 2 distinct
+    assert(out(3L) == ((1.0 / 7.0, 1.0 / 6.0, 0.0))) // nothing repeats
+    // empty doc: all zeros, no div-by-zero
+    val z = TextAnalysis.withRepetition(Seq((9L, "")).toDF("doc_id", "text"),
+      "text").select("top_token_frac", "top_bigram_frac", "dup_trigram_frac")
+      .head()
+    assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0 &&
+      z.getDouble(2) == 0.0)
+  }
+
   test("substring dup pairs: shared token spans found, unrelated docs not") {
     import spark.implicits._
     val span = (1 to 15).map(i => s"tok$i").mkString(" ")
