@@ -95,6 +95,50 @@ object PlanCheck {
       println(s"rows scanned      : $probedRows probed of ${total.count()}" +
         " at rest")
     }
+    // 7. Round-7 shapes. (a) ngram pairs: the persisted `ordered` frame
+    // must appear as an InMemoryRelation scan for ALL THREE consumers
+    // (prefix explode + both attach joins -- different keys, exchange
+    // reuse can't dedup them). (b) substring dup: the wf self-join's two
+    // sides are one subtree -- expect a ReusedExchange. (c) repetition:
+    // one map-side projection, NO Exchange anywhere. (d) connected
+    // components: converges in O(log d) driver rounds (gauge).
+    {
+      val docs = graft.core.Tables.documents(spark, sf)
+      val ngram = graft.llmops.Dedup.ngramJaccardPairs(docs, "doc_id",
+        "text", shingleN = 3, threshold = 0.8)
+      val imrs = ngram.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      println(s"\nngram pairs: ${imrs.size} InMemoryRelation scans " +
+        "(ordered reused by prefix self-join x2 + id_a + id_b attaches)")
+      // At gate scale AQE broadcasts one side of the wh self-join (no
+      // shuffle at all -- the plan you'd want); at 100 TB it degrades to
+      // a sort-merge join whose identical sides share one exchange via
+      // ReuseExchange. Execute, then report which shape ran.
+      val sub = graft.llmops.Dedup.substringDupPairs(docs, "doc_id",
+        "text", window = 12, minShared = 2)
+      sub.collect()
+      val subStr = sub.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      def occurrences(hay: String, needle: String): Int =
+        hay.sliding(needle.length).count(_ == needle)
+      println("substring dup self-join: " +
+        s"BroadcastHashJoin=${occurrences(subStr, "BroadcastHashJoin")}, " +
+        s"SortMergeJoin=${occurrences(subStr, "SortMergeJoin")}, " +
+        s"ReusedExchange=${occurrences(subStr, "ReusedExchange")}")
+      val rep = graft.llmops.TextAnalysis.withRepetition(docs, "text")
+      val exch = rep.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      println(s"repetition signals: ${exch.size} shuffles (map-side only)")
+      val pairs = graft.llmops.Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bandRows = 4, threshold = 0.8)
+      graft.llmops.Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+      println("connected components rounds: " +
+        graft.core.Metrics.default.snapshot
+          .find(_._1.startsWith("graft_cc_convergence_rounds"))
+          .map(_._2).getOrElse(-1.0))
+    }
     spark.stop()
   }
 }
