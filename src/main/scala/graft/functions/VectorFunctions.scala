@@ -32,6 +32,37 @@ object VectorFunctions {
   def cosineToQuery(col: Column, query: Seq[Double]): Column =
     cosine(col.cast("array<double>"), array(query.map(lit): _*))
 
+  /** Element-wise sum of an ORDERED array of vectors via a zip_with
+    * fold: deterministic addition order (the array's order), so any SQL
+    * oracle reproduces the doubles exactly. Empty input -> null.
+    */
+  def sumVectors(vecs: Column): Column =
+    when(size(vecs) === 0, lit(null))
+      .otherwise(aggregate(
+        slice(vecs, lit(2), size(vecs) - 1),
+        element_at(vecs, 1),
+        (acc, v) => zip_with(acc, v, (x, y) => x + y)))
+
+  /** Mean-pool chunk embeddings into one document embedding: sort by the
+    * order column (so the fold order -- and therefore every low FP bit --
+    * is deterministic and SQL-reproducible), element-wise sum, ONE
+    * division by the chunk count. The standard chunk->doc embedding
+    * aggregation for retrieval over long documents; one shuffle on the
+    * doc key.
+    */
+  def meanPool(df: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, orderCol: String): org.apache.spark.sql.DataFrame = {
+    val ordered = array_sort(collect_list(
+      struct(col(orderCol).as("o"), col(vecCol).cast("array<double>").as("v"))))
+    df.groupBy(col(idCol))
+      .agg(ordered.as("__ov"), count(lit(1)).as("n_chunks"))
+      .withColumn("doc_embedding",
+        transform(
+          sumVectors(expr("transform(__ov, s -> s.v)")),
+          x => x / col("n_chunks").cast("double")))
+      .drop("__ov")
+  }
+
   /** Score normalizer: NaN/inf -> 0, clamp [0,1]
     * (reference hybrid_planner.ml:68-70).
     */

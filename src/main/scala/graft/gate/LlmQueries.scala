@@ -332,6 +332,23 @@ object LlmQueries {
       TextAnalysis.collocations(Tables.documents(s, d), "text",
         minCount = 5, k = 50)),
 
+    // Chunk -> document embedding: overlapping token windows, each
+    // deterministically embedded, mean-pooled per doc in chunk order
+    // (zip_with element sums, ONE division by chunk count).
+    "llm_doc_embedding" -> ((s, d) => {
+      val chunked = TextAnalysis.chunkDocuments(
+        Tables.documents(s, d).select("doc_id", "text"), "text",
+        window = 32, stride = 24)
+      val e = graft.embed.DeterministicEmbedder(dims = 4)
+      VectorFunctions.meanPool(
+        chunked.withColumn("emb", e.embedCol(col("chunk_text"))),
+        "doc_id", "emb", "chunk_idx")
+        .select(col("doc_id"),
+          posexplode(col("doc_embedding")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("dim"),
+          floor(col("v") * 1000000).cast("long").as("v_micro"))
+    }),
+
     // Gopher-style repetition signals (micro-quantized integer ratios).
     "llm_repetition" -> ((s, d) =>
       TextAnalysis.withRepetition(Tables.documents(s, d), "text")
@@ -645,6 +662,44 @@ object LlmQueries {
             COUNT(*) AS shared_windows
           FROM wf l JOIN wf r ON l.wh = r.wh AND l.doc_id < r.doc_id
           GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+
+    // Chunk slices reuse the chunking CTE; per-chunk dims are the
+    // llm_embed_check construction (integer bucket sum, one division,
+    // clamp); the POOLING sum uses list_reduce -- an explicit sequential
+    // left fold, the same association order as Spark's aggregate/zip_with
+    // fold, so the low FP bits agree.
+    "llm_doc_embedding" -> {
+      val hex8tok = duckHex8("t || ':' || CAST(dim AS VARCHAR)")
+      s"""WITH t AS (
+            SELECT doc_id, $duckToks AS ws FROM documents),
+          n AS (
+            SELECT doc_id, ws,
+              greatest(CAST(ceil((len(ws) - 32) / 24.0) AS INT) + 1, 1)
+                AS n_chunks
+            FROM t),
+          chunks AS (
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+              ws[CAST(i*24+1 AS INT):CAST(i*24+32 AS INT)] AS cw
+            FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)),
+          dims AS (SELECT CAST(x AS INT) AS dim
+                   FROM (VALUES (0), (1), (2), (3)) v(x)),
+          vals AS (
+            SELECT doc_id, chunk_idx, dim,
+              CASE WHEN len(cw) = 0 THEN 0.0 ELSE
+                least(greatest(
+                  CAST(list_sum(list_transform(cw, t -> $hex8tok % 10000))
+                    AS DOUBLE) / (CAST(len(cw) AS DOUBLE) * 10000.0),
+                  0.0), 1.0) END AS v
+            FROM chunks, dims),
+          pooled AS (
+            SELECT doc_id, dim, list(v ORDER BY chunk_idx) AS vs,
+              COUNT(*) AS nc
+            FROM vals GROUP BY doc_id, dim)
+          SELECT doc_id, dim,
+            CAST(FLOOR(list_reduce(vs, (a, b) -> a + b) /
+              CAST(nc AS DOUBLE) * 1000000) AS BIGINT) AS v_micro
+          FROM pooled"""
+    },
 
     // Max-count / distinct-count per doc need no tie-break: the FRACTION
     // only uses the count, not which n-gram attains it.

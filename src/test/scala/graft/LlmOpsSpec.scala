@@ -62,6 +62,39 @@ class LlmOpsSpec extends SparkSpec {
       pairs.where(lit(false)), "id_a", "id_b").count() == 0)
   }
 
+  test("connected components: randomized graphs match a union-find oracle") {
+    import spark.implicits._
+    // Deterministic randomized adversary: random edge sets (including
+    // long chains that force multiple pointer-jump rounds) checked
+    // against a driver-side union-find -- an independent O(n a(n))
+    // re-derivation of the same closure.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 10 + rnd.nextInt(15)
+      val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      val extra = Seq.fill(rnd.nextInt(12))(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val edges = if (trial == 1) chain else extra // trial 1: pure chain
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(k => k -> find(k)).toMap
+        val got = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"trial $trial: $edges")
+      }
+    }
+  }
+
   test("near-dup survivors: one canonical member per cluster, singletons kept") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 7L).toDF("id")
