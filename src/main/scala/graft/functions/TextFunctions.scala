@@ -213,4 +213,36 @@ object TextFunctions {
 
   def bpeishTokenCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))
+
+  // --- feature-hashed linear classifier --------------------------------
+  // The fastText-style quality/domain classifier shape: hash each token
+  // into one of `dims` buckets, score = mean bucket weight. Weights here
+  // are md5-derived (a stand-in for trained parameters -- the SHAPE is
+  // what scales: per-token hashing is map-side, no vocabulary join, no
+  // shuffle), and integer until the final division so any SQL oracle
+  // reproduces the score bit-for-bit.
+
+  /** First-8-hex-chars-of-md5 as an unsigned 32-bit integer column. */
+  def hex8(e: Column): Column =
+    conv(md5(e).substr(1, 8), 16, 10).cast("long")
+
+  /** Feature-hash bucket in [0, dims). */
+  def hashBucket(tok: Column, dims: Int): Column =
+    hex8(tok) % dims
+
+  /** Integer weight in [-1000, 1000] for a bucket under `seed`
+    * (divide by 1000.0 for the real-valued weight).
+    */
+  def bucketWeight(bucket: Column, seed: String): Column =
+    hex8(concat(lit(seed + ":"), bucket.cast("string"))) % 2001 - 1000
+
+  /** Sum of per-token bucket weights (exact integer; the classifier's
+    * pre-activation times 1000 * n_tokens ... i.e. score =
+    * weightSum / (1000 * n)).
+    */
+  def hashedWeightSum(toksExpr: Column, dims: Int, seed: String): Column =
+    bind(toksExpr) { toks =>
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + bucketWeight(hashBucket(t, dims), seed))
+    }
 }

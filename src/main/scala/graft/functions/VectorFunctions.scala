@@ -104,4 +104,18 @@ object VectorFunctions {
     */
   def cosineToQueryFast(c: Column, query: Seq[Double]): Column =
     cosineUdf(c.cast("array<double>"), typedLit(query))
+
+  /** Random-projection dimensionality reduction (Johnson-Lindenstrauss):
+    * out[p] = dot(vec, W[p]) for a fixed projection matrix `weights`
+    * (rows = output dims). A pure map-side projection -- the standard
+    * pre-step that makes downstream ANN / clustering cheap at corpus
+    * scale (e.g. 1536-d -> 64-d cuts every pair-scan 24x). Each
+    * component is the same sequential fold as [[dot]], so a SQL oracle
+    * recomputing the weights reproduces every double exactly.
+    */
+  def randomProjection(vec: Column, weights: Seq[Seq[Double]]): Column = {
+    val comps = weights.map { w => dot(vec.cast("array<double>"),
+      array(w.map(lit): _*)) }
+    array(comps: _*)
+  }
 }

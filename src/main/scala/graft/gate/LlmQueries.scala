@@ -112,6 +112,49 @@ object LlmQueries {
     "llm_exact_dedup" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
 
+    // Line-level dedup with reassembly (CCNet/RefinedWeb boilerplate
+    // removal): 2-token lines, drop lines occurring in more than
+    // max(1, 3% of docs) distinct documents, reassemble in order (3%
+    // drops roughly half the line instances of the synthetic corpus at
+    // every sf -- a non-degenerate kept/dropped mix).
+    "llm_line_dedup" -> ((s, d) =>
+      Dedup.lineDedup(Tables.documents(s, d), "doc_id", "text",
+        window = 2, maxDocFrac = 0.03)
+        .select(col("doc_id"), col("n_lines"), col("kept_lines"),
+          md5(col("clean_text")).as("clean_md5"))),
+
+    // Incremental (cross-snapshot) dedup: odd doc_ids are the "new
+    // batch", even doc_ids the at-rest corpus; flag exact and
+    // MinHash-verified near duplicates of the new batch.
+    "llm_incr_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedupFlags(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", shingleN = 3, k = 8, bandRows = 4,
+        threshold = 0.8)
+    }),
+
+    // Feature-hashed linear classifier (fastText shape): 64 buckets,
+    // md5-derived stand-in weights, integer-exact score.
+    "llm_classifier" -> ((s, d) =>
+      TextAnalysis.withClassifier(Tables.documents(s, d), "text",
+        dims = 64, seed = "clf")
+        .select(col("doc_id"), col("clf_weight_sum"),
+          col("clf_score_micro"), col("clf_keep"))),
+
+    // Random-projection (JL) reduction: 64-d embeddings -> 8 components
+    // against the deterministic hyperplane matrix (seed 7).
+    "llm_rp_reduce" -> ((s, d) => {
+      val w = (0 until 8).map(p =>
+        (0 until 64).map(dd => Ann.planeWeight(7, p, dd)))
+      Tables.embeddings(s, d).select(col("vec_id"),
+        posexplode(VectorFunctions.randomProjection(col("embedding"), w))
+          .as(Seq("pdim", "v")))
+        .select(col("vec_id"), col("pdim"),
+          floor(col("v") * 1000000).cast("long").as("v_micro"))
+    }),
+
     // Deterministic Bernoulli sample (hash-of-id filter; no RNG state).
     "llm_sample" -> ((s, d) =>
       Curation.deterministicSample(Tables.documents(s, d), "doc_id",
@@ -543,6 +586,90 @@ object LlmQueries {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
            COUNT(*) AS dup_count
          FROM documents GROUP BY md5(text)""",
+    // Line dedup: 2-token lines, heavy = present in > max(1, 0.5% N)
+    // distinct docs, reassembly re-joins survivors in line order.
+    "llm_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          n AS (SELECT doc_id, ws,
+                  CAST(ceil(len(ws) / 2.0) AS INT) AS n_lines FROM toks),
+          lines AS (
+            SELECT doc_id, CAST(i AS INT) AS line_idx,
+              array_to_string(ws[CAST(i*2+1 AS INT):CAST(i*2+2 AS INT)],
+                ' ') AS line
+            FROM n, LATERAL (SELECT unnest(range(0, n_lines)) AS i)),
+          stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+          heavy AS (
+            SELECT md5(line) AS lh FROM lines GROUP BY md5(line)
+            HAVING COUNT(DISTINCT doc_id) >
+              (SELECT greatest(1.0, 0.03 * n_docs) FROM stats)),
+          reb AS (
+            SELECT doc_id, COUNT(*) AS kept_lines,
+              string_agg(line, ' ' ORDER BY line_idx) AS clean_text
+            FROM lines WHERE md5(line) NOT IN (SELECT lh FROM heavy)
+            GROUP BY doc_id)
+          SELECT n.doc_id, n.n_lines,
+            CAST(COALESCE(r.kept_lines, 0) AS BIGINT) AS kept_lines,
+            md5(COALESCE(r.clean_text, '')) AS clean_md5
+          FROM n LEFT JOIN reb r ON r.doc_id = n.doc_id""",
+    // Incremental dedup: reuses the banded-LSH CTE chain; new batch =
+    // odd doc_ids, reference corpus = even doc_ids.
+    "llm_incr_dedup" ->
+      s"""WITH $minhashPairsCtes,
+          newdocs AS (SELECT doc_id, md5(text) AS h FROM documents
+                      WHERE doc_id % 2 = 1),
+          refhash AS (SELECT DISTINCT md5(text) AS h FROM documents
+                      WHERE doc_id % 2 = 0),
+          nearids AS (
+            SELECT DISTINCT l.doc_id AS id
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.band_hash = r.band_hash
+             AND l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+            WHERE CAST(len(list_intersect(list_distinct(l.sh),
+                                          list_distinct(r.sh))) AS DOUBLE) /
+                  CAST(len(list_distinct(l.sh || r.sh)) AS DOUBLE) >= 0.8)
+          SELECT n.doc_id,
+            n.h IN (SELECT h FROM refhash) AS dup_exact,
+            n.doc_id IN (SELECT id FROM nearids) AS dup_near
+          FROM newdocs n""",
+    // Feature-hashed classifier: bucket = hex8(md5(tok)) % 64, weight =
+    // hex8(md5('clf:' || bucket)) % 2001 - 1000; integer sum, one final
+    // division.
+    "llm_classifier" -> {
+      val bucketExpr = duckHex8("t")
+      val weightExpr = duckHex8("'clf:' || CAST(b AS VARCHAR)")
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          b AS (SELECT doc_id, len(ws) AS n,
+                  list_transform(ws, t -> $bucketExpr % 64) AS buckets
+                FROM toks),
+          w AS (SELECT doc_id, n,
+                  CAST(COALESCE(list_sum(list_transform(buckets, b ->
+                    $weightExpr % 2001 - 1000)), 0) AS BIGINT)
+                    AS clf_weight_sum
+                FROM b)
+          SELECT doc_id, clf_weight_sum,
+            CASE WHEN n = 0 THEN 0 ELSE
+              CAST(FLOOR(CAST(clf_weight_sum AS DOUBLE) * 1000000.0 /
+                (CAST(n AS DOUBLE) * 1000.0)) AS BIGINT) END
+              AS clf_score_micro,
+            clf_weight_sum > 0 AS clf_keep
+          FROM w"""
+    },
+    // Random projection: same md5-derived plane weights as
+    // Ann.planeWeight(seed=7), same sequential fold as the Spark dot.
+    "llm_rp_reduce" -> {
+      val wExpr = duckHex8(
+        "'7:' || CAST(pdim AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)")
+      s"""WITH dims AS (SELECT CAST(x AS INT) AS pdim FROM
+            (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) v(x)),
+          vals AS (
+            SELECT vec_id, pdim,
+              list_sum(list_transform(range(1, len(embedding) + 1),
+                d -> CAST(embedding[CAST(d AS INT)] AS DOUBLE) *
+                  (($wExpr % 2000) / 1000.0 - 1.0))) AS v
+            FROM embeddings, dims)
+          SELECT vec_id, pdim,
+            CAST(FLOOR(v * 1000000) AS BIGINT) AS v_micro FROM vals"""
+    },
     "llm_sample" ->
       s"""SELECT doc_id FROM documents
           WHERE ${duckHex8("'s1:' || CAST(doc_id AS VARCHAR)")} % 10000

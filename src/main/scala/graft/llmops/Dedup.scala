@@ -380,4 +380,114 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Line-level dedup with reassembly (the CCNet / RefinedWeb paragraph
+    * filter): split each document into non-overlapping `window`-token
+    * lines, drop every line whose exact content occurs in more than
+    * max(1, maxDocFrac * corpus) DISTINCT documents (cross-document
+    * boilerplate -- headers, navigation, license blurbs), and reassemble
+    * the surviving lines in original order.
+    *
+    * Returns (idCol, n_lines, kept_lines, clean_text); documents whose
+    * every line is boilerplate keep a row with kept_lines = 0 and
+    * clean_text = ''.
+    *
+    * Scale shape: the over-represented hash set is the corpus's heavy
+    * hitters -- tiny by definition -- so it BROADCASTS into a left_anti
+    * join and the document text itself never rides a shuffle: the wide
+    * stages are a 16-byte-hash groupBy (count distinct docs per line)
+    * and the per-document reassembly groupBy on the id. The line subtree
+    * is deliberately computed twice (once under the heavy-hitter agg,
+    * once under the anti-join) -- two narrow scans beat persisting an
+    * exploded 100 TB corpus.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      window: Int, maxDocFrac: Double): DataFrame = {
+    require(window > 0 && maxDocFrac > 0)
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(bind(tokens(col(textCol))) { t =>
+        when(size(t) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0),
+              ceil(size(t).cast("double") / window).cast("int") - 1),
+            i => concat_ws(" ", slice(t, i * window + 1, lit(window)))))
+      }).as(Seq("line_idx", "line")))
+      .withColumn("lh", md5(col("line")))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    // nd > max(1, frac*N): the fraction keeps the threshold meaningful
+    // across corpus sizes, the floor of 1 keeps tiny corpora from
+    // dropping every line.
+    val heavy = lines.groupBy("lh")
+      .agg(countDistinct(col("id")).as("nd"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("nd").cast("double") >
+        greatest(lit(1.0), lit(maxDocFrac) * col("n_docs").cast("double")))
+      .select("lh")
+    val rebuilt = lines.join(broadcast(heavy), Seq("lh"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("kept_lines"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          s => s.getField("line")), " ").as("clean_text"))
+    df.select(col(idCol).as("id"),
+        bind(tokens(col(textCol))) { t =>
+          greatest(ceil(size(t).cast("double") / window).cast("int"), lit(0))
+        }.as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Incremental (cross-snapshot) dedup: flag each document of a NEW
+    * batch that duplicates the existing reference corpus -- `dup_exact`
+    * (byte-identical text already present) and `dup_near` (MinHash-band
+    * candidate verified at shingle-Jaccard >= threshold). The filter for
+    * ingest-time dedup is `!dup_exact && !dup_near`; the flags frame
+    * keeps the gate (and operational audits) richer than a survivor
+    * list.
+    *
+    * Scale shape: the new batch is typically orders of magnitude smaller
+    * than the at-rest corpus, and NOTHING here depends on that ratio
+    * being small: exact matching is an equi-join on 16-byte content
+    * hashes; near matching generates candidates by the same banded-LSH
+    * bucket join as [[minhashPairs]] (new x ref within a band bucket
+    * only), then verifies exact Jaccard on the candidate pairs. No side
+    * is ever broadcast unconditionally -- AQE picks broadcast when the
+    * new batch's band keys are small enough.
+    */
+  def incrementalDedupFlags(newDf: DataFrame, refDf: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 8,
+      bandRows: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val refHashes = refDf.select(md5(col(textCol)).as("__h")).distinct()
+    val exactIds = newDf
+      .select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
+      .join(refHashes, Seq("__h"), "left_semi")
+      .select(col("id"))
+    val newBands = minhashBandKeys(newDf, idCol, textCol, shingleN, k,
+      bandRows)
+    val refBands = minhashBandKeys(refDf, idCol, textCol, shingleN, k,
+      bandRows)
+    val candidates = newBands.as("l")
+      .join(refBands.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash"))
+      .select(col("l.id").as("id"), col("r.id").as("ref_id"))
+      .dropDuplicates("id", "ref_id")
+    def shingleSide(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+        array_distinct(shingles(tokens(col(textCol)), shingleN))
+          .as(s"__sh_$out"))
+    val nearIds = candidates
+      .join(shingleSide(newDf, "id"), Seq("id"))
+      .join(shingleSide(refDf, "ref_id"), Seq("ref_id"))
+      .where(jaccardUdf(col("__sh_id"), col("__sh_ref_id")) >= threshold)
+      .select(col("id")).distinct()
+    newDf.select(col(idCol).as("id"))
+      .join(exactIds.withColumn("__e", lit(true)), Seq("id"), "left")
+      .join(nearIds.withColumn("__n", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__e"), lit(false)).as("dup_exact"),
+        coalesce(col("__n"), lit(false)).as("dup_near"))
+  }
 }

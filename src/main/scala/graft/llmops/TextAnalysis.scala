@@ -27,6 +27,30 @@ object TextAnalysis {
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", fingerprint(col(textCol)))
 
+  /** Feature-hashed linear classifier score (fastText-style quality /
+    * domain classifier): tokens hash into `dims` buckets, score = mean
+    * bucket weight, label = score > 0. Entirely map-side (no vocabulary
+    * join -- the hashing trick is what makes the classifier run at
+    * corpus scale as a pure projection); integer weight sums keep the
+    * score exactly reproducible cross-engine. Adds `clf_weight_sum`
+    * (exact integer), `clf_score_micro` (floor of score * 1e6) and
+    * `clf_keep` (score > 0).
+    */
+  def withClassifier(df: DataFrame, textCol: String, dims: Int = 64,
+      seed: String = "clf"): DataFrame = {
+    val withSum = df
+      .withColumn("clf_weight_sum",
+        hashedWeightSum(tokens(col(textCol)), dims, seed))
+      .withColumn("__n", size(tokens(col(textCol))))
+    withSum
+      .withColumn("clf_score_micro",
+        when(col("__n") === 0, 0L).otherwise(
+          floor(col("clf_weight_sum").cast("double") * 1000000.0 /
+            (col("__n").cast("double") * 1000.0)).cast("long")))
+      .withColumn("clf_keep", col("clf_weight_sum") > 0)
+      .drop("__n")
+  }
+
   /** Split documents into overlapping token windows (training-sample
     * chunking): rows (original cols..., chunk_idx, chunk_text,
     * chunk_tokens). Stride < window gives overlap; the final partial

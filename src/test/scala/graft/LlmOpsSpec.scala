@@ -357,4 +357,80 @@ class LlmOpsSpec extends SparkSpec {
       k = 5, planes = 8, probes = 6).collect()
     assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
+
+  test("line dedup drops cross-doc boilerplate, keeps unique lines") {
+    import spark.implicits._
+    // "x y" occurs in all 4 docs (boilerplate); the rest are unique.
+    val df = Seq(
+      (1L, "x y aa bb"), (2L, "x y cc dd"), (3L, "x y ee ff"),
+      (4L, "x y gg hh ii")).toDF("id", "text")
+    val out = Dedup.lineDedup(df, "id", "text", window = 2,
+      maxDocFrac = 0.5).collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    // threshold = max(1, 0.5*4) = 2 docs; "x y" is in 4 > 2 -> dropped.
+    assert(out(1L) == ((2, 1L, "aa bb")))
+    assert(out(4L) == ((3, 2L, "gg hh ii")))
+    // a doc that is ALL boilerplate keeps a row with empty text
+    val all = Dedup.lineDedup(
+      Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"), (5L, "q r"))
+        .toDF("id", "text"), "id", "text", 2, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(all(1L) == "" && all(5L) == "q r")
+  }
+
+  test("incremental dedup flags exact and near dups of the new batch") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val ref = Seq((2L, base), (4L, "totally different words here entirely"))
+      .toDF("id", "text")
+    val newB = Seq(
+      (1L, base), // exact dup of ref 2
+      (3L, base + " extra"), // near dup (high jaccard)
+      (5L, "unrelated fresh content nothing shared with anything at all"))
+      .toDF("id", "text")
+    val flags = Dedup.incrementalDedupFlags(newB, ref, "id", "text",
+      shingleN = 3, k = 8, bandRows = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(flags(1L) == ((true, true)))
+    assert(flags(3L) == ((false, true)))
+    assert(flags(5L) == ((false, false)))
+    assert(flags.size == 3)
+  }
+
+  test("hashed classifier: integer-exact, empty-doc safe, sign label") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta alpha"), (2L, ";;;")).toDF("id", "text")
+    val out = TextAnalysis.withClassifier(df, "text", dims = 16,
+      seed = "t").select("id", "clf_weight_sum", "clf_score_micro",
+        "clf_keep").collect().map(r => r.getLong(0) -> r).toMap
+    // empty-token doc: zero sum, zero score, keep = false
+    assert(out(2L).getLong(1) == 0L && out(2L).getLong(2) == 0L &&
+      !out(2L).getBoolean(3))
+    // repeated token contributes its weight twice
+    val w = TextAnalysis.withClassifier(
+      Seq((10L, "alpha"), (11L, "beta")).toDF("id", "text"), "text", 16, "t")
+      .select("id", "clf_weight_sum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L).getLong(1) == 2 * w(10L) + w(11L))
+    assert(out(1L).getBoolean(3) == (out(1L).getLong(1) > 0))
+  }
+
+  test("random projection matches per-component driver-side dot") {
+    val w = (0 until 4).map(p =>
+      (0 until 64).map(d => Ann.planeWeight(7, p, d)))
+    val row = embeddings.where("vec_id = 3")
+      .select(col("embedding").cast("array<double>").as("e"),
+        graft.functions.VectorFunctions.randomProjection(
+          col("embedding"), w).as("proj")).head()
+    val e = row.getSeq[Double](0)
+    val proj = row.getSeq[Double](1)
+    assert(proj.length == 4)
+    (0 until 4).foreach { p =>
+      var s = 0.0
+      var i = 0
+      while (i < e.length) { s += e(i) * w(p)(i); i += 1 }
+      assert(math.abs(proj(p) - s) < 1e-12)
+    }
+  }
 }
