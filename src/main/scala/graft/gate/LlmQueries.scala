@@ -290,6 +290,19 @@ object LlmQueries {
           floor(col("score") * 1000000).cast("long").as("cosine_micro"))
     }),
 
+    // RP filter-and-refine ANN: cosine in the 8-d JL-projected space
+    // selects 50 candidates map-side; exact cosine reranks to top-10.
+    "llm_rp_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      Ann.rpTopK(emb, "vec_id", "embedding", q, k = 10, planes = 8,
+        rerank = 50, seed = 7)
+        .select(col("id").as("vec_id"),
+          floor(col("score") * 1000000).cast("long").as("cosine_micro"))
+    }),
+
     // Scale-path ANN: trained-centroid IVF, 4-probe. Oracle is DYNAMIC
     // (annIvfOracleSql, merged by Verify): training is deterministic, so
     // Verify re-trains the same centroids, injects them as a VALUES
@@ -1000,6 +1013,42 @@ object LlmQueries {
            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
              AS bpeish_tokens
          FROM documents""",
+    // RP ANN: projection components recompute the seed-7 plane weights;
+    // candidate order = projected cosine (same folds), rerank = exact.
+    "llm_rp_ann" -> {
+      val wExpr = duckHex8(
+        "'7:' || CAST(p AS VARCHAR) || ':' || CAST(d - 1 AS VARCHAR)")
+      s"""WITH proj AS (
+            SELECT vec_id, embedding,
+              list_transform(range(0, 8), p ->
+                list_sum(list_transform(range(1, len(embedding) + 1),
+                  d -> CAST(embedding[CAST(d AS INT)] AS DOUBLE) *
+                    (($wExpr % 2000) / 1000.0 - 1.0)))) AS pv
+            FROM embeddings),
+          qp AS (SELECT pv AS qpv FROM proj WHERE vec_id = 7),
+          qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+          rp AS (
+            SELECT vec_id,
+              list_sum(list_transform(range(1, 9), i ->
+                pv[CAST(i AS INT)] * qpv[CAST(i AS INT)])) /
+              (sqrt(list_sum(list_transform(pv, x -> x * x))) *
+               sqrt(list_sum(list_transform(qpv, x -> x * x)))) AS rc
+            FROM proj, qp),
+          cand AS (
+            SELECT vec_id FROM rp ORDER BY rc DESC, vec_id LIMIT 50),
+          scored AS (
+            SELECT e.vec_id,
+              list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+                CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(qe[CAST(i AS INT)] AS DOUBLE))) /
+              (sqrt(list_sum(list_transform(e.embedding, x ->
+                 CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(qe, x ->
+                 CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+            FROM embeddings e JOIN cand USING (vec_id), qv)
+          SELECT vec_id, CAST(FLOOR(c * 1000000) AS BIGINT) AS cosine_micro
+          FROM scored ORDER BY c DESC, vec_id LIMIT 10"""
+    },
     "llm_ann_topk" ->
       """WITH q AS (
            SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),

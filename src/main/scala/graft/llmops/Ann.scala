@@ -305,6 +305,44 @@ object Ann {
       .limit(k)
   }
 
+  /** ANN via random-projection filter-and-refine: score every vector by
+    * cosine in the `planes`-d JL-projected space (a map-side projection
+    * -- planes x dims multiply-adds, no shuffle), keep the top `rerank`
+    * candidates, then re-score exactly in the original space. At
+    * production dims (1536-d -> 16-d) the candidate scan does ~1% of the
+    * float math of a brute scan and the exact pass touches only `rerank`
+    * rows; both stages end in TakeOrderedAndProject, so nothing wide
+    * ever materializes.
+    */
+  def rpTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, planes: Int = 8, rerank: Int = 50,
+      seed: Int = 7): DataFrame = {
+    require(rerank >= k)
+    val w = (0 until planes).map(p =>
+      (0 until query.length).map(d => planeWeight(seed, p, d)))
+    // query projected with the same sequential fold as the column side
+    val qProj = w.map { row =>
+      var s = 0.0
+      var i = 0
+      while (i < query.length) { s += query(i) * row(i); i += 1 }
+      s
+    }
+    val cand = df
+      .select(col(idCol).as("id"), col(vecCol).as("__v"),
+        graft.functions.VectorFunctions.randomProjection(col(vecCol), w)
+          .as("__p"))
+      .withColumn("rp_score",
+        graft.functions.VectorFunctions.cosineToQueryFast(col("__p"), qProj))
+      .orderBy(desc("rp_score"), col("id"))
+      .limit(rerank)
+    cand
+      .withColumn("score", graft.functions.CosineSimilarity(
+        col("__v"), org.apache.spark.sql.functions.typedLit(query)))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+      .select("id", "score")
+  }
+
   /** Vectors AT REST, directory-partitioned by trained-centroid cell (no
     * metastore needed, unlike bucketBy): each cell becomes a partition
     * directory, so a probe query's `cell IN (...)` predicate is a

@@ -416,6 +416,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L).getBoolean(3) == (out(1L).getLong(1) > 0))
   }
 
+  test("rp filter-and-refine ANN: self-match at top, exact final scores") {
+    val q = embeddings.where("vec_id = 11")
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+    val rows = Ann.rpTopK(embeddings, "vec_id", "embedding", q, k = 5,
+      planes = 8, rerank = 50, seed = 7).collect()
+    assert(rows.length == 5)
+    assert(rows.head.getLong(0) == 11L)
+    assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-9)
+    // final scores are exact cosines, descending
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
   test("random projection matches per-component driver-side dot") {
     val w = (0 until 4).map(p =>
       (0 until 64).map(d => Ann.planeWeight(7, p, d)))
