@@ -139,6 +139,40 @@ object PlanCheck {
           .find(_._1.startsWith("graft_cc_convergence_rounds"))
           .map(_._2).getOrElse(-1.0))
     }
+    // 8. Curation additions. (a) line dedup: the heavy-hitter line set
+    // must arrive via a BROADCAST left_anti join (document text never
+    // rides a shuffle; the only exchanges are the 16-byte-hash groupBy
+    // and the per-doc reassembly). (b) classifier: a pure map-side
+    // projection -- NO exchange at all. (c) rpTopK: both stages must be
+    // TakeOrderedAndProject with zero shuffles.
+    {
+      val docs = graft.core.Tables.documents(spark, sf)
+      val ld = graft.llmops.Dedup.lineDedup(docs, "doc_id", "text",
+        window = 2, maxDocFrac = 0.03)
+      val ldStr = ld.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      def occ(hay: String, needle: String): Int =
+        hay.sliding(needle.length).count(_ == needle)
+      println("\nline dedup: " +
+        s"BroadcastHashJoin LeftAnti=${occ(ldStr, "BroadcastHashJoin") min occ(ldStr, "LeftAnti")}, " +
+        s"shuffles=${occ(ldStr, "Exchange hashpartitioning")}")
+      val clf = graft.llmops.TextAnalysis.withClassifier(docs, "text")
+      val clfExch = clf.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      println(s"hashed classifier: ${clfExch.size} shuffles (map-side only)")
+      val emb = graft.core.Tables.embeddings(spark, sf)
+      val q = emb.where(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val rp = graft.llmops.Ann.rpTopK(emb, "vec_id", "embedding", q,
+        k = 10, planes = 8, rerank = 50, seed = 7)
+      val rpStr = rp.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      println("rp ann: " +
+        s"TakeOrderedAndProject=${occ(rpStr, "TakeOrderedAndProject")}, " +
+        s"shuffles=${occ(rpStr, "Exchange hashpartitioning")}")
+    }
     spark.stop()
   }
 }
