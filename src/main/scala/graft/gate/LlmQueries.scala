@@ -135,6 +135,21 @@ object LlmQueries {
         threshold = 0.8)
     }),
 
+    // HLL distinct-token sketch per source (p=4, 16 registers) beside
+    // the exact count: registers are md5-derived integers and the
+    // harmonic denominator is an exact dyadic sum, so even the float
+    // estimate hash-matches cross-engine.
+    "llm_hll_distinct" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      graft.llmops.Sketches.hllDistinct(toks, "source", "tok", p = 4)
+        .join(toks.groupBy("source")
+          .agg(countDistinct("tok").as("exact_distinct")), Seq("source"))
+        .select(col("source"), col("buckets_seen"), col("denom_micro"),
+          floor(col("raw_est") * 1000).cast("long").as("raw_est_milli"),
+          col("exact_distinct"))
+    }),
+
     // Feature-hashed linear classifier (fastText shape): 64 buckets,
     // md5-derived stand-in weights, integer-exact score.
     "llm_classifier" -> ((s, d) =>
@@ -644,6 +659,36 @@ object LlmQueries {
             n.h IN (SELECT h FROM refhash) AS dup_exact,
             n.doc_id IN (SELECT id FROM nearids) AS dup_near
           FROM newdocs n""",
+    // HLL: bucket = top 4 bits of hex8(md5(tok)), rho = leading zeros of
+    // the 28-bit suffix + 1 (via length(bin())), 2^-register through an
+    // integer shift + one division -- exact dyadic arithmetic end to end.
+    "llm_hll_distinct" -> {
+      val hvExpr = duckHex8("tok")
+      s"""WITH tok AS (
+            SELECT source, unnest($duckToks) AS tok FROM documents),
+          h AS (SELECT source, tok, $hvExpr AS hv
+                FROM (SELECT DISTINCT source, tok FROM tok)),
+          r AS (SELECT source, hv // 268435456 AS bucket,
+                  CASE WHEN hv % 268435456 = 0 THEN 29
+                       ELSE 28 - length(bin(hv % 268435456)) + 1 END AS rho
+                FROM h),
+          reg AS (SELECT source, bucket, MAX(rho) AS register
+                  FROM r GROUP BY source, bucket),
+          agg AS (SELECT source, COUNT(*) AS buckets_seen,
+                    SUM(1.0 / CAST((CAST(1 AS BIGINT) << register)
+                      AS DOUBLE)) AS seen_denom
+                  FROM reg GROUP BY source),
+          ex AS (SELECT source, COUNT(DISTINCT tok) AS exact_distinct
+                 FROM tok GROUP BY source)
+          SELECT a.source, a.buckets_seen,
+            CAST(FLOOR((seen_denom + (16 - buckets_seen)) * 1000000)
+              AS BIGINT) AS denom_micro,
+            CAST(FLOOR(0.673 * 256.0 /
+              (seen_denom + (16 - buckets_seen)) * 1000) AS BIGINT)
+              AS raw_est_milli,
+            e.exact_distinct
+          FROM agg a JOIN ex e USING (source)"""
+    },
     // Feature-hashed classifier: bucket = hex8(md5(tok)) % 64, weight =
     // hex8(md5('clf:' || bucket)) % 2001 - 1000; integer sum, one final
     // division.

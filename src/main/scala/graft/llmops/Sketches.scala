@@ -1,0 +1,95 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.hex8
+
+/** Sketch aggregations for corpus-scale statistics.
+  *
+  * HyperLogLog distinct counting (Flajolet et al. 2007): the standard
+  * way to count distinct tokens/URLs/users per group over 100 TB
+  * without shuffling the distinct sets -- registers aggregate with MAX,
+  * so the shuffle carries at most `groups x 2^p` tiny rows and the
+  * map side pre-combines.
+  *
+  * Exact cross-engine determinism (unusual for HLL, deliberate here):
+  * the hash is md5-derived (hex8), the register is an integer, and the
+  * harmonic denominator sums 2^-M_j terms -- dyadic rationals that
+  * double addition represents EXACTLY (max register 27 and <= 2^p terms
+  * keep the sum far inside the 53-bit mantissa), so the group sum is
+  * order-independent and any SQL oracle reproduces every bit. The one
+  * float step (alpha * m^2 / denom) is a single multiply + divide of
+  * identical doubles. The small-range linear-counting correction uses
+  * ln(), whose last bit is libm-dependent -- [[hllDistinct]] exposes
+  * the raw estimate for cross-engine gates and [[correctedEstimate]]
+  * (driver-side, on the collected frame) for consumers who want the
+  * textbook correction.
+  */
+object Sketches {
+
+  /** Registers: (groupCol, bucket, register) with register =
+    * max over values of rho(hash suffix). p bits of bucket, rho =
+    * leading-zero count of the remaining (32-p) bits + 1; all-zero
+    * suffix -> (32-p)+1.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int): DataFrame = {
+    require(p >= 2 && p <= 12)
+    val suffixBits = 32 - p
+    val h = hex8(col(valueCol))
+    // integer ops only: shiftright for the bucket (Column./ would go
+    // through DOUBLE), % stays exact on non-negative longs.
+    val bucket = shiftright(h, suffixBits)
+    val rest = h % (1L << suffixBits)
+    // bit-length via bin(): both Spark and DuckDB print minimal binary
+    // strings, so length(bin(rest)) is the highest-set-bit position.
+    val rho = when(rest === 0, lit(suffixBits + 1))
+      .otherwise(lit(suffixBits) - length(bin(rest)) + 1)
+    df.select(col(groupCol), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(groupCol, "bucket")
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** Per-group raw HLL estimate. Returns (groupCol, buckets_seen,
+    * denom_micro, raw_est): denominator = sum over ALL m = 2^p buckets
+    * of 2^-register (unseen buckets contribute 2^-0 = 1), raw_est =
+    * alpha_m * m^2 / denominator. denom_micro is exact (dyadic sum);
+    * floor it to micros for hash-stable gates.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    hllRegisters(df, groupCol, valueCol, p)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("buckets_seen"),
+        // 2^-register via an integer shift + ONE division: exact dyadic
+        // doubles (pow() would route through libm, whose last bit is
+        // implementation-defined).
+        sum(lit(1.0) /
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), register) AS DOUBLE)"))
+          .as("__seen_denom"))
+      .withColumn("__denom",
+        col("__seen_denom") + (lit(m) - col("buckets_seen")).cast("double"))
+      .select(col(groupCol), col("buckets_seen"),
+        floor(col("__denom") * 1000000).cast("long").as("denom_micro"),
+        (lit(alpha * m.toDouble * m.toDouble) / col("__denom"))
+          .as("raw_est"))
+  }
+
+  /** Textbook small/large-range corrected estimate (driver-side helper;
+    * uses ln(), so NOT for cross-engine hash gates).
+    */
+  def correctedEstimate(rawEst: Double, bucketsSeen: Long, p: Int): Double = {
+    val m = 1 << p
+    val zeros = m - bucketsSeen
+    if (rawEst <= 2.5 * m && zeros > 0)
+      m * math.log(m.toDouble / zeros) // linear counting
+    else rawEst
+  }
+}

@@ -104,6 +104,16 @@ object AnnRecall {
       both.unpersist()
     }
 
+    // RP filter-and-refine: full scan of the PROJECTED vectors (planes
+    // mults/row instead of dims -- the compression path, like PQ);
+    // "scanned" reports the exact-rerank candidate count.
+    Seq((8, 50), (8, 100), (16, 100)).foreach { case (planes, rerank) =>
+      recall(s"rp(planes=$planes)+rerank $rerank",
+        q => Ann.rpTopK(emb, "vec_id", "embedding", q, k, planes,
+          rerank),
+        _ => rerank.toLong)
+    }
+
     recall("ivf(bits=3, probes=2)",
       q => Ann.ivfTopK(emb, "vec_id", "embedding", q, k, bits = 3, probes = 2),
       q => n / 8 * 2)

@@ -416,6 +416,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L).getBoolean(3) == (out(1L).getLong(1) > 0))
   }
 
+  test("hll sketch: registers dedupe, estimate tracks exact cardinality") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => ("g" + (i % 2), "v" + (i % 1000)))
+      .toDF("g", "v")
+    val est = graft.llmops.Sketches.hllDistinct(df, "g", "v", p = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // each group sees 500 distinct values; raw HLL at m=64 is within
+    // ~2/sqrt(64) = 25% with overwhelming probability
+    est.values.foreach { e => assert(e > 300 && e < 700, s"estimate $e") }
+    // duplicates must not move the registers at all
+    val est2 = graft.llmops.Sketches.hllDistinct(
+      df.union(df), "g", "v", p = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(est == est2)
+    // corrected estimate falls back to linear counting when almost all
+    // buckets are empty
+    val small = graft.llmops.Sketches.correctedEstimate(
+      rawEst = 10.0, bucketsSeen = 4, p = 6)
+    assert(small > 0 && small < 10.0)
+  }
+
   test("rp filter-and-refine ANN: self-match at top, exact final scores") {
     val q = embeddings.where("vec_id = 11")
       .select(col("embedding").cast("array<double>")).head()
