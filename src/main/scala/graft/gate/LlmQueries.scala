@@ -181,6 +181,12 @@ object LlmQueries {
         rates = Map("en" -> 0.2, "de" -> 0.8), defaultRate = 0.5,
         salt = "mix").select(col("doc_id"), col("lang"))),
 
+    // Temperature mixing (alpha=0.5): per-lang keep rate
+    // sqrt(n_min / n_lang) -- smallest language kept whole.
+    "llm_temperature_mix" -> ((s, d) =>
+      Curation.temperatureMix(Tables.documents(s, d), "doc_id", "lang",
+        salt = "tmix").select(col("doc_id"), col("lang"))),
+
     // Per-source quota mixing: 5 best docs per source by n_chars.
     "llm_quota" -> ((s, d) =>
       Curation.groupQuota(Tables.documents(s, d), "source", "n_chars",
@@ -732,6 +738,20 @@ object LlmQueries {
       s"""SELECT doc_id FROM documents
           WHERE ${duckHex8("'s1:' || CAST(doc_id AS VARCHAR)")} % 10000
             < 2500""",
+    // Temperature mix: division then sqrt are both correctly-rounded
+    // IEEE ops, so the floored threshold matches the engine exactly.
+    "llm_temperature_mix" ->
+      s"""WITH counts AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+          mn AS (SELECT MIN(n) AS nmin FROM counts),
+          th AS (SELECT lang,
+                   CAST(FLOOR(sqrt(CAST(nmin AS DOUBLE) /
+                     CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS thr
+                 FROM counts, mn)
+          SELECT d.doc_id, d.lang
+          FROM documents d JOIN th USING (lang)
+          WHERE ${duckHex8("'tmix:' || CAST(d.doc_id AS VARCHAR)")}
+            % 10000 < thr""",
     "llm_pipeline" ->
       s"""WITH base AS (
             SELECT doc_id, text, lang, n_chars, $duckToks AS ws

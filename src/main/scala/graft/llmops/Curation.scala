@@ -60,6 +60,34 @@ object Curation {
     df.where(bucket < threshold)
   }
 
+  /** Temperature-based data mixing (the multilingual-LM sampling
+    * scheme, alpha = 0.5): per-group keep rate sqrt(n_min / n_g), so
+    * the smallest group is kept in full and group g's expected share
+    * becomes proportional to sqrt(n_g) -- flattening the natural
+    * distribution toward low-resource groups without upsampling.
+    *
+    * Scale shape: one tiny count aggregate, its result BROADCAST back,
+    * then the same pure hash-of-id filter as [[deterministicSample]] --
+    * the corpus itself never shuffles. Determinism: rate = one division
+    * + one sqrt (both correctly-rounded IEEE ops), threshold = floor to
+    * 0.01% resolution; any engine reproduces the kept set exactly.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+      salt: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val thresholds = counts.crossJoin(broadcast(nmin))
+      .select(col(groupCol),
+        floor(sqrt(col("__nmin").cast("double") / col("__n").cast("double"))
+          * 10000.0).cast("long").as("__thr"))
+    val bucket = conv(substring(
+      md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000L
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .where(bucket < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Per-group quota: the k best rows per group by (orderCol DESC, id
     * ASC) -- domain-quota data mixing ("at most k docs per source,
     * best-quality first").

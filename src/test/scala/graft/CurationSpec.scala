@@ -116,4 +116,20 @@ class CurationSpec extends SparkSpec {
       shingleN = 3, minHits = 2).select("doc_id").as[Long].collect().toSet
     assert(lax == Set(3L, 4L, 5L, 6L))
   }
+
+  test("temperature mix: smallest group whole, big groups flattened") {
+    import spark.implicits._
+    // 40 "en" docs, 10 "mi" docs: rate_en = sqrt(10/40) = 0.5
+    val df = ((0 until 40).map(i => (i.toLong, "en")) ++
+      (100 until 110).map(i => (i.toLong, "mi"))).toDF("id", "lang")
+    val kept = Curation.temperatureMix(df, "id", "lang", "t1")
+      .select("id", "lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("mi") == 10) // thr = 10000: kept in full
+    assert(byLang("en") > 8 && byLang("en") < 32) // ~20 of 40 expected
+    // deterministic: same kept set on re-run
+    val again = Curation.temperatureMix(df, "id", "lang", "t1")
+      .select("id", "lang").as[(Long, String)].collect()
+    assert(kept.map(_._1).toSet == again.map(_._1).toSet)
+  }
 }
