@@ -417,8 +417,12 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id", "text"), "text",
         window = 32, stride = 24)
       val e = graft.embed.DeterministicEmbedder(dims = 4)
+      // compiled embed() (byte-equal to embedCol -- OpsSpec asserts it);
+      // the HOF form re-ran the per-token md5 fold interpretively per
+      // chunk and dominated this gate's wall time.
+      val embedUdf = udf((s: String) => e.embed(s))
       VectorFunctions.meanPool(
-        chunked.withColumn("emb", e.embedCol(col("chunk_text"))),
+        chunked.withColumn("emb", embedUdf(col("chunk_text"))),
         "doc_id", "emb", "chunk_idx")
         .select(col("doc_id"),
           posexplode(col("doc_embedding")).as(Seq("dim", "v")))
