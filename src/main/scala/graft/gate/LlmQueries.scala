@@ -268,6 +268,15 @@ object LlmQueries {
           shingleN = 3, k = 8, bandRows = 4, threshold = 0.8),
         "id_a", "id_b")),
 
+    // Integer PageRank (3 rounds, damping 0.85) over the verified
+    // minhash near-dup graph: similarity-graph centrality for curation.
+    "llm_graph_rank" -> ((s, d) =>
+      graft.llmops.Graphs.pageRank(
+        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, k = 8, bandRows = 4, threshold = 0.8),
+        "id_a", "id_b", iters = 3, dampingMilli = 850)
+        .select(col("id").as("doc_id"), col("rank_micro"))),
+
     // 16-bit SimHash per document.
     "llm_simhash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1017,6 +1026,30 @@ object LlmQueries {
             UNION
             SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
           SELECT u AS id, MIN(v) AS cluster_id FROM reach GROUP BY u""",
+    // Integer PageRank: 3 unrolled iterations, all-integer arithmetic
+    // (// division, exact long sums), so the ranks match bit-for-bit.
+    "llm_graph_rank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (
+             SELECT d.src AS id,
+               CAST(150000 + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT)
+                 AS r
+             FROM deg d LEFT JOIN (
+               SELECT e.dst, CAST(SUM($prev.r // g.deg) AS BIGINT) AS c
+               FROM edges e JOIN $prev ON $prev.id = e.src
+                 JOIN deg g ON g.src = e.src
+               GROUP BY e.dst) s ON s.dst = d.src)"""
+      s"""WITH $minhashPairsCtes,
+          pairs AS (SELECT id_a, id_b FROM verified WHERE j >= 0.8),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+          r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+          ${iter("r0", "r1")},
+          ${iter("r1", "r2")},
+          ${iter("r2", "r3")}
+          SELECT id AS doc_id, r AS rank_micro FROM r3"""
+    },
     "llm_simhash" ->
       s"""WITH toks AS (
             SELECT doc_id, $duckToks AS ws FROM documents)

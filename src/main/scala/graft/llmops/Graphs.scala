@@ -1,0 +1,73 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over document-similarity graphs (the companion to
+  * [[Dedup.connectedComponents]]): centrality scoring for curation --
+  * e.g. rank documents by how centrally they sit in the near-dup /
+  * knn graph and keep the most-connected exemplar per region, or
+  * propagate a quality prior along similarity edges.
+  *
+  * Determinism: ranks are INTEGER MICROS end to end -- per-edge
+  * contributions use integer division, per-node sums are exact longs
+  * (order-independent), damping is an integer multiply + divide. Every
+  * iteration is therefore bit-reproducible on any engine, which is what
+  * makes a cross-engine oracle (and retry-safe production runs) possible;
+  * textbook float PageRank changes low bits with partitioning.
+  *
+  * Scale shape: the symmetric edge list is persisted PRE-PARTITIONED on
+  * the join key once (like connectedComponents); each iteration joins
+  * the small (node, rank) frame to it, aggregates by destination, and
+  * never moves the edges again. iters is a small constant -- the loop
+  * runs on the driver but every step is a distributed plan.
+  */
+object Graphs {
+
+  /** Integer PageRank over an undirected pair list. Returns
+    * (id, rank_micro) after `iters` rounds from a uniform start of
+    * 1e6 micros per node:
+    *   rank'(n) = (1000 - dampingMilli) * 1000
+    *            + dampingMilli * sum_{(v,n) in E} (rank(v) div deg(v))
+    *              div 1000
+    */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 3, dampingMilli: Int = 850): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(iters >= 1 && dampingMilli >= 0 && dampingMilli <= 1000)
+    val spark = pairs.sparkSession
+    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = half.union(half.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .repartition(col("src"))
+      .persist(MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(MEMORY_AND_DISK)
+    val base = (1000L - dampingMilli) * 1000L
+    var ranks = deg.select(col("src").as("id"),
+      lit(1000000L).as("rank_micro"))
+    var i = 0
+    while (i < iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          expr("rank_micro div deg").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("csum"))
+      val next = deg.select(col("src").as("id"))
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampingMilli * coalesce(csum, 0L)) div 1000"))
+            .as("rank_micro"))
+        .persist(MEMORY_AND_DISK)
+      next.count() // materialize before unpersisting the parent
+      if (i > 0) ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    edges.unpersist()
+    deg.unpersist()
+    ranks
+  }
+}

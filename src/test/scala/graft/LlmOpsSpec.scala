@@ -416,6 +416,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L).getBoolean(3) == (out(1L).getLong(1) > 0))
   }
 
+  test("integer pagerank: exact hand-computed ranks on a path graph") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r1 = graft.llmops.Graphs.pageRank(pairs, "id_a", "id_b",
+      iters = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // base 150000; center gets 850*(1e6 + 1e6) div 1000, ends get
+    // 850*(1e6 div 2) div 1000 -- all exact integers
+    assert(r1 == Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L))
+    val r3 = graft.llmops.Graphs.pageRank(pairs, "id_a", "id_b",
+      iters = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(1L) == r3(3L)) // symmetry survives iteration
+    assert(r3(2L) > r3(1L)) // center stays the most central
+    // deterministic under repartitioning
+    val again = graft.llmops.Graphs.pageRank(pairs.repartition(7),
+      "id_a", "id_b", iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == again)
+  }
+
   test("hll sketch: registers dedupe, estimate tracks exact cardinality") {
     import spark.implicits._
     val df = (0 until 5000).map(i => ("g" + (i % 2), "v" + (i % 1000)))
