@@ -150,6 +150,28 @@ object LlmQueries {
           col("exact_distinct"))
     }),
 
+    // Bottom-k (KMV) token-set signatures per source + all-pairs Jaccard
+    // estimate beside the exact value -- cross-source similarity from
+    // signatures alone (the raw token sets never meet).
+    "llm_bottomk_sim" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val sk = graft.llmops.Sketches.bottomK(toks, "source", "tok", k = 32)
+      val est = graft.llmops.Sketches.bottomKJaccardPairs(sk, "source", 32)
+      val sets = toks.distinct().groupBy("source")
+        .agg(collect_set(col("tok")).as("st"))
+      est
+        .join(sets.select(col("source").as("g_a"), col("st").as("st_a")),
+          Seq("g_a"))
+        .join(sets.select(col("source").as("g_b"), col("st").as("st_b")),
+          Seq("g_b"))
+        .select(col("g_a"), col("g_b"), col("est_jaccard_micro"),
+          floor(size(array_intersect(col("st_a"), col("st_b")))
+            .cast("double") * 1000000.0 /
+            size(array_union(col("st_a"), col("st_b"))).cast("double"))
+            .cast("long").as("exact_jaccard_micro"))
+    }),
+
     // Feature-hashed linear classifier (fastText shape): 64 buckets,
     // md5-derived stand-in weights, integer-exact score.
     "llm_classifier" -> ((s, d) =>
@@ -708,6 +730,38 @@ object LlmQueries {
             e.exact_distinct
           FROM agg a JOIN ex e USING (source)"""
     },
+    // Bottom-k signatures: k smallest md5(tok) per source; est Jaccard
+    // from merged-signature prefix; exact from the distinct token sets.
+    "llm_bottomk_sim" ->
+      s"""WITH tok AS (
+            SELECT DISTINCT source, tok FROM (
+              SELECT source, unnest($duckToks) AS tok FROM documents)),
+          sig AS (
+            SELECT source, (list_sort(list(md5(tok))))[1:32] AS sig
+            FROM tok GROUP BY source),
+          sets AS (
+            SELECT source, list(tok) AS st FROM tok GROUP BY source),
+          pairs AS (
+            SELECT a.source AS g_a, b.source AS g_b, a.sig AS sa,
+              b.sig AS sb
+            FROM sig a JOIN sig b ON a.source < b.source),
+          est AS (
+            SELECT g_a, g_b,
+              CAST(FLOOR(CAST(len(list_intersect(list_intersect(
+                  (list_sort(list_distinct(sa || sb)))[1:32], sa), sb))
+                  AS DOUBLE) * 1000000.0 /
+                CAST(least(32, len(list_distinct(sa || sb))) AS DOUBLE))
+                AS BIGINT) AS est_jaccard_micro
+            FROM pairs),
+          ex AS (
+            SELECT a.source AS g_a, b.source AS g_b,
+              CAST(FLOOR(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+                * 1000000.0 /
+                CAST(len(list_distinct(a.st || b.st)) AS DOUBLE))
+                AS BIGINT) AS exact_jaccard_micro
+            FROM sets a JOIN sets b ON a.source < b.source)
+          SELECT e.g_a, e.g_b, e.est_jaccard_micro, x.exact_jaccard_micro
+          FROM est e JOIN ex x USING (g_a, g_b)""",
     // Feature-hashed classifier: bucket = hex8(md5(tok)) % 64, weight =
     // hex8(md5('clf:' || bucket)) % 2001 - 1000; integer sum, one final
     // division.

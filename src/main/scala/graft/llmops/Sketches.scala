@@ -92,4 +92,52 @@ object Sketches {
       m * math.log(m.toDouble / zeros) // linear counting
     else rawEst
   }
+
+  // --- bottom-k (KMV) set signatures -----------------------------------
+  // The k smallest md5 hashes of a group's distinct values. Unlike the
+  // per-seed MinHash signature (k passes over the values), bottom-k is
+  // ONE pass + a per-group top-k, and signatures COMPOSE: the Jaccard of
+  // two groups is estimated from their signatures alone -- the standard
+  // way to compare token/url/user sets ACROSS sources or snapshots
+  // without ever co-shuffling the raw sets.
+
+  /** (groupCol, signature array<string>): the k lexicographically
+    * smallest md5(value) per group, ascending. One distinct + one
+    * per-group rank window; at 100 TB the window input is (group, 16-byte
+    * hash) rows only.
+    */
+  def bottomK(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val hashed = df
+      .select(col(groupCol), md5(col(valueCol).cast("string")).as("__h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__h"))
+    hashed.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy(groupCol)
+      .agg(sort_array(collect_list(col("__h"))).as("signature"))
+  }
+
+  /** All-pairs Jaccard estimates from bottom-k signatures (groups x
+    * groups is tiny; the raw sets never meet): est = |K(A u B) n A n B|
+    * / |K(A u B)| where K takes the k smallest of the merged signature.
+    * Integer-count division, floored to micros.
+    */
+  def bottomKJaccardPairs(sketches: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val l = sketches.select(col(groupCol).as("g_a"),
+      col("signature").as("__sa"))
+    val r = sketches.select(col(groupCol).as("g_b"),
+      col("signature").as("__sb"))
+    l.join(r, col("g_a") < col("g_b"))
+      .withColumn("__u",
+        slice(array_sort(array_union(col("__sa"), col("__sb"))), 1, k))
+      .select(col("g_a"), col("g_b"),
+        floor(size(array_intersect(array_intersect(col("__u"),
+            col("__sa")), col("__sb"))).cast("double") * 1000000.0 /
+          least(lit(k), size(col("__u"))).cast("double")).cast("long")
+          .as("est_jaccard_micro"))
+  }
 }
