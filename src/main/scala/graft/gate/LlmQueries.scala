@@ -150,6 +150,21 @@ object LlmQueries {
           col("exact_distinct"))
     }),
 
+    // Count-min sketch (4 x 256) over the token stream: point estimates
+    // for the 20 most frequent tokens beside their exact counts.
+    "llm_cms_counts" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+      val sk = graft.llmops.Sketches.cmSketch(toks, "tok", depth = 4,
+        width = 256)
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+        .orderBy(desc("exact_count"), col("tok")).limit(20)
+      graft.llmops.Sketches.cmEstimate(sk, top, "tok", depth = 4,
+        width = 256)
+        .join(top, Seq("tok"))
+        .select(col("tok"), col("est_count"), col("exact_count"))
+    }),
+
     // Bottom-k (KMV) token-set signatures per source + all-pairs Jaccard
     // estimate beside the exact value -- cross-source similarity from
     // signatures alone (the raw token sets never meet).
@@ -729,6 +744,30 @@ object LlmQueries {
               AS raw_est_milli,
             e.exact_distinct
           FROM agg a JOIN ex e USING (source)"""
+    },
+    // Count-min: update slots = hex8(md5(r:tok)) % 256 per depth row,
+    // estimate = min over rows of the slot counters.
+    "llm_cms_counts" -> {
+      val updSlot = duckHex8("CAST(r AS VARCHAR) || ':' || tok")
+      val updSlot2 = duckHex8("CAST(r2.r AS VARCHAR) || ':' || e.tok")
+      s"""WITH tok AS (
+            SELECT unnest($duckToks) AS tok FROM documents),
+          rows_ AS (SELECT CAST(x AS INT) AS r
+                    FROM (VALUES (0),(1),(2),(3)) v(x)),
+          upd AS (SELECT r, $updSlot % 256 AS slot FROM tok, rows_),
+          cms AS (SELECT r, slot, COUNT(*) AS cnt
+                  FROM upd GROUP BY r, slot),
+          ex AS (SELECT tok, COUNT(*) AS exact_count FROM tok
+                 GROUP BY tok ORDER BY exact_count DESC, tok LIMIT 20),
+          qslots AS (SELECT e.tok, r2.r, $updSlot2 % 256 AS slot
+                     FROM ex e, rows_ r2),
+          est AS (SELECT q.tok,
+                    CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+                  FROM qslots q LEFT JOIN cms c
+                    ON c.r = q.r AND c.slot = q.slot
+                  GROUP BY q.tok)
+          SELECT e2.tok, est_count, exact_count
+          FROM est JOIN ex e2 USING (tok)"""
     },
     // Bottom-k signatures: k smallest md5(tok) per source; est Jaccard
     // from merged-signature prefix; exact from the distinct token sets.

@@ -93,6 +93,47 @@ object Sketches {
     else rawEst
   }
 
+  // --- count-min sketch -------------------------------------------------
+  // Heavy-hitter counting in fixed memory: depth x width integer counters,
+  // point estimate = min over rows (always an over-estimate, tight for
+  // heavy hitters). The update shuffle carries (row, slot) keys only --
+  // depth small integers per input value -- so counting a 100 TB token
+  // stream costs depth tiny groupBys worth of traffic, never a
+  // per-distinct-value state.
+
+  /** Build the sketch: (row, slot, cnt) for depth rows of width slots;
+    * slot_r(v) = hex8(md5("r:" || v)) % width. Absent (row, slot) pairs
+    * mean zero.
+    */
+  def cmSketch(df: DataFrame, valueCol: String, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    df.select(posexplode(transform(sequence(lit(0), lit(depth - 1)), r =>
+        hex8(concat(r.cast("string"), lit(":"),
+          col(valueCol).cast("string"))) % width))
+        .as(Seq("row", "slot")))
+      .groupBy("row", "slot")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `queries` (a frame with valueCol): min over
+    * rows of the matching slot counters. Missing slots count as zero
+    * (only possible for values the sketch never saw).
+    */
+  def cmEstimate(sketch: DataFrame, queries: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val slots = queries
+      .select(col(valueCol),
+        posexplode(transform(sequence(lit(0), lit(depth - 1)), r =>
+          hex8(concat(r.cast("string"), lit(":"),
+            col(valueCol).cast("string"))) % width))
+          .as(Seq("row", "slot")))
+    slots
+      .join(broadcast(sketch), Seq("row", "slot"), "left")
+      .groupBy(valueCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   // --- bottom-k (KMV) set signatures -----------------------------------
   // The k smallest md5 hashes of a group's distinct values. Unlike the
   // per-seed MinHash signature (k passes over the values), bottom-k is

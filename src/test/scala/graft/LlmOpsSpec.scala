@@ -435,6 +435,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(r3 == again)
   }
 
+  test("count-min sketch: estimates over-count, exact for unique slots") {
+    import spark.implicits._
+    val vals = (Seq.fill(50)("heavy") ++ (0 until 30).map("t" + _)).toDF("v")
+    val sk = graft.llmops.Sketches.cmSketch(vals, "v", depth = 4,
+      width = 64)
+    // total mass per row equals the input count
+    val rowSums = sk.groupBy("row").agg(sum("cnt").as("s"))
+      .select("s").as[Long].collect()
+    assert(rowSums.length == 4 && rowSums.forall(_ == 80L))
+    val est = graft.llmops.Sketches.cmEstimate(sk,
+      Seq("heavy", "t0", "absent").toDF("v"), "v", depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("heavy") >= 50L) // CMS never under-counts seen values
+    assert(est("t0") >= 1L && est("t0") <= 80L)
+    assert(est("heavy") > est("t0"))
+  }
+
   test("hll sketch: registers dedupe, estimate tracks exact cardinality") {
     import spark.implicits._
     val df = (0 until 5000).map(i => ("g" + (i % 2), "v" + (i % 1000)))
