@@ -44,6 +44,11 @@ object Graphs {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(MEMORY_AND_DISK)
     val base = (1000L - dampingMilli) * 1000L
+    // iters is FIXED (no convergence check), so the whole rank chain is
+    // one lazy plan: 3 chained (join + agg) rounds over the CACHED edge
+    // list, executed by a single action -- no per-iteration
+    // materialization (a persist+count per round tripled this
+    // operator's wall time at gate scale).
     var ranks = deg.select(col("src").as("id"),
       lit(1000000L).as("rank_micro"))
     var i = 0
@@ -55,19 +60,17 @@ object Graphs {
           expr("rank_micro div deg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("csum"))
-      val next = deg.select(col("src").as("id"))
+      ranks = deg.select(col("src").as("id"))
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr(s"($dampingMilli * coalesce(csum, 0L)) div 1000"))
             .as("rank_micro"))
-        .persist(MEMORY_AND_DISK)
-      next.count() // materialize before unpersisting the parent
-      if (i > 0) ranks.unpersist()
-      ranks = next
       i += 1
     }
+    val out = ranks.persist(MEMORY_AND_DISK)
+    out.count() // one action fills the cache through all rounds
     edges.unpersist()
     deg.unpersist()
-    ranks
+    out // caller-owned unpersist (same contract as Curation.packSequences)
   }
 }
