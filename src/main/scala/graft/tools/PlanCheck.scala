@@ -172,6 +172,25 @@ object PlanCheck {
       println("rp ann: " +
         s"TakeOrderedAndProject=${occ(rpStr, "TakeOrderedAndProject")}, " +
         s"shuffles=${occ(rpStr, "Exchange hashpartitioning")}")
+      // temperature mix: the per-group thresholds arrive by BROADCAST;
+      // the corpus side is filter-only (its only exchange is none).
+      val tm = graft.llmops.Curation.temperatureMix(docs, "doc_id",
+        "lang", "tmix")
+      val tmStr = tm.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      println("temperature mix: " +
+        s"BroadcastHashJoin=${occ(tmStr, "BroadcastHashJoin")}, " +
+        s"hash exchanges=${occ(tmStr, "Exchange hashpartitioning")} " +
+        "(any belong to the tiny count agg, not the corpus side)")
+      // count-min estimate: the sketch (<= depth*width rows) broadcasts.
+      val toks = docs.select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      val cms = graft.llmops.Sketches.cmEstimate(
+        graft.llmops.Sketches.cmSketch(toks, "tok"), toks.limit(5), "tok")
+      val cmsStr = cms.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      println("cms estimate: " +
+        s"BroadcastHashJoin=${occ(cmsStr, "BroadcastHashJoin")}")
     }
     spark.stop()
   }
