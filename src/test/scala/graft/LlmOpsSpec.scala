@@ -378,6 +378,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(all(1L) == "" && all(5L) == "q r")
   }
 
+  test("line dedup identity: threshold above corpus drops nothing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("ax", "bx", "cx", "dx", "ex")
+    val docs = (0 until 20).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(5)))
+        .mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    // maxDocFrac = 1.0 -> threshold = N, no line can exceed it
+    val out = Dedup.lineDedup(df, "id", "text", window = 2,
+      maxDocFrac = 1.0).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2),
+        r.getString(3)))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val expected = toks.grouped(2).map(_.mkString(" ")).mkString(" ")
+      val (n, kept, clean) = out(id)
+      assert(clean == expected, s"doc $id")
+      assert(n == (toks.size + 1) / 2 && kept == n)
+    }
+  }
+
   test("incremental dedup flags exact and near dups of the new batch") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
