@@ -314,10 +314,12 @@ object LlmQueries {
         "id_a", "id_b", iters = 3, dampingMilli = 850)
         .select(col("id").as("doc_id"), col("rank_micro"))),
 
-    // 16-bit SimHash per document.
+    // 16-bit SimHash per document (compiled UDF, byte-equal to the
+    // TextFunctions.simhash column expression -- LlmOpsSpec asserts it).
     "llm_simhash" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), simhash(tokens(col("text")), 16).as("simhash16"))),
+        .select(col("doc_id"),
+          Dedup.simhashUdfFor(16)(tokens(col("text"))).as("simhash16"))),
 
     // Language ID scores + argmax prediction.
     "llm_langid" -> ((s, d) => {

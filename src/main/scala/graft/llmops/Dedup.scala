@@ -140,13 +140,41 @@ object Dedup {
       if (uni == 0) 0.0 else inter.toDouble / uni.toDouble
     })
 
+  /** Compiled simhash: byte-identical to TextFunctions.simhash (bit j of
+    * token t = bit (3 - j%4) of hex nibble j/4 of md5(t); majority
+    * vote), in one digest per token instead of a per-(token, bit) HOF
+    * walk -- the scan-side cost drops ~bits-fold.
+    */
+  def simhashUdfFor(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((toks: Seq[String]) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](bits)
+      toks.foreach { t =>
+        val d = md.digest(t.getBytes("UTF-8"))
+        var j = 0
+        while (j < bits) {
+          val nibIdx = j / 4
+          val nib = (d(nibIdx / 2) >> (4 * (1 - nibIdx % 2))) & 0xf
+          votes(j) += (((nib >> (3 - j % 4)) & 1) * 2) - 1
+          j += 1
+        }
+      }
+      val out = new Array[Char](bits)
+      var j = 0
+      while (j < bits) {
+        out(j) = if (votes(j) > 0) '1' else '0'
+        j += 1
+      }
+      new String(out)
+    })
+
   /** SimHash near-dup pairs: `bits`-bit simhash, banded into bits/bandBits
     * chunks for candidate generation, hamming-distance verification.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 64, bandBits: Int = 16, maxHamming: Int = 3): DataFrame = {
     val base = df.select(col(idCol).as("id"),
-      simhash(tokens(col(textCol)), bits).as("sh"))
+      simhashUdfFor(bits)(tokens(col(textCol))).as("sh"))
     val nBands = bits / bandBits
     val banded = base.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(nBands - 1)), b =>

@@ -82,6 +82,17 @@ object Sketches {
           .as("raw_est"))
   }
 
+  /** Merge register frames (the property that makes HLL a SCALE tool:
+    * sketch each shard/snapshot independently, MAX-combine the
+    * registers, estimate the union's cardinality without re-reading
+    * anything). Exactly equals the registers of the unioned inputs --
+    * LlmOpsSpec asserts frame equality.
+    */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame,
+      groupCol: String): DataFrame =
+    a.union(b).groupBy(groupCol, "bucket")
+      .agg(max(col("register")).as("register"))
+
   /** Textbook small/large-range corrected estimate (driver-side helper;
     * uses ln(), so NOT for cross-engine hash gates).
     */

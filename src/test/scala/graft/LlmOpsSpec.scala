@@ -458,6 +458,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(r3 == again)
   }
 
+  test("compiled simhash is byte-equal to the column expression") {
+    val both = docs.limit(50).select(
+      simhash(tokens(col("text")), 16).as("expr16"),
+      graft.llmops.Dedup.simhashUdfFor(16)(tokens(col("text"))).as("udf16"),
+      simhash(tokens(col("text")), 64).as("expr64"),
+      graft.llmops.Dedup.simhashUdfFor(64)(tokens(col("text"))).as("udf64"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+      assert(r.getString(2) == r.getString(3))
+    }
+  }
+
+  test("hll register merge equals the union's registers") {
+    import spark.implicits._
+    val a = (0 until 400).map(i => ("g" + (i % 2), "a" + i)).toDF("g", "v")
+    val b = (0 until 400).map(i => ("g" + (i % 2), "b" + (i % 150)))
+      .toDF("g", "v")
+    val merged = graft.llmops.Sketches.hllMergeRegisters(
+      graft.llmops.Sketches.hllRegisters(a, "g", "v", p = 5),
+      graft.llmops.Sketches.hllRegisters(b, "g", "v", p = 5), "g")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    val direct = graft.llmops.Sketches.hllRegisters(a.union(b), "g", "v",
+      p = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(merged == direct)
+  }
+
   test("count-min sketch: estimates over-count, exact for unique slots") {
     import spark.implicits._
     val vals = (Seq.fill(50)("heavy") ++ (0 until 30).map("t" + _)).toDF("v")
