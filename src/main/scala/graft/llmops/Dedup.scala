@@ -306,10 +306,36 @@ object Dedup {
     * groupBy; hot hashes (boilerplate spans) are the skew risk, so the
     * join key is the hash itself and AQE's skew-split applies.
     */
+  /** Compiled rolling-window fingerprints: byte-equal to
+    * TextFunctions.windowFingerprints (md5 hex of each space-joined
+    * `window`-token slice; short docs -> one whole-doc hash), one
+    * reused digest instead of a per-(window, element) HOF walk.
+    */
+  def windowFingerprintsUdf(window: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(s: String): String = {
+        val d = md.digest(s.getBytes("UTF-8"))
+        val out = new Array[Char](32)
+        var i = 0
+        while (i < 16) {
+          out(2 * i) = "0123456789abcdef" ((d(i) >> 4) & 0xf)
+          out(2 * i + 1) = "0123456789abcdef" (d(i) & 0xf)
+          i += 1
+        }
+        new String(out)
+      }
+      if (toks.length < window) Seq(hex(toks.mkString(" ")))
+      else (0 to toks.length - window).map(i =>
+        hex(toks.slice(i, i + window).mkString(" ")))
+    })
+
   def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
       window: Int = 20, minShared: Int = 1): DataFrame = {
     val wf = df.select(col(idCol).as("id"),
-      explode(array_distinct(windowFingerprints(col(textCol), window)))
+      explode(array_distinct(windowFingerprintsUdf(window)(col(textCol))))
         .as("wh"))
     wf.as("l").join(wf.as("r"),
         col("l.wh") === col("r.wh") && col("l.id") < col("r.id"))

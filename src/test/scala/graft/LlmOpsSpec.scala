@@ -458,6 +458,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(r3 == again)
   }
 
+  test("compiled window fingerprints byte-equal to the column expression") {
+    val rows = docs.limit(50).select(
+      windowFingerprints(col("text"), 12).as("expr"),
+      graft.llmops.Dedup.windowFingerprintsUdf(12)(col("text")).as("udf"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    // short-doc path: fewer tokens than the window
+    import spark.implicits._
+    val shorty = Seq("one two").toDF("text").select(
+      windowFingerprints(col("text"), 12).as("expr"),
+      graft.llmops.Dedup.windowFingerprintsUdf(12)(col("text")).as("udf"))
+      .head()
+    assert(shorty.getSeq[String](0) == shorty.getSeq[String](1))
+  }
+
   test("compiled simhash is byte-equal to the column expression") {
     val both = docs.limit(50).select(
       simhash(tokens(col("text")), 16).as("expr16"),
