@@ -23,6 +23,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDedup {
 
+  /** Stream-static decontamination: drop every streamed document whose
+    * text shares >= minHits distinct shingles with the STATIC benchmark
+    * frame -- the batch [[graft.llmops.Curation]] semantics applied to
+    * continuous ingestion. The benchmark's shingle set (small by
+    * definition: benchmark suites vs a crawl) is collected ONCE from the
+    * static side and broadcast into a per-row counting filter, so the
+    * operator is a pure map-side predicate: Append-mode safe, no state
+    * store, no shuffle, no per-batch joins. The batch variant
+    * ([[graft.llmops.Curation.contaminationHits]]) keeps the set
+    * distributed instead -- same semantics, different residency.
+    */
+  def decontaminated(stream: DataFrame, benchmark: DataFrame,
+      textCol: String, shingleN: Int = 3, minHits: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = graft.functions.TextFunctions
+    val bench = benchmark
+      .select(explode(array_distinct(
+        t.shingles(t.tokens(col(textCol)), shingleN))).as("sh"))
+      .distinct()
+      .collect().map(_.getString(0)).toSet
+    val bc = stream.sparkSession.sparkContext.broadcast(bench)
+    val hitsUdf = org.apache.spark.sql.functions.udf(
+      (sh: Seq[String]) => sh.count(bc.value.contains))
+    stream.where(hitsUdf(array_distinct(
+      t.shingles(t.tokens(col(textCol)), shingleN))) < minHits)
+  }
+
   /** @param df        input (streaming or batch)
     * @param keyCol    dedup key column (stringified for state keying)
     * @param keepAlive optional state TTL in ms of PROCESSING time; None =

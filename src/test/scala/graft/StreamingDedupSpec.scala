@@ -31,6 +31,44 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static decontamination filters contaminated docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val in = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.decontaminated(in, bench, "text",
+      shingleN = 3, minHits = 1)
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma something else entirely"), // contaminated
+        (2L, "totally unrelated clean document text here"))
+      q.processAllAvailable()
+      mem.addData((3L, "delta epsilon is fine but beta gamma delta hits"))
+      q.processAllAvailable()
+      val out = spark.table("decontam_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out === Set(2L))
+    } finally q.stop()
+  }
+
+  test("batch decontamination agrees with the Curation operator") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma something else entirely"),
+      (2L, "totally unrelated clean document text here"),
+      (3L, "delta epsilon is fine but beta gamma delta hits"))
+      .toDF("doc_id", "text")
+    val streaming = StreamingDedup.decontaminated(corpus, bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.llmops.Curation.decontaminate(corpus, bench,
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(streaming === batch && streaming === Set(2L))
+  }
+
   test("batch mode behaves like dropDuplicates on the key") {
     val df = Seq(("x", 1L), ("y", 2L), ("x", 3L), ("z", 4L), ("y", 5L))
       .toDF("content_md5", "doc_id")
