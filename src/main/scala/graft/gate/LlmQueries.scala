@@ -150,6 +150,13 @@ object LlmQueries {
           col("exact_distinct"))
     }),
 
+    // Histogram quantile sketch: p50/p90/p99 of n_chars from 16-wide
+    // integer bins (all-integer thresholds -- bit-reproducible, unlike
+    // interpolated percentile_approx).
+    "llm_quantile_sketch" -> ((s, d) =>
+      graft.llmops.Sketches.histogramQuantiles(Tables.documents(s, d),
+        "n_chars", binWidth = 16, qMillis = Seq(500, 900, 990))),
+
     // Count-min sketch (4 x 256) over the token stream: point estimates
     // for the 20 most frequent tokens beside their exact counts.
     "llm_cms_counts" -> ((s, d) => {
@@ -747,6 +754,27 @@ object LlmQueries {
             e.exact_distinct
           FROM agg a JOIN ex e USING (source)"""
     },
+    // Histogram quantiles: first bin whose cumulative count crosses the
+    // cross-multiplied integer threshold.
+    "llm_quantile_sketch" ->
+      """WITH b AS (
+           SELECT n_chars // 16 AS bin, COUNT(*) AS cnt
+           FROM documents GROUP BY n_chars // 16),
+         c AS (
+           SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             (SELECT COUNT(*) FROM documents) AS n
+           FROM b),
+         q AS (SELECT CAST(qm AS BIGINT) AS q_milli
+               FROM (VALUES (500), (900), (990)) v(qm))
+         SELECT q_milli,
+           CAST(MIN(CASE WHEN cum * 1000 >= q_milli * n THEN bin END)
+             AS BIGINT) AS bin,
+           CAST(MIN(CASE WHEN cum * 1000 >= q_milli * n THEN bin END) * 16
+             AS BIGINT) AS est,
+           CAST(MIN(n) AS BIGINT) AS n
+         FROM c, q GROUP BY q_milli""",
     // Count-min: update slots = hex8(md5(r:tok)) % 256 per depth row,
     // estimate = min over rows of the slot counters.
     "llm_cms_counts" -> {

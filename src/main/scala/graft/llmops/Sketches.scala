@@ -145,6 +145,47 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  // --- histogram quantile sketch ----------------------------------------
+
+  /** Histogram-based quantile estimates: bin = value div binWidth, the
+    * q-quantile estimate is the LOWER EDGE of the first bin whose
+    * cumulative count reaches ceil(q * N). All-integer arithmetic (bin
+    * ids, counts, a cross-multiplied threshold), so estimates are
+    * bit-reproducible -- unlike interpolated percentile_approx, whose
+    * float interpolation is engine-specific. Error is bounded by
+    * binWidth by construction.
+    *
+    * Scale shape: ONE groupBy on the bin id; the cumulative window runs
+    * over the BIN frame only (bounded by the value range / binWidth,
+    * thousands of rows at most -- the packSequences totals-frame
+    * pattern), never over the data.
+    *
+    * @param qMillis quantiles in milli-units (500 = p50, 990 = p99).
+    * Returns (q_milli, bin, est = bin * binWidth, n).
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, binWidth: Long,
+      qMillis: Seq[Int]): DataFrame = {
+    require(binWidth >= 1 && qMillis.nonEmpty)
+    val bins = df
+      .select(expr(s"CAST($valueCol AS BIGINT) div $binWidth").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = bins.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val qcols = qMillis.map(qm =>
+      min(when(col("cum") * 1000 >= lit(qm.toLong) * col("n"), col("bin")))
+        .as(s"__b$qm"))
+    cum.groupBy(col("n"))
+      .agg(qcols.head, qcols.tail: _*)
+      .select(col("n"), explode(array(qMillis.map(qm =>
+        struct(lit(qm).as("q_milli"), col(s"__b$qm").as("bin"))): _*))
+        .as("q"))
+      .select(col("q.q_milli").as("q_milli"), col("q.bin").as("bin"),
+        (col("q.bin") * binWidth).as("est"), col("n"))
+  }
+
   // --- bottom-k (KMV) set signatures -----------------------------------
   // The k smallest md5 hashes of a group's distinct values. Unlike the
   // per-seed MinHash signature (k passes over the values), bottom-k is

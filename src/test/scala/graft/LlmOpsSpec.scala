@@ -504,6 +504,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("histogram quantiles: within one bin of the exact quantile") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val values = (0 until 2000).map(_ => rnd.nextInt(1000).toLong)
+    val df = values.toDF("v")
+    val qs = graft.llmops.Sketches.histogramQuantiles(df, "v",
+      binWidth = 10, qMillis = Seq(500, 900, 990)).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val sorted = values.sorted
+    def exactQ(qm: Int): Long =
+      sorted((qm * sorted.size + 999) / 1000 - 1)
+    Seq(500, 900, 990).foreach { qm =>
+      val est = qs(qm)
+      val exact = exactQ(qm)
+      assert(est <= exact && exact < est + 10,
+        s"q$qm: est $est exact $exact")
+    }
+  }
+
   test("count-min sketch: estimates over-count, exact for unique slots") {
     import spark.implicits._
     val vals = (Seq.fill(50)("heavy") ++ (0 until 30).map("t" + _)).toDF("v")
