@@ -225,6 +225,18 @@ object LlmQueries {
         rates = Map("en" -> 0.2, "de" -> 0.8), defaultRate = 0.5,
         salt = "mix").select(col("doc_id"), col("lang"))),
 
+    // N-gram novelty: fraction of a doc's distinct 3-gram shingles that
+    // occur nowhere else in the corpus.
+    "llm_novelty" -> ((s, d) =>
+      Curation.noveltyScore(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3)),
+
+    // Epoch upsampling: de x3, fr x2, everything else x1, with copy ids.
+    "llm_repeats" -> ((s, d) =>
+      Curation.withRepeats(Tables.documents(s, d), "lang",
+        repeats = Map("de" -> 3, "fr" -> 2), defaultRepeat = 1)
+        .select(col("doc_id"), col("lang"), col("copy"))),
+
     // Temperature mixing (alpha=0.5): per-lang keep rate
     // sqrt(n_min / n_lang) -- smallest language kept whole.
     "llm_temperature_mix" -> ((s, d) =>
@@ -874,6 +886,33 @@ object LlmQueries {
       s"""SELECT doc_id FROM documents
           WHERE ${duckHex8("'s1:' || CAST(doc_id AS VARCHAR)")} % 10000
             < 2500""",
+    // Novelty: corpus-wide distinct-shingle counts, unique fraction.
+    "llm_novelty" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $duckToks AS ws FROM documents),
+          sh AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len(ws) < 3 THEN []
+                ELSE list_transform(range(1, len(ws) - 1), i ->
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] ||
+                  ' ' || ws[CAST(i AS INT)+2]) END) AS shl
+            FROM toks),
+          ds AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+          c AS (SELECT s, COUNT(*) AS cnt FROM ds GROUP BY s)
+          SELECT d.doc_id,
+            COUNT(*) AS n_shingles,
+            CAST(SUM(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS unique_shingles,
+            CAST(FLOOR(CAST(SUM(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) * 1000000.0 / CAST(COUNT(*) AS DOUBLE))
+              AS BIGINT) AS novelty_micro
+          FROM ds d JOIN c ON c.s = d.s
+          GROUP BY d.doc_id""",
+    // Epoch repeats: integer copies per language.
+    "llm_repeats" ->
+      """SELECT doc_id, lang, CAST(g AS BIGINT) AS copy
+         FROM documents, LATERAL (SELECT unnest(generate_series(1,
+           CASE lang WHEN 'de' THEN 3 WHEN 'fr' THEN 2 ELSE 1 END)) AS g)""",
     // Temperature mix: division then sqrt are both correctly-rounded
     // IEEE ops, so the floored threshold matches the engine exactly.
     "llm_temperature_mix" ->

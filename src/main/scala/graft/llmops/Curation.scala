@@ -88,6 +88,54 @@ object Curation {
       .drop("__thr")
   }
 
+  /** N-gram novelty score: per document, the fraction of its DISTINCT
+    * shingles that occur nowhere else in the corpus (corpus-wide count
+    * == 1) -- the inverse of the boilerplate signal, used to up-weight
+    * genuinely novel text in curation. Integer-count division.
+    *
+    * Scale shape: one explode + groupBy on the shingle (md5-sized keys),
+    * one join back on the shingle, one per-doc groupBy. Hot shingles are
+    * exactly the non-novel ones, so skew on the shingle key is bounded
+    * by AQE's skew split and never reaches the per-doc agg.
+    */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val t = graft.functions.TextFunctions
+    val docSh = df.select(col(idCol).as("id"),
+      explode(array_distinct(
+        t.shingles(t.tokens(col(textCol)), shingleN))).as("sh"))
+    val corpus = docSh.groupBy("sh").agg(count(lit(1)).as("cnt"))
+    docSh.join(corpus, Seq("sh"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("unique_shingles"))
+      .select(col("id").as(idCol), col("n_shingles"),
+        col("unique_shingles"),
+        floor(col("unique_shingles").cast("double") * 1000000.0 /
+          col("n_shingles").cast("double")).cast("long")
+          .as("novelty_micro"))
+  }
+
+  /** Epoch upsampling: repeat each row `repeats(group)` times (default
+    * 1), emitting a copy index -- the integer-repeat mixing scheme
+    * ("3 epochs of books, 1 of web"). A pure map-side explode: no
+    * shuffle, no RNG, and the copy index keeps downstream packing /
+    * shuffling deterministic.
+    */
+  def withRepeats(df: DataFrame, groupCol: String,
+      repeats: Map[String, Int], defaultRepeat: Int = 1): DataFrame = {
+    require(defaultRepeat >= 0 && repeats.values.forall(_ >= 0))
+    val n = repeats.foldLeft(lit(defaultRepeat)) {
+      case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    // sequence(1, 0) DESCENDS in Spark (default step -1) instead of
+    // being empty -- a zero repeat must map to an empty array explicitly.
+    df.withColumn("copy", explode(
+      when(n < 1, array().cast("array<int>"))
+        .otherwise(sequence(lit(1), n))))
+  }
+
   /** Per-group quota: the k best rows per group by (orderCol DESC, id
     * ASC) -- domain-quota data mixing ("at most k docs per source,
     * best-quality first").

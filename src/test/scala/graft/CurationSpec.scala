@@ -117,6 +117,31 @@ class CurationSpec extends SparkSpec {
     assert(lax == Set(3L, 4L, 5L, 6L))
   }
 
+  test("novelty: unique text scores 1.0, duplicated text 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "zeta eta theta iota kappa lambda")).toDF("id", "text")
+    val out = Curation.noveltyScore(df, "id", "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) == 0L && out(2L) == 0L) // every shingle shared
+    assert(out(3L) == 1000000L) // every shingle unique
+  }
+
+  test("repeats: integer copies per group with copy ids") {
+    import spark.implicits._
+    val df = Seq((1L, "de"), (2L, "en"), (3L, "fr")).toDF("id", "lang")
+    val out = Curation.withRepeats(df, "lang",
+      Map("de" -> 3, "fr" -> 0), defaultRepeat = 1)
+      .select("id", "copy").as[(Long, Int)].collect()
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+      .toMap
+    assert(byId(1L) == Seq(1, 2, 3))
+    assert(byId(2L) == Seq(1))
+    assert(!byId.contains(3L)) // zero repeats drops the group
+  }
+
   test("temperature mix: smallest group whole, big groups flattened") {
     import spark.implicits._
     // 40 "en" docs, 10 "mi" docs: rate_en = sqrt(10/40) = 0.5
