@@ -289,6 +289,23 @@ object LlmQueries {
         .select(col("doc_id"), col("bin"), col("bin_offset"))
     }),
 
+    // Second capstone over the round-7 curation family: line-level
+    // boilerplate removal -> feature-hashed classifier cut ->
+    // temperature mixing, one DAG, every stage recomputed by the oracle.
+    "llm_pipeline2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cleaned = Dedup.lineDedup(docs, "doc_id", "text",
+        window = 2, maxDocFrac = 0.03)
+        .where(col("kept_lines") > 0)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val kept = TextAnalysis.withClassifier(cleaned, "clean_text",
+        dims = 64, seed = "clf")
+        .where(col("clf_keep"))
+      Curation.temperatureMix(kept, "doc_id", "lang", salt = "p2")
+        .select(col("doc_id"), col("lang"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
     // Document fingerprint (sorted-distinct-token md5).
     "llm_fingerprint" -> ((s, d) =>
       TextAnalysis.withFingerprint(Tables.documents(s, d), "text")
@@ -886,6 +903,57 @@ object LlmQueries {
       s"""SELECT doc_id FROM documents
           WHERE ${duckHex8("'s1:' || CAST(doc_id AS VARCHAR)")} % 10000
             < 2500""",
+    // Pipeline2: line dedup -> classifier -> temperature mix, stages
+    // chained exactly as the standalone oracles compute them.
+    "llm_pipeline2" -> {
+      val bucketExpr = duckHex8("t")
+      val weightExpr = duckHex8("'clf:' || CAST(b AS VARCHAR)")
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          n AS (SELECT doc_id, ws,
+                  CAST(ceil(len(ws) / 2.0) AS INT) AS n_lines FROM toks),
+          lines AS (
+            SELECT doc_id, CAST(i AS INT) AS line_idx,
+              array_to_string(ws[CAST(i*2+1 AS INT):CAST(i*2+2 AS INT)],
+                ' ') AS line
+            FROM n, LATERAL (SELECT unnest(range(0, n_lines)) AS i)),
+          stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+          heavy AS (
+            SELECT md5(line) AS lh FROM lines GROUP BY md5(line)
+            HAVING COUNT(DISTINCT doc_id) >
+              (SELECT greatest(1.0, 0.03 * n_docs) FROM stats)),
+          reb AS (
+            SELECT doc_id, COUNT(*) AS kept_lines,
+              string_agg(line, ' ' ORDER BY line_idx) AS clean_text
+            FROM lines WHERE md5(line) NOT IN (SELECT lh FROM heavy)
+            GROUP BY doc_id),
+          cleaned AS (
+            SELECT r.doc_id, d.lang, r.clean_text
+            FROM reb r JOIN documents d ON d.doc_id = r.doc_id
+            WHERE r.kept_lines > 0),
+          ctoks AS (
+            SELECT doc_id, lang, clean_text,
+              list_filter(string_split_regex(lower(clean_text),
+                '[^a-z0-9]+'), x -> x <> '') AS ws
+            FROM cleaned),
+          cb AS (SELECT doc_id, lang, clean_text,
+                   list_transform(ws, t -> $bucketExpr % 64) AS buckets
+                 FROM ctoks),
+          kept AS (
+            SELECT doc_id, lang, clean_text
+            FROM cb
+            WHERE CAST(COALESCE(list_sum(list_transform(buckets, b ->
+              $weightExpr % 2001 - 1000)), 0) AS BIGINT) > 0),
+          counts AS (SELECT lang, COUNT(*) AS cn FROM kept GROUP BY lang),
+          mn AS (SELECT MIN(cn) AS nmin FROM counts),
+          th AS (SELECT lang,
+                   CAST(FLOOR(sqrt(CAST(nmin AS DOUBLE) /
+                     CAST(cn AS DOUBLE)) * 10000) AS BIGINT) AS thr
+                 FROM counts, mn)
+          SELECT k.doc_id, k.lang, md5(k.clean_text) AS clean_md5
+          FROM kept k JOIN th USING (lang)
+          WHERE ${duckHex8("'p2:' || CAST(k.doc_id AS VARCHAR)")}
+            % 10000 < thr"""
+    },
     // Novelty: corpus-wide distinct-shingle counts, unique fraction.
     "llm_novelty" ->
       s"""WITH toks AS (
