@@ -317,6 +317,13 @@ object LlmQueries {
       Dedup.substringDupPairs(Tables.documents(s, d), "doc_id", "text",
         window = 12, minShared = 2)),
 
+    // Containment pairs (asymmetric near-dup: quotes/subsets): shared
+    // 12-token windows over each side's distinct window count, keep
+    // pairs where either side is >= 50% contained.
+    "llm_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        window = 12, minMicros = 500000)),
+
     // MinHash signatures: 8 seeded min-hashes banded into 2 LSH keys
     // (aggregation-based path -- scales linearly).
     "llm_minhash_bands" -> ((s, d) =>
@@ -1095,6 +1102,38 @@ object LlmQueries {
     // Shared 12-token rolling-window fingerprints; Spark's
     // windowFingerprints emits md5 of the WHOLE doc when it is shorter
     // than the window, replicated by the CASE arm.
+    // Containment: same window-fingerprint CTE; per-doc counts divide
+    // the shared-window count from each side.
+    "llm_containment" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          wf AS (
+            SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(ws) < 12 THEN [md5(array_to_string(ws, ' '))]
+                ELSE list_transform(range(1, len(ws) - 10), i ->
+                  md5(array_to_string(
+                    list_slice(ws, CAST(i AS INT), CAST(i + 11 AS INT)),
+                    ' ')))
+              END)) AS wh
+            FROM toks),
+          sizes AS (SELECT doc_id, COUNT(*) AS nw FROM wf GROUP BY doc_id),
+          shared AS (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+              COUNT(*) AS shared_windows
+            FROM wf l JOIN wf r ON l.wh = r.wh AND l.doc_id < r.doc_id
+            GROUP BY 1, 2)
+          SELECT s.id_a, s.id_b, s.shared_windows,
+            CAST(FLOOR(CAST(s.shared_windows AS DOUBLE) * 1000000.0 /
+              CAST(a.nw AS DOUBLE)) AS BIGINT) AS containment_a_micro,
+            CAST(FLOOR(CAST(s.shared_windows AS DOUBLE) * 1000000.0 /
+              CAST(b.nw AS DOUBLE)) AS BIGINT) AS containment_b_micro
+          FROM shared s
+            JOIN sizes a ON a.doc_id = s.id_a
+            JOIN sizes b ON b.doc_id = s.id_b
+          WHERE greatest(
+            CAST(FLOOR(CAST(s.shared_windows AS DOUBLE) * 1000000.0 /
+              CAST(a.nw AS DOUBLE)) AS BIGINT),
+            CAST(FLOOR(CAST(s.shared_windows AS DOUBLE) * 1000000.0 /
+              CAST(b.nw AS DOUBLE)) AS BIGINT)) >= 500000""",
     "llm_substring_dup" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
           wf AS (

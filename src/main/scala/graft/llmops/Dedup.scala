@@ -344,6 +344,39 @@ object Dedup {
       .where(col("shared_windows") >= minShared)
   }
 
+  /** Containment near-dup pairs: |W_a n W_b| / |W_a| (and the b-side
+    * fraction) over distinct rolling-window fingerprints. The ASYMMETRIC
+    * companion to Jaccard dedup: a short document quoted inside a long
+    * one has low Jaccard but containment ~1 on the short side -- the
+    * quote/subset case every serious dedup pipeline handles separately.
+    * Candidate generation is the same shared-window equi-join as
+    * [[substringDupPairs]]; per-doc window counts attach by a narrow
+    * (id, count) join. Integer-count divisions, floored to micros.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 12, minMicros: Long = 500000): DataFrame = {
+    val wf = df.select(col(idCol).as("id"),
+      explode(array_distinct(windowFingerprintsUdf(window)(col(textCol))))
+        .as("wh"))
+    val sizes = wf.groupBy("id").agg(count(lit(1)).as("nw"))
+    val shared = wf.as("l").join(wf.as("r"),
+        col("l.wh") === col("r.wh") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("nw").as("nw_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("nw").as("nw_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared_windows"),
+        floor(col("shared_windows").cast("double") * 1000000.0 /
+          col("nw_a").cast("double")).cast("long").as("containment_a_micro"),
+        floor(col("shared_windows").cast("double") * 1000000.0 /
+          col("nw_b").cast("double")).cast("long").as("containment_b_micro"))
+      .where(greatest(col("containment_a_micro"),
+        col("containment_b_micro")) >= minMicros)
+  }
+
   /** Connected components over a near-dup pair list: (id, cluster_id)
     * with cluster_id = the MIN id reachable through any chain of pairs.
     * This is the step that turns pairwise similarity into DEDUP GROUPS --

@@ -378,6 +378,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(all(1L) == "" && all(5L) == "q r")
   }
 
+  test("containment catches a quote that Jaccard misses") {
+    import spark.implicits._
+    val quote = (1 to 14).map("q" + _).mkString(" ") // 14 tokens
+    val long = (1 to 80).map("w" + _).mkString(" ") + " " + quote
+    val df = Seq((1L, quote), (2L, long),
+      (3L, (1 to 30).map("z" + _).mkString(" "))).toDF("id", "text")
+    val pairs = Dedup.containmentPairs(df, "id", "text", window = 12,
+      minMicros = 500000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // doc 1 (3 windows, all inside doc 2) is fully contained
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L))._1 == 1000000L) // containment_a = 1.0
+    assert(pairs((1L, 2L))._2 < 100000L) // long side barely contained
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("line dedup identity: threshold above corpus drops nothing") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
