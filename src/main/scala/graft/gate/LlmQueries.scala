@@ -225,6 +225,18 @@ object LlmQueries {
         rates = Map("en" -> 0.2, "de" -> 0.8), defaultRate = 0.5,
         salt = "mix").select(col("doc_id"), col("lang"))),
 
+    // Snapshot diff: v1 = first 60% of ids, v2 = last 70% with every
+    // 7th doc's text amended -- all four statuses occur.
+    "llm_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val v1 = docs.where(col("doc_id") <= cut * 6 / 10)
+      val v2 = docs.where(col("doc_id") > cut * 3 / 10)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Curation.snapshotDiff(v1, v2, "doc_id", "text")
+    }),
+
     // N-gram novelty: fraction of a doc's distinct 3-gram shingles that
     // occur nowhere else in the corpus.
     "llm_novelty" -> ((s, d) =>
@@ -961,6 +973,21 @@ object LlmQueries {
           WHERE ${duckHex8("'p2:' || CAST(k.doc_id AS VARCHAR)")}
             % 10000 < thr"""
     },
+    // Snapshot diff: hash compare across a full outer join on the id.
+    "llm_snapshot_diff" ->
+      """WITH cut AS (SELECT MAX(doc_id) AS m FROM documents),
+         v1 AS (SELECT doc_id, md5(text) AS h FROM documents, cut
+                WHERE doc_id <= m * 6 // 10),
+         v2 AS (SELECT doc_id,
+                  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                      ELSE text END) AS h
+                FROM documents, cut WHERE doc_id > m * 3 // 10)
+         SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.h IS NULL THEN 'added'
+                WHEN v2.h IS NULL THEN 'removed'
+                WHEN v1.h = v2.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""",
     // Novelty: corpus-wide distinct-shingle counts, unique fraction.
     "llm_novelty" ->
       s"""WITH toks AS (

@@ -88,6 +88,25 @@ object Curation {
       .drop("__thr")
   }
 
+  /** Snapshot diff between two corpus versions: per id, `added`
+    * (only in B), `removed` (only in A), `changed` (content hash
+    * differs) or `unchanged` -- the bookkeeping primitive for
+    * incremental crawls and dataset versioning (what moved between two
+    * 100 TB snapshots without comparing text: one full outer join on
+    * the id carrying 16-byte hashes).
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ha = a.select(col(idCol).as("id"), md5(col(textCol)).as("__ha"))
+    val hb = b.select(col(idCol).as("id"), md5(col(textCol)).as("__hb"))
+    ha.join(hb, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") === col("__hb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** N-gram novelty score: per document, the fraction of its DISTINCT
     * shingles that occur nowhere else in the corpus (corpus-wide count
     * == 1) -- the inverse of the boilerplate signal, used to up-weight

@@ -117,6 +117,16 @@ class CurationSpec extends SparkSpec {
     assert(lax == Set(3L, 4L, 5L, 6L))
   }
 
+  test("snapshot diff: all four statuses") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+    val out = Curation.snapshotDiff(v1, v2, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("novelty: unique text scores 1.0, duplicated text 0.0") {
     import spark.implicits._
     val df = Seq(
