@@ -329,6 +329,13 @@ object LlmQueries {
       Dedup.substringDupPairs(Tables.documents(s, d), "doc_id", "text",
         window = 12, minShared = 2)),
 
+    // Duplicate-SPAN localization: for >= 2-shared-window pairs, each
+    // shared fingerprint's first start position on both sides -- the
+    // cut-the-span output (vs llm_substring_dup's drop-the-doc pairs).
+    "llm_dup_spans" -> ((s, d) =>
+      Dedup.substringDupSpans(Tables.documents(s, d), "doc_id", "text",
+        window = 12, minShared = 2)),
+
     // Containment pairs (asymmetric near-dup: quotes/subsets): shared
     // 12-token windows over each side's distinct window count, keep
     // pairs where either side is >= 50% contained.
@@ -989,6 +996,8 @@ object LlmQueries {
                 ELSE 'changed' END AS status
          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""",
     // Novelty: corpus-wide distinct-shingle counts, unique fraction.
+    // Docs too short for a shingle keep a row with the defined zero
+    // score (LEFT JOIN back onto documents, like the Spark side).
     "llm_novelty" ->
       s"""WITH toks AS (
             SELECT doc_id, $duckToks AS ws FROM documents),
@@ -1000,16 +1009,19 @@ object LlmQueries {
                   ' ' || ws[CAST(i AS INT)+2]) END) AS shl
             FROM toks),
           ds AS (SELECT doc_id, unnest(shl) AS s FROM sh),
-          c AS (SELECT s, COUNT(*) AS cnt FROM ds GROUP BY s)
-          SELECT d.doc_id,
-            COUNT(*) AS n_shingles,
-            CAST(SUM(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
-              AS unique_shingles,
-            CAST(FLOOR(CAST(SUM(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END)
-                AS DOUBLE) * 1000000.0 / CAST(COUNT(*) AS DOUBLE))
-              AS BIGINT) AS novelty_micro
-          FROM ds d JOIN c ON c.s = d.s
-          GROUP BY d.doc_id""",
+          c AS (SELECT s, COUNT(*) AS cnt FROM ds GROUP BY s),
+          agg AS (
+            SELECT d.doc_id,
+              COUNT(*) AS ns,
+              SUM(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS us
+            FROM ds d JOIN c ON c.s = d.s
+            GROUP BY d.doc_id)
+          SELECT doc.doc_id,
+            CAST(COALESCE(a.ns, 0) AS BIGINT) AS n_shingles,
+            CAST(COALESCE(a.us, 0) AS BIGINT) AS unique_shingles,
+            COALESCE(CAST(FLOOR(CAST(a.us AS DOUBLE) * 1000000.0 /
+                CAST(a.ns AS DOUBLE)) AS BIGINT), 0) AS novelty_micro
+          FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id""",
     // Epoch repeats: integer copies per language.
     "llm_repeats" ->
       """SELECT doc_id, lang, CAST(g AS BIGINT) AS copy
@@ -1128,9 +1140,12 @@ object LlmQueries {
           FROM documents""",
     // Shared 12-token rolling-window fingerprints; Spark's
     // windowFingerprints emits md5 of the WHOLE doc when it is shorter
-    // than the window, replicated by the CASE arm.
+    // than the window, replicated by the CASE arm. Fingerprints shared
+    // by more than 1000 docs are dropped before the self-join (the
+    // hot-boilerplate cap -- no-op at gate corpus sizes, semantics
+    // proven anyway).
     // Containment: same window-fingerprint CTE; per-doc counts divide
-    // the shared-window count from each side.
+    // the shared-window count from each side; denominators stay uncapped.
     "llm_containment" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
           wf AS (
@@ -1143,10 +1158,13 @@ object LlmQueries {
               END)) AS wh
             FROM toks),
           sizes AS (SELECT doc_id, COUNT(*) AS nw FROM wf GROUP BY doc_id),
+          hot AS (SELECT wh FROM wf GROUP BY wh HAVING COUNT(*) > 1000),
+          wfc AS (SELECT * FROM wf
+                  WHERE wh NOT IN (SELECT wh FROM hot)),
           shared AS (
             SELECT l.doc_id AS id_a, r.doc_id AS id_b,
               COUNT(*) AS shared_windows
-            FROM wf l JOIN wf r ON l.wh = r.wh AND l.doc_id < r.doc_id
+            FROM wfc l JOIN wfc r ON l.wh = r.wh AND l.doc_id < r.doc_id
             GROUP BY 1, 2)
           SELECT s.id_a, s.id_b, s.shared_windows,
             CAST(FLOOR(CAST(s.shared_windows AS DOUBLE) * 1000000.0 /
@@ -1171,11 +1189,45 @@ object LlmQueries {
                     list_slice(ws, CAST(i AS INT), CAST(i + 11 AS INT)),
                     ' ')))
               END)) AS wh
-            FROM toks)
+            FROM toks),
+          hot AS (SELECT wh FROM wf GROUP BY wh HAVING COUNT(*) > 1000),
+          wfc AS (SELECT * FROM wf
+                  WHERE wh NOT IN (SELECT wh FROM hot))
           SELECT l.doc_id AS id_a, r.doc_id AS id_b,
             COUNT(*) AS shared_windows
-          FROM wf l JOIN wf r ON l.wh = r.wh AND l.doc_id < r.doc_id
+          FROM wfc l JOIN wfc r ON l.wh = r.wh AND l.doc_id < r.doc_id
           GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+    // Span localization: per shared (un-hot) fingerprint, each side's
+    // FIRST window start (0-based token index); pairs gated by >= 2
+    // shared windows like llm_substring_dup.
+    "llm_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          wpos AS (
+            SELECT doc_id, u.wh AS wh, CAST(MIN(u.pos) AS BIGINT) AS start
+            FROM (
+              SELECT doc_id, unnest(
+                CASE WHEN len(ws) < 12 THEN
+                  [{'pos': 0, 'wh': md5(array_to_string(ws, ' '))}]
+                ELSE list_transform(range(1, len(ws) - 10), i ->
+                  {'pos': CAST(i - 1 AS BIGINT),
+                   'wh': md5(array_to_string(
+                     list_slice(ws, CAST(i AS INT), CAST(i + 11 AS INT)),
+                     ' '))})
+                END) AS u
+              FROM toks)
+            GROUP BY doc_id, u.wh),
+          hot AS (SELECT wh FROM wpos GROUP BY wh HAVING COUNT(*) > 1000),
+          wpc AS (SELECT * FROM wpos
+                  WHERE wh NOT IN (SELECT wh FROM hot)),
+          spans AS (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+              l.start AS a_start, r.start AS b_start
+            FROM wpc l JOIN wpc r
+              ON l.wh = r.wh AND l.doc_id < r.doc_id)
+          SELECT id_a, id_b, a_start, b_start FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY id_a, id_b) AS c
+            FROM spans)
+          WHERE c >= 2""",
 
     // Chunk slices reuse the chunking CTE; per-chunk dims are the
     // llm_embed_check construction (integer bucket sum, one division,

@@ -74,18 +74,26 @@ object Curation {
     */
   def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
       salt: String): DataFrame = {
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // NULL groups never survive an equi-join, so they are coalesced to a
+    // sentinel key: null-group rows form their own stratum and
+    // participate deterministically instead of being silently dropped
+    // (the stratifiedSample defaultRate analog). The sentinel starts
+    // with "\\u0000" -- not producible by any sane group value; a collision
+    // would only merge that group with the null stratum, never drop rows.
+    val gk = coalesce(col(groupCol).cast("string"), lit("\u0000null"))
+    val withKey = df.withColumn("__gk", gk)
+    val counts = withKey.groupBy(col("__gk")).agg(count(lit(1)).as("__n"))
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
     val thresholds = counts.crossJoin(broadcast(nmin))
-      .select(col(groupCol),
+      .select(col("__gk"),
         floor(sqrt(col("__nmin").cast("double") / col("__n").cast("double"))
           * 10000.0).cast("long").as("__thr"))
     val bucket = conv(substring(
       md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8), 16, 10)
       .cast("long") % 10000L
-    df.join(broadcast(thresholds), Seq(groupCol))
+    withKey.join(broadcast(thresholds), Seq("__gk"))
       .where(bucket < col("__thr"))
-      .drop("__thr")
+      .drop("__thr", "__gk")
   }
 
   /** Snapshot diff between two corpus versions: per id, `added`
@@ -112,8 +120,16 @@ object Curation {
     * == 1) -- the inverse of the boilerplate signal, used to up-weight
     * genuinely novel text in curation. Integer-count division.
     *
+    * EVERY input document gets an output row: documents too short to
+    * produce a shingle (fewer than shingleN tokens) would vanish from
+    * the exploded aggregate, so the per-doc stats are LEFT-joined back
+    * onto the corpus and short docs get the defined score
+    * (n_shingles = 0, unique_shingles = 0, novelty_micro = 0) --
+    * downstream novelty-weighted joins never drop or misclassify them.
+    *
     * Scale shape: one explode + groupBy on the shingle (md5-sized keys),
-    * one join back on the shingle, one per-doc groupBy. Hot shingles are
+    * one join back on the shingle, one per-doc groupBy, one id-keyed
+    * join back to the (narrow) id projection. Hot shingles are
     * exactly the non-novel ones, so skew on the shingle key is bounded
     * by AQE's skew split and never reaches the per-doc agg.
     */
@@ -124,15 +140,19 @@ object Curation {
       explode(array_distinct(
         t.shingles(t.tokens(col(textCol)), shingleN))).as("sh"))
     val corpus = docSh.groupBy("sh").agg(count(lit(1)).as("cnt"))
-    docSh.join(corpus, Seq("sh"))
+    val perDoc = docSh.join(corpus, Seq("sh"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("unique_shingles"))
-      .select(col("id").as(idCol), col("n_shingles"),
-        col("unique_shingles"),
-        floor(col("unique_shingles").cast("double") * 1000000.0 /
-          col("n_shingles").cast("double")).cast("long")
-          .as("novelty_micro"))
+      .agg(count(lit(1)).as("__ns"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("__us"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__ns"), lit(0L)).as("n_shingles"),
+        coalesce(col("__us"), lit(0L)).as("unique_shingles"),
+        coalesce(
+          floor(col("__us").cast("double") * 1000000.0 /
+            col("__ns").cast("double")).cast("long"),
+          lit(0L)).as("novelty_micro"))
   }
 
   /** Epoch upsampling: repeat each row `repeats(group)` times (default

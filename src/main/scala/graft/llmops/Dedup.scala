@@ -145,7 +145,12 @@ object Dedup {
     * vote), in one digest per token instead of a per-(token, bit) HOF
     * walk -- the scan-side cost drops ~bits-fold.
     */
-  def simhashUdfFor(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  def simhashUdfFor(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    // same guard as the column-expression simhash this replaces: bits
+    // beyond 128 would index past the 16-byte md5 digest inside executor
+    // tasks (ArrayIndexOutOfBounds mid-job instead of a clear error here).
+    require(bits > 0 && bits % 4 == 0 && bits <= 128,
+      s"bits must be a positive multiple of 4 <= 128, got $bits")
     udf((toks: Seq[String]) => {
       val md = java.security.MessageDigest.getInstance("MD5")
       val votes = new Array[Int](bits)
@@ -167,6 +172,7 @@ object Dedup {
       }
       new String(out)
     })
+  }
 
   /** SimHash near-dup pairs: `bits`-bit simhash, banded into bits/bandBits
     * chunks for candidate generation, hamming-distance verification.
@@ -332,16 +338,99 @@ object Dedup {
         hex(toks.slice(i, i + window).mkString(" ")))
     })
 
+  /** Drop window fingerprints shared by more than `maxDocFreq` documents
+    * before any fingerprint self-join. A span occurring in m documents
+    * emits m^2/2 candidate pairs from the equi-join -- AQE's skew split
+    * can repartition such a bucket but cannot shrink the quadratic pair
+    * volume, so one boilerplate span (license header, navigation bar --
+    * guaranteed at web scale) would dominate the whole job. Ultra-hot
+    * spans are boilerplate, not duplication signal: dropping them is the
+    * same judgment call as [[lineDedup]]'s heavy-hitter line filter, and
+    * the hot SET is tiny by definition (heavy hitters), so it BROADCASTS
+    * into a left_anti join -- the fingerprint stream never re-shuffles.
+    *
+    * Recall tradeoff: a pair whose ONLY shared spans are hot ones is no
+    * longer reported. Those pairs are precisely "two docs quoting the
+    * same boilerplate" -- the false-positive class span dedup wants to
+    * exclude; genuine near-dups share cold spans too. `wf` must be
+    * distinct per (id, wh) so count(*) is document frequency.
+    */
+  private def dropHotFingerprints(wf: DataFrame, maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq > 0, "maxDocFreq must be positive")
+    val hot = wf.groupBy("wh").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq)
+      .select("wh")
+    wf.join(broadcast(hot), Seq("wh"), "left_anti")
+  }
+
   def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 20, minShared: Int = 1): DataFrame = {
+      window: Int = 20, minShared: Int = 1,
+      maxDocFreq: Int = 1000): DataFrame = {
     val wf = df.select(col(idCol).as("id"),
       explode(array_distinct(windowFingerprintsUdf(window)(col(textCol))))
         .as("wh"))
-    wf.as("l").join(wf.as("r"),
+    val capped = dropHotFingerprints(wf, maxDocFreq)
+    capped.as("l").join(capped.as("r"),
         col("l.wh") === col("r.wh") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("shared_windows"))
       .where(col("shared_windows") >= minShared)
+  }
+
+  /** Compiled (position, fingerprint) pairs: same hashes as
+    * [[windowFingerprintsUdf]] with the 0-based TOKEN index of each
+    * window's start -- the span-localization input.
+    */
+  def windowFingerprintPositionsUdf(window: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(s: String): String = {
+        val d = md.digest(s.getBytes("UTF-8"))
+        val out = new Array[Char](32)
+        var i = 0
+        while (i < 16) {
+          out(2 * i) = "0123456789abcdef" ((d(i) >> 4) & 0xf)
+          out(2 * i + 1) = "0123456789abcdef" (d(i) & 0xf)
+          i += 1
+        }
+        new String(out)
+      }
+      if (toks.length < window) Seq((0, hex(toks.mkString(" "))))
+      else (0 to toks.length - window).map(i =>
+        (i, hex(toks.slice(i, i + window).mkString(" "))))
+    })
+
+  /** Duplicate-SPAN localization: where [[substringDupPairs]] says two
+    * docs share spans, this says WHICH spans -- (id_a, id_b, a_start,
+    * b_start) per shared distinct fingerprint, with each side's FIRST
+    * (minimum) token index for that window, so a consumer can cut the
+    * span rather than drop the document (what the exact-substring dedup
+    * literature actually does). Pairs are still gated by `minShared`
+    * (count over the pair's span rows -- a window over pair keys, input
+    * already bounded by the capped candidate join), and hot fingerprints
+    * are dropped by the same [[dropHotFingerprints]] broadcast anti-join
+    * before the self-join.
+    */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 20, minShared: Int = 1,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val wp = df.select(col(idCol).as("id"),
+        explode(windowFingerprintPositionsUdf(window)(col(textCol))).as("w"))
+      .select(col("id"), col("w._2").as("wh"), col("w._1").as("pos"))
+      .groupBy("id", "wh")
+      .agg(min(col("pos")).cast("long").as("start"))
+    val capped = dropHotFingerprints(wp, maxDocFreq)
+    val spans = capped.as("l").join(capped.as("r"),
+        col("l.wh") === col("r.wh") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.start").as("a_start"), col("r.start").as("b_start"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b")
+    spans.withColumn("__c", count(lit(1)).over(w))
+      .where(col("__c") >= minShared)
+      .drop("__c")
   }
 
   /** Containment near-dup pairs: |W_a n W_b| / |W_a| (and the b-side
@@ -354,12 +443,18 @@ object Dedup {
     * (id, count) join. Integer-count divisions, floored to micros.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 12, minMicros: Long = 500000): DataFrame = {
+      window: Int = 12, minMicros: Long = 500000,
+      maxDocFreq: Int = 1000): DataFrame = {
     val wf = df.select(col(idCol).as("id"),
       explode(array_distinct(windowFingerprintsUdf(window)(col(textCol))))
         .as("wh"))
+    // Denominators stay UNCAPPED (a doc's full distinct-window count):
+    // capping only the shared-window numerator UNDER-estimates
+    // containment for boilerplate-heavy docs -- conservative, never a
+    // false positive from the cap.
     val sizes = wf.groupBy("id").agg(count(lit(1)).as("nw"))
-    val shared = wf.as("l").join(wf.as("r"),
+    val capped = dropHotFingerprints(wf, maxDocFreq)
+    val shared = capped.as("l").join(capped.as("r"),
         col("l.wh") === col("r.wh") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("shared_windows"))

@@ -130,9 +130,31 @@ object Sketches {
   /** Point estimates for `queries` (a frame with valueCol): min over
     * rows of the matching slot counters. Missing slots count as zero
     * (only possible for values the sketch never saw).
+    *
+    * depth/width MUST equal the values the sketch was built with -- a
+    * mismatch would silently yield wrong (often zero) estimates, so this
+    * validates against the sketch frame itself: a non-empty sketch has
+    * max(row) == depth-1 (every update writes all depth rows) and every
+    * slot < width. The check is an eager aggregate over the sketch --
+    * bounded by construction (depth x width counters), and the frame is
+    * broadcast into the estimate join anyway. Heuristic limit: a sketch
+    * built WIDER than `width` whose occupied slots all happen to fall
+    * below `width` passes; carrying depth/width in a config table fixes
+    * that at the cost of the plain-frame API.
     */
   def cmEstimate(sketch: DataFrame, queries: DataFrame, valueCol: String,
       depth: Int = 4, width: Int = 256): DataFrame = {
+    val chk = sketch.agg(max(col("row")).as("mr"), max(col("slot")).as("ms"))
+      .head()
+    if (!chk.isNullAt(0)) {
+      // row is posexplode's int, slot is hex8 % width (long) -- widen both
+      val (mr, ms) = (chk.getAs[Number](0).intValue(),
+        chk.getAs[Number](1).intValue())
+      require(mr == depth - 1,
+        s"sketch depth mismatch: max(row)=$mr implies depth ${mr + 1}, got $depth")
+      require(ms < width,
+        s"sketch width mismatch: max(slot)=$ms >= width $width")
+    }
     val slots = queries
       .select(col(valueCol),
         posexplode(transform(sequence(lit(0), lit(depth - 1)), r =>
@@ -147,13 +169,16 @@ object Sketches {
 
   // --- histogram quantile sketch ----------------------------------------
 
-  /** Histogram-based quantile estimates: bin = value div binWidth, the
-    * q-quantile estimate is the LOWER EDGE of the first bin whose
-    * cumulative count reaches ceil(q * N). All-integer arithmetic (bin
-    * ids, counts, a cross-multiplied threshold), so estimates are
-    * bit-reproducible -- unlike interpolated percentile_approx, whose
-    * float interpolation is engine-specific. Error is bounded by
-    * binWidth by construction.
+  /** Histogram-based quantile estimates: bin = FLOOR-division of the
+    * value by binWidth (pmod-adjusted -- Spark's `div` truncates toward
+    * zero, which would shift every negative value's bin up by one and
+    * make `est` the bin's UPPER edge), so the q-quantile estimate is the
+    * bin's LOWER EDGE for negative values too. The estimate is the first
+    * bin whose cumulative count reaches ceil(q * N). All-integer
+    * arithmetic (bin ids, counts, a cross-multiplied threshold), so
+    * estimates are bit-reproducible -- unlike interpolated
+    * percentile_approx, whose float interpolation is engine-specific.
+    * Error is bounded by binWidth by construction.
     *
     * Scale shape: ONE groupBy on the bin id; the cumulative window runs
     * over the BIN frame only (bounded by the value range / binWidth,
@@ -166,8 +191,13 @@ object Sketches {
   def histogramQuantiles(df: DataFrame, valueCol: String, binWidth: Long,
       qMillis: Seq[Int]): DataFrame = {
     require(binWidth >= 1 && qMillis.nonEmpty)
+    // floor division via pmod: (v - pmod(v, w)) is exactly divisible by
+    // w and pmod is non-negative, so the quotient floors for any sign --
+    // integer-exact, no doubles.
     val bins = df
-      .select(expr(s"CAST($valueCol AS BIGINT) div $binWidth").as("bin"))
+      .select(expr(s"""(CAST($valueCol AS BIGINT)
+          - pmod(CAST($valueCol AS BIGINT), $binWidth)) div $binWidth""")
+        .as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -217,9 +247,21 @@ object Sketches {
     * groups is tiny; the raw sets never meet): est = |K(A u B) n A n B|
     * / |K(A u B)| where K takes the k smallest of the merged signature.
     * Integer-count division, floored to micros.
+    *
+    * `k` must equal the k the signatures were built with; a signature
+    * LONGER than k proves a mismatch and fails fast (the eager max-size
+    * aggregate is over the tiny sketch frame). The converse -- signatures
+    * all shorter than k because every group had few distinct values --
+    * is indistinguishable from a smaller build k, and in that case the
+    * estimate is unaffected (the merged prefix is the full union either
+    * way), so the heuristic guard is sufficient.
     */
   def bottomKJaccardPairs(sketches: DataFrame, groupCol: String,
       k: Int): DataFrame = {
+    val chk = sketches.agg(max(size(col("signature")))).head()
+    if (!chk.isNullAt(0))
+      require(chk.getInt(0) <= k,
+        s"signature length ${chk.getInt(0)} exceeds k=$k: built with larger k")
     val l = sketches.select(col(groupCol).as("g_a"),
       col("signature").as("__sa"))
     val r = sketches.select(col(groupCol).as("g_b"),

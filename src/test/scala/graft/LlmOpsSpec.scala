@@ -219,6 +219,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.head.getLong(2) == 4L)
   }
 
+  test("hot-fingerprint cap bounds boilerplate pair blowup; spans localize") {
+    import spark.implicits._
+    // one 12-token boilerplate span in ALL 40 docs (license-header
+    // analog), one genuine 15-token dup span in docs 1 and 2 only.
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val span = (1 to 15).map(i => s"tok$i").mkString(" ")
+    val df = (1L to 40L).map { i =>
+      val own = (1 to 12).map(j => s"own${i}x$j").mkString(" ")
+      val dup = if (i <= 2) s" $span" else ""
+      (i, s"$boiler $own$dup")
+    }.toDF("doc_id", "text")
+    // uncapped: the hot span alone welds every doc pair -- 40*39/2
+    // candidate pairs, the quadratic blowup the cap exists to stop
+    assert(Dedup.substringDupPairs(df, "doc_id", "text", window = 12,
+      minShared = 1, maxDocFreq = 1000).count() == 780L)
+    // cap below the boilerplate doc-frequency: only the genuine pair
+    val pairs = Dedup.substringDupPairs(df, "doc_id", "text", window = 12,
+      minShared = 2, maxDocFreq = 10).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getLong(2) == 4L) // 15-token span -> 4 shared windows
+    // span localization: both docs are boiler(12)+own(12)+span, so the 4
+    // shared windows start at token 24..27 on both sides
+    val spans = Dedup.substringDupSpans(df, "doc_id", "text", window = 12,
+      minShared = 2, maxDocFreq = 10).collect()
+    assert(spans.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(spans.map(r => (r.getLong(2), r.getLong(3))).toSet ==
+      Set((24L, 24L), (25L, 25L), (26L, 26L), (27L, 27L)))
+    // containment: hot-only pairs (e.g. 3-4) vanish; the genuine pair
+    // keeps its UNCAPPED denominator (28 distinct windows, 4 cold shared
+    // -> 142857 micro)
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", window = 12,
+      minMicros = 100000, maxDocFreq = 10).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(cont.head.getLong(3) == 142857L)
+  }
+
   test("collocations: repeated adjacent pair outranks common-word pairs") {
     import spark.implicits._
     // "new york" always adjacent (lift high); "the" pairs with many
