@@ -369,6 +369,11 @@ object LlmQueries {
 
     // Integer PageRank (3 rounds, damping 0.85) over the verified
     // minhash near-dup graph: similarity-graph centrality for curation.
+    // BENCH-COST NOTE: gates are self-contained, so this query
+    // REGENERATES the minhash pair list every run (~1s of its ~2.6s warm
+    // at sf0.1); in a real pipeline the pairs are a stage table and the
+    // PageRank itself is the remaining ~1.6s. llm_dup_clusters carries
+    // the same pair-gen share ahead of its connected components.
     "llm_graph_rank" -> ((s, d) =>
       graft.llmops.Graphs.pageRank(
         Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
