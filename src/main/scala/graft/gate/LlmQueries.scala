@@ -454,6 +454,17 @@ object LlmQueries {
           floor(col("score") * 1000000).cast("long").as("cosine_micro"))
     }),
 
+    // Semantic dedup (SemDeDup shape): trained-centroid clusters, flag
+    // docs with a smaller-id same-cluster neighbor at cosine >= 0.9.
+    // Oracle is DYNAMIC (semanticDedupOracleSql): same centroid-VALUES
+    // injection + FP-margin guard protocol as llm_ann_ivf.
+    "llm_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Ann.trainCentroids(emb, "embedding", nCells = 16)
+      Dedup.semanticDupFlags(emb, "vec_id", "embedding", cents,
+        thresholdMicro = semanticDedupThresholdMicro)
+    }),
+
     // Top-20 most-similar embedding pairs within random-hyperplane LSH
     // cells (near-dup scan shape over the full table).
     "llm_emb_pairs" -> ((s, d) => {
@@ -719,9 +730,111 @@ object LlmQueries {
     assignOk && probeOk && cutOk && quantOk
   }
 
+  /** llm_semantic_dedup's cosine cut, in floor-micro units (0.9). */
+  private[gate] val semanticDedupThresholdMicro = 900000L
+
+  /** llm_semantic_dedup oracle: the same centroid-VALUES injection as
+    * [[annIvfOracleSql]] (k-means is not SQL-expressible; everything
+    * downstream of training is recomputed) -- l2 normalization,
+    * nearest-centroid assignment (lowest cell on dot ties), the
+    * within-cell smaller-id neighbor scan at floor(cosine*1e6) >=
+    * threshold, and the per-doc flag.
+    */
+  def semanticDedupOracleSql(cents: Array[Array[Double]]): String = {
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, CAST([${c.mkString(",")}] AS DOUBLE[]))"
+    }.mkString(", ")
+    def dotN(v: String, c: String): String =
+      s"""list_sum(list_transform(range(1, len($c) + 1), i ->
+            $v[CAST(i AS INT)] * $c[CAST(i AS INT)]))"""
+    def norm(e: String): String =
+      s"""list_transform($e, x -> CAST(x AS DOUBLE) /
+            sqrt(list_sum(list_transform($e, y ->
+              CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"""
+    s"""WITH cents(cell, cv) AS (VALUES $values),
+       en AS (SELECT vec_id, embedding, ${norm("embedding")} AS ev
+              FROM embeddings),
+       assigned AS (
+         SELECT vec_id, embedding, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY dd DESC, cell ASC) AS rn
+         FROM (SELECT e.vec_id, e.embedding, c.cell,
+                 ${dotN("e.ev", "c.cv")} AS dd
+               FROM en e CROSS JOIN cents c)),
+       a AS (SELECT vec_id, embedding, cell FROM assigned WHERE rn = 1),
+       dups AS (
+         SELECT DISTINCT l.vec_id
+         FROM a l JOIN a r ON l.cell = r.cell AND r.vec_id < l.vec_id
+         WHERE CAST(FLOOR(
+           list_sum(list_transform(range(1, len(l.embedding) + 1), i ->
+             CAST(l.embedding[CAST(i AS INT)] AS DOUBLE)
+             * CAST(r.embedding[CAST(i AS INT)] AS DOUBLE))) /
+           (sqrt(list_sum(list_transform(l.embedding, x ->
+              CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(r.embedding, x ->
+              CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           * 1000000) AS BIGINT) >= $semanticDedupThresholdMicro)
+       SELECT a.vec_id, a.cell,
+         (a.vec_id IN (SELECT vec_id FROM dups)) AS semantic_dup
+       FROM a"""
+  }
+
+  /** True iff llm_semantic_dedup's cross-engine FP decisions are all
+    * margin-safe: (a) every vector's top-2 centroid dots (assignment --
+    * a flipped cell changes pair candidates), and (b) every same-cell
+    * pair's scaled cosine is at least annIvfEps*1e6 away from the ONE
+    * boundary that matters, the threshold itself (floor(c*1e6) >= thr
+    * flips only when c*1e6 sits within rounding of thr -- unlike
+    * annIvfFpSafe's quantization check, distance to other integers is
+    * irrelevant because the cosine is never emitted). Collects the
+    * embeddings table -- Verify-time only, bounded.
+    */
+  private[gate] def semanticDedupFpSafe(s: org.apache.spark.sql.SparkSession,
+      d: String, cents: Array[Array[Double]],
+      thresholdMicro: Long): Boolean = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def norm(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(dot(a, a))
+      if (n == 0) a else a.map(_ / n)
+    }
+    val rows = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def top2Margin(x: Array[Double]): Double = {
+      val dots = cents.map(dot(x, _)).sorted(Ordering[Double].reverse)
+      dots(0) - dots(1)
+    }
+    val assignOk = rows.forall { case (_, v) =>
+      top2Margin(norm(v)) >= annIvfEps }
+    val byCell = rows.groupBy { case (_, v) =>
+      val x = norm(v)
+      var bc = 0; var bd = Double.MinValue; var c = 0
+      while (c < cents.length) {
+        val dd = dot(x, cents(c)); if (dd > bd) { bd = dd; bc = c }; c += 1
+      }
+      bc
+    }
+    val pairsOk = byCell.values.forall { members =>
+      val ms = members.sortBy(_._1)
+      ms.indices.forall { i =>
+        (i + 1 until ms.length).forall { j =>
+          val (a, b) = (ms(i)._2, ms(j)._2)
+          val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+          math.abs(c * 1e6 - thresholdMicro.toDouble) >= annIvfEps * 1e6
+        }
+      }
+    }
+    assignOk && pairsOk
+  }
+
   /** Oracles that embed data-derived constants (trained centroids) and so
-    * must be built with the SparkSession + sf dir at Verify time. The
-    * llm_ann_ivf oracle is withheld (query degrades to the driver's
+    * must be built with the SparkSession + sf dir at Verify time. Each is
+    * withheld independently (the query degrades to the driver's
     * rows-only check) when any of its FP decision margins is within
     * annIvfEps of a boundary -- cross-engine last-bit rounding could
     * otherwise flip the hash-match flakily at a new scale factor.
@@ -730,8 +843,15 @@ object LlmQueries {
       d: String): Map[String, String] = {
     val cents = Ann.trainCentroids(Tables.embeddings(s, d), "embedding",
       nCells = 16)
-    if (annIvfFpSafe(s, d, cents)) Map("llm_ann_ivf" -> annIvfOracleSql(cents))
-    else Map.empty
+    val ivf =
+      if (annIvfFpSafe(s, d, cents))
+        Map("llm_ann_ivf" -> annIvfOracleSql(cents))
+      else Map.empty[String, String]
+    val sem =
+      if (semanticDedupFpSafe(s, d, cents, semanticDedupThresholdMicro))
+        Map("llm_semantic_dedup" -> semanticDedupOracleSql(cents))
+      else Map.empty[String, String]
+    ivf ++ sem
   }
 
   def oracles: Map[String, String] = Map(

@@ -301,6 +301,45 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** Semantic dedup (the SemDeDup shape from the public literature,
+    * Abbas et al. 2023 "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): cluster document embeddings with
+    * trained k-means centroids, then within each cluster flag every doc
+    * that has a SMALLER-id doc at cosine >= threshold as a semantic
+    * duplicate (keep-first greedy -- the deterministic, SQL-expressible
+    * variant of SemDeDup's within-cluster pruning). Returns one row per
+    * input doc: (idCol, cell, semantic_dup).
+    *
+    * Scale shape: centroids train on a bounded deterministic sample
+    * ([[Ann.trainCentroids]]) and ride the assignment UDF's closure;
+    * the only wide stages are the cell-keyed self-join (pairs exist
+    * within a cluster only -- the clustering IS the candidate generator,
+    * same role as a band key) and the id-keyed flag join. Cluster sizes
+    * are bounded by nCells sizing (at 100 TB: ~sqrt(n) cells keeps
+    * within-cell pair volume near-linear); a degenerate mega-cluster is
+    * the embedding-space analog of a hot fingerprint and is visible in
+    * the cell histogram before running the join.
+    *
+    * The threshold compares floor(cosine * 1e6) against an integer so a
+    * SQL oracle re-makes the same decision; see the gate's FP-margin
+    * guard for the cross-engine rounding protocol.
+    */
+  def semanticDupFlags(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], thresholdMicro: Long): DataFrame = {
+    val base = Ann.withIvfCentroidCell(
+      df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("__v")),
+      "__v", centroids)
+    val dups = base.as("l").join(base.as("r"),
+        col("l.cell") === col("r.cell") && col("r.id") < col("l.id"))
+      .where(floor(graft.functions.CosineSimilarity(col("l.__v"),
+        col("r.__v")) * 1000000).cast("long") >= thresholdMicro)
+      .select(col("l.id").as("id")).distinct()
+    base.join(dups.withColumn("__d", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        coalesce(col("__d"), lit(false)).as("semantic_dup"))
+  }
+
   /** Exact-substring duplication pairs: docs sharing >= minShared
     * distinct `window`-token rolling-hash fingerprints. The distributed
     * analog of suffix-array substring dedup from the published

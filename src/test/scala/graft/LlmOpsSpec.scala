@@ -219,6 +219,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.head.getLong(2) == 4L)
   }
 
+  test("semantic dedup flags smaller-id near-duplicates within clusters") {
+    import spark.implicits._
+    // 1 and 5 nearly parallel (same cluster, cos ~ 0.99995); 9 opposite
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (5L, Seq(0.999, 0.01, 0.0, 0.0)),
+      (9L, Seq(-1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0, 0.0))
+    val out = graft.llmops.Dedup.semanticDupFlags(df, "vec_id", "embedding",
+      cents, thresholdMicro = 990000L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(out == Map(1L -> false, 5L -> true, 9L -> false))
+  }
+
   test("hot-fingerprint cap bounds boilerplate pair blowup; spans localize") {
     import spark.implicits._
     // one 12-token boilerplate span in ALL 40 docs (license-header
