@@ -278,6 +278,21 @@ object LlmQueries {
         capacity = 1024, partitions = 8)
         .select(col("doc_id"), col("bin"), col("bin_offset"))),
 
+    // DSIR importance selection: hashed-2-gram bucket llr weights
+    // trained against the EN subset as the target corpus; keep docs
+    // whose mean llr is >= 0 (at least corpus-average target-likeness).
+    // Oracle is DYNAMIC (dsirOracleSql): the JVM-computed integer
+    // weights inject as a VALUES table carrying both bucket counts, and
+    // DuckDB recomputes the counts and joins on all three columns --
+    // count drift breaks the join and fails the hash.
+    "llm_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Curation.dsirWeights(docs, docs.where(col("lang") === "en"),
+        "text", shingleN = 2, buckets = 256)
+      Curation.dsirScores(docs, "doc_id", "text", w, shingleN = 2,
+        buckets = 256, thresholdMicro = 0L)
+    }),
+
     // CAPSTONE: the whole training-data pipeline composed end-to-end --
     // exact dedup -> lang filter -> quality threshold (micro-quantized,
     // so the cut is cross-engine exact) -> benchmark decontamination ->
@@ -832,12 +847,55 @@ object LlmQueries {
     assignOk && pairsOk
   }
 
-  /** Oracles that embed data-derived constants (trained centroids) and so
-    * must be built with the SparkSession + sf dir at Verify time. Each is
-    * withheld independently (the query degrades to the driver's
-    * rows-only check) when any of its FP decision margins is within
-    * annIvfEps of a boundary -- cross-engine last-bit rounding could
-    * otherwise flip the hash-match flakily at a new scale factor.
+  /** llm_dsir oracle: the JVM-computed weight table injects as VALUES
+    * (ln is libm -- last-bit engine-dependent -- so only floored integer
+    * micros travel); DuckDB recomputes BOTH bucket-count columns from
+    * the raw data and joins the weights on (bucket, tcnt, rcnt), so a
+    * count discrepancy empties that bucket's weight and fails the hash.
+    * Everything else -- bucketing, occurrence counts, per-doc integer
+    * sums, the cross-multiplied keep -- is pure integer SQL.
+    */
+  def dsirOracleSql(weights: Seq[Curation.DsirWeight]): String = {
+    val values = weights.map(w =>
+      s"(${w.bucket}, ${w.targetCount}, ${w.rawCount}, ${w.llrMicro})")
+      .mkString(", ")
+    val bucketExpr = s"CAST(${duckHex8("s")} % 256 AS INT)"
+    s"""WITH w(bucket, tcnt, rcnt, llr) AS (VALUES $values),
+       toks AS (SELECT doc_id, lang, $duckToks AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, lang, unnest(
+           CASE WHEN len(ws) < 2 THEN []
+             ELSE list_transform(range(1, len(ws)), i ->
+               ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]) END) AS s
+         FROM toks),
+       b AS (SELECT doc_id, lang, $bucketExpr AS bucket FROM sh),
+       tc AS (SELECT bucket, COUNT(*) AS c FROM b WHERE lang = 'en'
+              GROUP BY bucket),
+       rc AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket),
+       wv AS (
+         SELECT w.bucket, w.llr FROM w
+         LEFT JOIN tc ON tc.bucket = w.bucket
+         LEFT JOIN rc ON rc.bucket = w.bucket
+         WHERE COALESCE(tc.c, 0) = w.tcnt AND COALESCE(rc.c, 0) = w.rcnt),
+       agg AS (
+         SELECT b.doc_id, COUNT(*) AS n, CAST(SUM(wv.llr) AS BIGINT) AS sc
+         FROM b JOIN wv USING (bucket) GROUP BY b.doc_id)
+       SELECT d.doc_id,
+         CAST(COALESCE(a.n, 0) AS BIGINT) AS n_grams,
+         CAST(COALESCE(a.sc, 0) AS BIGINT) AS score_micro,
+         (COALESCE(a.n, 0) > 0 AND COALESCE(a.sc, 0) >= 0) AS keep
+       FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
+  }
+
+  /** Oracles that embed data-derived constants (trained centroids, the
+    * DSIR weight table) and so must be built with the SparkSession + sf
+    * dir at Verify time. The FP-guarded ones are withheld independently
+    * (the query degrades to the driver's rows-only check) when any of
+    * their FP decision margins is within annIvfEps of a boundary --
+    * cross-engine last-bit rounding could otherwise flip the hash-match
+    * flakily at a new scale factor. llm_dsir needs no guard: its
+    * injected weights are integers and both engines' downstream math is
+    * integer-only.
     */
   def dynamicOracles(s: org.apache.spark.sql.SparkSession,
       d: String): Map[String, String] = {
@@ -851,7 +909,11 @@ object LlmQueries {
       if (semanticDedupFpSafe(s, d, cents, semanticDedupThresholdMicro))
         Map("llm_semantic_dedup" -> semanticDedupOracleSql(cents))
       else Map.empty[String, String]
-    ivf ++ sem
+    val docs = Tables.documents(s, d)
+    val dsir = Map("llm_dsir" -> dsirOracleSql(
+      Curation.dsirWeights(docs, docs.where(col("lang") === "en"), "text",
+        shingleN = 2, buckets = 256)))
+    ivf ++ sem ++ dsir
   }
 
   def oracles: Map[String, String] = Map(

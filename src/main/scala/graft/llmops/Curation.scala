@@ -222,6 +222,103 @@ object Curation {
     docs.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** One row of the DSIR weight table: add-one-smoothed log-likelihood
+    * ratio of a hashed-shingle bucket's target vs raw frequency, floored
+    * to integer micros. Carrying the two counts alongside the ratio lets
+    * a SQL oracle recompute the counts and join on ALL THREE columns --
+    * any count drift breaks the join and surfaces as a hash mismatch.
+    */
+  final case class DsirWeight(bucket: Int, targetCount: Long,
+      rawCount: Long, llrMicro: Long)
+
+  private def dsirBucketCol(shCol: Column, buckets: Int): Column =
+    (graft.functions.TextFunctions.hex8(shCol) % buckets).cast("int")
+
+  /** Per-bucket shingle-occurrence counts, collected driver-side: the
+    * frame is at most `buckets` rows by construction (the k-means-sample
+    * pattern -- bounded collect feeding a broadcast table).
+    */
+  private def dsirBucketCounts(df: DataFrame, textCol: String,
+      shingleN: Int, buckets: Int): Map[Int, Long] = {
+    val t = graft.functions.TextFunctions
+    df.select(explode(t.shingles(t.tokens(col(textCol)), shingleN)).as("s"))
+      .select(dsirBucketCol(col("s"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  /** DSIR-shape importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", public literature):
+    * per md5-hashed shingle bucket b,
+    *   llr(b) = ln((t_b + 1) / (T + B)) - ln((r_b + 1) / (R + B))
+    * -- the add-one-smoothed log ratio of the bucket's frequency in a
+    * TARGET corpus vs the RAW corpus (T/R = total occurrences, B =
+    * bucket count). Every bucket gets a weight (zero-count buckets get
+    * the smoothing floor), so downstream scoring joins never drop a
+    * shingle.
+    *
+    * Determinism protocol: the bucket counts are exact integer
+    * aggregates; ln() -- libm, last-bit engine-dependent -- is evaluated
+    * ONCE, here on the JVM, and only the floored integer micro-weights
+    * travel (broadcast into scoring; injected as a VALUES table into the
+    * gate's SQL oracle, the trained-centroid pattern). Both engines then
+    * perform integer-only sums and compares: no cross-engine FP decision
+    * exists, so no margin guard is needed.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      shingleN: Int = 2, buckets: Int = 256): Seq[DsirWeight] = {
+    require(buckets > 0, "buckets must be positive")
+    val tc = dsirBucketCounts(target, textCol, shingleN, buckets)
+    val rc = dsirBucketCounts(raw, textCol, shingleN, buckets)
+    val tTot = tc.values.sum.toDouble + buckets
+    val rTot = rc.values.sum.toDouble + buckets
+    (0 until buckets).map { b =>
+      val t = tc.getOrElse(b, 0L)
+      val r = rc.getOrElse(b, 0L)
+      val llr = math.log((t + 1).toDouble / tTot) -
+        math.log((r + 1).toDouble / rTot)
+      DsirWeight(b, t, r, math.floor(llr * 1e6).toLong)
+    }
+  }
+
+  /** Score + select raw-corpus docs by DSIR importance: a doc's score is
+    * the integer sum of its shingle occurrences' bucket llr-micros, and
+    * it is kept when its MEAN llr clears `thresholdMicro`
+    * (cross-multiplied: score >= threshold * n_grams -- no per-doc
+    * division). Docs with no shingles keep a row (n_grams = 0, score 0,
+    * keep = false), the [[noveltyScore]] completeness rule.
+    *
+    * Scale shape: the <= `buckets`-row weight table broadcasts; the wide
+    * stages are the shingle explode (map-side) and the per-doc groupBy
+    * on the id. Returns (idCol, n_grams, score_micro, keep).
+    */
+  def dsirScores(raw: DataFrame, idCol: String, textCol: String,
+      weights: Seq[DsirWeight], shingleN: Int = 2, buckets: Int = 256,
+      thresholdMicro: Long = 0L): DataFrame = {
+    require(weights.length == buckets,
+      s"weight table has ${weights.length} rows, expected $buckets")
+    val t = graft.functions.TextFunctions
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val w = broadcast(
+      weights.map(x => (x.bucket, x.llrMicro)).toDF("bucket", "llr_micro"))
+    val sh = raw.select(col(idCol).as("id"),
+        explode(t.shingles(t.tokens(col(textCol)), shingleN)).as("s"))
+      .select(col("id"), dsirBucketCol(col("s"), buckets).as("bucket"))
+    val agg = sh.join(w, Seq("bucket"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("__n"), sum(col("llr_micro")).as("__sc"))
+    raw.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_grams"),
+        coalesce(col("__sc"), lit(0L)).as("score_micro"),
+        (coalesce(col("__n"), lit(0L)) > 0 &&
+          coalesce(col("__sc"), lit(0L)) >=
+            lit(thresholdMicro) * coalesce(col("__n"), lit(0L)))
+          .as("keep"))
+  }
+
   /** Hash-filter stride for the boundary sample: CEILING division, so the
     * expected sample size count/stride is <= cap and the hash filter --
     * not the ordered limit -- is what bounds the sample. Floor division

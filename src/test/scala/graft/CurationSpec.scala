@@ -152,6 +152,36 @@ class CurationSpec extends SparkSpec {
     assert(!byId.contains(3L)) // zero repeats drops the group
   }
 
+  test("dsir: target-like docs keep, off-target drop, short docs defined") {
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta alpha beta", "en"),
+      (2L, "alpha beta alpha beta gamma delta alpha beta", "en"),
+      (3L, "alpha beta alpha beta alpha beta gamma alpha", "xx"), // en-like
+      (4L, "uno dos tres cuatro cinco seis siete ocho", "xx"),
+      (5L, "", "xx")) // no shingles
+      .toDF("doc_id", "text", "lang")
+    // few buckets relative to corpus mass: with B >> total occurrences
+    // the add-one smoothing term dominates every llr (documented bias);
+    // real corpora have T, R >> B as the gate does.
+    val w = Curation.dsirWeights(corpus,
+      corpus.where(col("lang") === "en"), "text",
+      shingleN = 2, buckets = 8)
+    assert(w.length == 8 && w.map(_.bucket) == (0 until 8))
+    // weights are a pure function of the corpora: recompute == identical
+    assert(w == Curation.dsirWeights(corpus,
+      corpus.where(col("lang") === "en"), "text", 2, 8))
+    val got = Curation.dsirScores(corpus, "doc_id", "text", w,
+      shingleN = 2, buckets = 8, thresholdMicro = 0L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(5L) == ((0L, 0L, false))) // short doc: defined, not kept
+    assert(got(1L)._3 && got(2L)._3) // target-vocab docs keep
+    assert(!got(4L)._3) // off-target vocab drops
+    // scores order by target-likeness: pure target > mixed > disjoint
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(4L)._2)
+    assert(got(4L)._1 == 7L) // 8 tokens -> 7 bigram occurrences
+  }
+
   test("temperature mix: smallest group whole, big groups flattened") {
     import spark.implicits._
     // 40 "en" docs, 10 "mi" docs: rate_en = sqrt(10/40) = 0.5
