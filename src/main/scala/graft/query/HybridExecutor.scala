@@ -156,18 +156,9 @@ object HybridExecutor {
 
     val base = tables.summariesPrebuilt
       .getOrElse(summaries(tables.games, tables.players))
-    val prefiltered = base.where(PlanCompiler.gamePredicate(plan))
     // R1 vector_only: semi/anti-join against embedded game ids (the
     // reference's `positions.vector_id IS (NOT) NULL` EXISTS clause).
-    val filtered0 = plan.filters.find(_.field.toLowerCase == "vector_only")
-      .flatMap { f =>
-        tables.vectors.map { v =>
-          val embedded = v.select("game_id").distinct()
-          val joinType =
-            if (f.value.trim.toLowerCase == "false") "left_anti" else "left_semi"
-          prefiltered.join(embedded, Seq("game_id"), joinType)
-        }
-      }.getOrElse(prefiltered)
+    val filtered0 = filteredFor(base, plan, tables)
     // R3 page: played_on DESC NULLS LAST, id DESC; TakeOrderedAndProject.
     val pageOrder = Seq(col("played_on").desc_nulls_last, col("game_id").desc)
     val pageLimit = plan.offset + plan.limit
@@ -208,17 +199,30 @@ object HybridExecutor {
         }
         (local, t)
       case None =>
-        val page0 = filtered.orderBy(pageOrder: _*).limit(pageLimit)
-        val lazyPage = if (plan.offset == 0) page0 else {
-          // window over <= offset+limit rows only (already limited above).
-          val wspec = Window.orderBy(pageOrder: _*)
-          page0.withColumn("__rn", row_number().over(wspec))
-            .where(col("__rn") > plan.offset).drop("__rn")
-        }
+        // window over <= offset+limit rows only (limited inside).
         val t = if (computeTotal) filtered0.count() else -1L
-        (lazyPage, t)
+        (lazyPageFor(filtered, plan), t)
     }
 
+    val (ranked, warnings) = scoreAndRank(page, plan, tables, embedder)
+
+    val hasMore =
+      if (computeTotal) {
+        val returned = math.min(plan.limit.toLong,
+          math.max(0L, total - plan.offset))
+        plan.offset + returned < total
+      } else false // unknown without the count; callers opted out
+    Execution(ranked, total, hasMore, warnings = warnings)
+  }
+
+  /** The scoring stage shared by per-query and batch execution: page ->
+    * vector-hit broadcast join -> score columns -> stable rank -> final
+    * projection. Pure column expressions over the page frame, so it
+    * behaves identically on a collected LocalRelation (per-query
+    * Observation path) and a lazy distributed page (batch path).
+    */
+  private def scoreAndRank(page: DataFrame, plan: Plan, tables: Tables,
+      embedder: DeterministicEmbedder): (DataFrame, Seq[String]) = {
     // Vector stage (degrades to fallback scoring when no vectors table --
     // the reference's "vector search unavailable" path).
     val (withHits, warnings) = tables.vectors match {
@@ -235,59 +239,7 @@ object HybridExecutor {
           Seq("Vector search unavailable (no vectors table)"))
     }
 
-    val ratingMatch = PlanCompiler.ratingPredicate(plan.rating)
-
-    // V10 fallback score for games without a vector hit.
-    val fallback: Column =
-      if (plan.filters.isEmpty) when(ratingMatch, 0.6).otherwise(0.0)
-      else {
-        val matched = plan.filters.map(f =>
-          when(PlanCompiler.filterMatchCol(f), 1).otherwise(0))
-          .reduce(_ + _)
-        when(!ratingMatch, 0.0)
-          .otherwise(lit(0.4) + lit(0.6) * matched / lit(plan.filters.size))
-      }
-
-    val vectorScore =
-      when(col("hit_score").isNotNull,
-        when(ratingMatch, least(col("hit_score"), lit(1.0))).otherwise(0.0))
-        .otherwise(fallback)
-
-    // V8/V9 keyword overlap over summary tokens merged with hit keywords.
-    val tokens = when(col("hit_keywords").isNotNull,
-      array_sort(array_distinct(concat(summaryTokensCol, col("hit_keywords")))))
-      .otherwise(summaryTokensCol)
-    val kwArray = array(plan.keywords.map(lit): _*)
-    val keywordScore =
-      if (plan.keywords.isEmpty) lit(0.0)
-      else size(array_intersect(kwArray, col("tokens"))).cast("double") /
-        lit(math.max(1, plan.keywords.size)).cast("double")
-
-    val planPhases = plan.filters.filter(_.field == "phase").map(_.value)
-      .distinct.sorted
-    val planThemes = plan.filters.filter(_.field == "theme").map(_.value)
-      .distinct.sorted
-    def mergedList(planList: Seq[String], hitCol: Column): Column = {
-      val planArr = if (planList.isEmpty) array().cast("array<string>")
-        else array(planList.map(lit): _*)
-      when(hitCol.isNotNull && size(hitCol) > 0,
-        array_sort(array_distinct(concat(planArr, hitCol))))
-        .otherwise(planArr)
-    }
-
-    val scored = withHits
-      .withColumn("tokens", tokens)
-      .withColumn("vector_score", vectorScore)
-      .withColumn("keyword_score", keywordScore)
-      .withColumn("total_score",
-        lit(vectorWeight) * col("vector_score") +
-          lit(keywordWeight) * col("keyword_score"))
-      .withColumn("phases", mergedList(planPhases, col("hit_phases")))
-      .withColumn("themes", mergedList(planThemes, col("hit_themes")))
-      .withColumn("keywords",
-        array_sort(array_distinct(concat(
-          array(plan.keywords.map(k => lit(k.toLowerCase)): _*),
-          col("tokens")))))
+    val scored = applyScoring(withHits, plan)
 
     // V13: stable sort -- score desc, ties keep the page's date order
     // (OCaml List.sort is stable; Spark orderBy is not, so the original
@@ -296,17 +248,303 @@ object HybridExecutor {
       .orderBy(desc("total_score"), col("played_on").desc_nulls_last,
         col("game_id").desc)
       .limit(plan.limit)
-      .select("game_id", "white", "black", "event", "played_on_str",
-        "eco_code", "opening_name", "opening_slug", "result",
-        "white_rating", "black_rating", "total_score", "vector_score",
-        "keyword_score", "phases", "themes", "keywords")
+      .select(resultColumns.head, resultColumns.tail: _*)
+    (ranked, warnings)
+  }
 
-    val hasMore =
-      if (computeTotal) {
-        val returned = math.min(plan.limit.toLong,
-          math.max(0L, total - plan.offset))
-        plan.offset + returned < total
-      } else false // unknown without the count; callers opted out
-    Execution(ranked, total, hasMore, warnings = warnings)
+  private val resultColumns = Seq("game_id", "white", "black", "event",
+    "played_on_str", "eco_code", "opening_name", "opening_slug", "result",
+    "white_rating", "black_rating", "total_score", "vector_score",
+    "keyword_score", "phases", "themes", "keywords")
+
+  // --- per-plan scoring column builders --------------------------------
+  // One source of truth for the score formulas: the per-query path
+  // applies them directly; the batch path wraps the SAME builders in a
+  // CASE-on-plan_id dispatch, so the two paths cannot drift.
+
+  /** V10 fallback score for games without a vector hit. */
+  private def fallbackCol(plan: Plan): Column = {
+    val ratingMatch = PlanCompiler.ratingPredicate(plan.rating)
+    if (plan.filters.isEmpty) when(ratingMatch, 0.6).otherwise(0.0)
+    else {
+      val matched = plan.filters.map(f =>
+        when(PlanCompiler.filterMatchCol(f), 1).otherwise(0))
+        .reduce(_ + _)
+      when(!ratingMatch, 0.0)
+        .otherwise(lit(0.4) + lit(0.6) * matched / lit(plan.filters.size))
+    }
+  }
+
+  private def vectorScoreCol(plan: Plan): Column = {
+    val ratingMatch = PlanCompiler.ratingPredicate(plan.rating)
+    when(col("hit_score").isNotNull,
+      when(ratingMatch, least(col("hit_score"), lit(1.0))).otherwise(0.0))
+      .otherwise(fallbackCol(plan))
+  }
+
+  /** V8/V9: summary tokens merged with hit keywords (plan-independent). */
+  private def tokensCol: Column =
+    when(col("hit_keywords").isNotNull,
+      array_sort(array_distinct(concat(summaryTokensCol, col("hit_keywords")))))
+      .otherwise(summaryTokensCol)
+
+  /** Keyword overlap over the merged `tokens` column. */
+  private def keywordScoreCol(plan: Plan): Column =
+    if (plan.keywords.isEmpty) lit(0.0)
+    else size(array_intersect(array(plan.keywords.map(lit): _*),
+      col("tokens"))).cast("double") /
+      lit(math.max(1, plan.keywords.size)).cast("double")
+
+  private def mergedListCol(planList: Seq[String], hitCol: Column): Column = {
+    val planArr = if (planList.isEmpty) array().cast("array<string>")
+      else array(planList.map(lit): _*)
+    when(hitCol.isNotNull && size(hitCol) > 0,
+      array_sort(array_distinct(concat(planArr, hitCol))))
+      .otherwise(planArr)
+  }
+
+  private def phasesCol(plan: Plan): Column =
+    mergedListCol(plan.filters.filter(_.field == "phase").map(_.value)
+      .distinct.sorted, col("hit_phases"))
+
+  private def themesCol(plan: Plan): Column =
+    mergedListCol(plan.filters.filter(_.field == "theme").map(_.value)
+      .distinct.sorted, col("hit_themes"))
+
+  private def keywordsCol(plan: Plan): Column =
+    array_sort(array_distinct(concat(
+      array(plan.keywords.map(k => lit(k.toLowerCase)): _*),
+      col("tokens"))))
+
+  /** Attach tokens + the four score/list columns for one plan (the
+    * direct, no-dispatch form).
+    */
+  private def applyScoring(withHits: DataFrame, plan: Plan): DataFrame =
+    withHits
+      .withColumn("tokens", tokensCol)
+      .withColumn("vector_score", vectorScoreCol(plan))
+      .withColumn("keyword_score", keywordScoreCol(plan))
+      .withColumn("total_score",
+        lit(vectorWeight) * col("vector_score") +
+          lit(keywordWeight) * col("keyword_score"))
+      .withColumn("phases", phasesCol(plan))
+      .withColumn("themes", themesCol(plan))
+      .withColumn("keywords", keywordsCol(plan))
+
+  /** The lazy page for one plan: orderBy().limit() (top-k, never a
+    * global sort) with the offset prefix dropped by a window over the
+    * already-limited <= offset+limit rows. The batch path's per-plan
+    * page; identical semantics to the per-query fallback branch.
+    */
+  private def lazyPageFor(filtered: DataFrame, plan: Plan): DataFrame = {
+    val pageOrder = Seq(col("played_on").desc_nulls_last, col("game_id").desc)
+    val page0 = filtered.orderBy(pageOrder: _*).limit(plan.offset + plan.limit)
+    if (plan.offset == 0) page0
+    else {
+      val wspec = Window.orderBy(pageOrder: _*)
+      page0.withColumn("__rn", row_number().over(wspec))
+        .where(col("__rn") > plan.offset).drop("__rn")
+    }
+  }
+
+  /** Per-plan filtered summaries (shared page predicate + the R1
+    * vector_only semi/anti-join).
+    */
+  private def filteredFor(base: DataFrame, plan: Plan,
+      tables: Tables): DataFrame = {
+    val prefiltered = base.where(PlanCompiler.gamePredicate(plan))
+    plan.filters.find(_.field.toLowerCase == "vector_only")
+      .flatMap { f =>
+        tables.vectors.map { v =>
+          val embedded = v.select("game_id").distinct()
+          val joinType =
+            if (f.value.trim.toLowerCase == "false") "left_anti" else "left_semi"
+          prefiltered.join(embedded, Seq("game_id"), joinType)
+        }
+      }.getOrElse(prefiltered)
+  }
+
+  /** Execute MANY plans in TWO Spark actions total, with O(1) stages --
+    * not O(plans).
+    *
+    * Per-query latency on Spark is dominated by fixed per-STAGE cost:
+    * each query pays its own page top-k, hit top-k, broadcast exchange
+    * and final rank (a plain union of per-plan subtrees still schedules
+    * ~5 stages per branch and amortizes nothing -- measured: 10 unioned
+    * plans ran at the single-query rate). This path instead threads all
+    * plans through ONE pass over each table:
+    *
+    *   - every summary row is tagged with the array of plan ids whose
+    *     predicate it matches (plan predicates are Column expressions,
+    *     so the tag is one map-side CASE array + explode; the
+    *     vector_only join-filter becomes a membership column attached by
+    *     a single distinct-join shared by all plans),
+    *   - ONE window (partitionBy plan_id) cuts every plan's page,
+    *   - ONE pass over vectors scores each (vector, matching plan) pair
+    *     against that plan's query vector and ONE window cuts every
+    *     plan's top-k, collapsed per (plan_id, game_id) and broadcast
+    *     into the page join,
+    *   - the scoring formulas dispatch per-plan via CASE on plan_id
+    *     (the SAME column builders the per-query path uses -- they
+    *     cannot drift), and ONE final window ranks every plan's results.
+    *
+    * Totals (the reference always pays the filtered count) are one
+    * groupBy(plan_id) over the tagged frame -- the second action.
+    *
+    * Results are byte-identical to per-query [[execute]]
+    * (HybridExecutorSpec asserts row-for-row equality; the bench
+    * re-asserts it every run and flips the metric negative on drift).
+    *
+    * Scale shape + tradeoff: shuffle volume is sum over plans of their
+    * matched rows (tagging replicates a row once per matching plan), and
+    * the per-plan window SORTS each plan's matched set where the
+    * per-query path's TakeOrderedAndProject only heaps top-k. That is
+    * the deliberate batch trade: constant stage count for interactive
+    * many-query serving over a bounded corpus/page budget. For a single
+    * scan-the-world query, use [[execute]] -- its top-k never sorts
+    * globally.
+    */
+  def executeBatch(spark: SparkSession, tables: Tables, plans: Seq[Plan],
+      embedder: DeterministicEmbedder = DeterministicEmbedder(),
+      computeTotals: Boolean = true): Seq[Execution] = {
+    require(plans.nonEmpty, "executeBatch needs at least one plan")
+    val started = System.nanoTime()
+    val base = tables.summariesPrebuilt
+      .getOrElse(summaries(tables.games, tables.players))
+
+    // CASE-on-plan_id dispatch of a per-plan column. No ELSE branch: the
+    // pid domain is exactly 0..n-1, and an else-less CASE types itself
+    // from the branches (works for doubles and arrays alike). Plan count
+    // is an interactive batch, not data-sized, so the chain stays small.
+    def byPid(f: Plan => Column): Column =
+      plans.zipWithIndex.tail.foldLeft(
+        when(col("__pid") === 0, f(plans.head))) {
+        case (acc, (p, i)) => acc.when(col("__pid") === i, f(p))
+      }
+
+    // vector_only as a column: one shared distinct-join attaches
+    // embedded-game membership, each plan's predicate then composes it.
+    val needsEmb = tables.vectors.isDefined &&
+      plans.exists(_.filters.exists(_.field.toLowerCase == "vector_only"))
+    val baseE =
+      if (needsEmb) {
+        val embedded = tables.vectors.get.select(col("game_id")).distinct()
+          .withColumn("__emb0", lit(true))
+        base.join(broadcast(embedded), Seq("game_id"), "left")
+          .withColumn("__emb", coalesce(col("__emb0"), lit(false)))
+          .drop("__emb0")
+      } else base.withColumn("__emb", lit(false))
+    def planPred(p: Plan): Column = {
+      val g = PlanCompiler.gamePredicate(p)
+      p.filters.find(_.field.toLowerCase == "vector_only") match {
+        case Some(f) if tables.vectors.isDefined =>
+          if (f.value.trim.toLowerCase == "false") g && !col("__emb")
+          else g && col("__emb")
+        case _ => g
+      }
+    }
+    val pidArr = filter(array(plans.zipWithIndex.map { case (p, i) =>
+      when(planPred(p), lit(i)).otherwise(lit(null).cast("int"))
+    }: _*), x => x.isNotNull)
+    val tagged = baseE.withColumn("__pid", explode(pidArr)).drop("__emb")
+
+    // ONE window cuts every plan's page (same order as the per-query
+    // TakeOrderedAndProject; game_id makes the order total).
+    val pw = Window.partitionBy(col("__pid"))
+      .orderBy(col("played_on").desc_nulls_last, col("game_id").desc)
+    val page = tagged.withColumn("__rn", row_number().over(pw))
+      .where(col("__rn") > byPid(p => lit(p.offset)) &&
+        col("__rn") <= byPid(p => lit(p.offset + p.limit)))
+      .drop("__rn")
+
+    // ONE pass over vectors: tag with matching plans, score against the
+    // plan's query vector, window top-k, collapse per (plan, game).
+    val (withHits, perPlanWarnings) = tables.vectors match {
+      case Some(vectors) =>
+        plans.foreach(_ =>
+          EngineMetrics.queryEmbeddingTotal.inc(Seq("deterministic")))
+        val vPidArr = filter(array(plans.zipWithIndex.map { case (p, i) =>
+          when(PlanCompiler.vectorPredicate(p), lit(i))
+            .otherwise(lit(null).cast("int"))
+        }: _*), x => x.isNotNull)
+        val qvE = byPid(p => typedLit(queryVector(p, embedder).toSeq))
+        val kE = byPid(p => lit(math.max(3 * p.limit, 15)))
+        val wk = Window.partitionBy(col("__pid"))
+          .orderBy(desc("score"), desc("vector_id"))
+        val topk = vectors.withColumn("__pid", explode(vPidArr))
+          .withColumn("score", normalizeScore(
+            graft.functions.CosineSimilarity(col("embedding"), qvE)))
+          .withColumn("__rn", row_number().over(wk))
+          .where(col("__rn") <= kE)
+        val hits = topk.groupBy("__pid", "game_id")
+          .agg(max("score").as("hit_score"),
+            graft.functions.TagUnionAgg.lowerSortedUnion(col("phases"))
+              .as("hit_phases"),
+            graft.functions.TagUnionAgg.lowerSortedUnion(col("themes"))
+              .as("hit_themes"),
+            graft.functions.TagUnionAgg.lowerSortedUnion(col("keywords"))
+              .as("hit_keywords"))
+        (page.join(broadcast(hits), Seq("__pid", "game_id"), "left"),
+          Seq.empty[String])
+      case None =>
+        (page.withColumn("hit_score", lit(null).cast("double"))
+          .withColumn("hit_phases", lit(null).cast("array<string>"))
+          .withColumn("hit_themes", lit(null).cast("array<string>"))
+          .withColumn("hit_keywords", lit(null).cast("array<string>")),
+          Seq("Vector search unavailable (no vectors table)"))
+    }
+
+    // Scoring: the per-query builders under CASE dispatch (tokens is
+    // plan-independent).
+    val scored = withHits
+      .withColumn("tokens", tokensCol)
+      .withColumn("vector_score", byPid(vectorScoreCol))
+      .withColumn("keyword_score", byPid(keywordScoreCol))
+      .withColumn("total_score",
+        lit(vectorWeight) * col("vector_score") +
+          lit(keywordWeight) * col("keyword_score"))
+      .withColumn("phases", byPid(phasesCol))
+      .withColumn("themes", byPid(themesCol))
+      .withColumn("keywords", byPid(keywordsCol))
+
+    // ONE final window ranks every plan (same order as the per-query
+    // terminal TakeOrderedAndProject).
+    val rw = Window.partitionBy(col("__pid"))
+      .orderBy(desc("total_score"), col("played_on").desc_nulls_last,
+        col("game_id").desc)
+    val ranked = scored.withColumn("__rk", row_number().over(rw))
+      .where(col("__rk") <= byPid(p => lit(p.limit)))
+      .select((Seq("__pid", "__rk") ++ resultColumns).map(col): _*)
+    val rows = ranked.collect()
+
+    val totals: Seq[Long] =
+      if (computeTotals) {
+        val counts = tagged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        plans.indices.map(i => counts.getOrElse(i, 0L))
+      } else plans.indices.map(_ => -1L)
+
+    val schema = org.apache.spark.sql.types.StructType(
+      ranked.schema.drop(2)) // minus __pid, __rk
+    val byPlan = rows.groupBy(_.getInt(0))
+    val out = plans.zipWithIndex.map { case (plan, i) =>
+      val mine = byPlan.getOrElse(i, Array.empty[org.apache.spark.sql.Row])
+        .sortBy(_.getInt(1)) // __rk: the in-plan rank computed by Spark
+        .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.drop(2)))
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(mine: _*), schema)
+      val total = totals(i)
+      val hasMore =
+        if (computeTotals) {
+          val returned = math.min(plan.limit.toLong,
+            math.max(0L, total - plan.offset))
+          plan.offset + returned < total
+        } else false
+      EngineMetrics.requestsTotal.inc(Seq("hybrid_batch", "ok"))
+      Execution(local, total, hasMore, perPlanWarnings)
+    }
+    EngineMetrics.requestLatency.observe(
+      (System.nanoTime() - started) / 1e9, Seq("hybrid_batch"))
+    out
   }
 }

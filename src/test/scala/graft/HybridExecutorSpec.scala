@@ -99,6 +99,43 @@ class HybridExecutorSpec extends SparkSpec {
     assert(!e.hasMore)
   }
 
+  test("batch execution is byte-identical to per-query execution") {
+    val questions = Seq(
+      "anything at all",
+      "show black wins",
+      "games where white rated at least 2500",
+      "kingside attack in the endgame",
+      "english opening games",
+      "best games", // repeated intents amortize too
+      "show draws after 1990",
+      "find top games where black is rated at least 2400",
+      "queens gambit declined",
+      "tactical middlegame sacrifices")
+    val plans = questions.map(q =>
+      QueryIntent.analyse(QueryIntent.Request(q, Some(5))))
+    val t = HybridExecutor.Tables(tables.games, tables.players, Some(vectors))
+    val batch = HybridExecutor.executeBatch(spark, t, plans, embedder)
+    assert(batch.length == plans.length)
+    plans.zip(batch).foreach { case (plan, b) =>
+      val single = HybridExecutor.execute(spark, t, plan, embedder)
+      assert(b.total == single.total, s"total for '${plan.cleanedText}'")
+      assert(b.hasMore == single.hasMore)
+      assert(b.results.collect().toSeq == single.results.collect().toSeq,
+        s"rows for '${plan.cleanedText}'")
+    }
+    // offset paging agrees too (window-over-page branch)
+    val off = QueryIntent.analyse(
+      QueryIntent.Request("anything", Some(2), Some(1)))
+    val bOff = HybridExecutor.executeBatch(spark, t, Seq(off), embedder).head
+    val sOff = HybridExecutor.execute(spark, t, off, embedder)
+    assert(bOff.results.collect().toSeq == sOff.results.collect().toSeq)
+    assert(bOff.total == sOff.total && bOff.hasMore == sOff.hasMore)
+    // no-vectors degradation carries the warning per plan
+    val nv = HybridExecutor.Tables(tables.games, tables.players, None)
+    val bNv = HybridExecutor.executeBatch(spark, nv, Seq(plans.head), embedder)
+    assert(bNv.head.warnings.exists(_.contains("Vector search unavailable")))
+  }
+
   test("keyword overlap contributes 0.25-weighted score") {
     // 'smyslov' appears in the extended game's Black name.
     val e = exec("find smyslov games", limit = Some(10), withVectors = false)
