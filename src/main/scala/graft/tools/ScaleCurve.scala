@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llmops.Dedup
+
+/** Dedup-family scaling curves: run the LSH / fingerprint pair
+  * generators on 1x / 4x / 16x replicas of the sf documents corpus and
+  * print rows/s + pair counts per scale -- measured evidence for the
+  * "candidate generation stays near-linear" plan-shape claims recorded
+  * in BASELINE.md.
+  *
+  * Replicas use DISJOINT VOCABULARY per copy (every token run gets a
+  * per-copy suffix, so copy j's shingles/windows/signatures never
+  * collide with copy k's): the TRUE pair set at scale s is exactly s
+  * times the base corpus's, and any super-linear growth in candidates,
+  * pairs, or wall time is the algorithm's own doing, not the data's.
+  *
+  *   runMain graft.tools.ScaleCurve [sfDir] [scalesCsv]
+  */
+object ScaleCurve {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val scales = (if (args.length > 1) args(1) else "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "4194304")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    def corpusAt(k: Int): DataFrame =
+      (0 until k).map { j =>
+        if (j == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(j * 10000000L)).as("doc_id"),
+          // suffix every token run: copy-local vocabulary
+          regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1q$j")
+            .as("text"))
+      }.reduce(_ union _)
+
+    // one pass collects total pairs AND cross-copy pairs (copies have
+    // disjoint vocabulary, so cross-copy > 0 would mean the candidate
+    // generator welds unrelated docs -- the quadratic failure mode).
+    def timed(pairs: => DataFrame): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val r = pairs
+        .select(expr("id_a div 10000000").as("ca"),
+          expr("id_b div 10000000").as("cb"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("ca") =!= col("cb"), 1)).as("x"))
+        .head()
+      (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
+    }
+
+    scales.foreach { s =>
+      val c = corpusAt(s)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = c.count() // materialize outside the timed sections
+      val (mh, mhX, mhSec) = timed(Dedup.minhashPairs(c, "doc_id", "text",
+        shingleN = 3, k = 8, bandRows = 4, threshold = 0.8))
+      val (sh, shX, shSec) = timed(Dedup.simhashPairs(c, "doc_id", "text",
+        bits = 64, bandBits = 16, maxHamming = 3))
+      val (sub, subX, subSec) = timed(Dedup.substringDupPairs(c, "doc_id",
+        "text", window = 12, minShared = 2))
+      println(f"""{"scale":$s,"rows":$rows,""" +
+        f""""minhash_pairs":$mh,"minhash_cross":$mhX,""" +
+        f""""minhash_sec":$mhSec%.2f,""" +
+        f""""minhash_rows_per_sec":${rows / mhSec}%.0f,""" +
+        f""""simhash_pairs":$sh,"simhash_cross":$shX,""" +
+        f""""simhash_sec":$shSec%.2f,""" +
+        f""""simhash_rows_per_sec":${rows / shSec}%.0f,""" +
+        f""""substring_pairs":$sub,"substring_cross":$subX,""" +
+        f""""substring_sec":$subSec%.2f,""" +
+        f""""substring_rows_per_sec":${rows / subSec}%.0f}""")
+      c.unpersist()
+    }
+    spark.stop()
+  }
+}
