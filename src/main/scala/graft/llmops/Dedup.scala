@@ -405,9 +405,14 @@ object Dedup {
   def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
       window: Int = 20, minShared: Int = 1,
       maxDocFreq: Int = 1000): DataFrame = {
+    // persisted: the md5-per-window UDF subtree has THREE consumers
+    // (hot-hash count, both self-join sides) that exchange reuse cannot
+    // cover; 16 B/window + id is the narrowest frame in the operator.
+    // At 100 TB this is the stage-table pattern (write wf, then join).
     val wf = df.select(col(idCol).as("id"),
       explode(array_distinct(windowFingerprintsUdf(window)(col(textCol))))
         .as("wh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = dropHotFingerprints(wf, maxDocFreq)
     capped.as("l").join(capped.as("r"),
         col("l.wh") === col("r.wh") && col("l.id") < col("r.id"))
@@ -416,9 +421,13 @@ object Dedup {
       .where(col("shared_windows") >= minShared)
   }
 
-  /** Compiled (position, fingerprint) pairs: same hashes as
-    * [[windowFingerprintsUdf]] with the 0-based TOKEN index of each
-    * window's start -- the span-localization input.
+  /** Compiled (first position, fingerprint) pairs: same hashes as
+    * [[windowFingerprintsUdf]], each DISTINCT hash emitted once with the
+    * 0-based TOKEN index of its first window -- the span-localization
+    * input. Deduping inside the UDF (ordered walk + seen set) makes the
+    * per-doc min-position a MAP-SIDE fact: no (id, hash) groupBy shuffle
+    * ever runs, and the output is exactly the distinct frame
+    * [[substringDupPairs]] joins on.
     */
   def windowFingerprintPositionsUdf(window: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => {
@@ -437,8 +446,13 @@ object Dedup {
         new String(out)
       }
       if (toks.length < window) Seq((0, hex(toks.mkString(" "))))
-      else (0 to toks.length - window).map(i =>
-        (i, hex(toks.slice(i, i + window).mkString(" "))))
+      else {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        (0 to toks.length - window).flatMap { i =>
+          val h = hex(toks.slice(i, i + window).mkString(" "))
+          if (seen.add(h)) Some((i, h)) else None
+        }
+      }
     })
 
   /** Duplicate-SPAN localization: where [[substringDupPairs]] says two
@@ -457,9 +471,11 @@ object Dedup {
       maxDocFreq: Int = 1000): DataFrame = {
     val wp = df.select(col(idCol).as("id"),
         explode(windowFingerprintPositionsUdf(window)(col(textCol))).as("w"))
-      .select(col("id"), col("w._2").as("wh"), col("w._1").as("pos"))
-      .groupBy("id", "wh")
-      .agg(min(col("pos")).cast("long").as("start"))
+      .select(col("id"), col("w._2").as("wh"),
+        col("w._1").cast("long").as("start"))
+      // distinct-per-doc by UDF construction (no groupBy shuffle);
+      // persisted for the same three consumers as substringDupPairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = dropHotFingerprints(wp, maxDocFreq)
     val spans = capped.as("l").join(capped.as("r"),
         col("l.wh") === col("r.wh") && col("l.id") < col("r.id"))
@@ -484,9 +500,11 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       window: Int = 12, minMicros: Long = 500000,
       maxDocFreq: Int = 1000): DataFrame = {
+    // persisted: FOUR consumers here (sizes, hot count, two join sides).
     val wf = df.select(col(idCol).as("id"),
       explode(array_distinct(windowFingerprintsUdf(window)(col(textCol))))
         .as("wh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Denominators stay UNCAPPED (a doc's full distinct-window count):
     // capping only the shared-window numerator UNDER-estimates
     // containment for boilerplate-heavy docs -- conservative, never a
