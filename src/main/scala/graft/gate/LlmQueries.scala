@@ -351,6 +351,19 @@ object LlmQueries {
       Dedup.substringDupSpans(Tables.documents(s, d), "doc_id", "text",
         window = 12, minShared = 2)),
 
+    // Span-cut remedy: cut every localized duplicate span from the
+    // higher-id doc (keep-first) and reassemble -- the "remove the
+    // span, keep the doc" output. md5 of the reassembled token stream
+    // keeps the gate row narrow.
+    "llm_span_cut" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val spans = Dedup.substringDupSpans(docs, "doc_id", "text",
+        window = 12, minShared = 2)
+      Dedup.cutDupSpans(docs, "doc_id", "text", spans, window = 12)
+        .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
     // Containment pairs (asymmetric near-dup: quotes/subsets): shared
     // 12-token windows over each side's distinct window count, keep
     // pairs where either side is >= 50% contained.
@@ -1415,6 +1428,55 @@ object LlmQueries {
             SELECT *, COUNT(*) OVER (PARTITION BY id_a, id_b) AS c
             FROM spans)
           WHERE c >= 2""",
+    // Span-cut: the llm_dup_spans CTE chain, then per higher-id doc the
+    // distinct b_start set; a token survives when no cut window covers
+    // its 0-based index; md5 of the space-joined survivors.
+    "llm_span_cut" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          wpos AS (
+            SELECT doc_id, u.wh AS wh, CAST(MIN(u.pos) AS BIGINT) AS start
+            FROM (
+              SELECT doc_id, unnest(
+                CASE WHEN len(ws) < 12 THEN
+                  [{'pos': 0, 'wh': md5(array_to_string(ws, ' '))}]
+                ELSE list_transform(range(1, len(ws) - 10), i ->
+                  {'pos': CAST(i - 1 AS BIGINT),
+                   'wh': md5(array_to_string(
+                     list_slice(ws, CAST(i AS INT), CAST(i + 11 AS INT)),
+                     ' '))})
+                END) AS u
+              FROM toks)
+            GROUP BY doc_id, u.wh),
+          hot AS (SELECT wh FROM wpos GROUP BY wh HAVING COUNT(*) > 1000),
+          wpc AS (SELECT * FROM wpos
+                  WHERE wh NOT IN (SELECT wh FROM hot)),
+          spans AS (
+            SELECT id_a, id_b, a_start, b_start FROM (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                l.start AS a_start, r.start AS b_start,
+                COUNT(*) OVER (PARTITION BY l.doc_id, r.doc_id) AS c
+              FROM wpc l JOIN wpc r
+                ON l.wh = r.wh AND l.doc_id < r.doc_id)
+            WHERE c >= 2),
+          cuts AS (
+            SELECT id_b AS doc_id, list(DISTINCT b_start) AS starts
+            FROM spans GROUP BY id_b),
+          kept AS (
+            SELECT t.doc_id, t.ws,
+              list_filter(range(1, len(t.ws) + 1), i ->
+                len(list_filter(
+                  CASE WHEN c.starts IS NULL THEN CAST([] AS BIGINT[])
+                       ELSE c.starts END,
+                  s -> CAST(i - 1 AS BIGINT) >= s
+                    AND CAST(i - 1 AS BIGINT) < s + 12)) = 0) AS ki
+            FROM toks t LEFT JOIN cuts c ON c.doc_id = t.doc_id)
+          SELECT doc_id,
+            CAST(len(ws) AS BIGINT) AS n_tokens,
+            CAST(len(ki) AS BIGINT) AS kept_tokens,
+            md5(COALESCE(array_to_string(
+              list_transform(ki, i -> ws[CAST(i AS INT)]), ' '), ''))
+              AS clean_md5
+          FROM kept""",
 
     // Chunk slices reuse the chunking CTE; per-chunk dims are the
     // llm_embed_check construction (integer bucket sum, one division,

@@ -488,6 +488,45 @@ object Dedup {
       .drop("__c")
   }
 
+  /** Cut duplicated spans OUT of documents -- the exact-substring dedup
+    * REMEDY from the training-data literature (remove the span, keep
+    * the document). For every span pair from [[substringDupSpans]] the
+    * HIGHER-id side is cut (keep-first, the semantic-dedup convention):
+    * tokens [b_start, b_start + window) drop, overlapping cut windows
+    * merge naturally, and the surviving tokens reassemble in order.
+    * Returns one row per input doc: (idCol, n_tokens, kept_tokens,
+    * clean_text) -- [[lineDedup]]'s reassembly contract; clean_text is
+    * over the NORMALIZED (lowercased, alnum-run) tokens, the same
+    * stream the fingerprints hashed.
+    *
+    * Scale shape: cut starts aggregate to one array per AFFECTED doc
+    * (bounded by that doc's distinct windows) and join back on the id;
+    * the cut itself is one compiled map-side pass over (text, starts).
+    * Unaffected docs ride the left join with a null starts array.
+    */
+  def cutDupSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame, window: Int): DataFrame = {
+    require(window > 0)
+    val cuts = spans.select(col("id_b").as("id"), col("b_start").as("__s"))
+      .distinct()
+      .groupBy("id").agg(sort_array(collect_list(col("__s"))).as("__starts"))
+    val cutUdf = udf((text: String, starts: Seq[Long]) => {
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
+      val ss = if (starts == null) Array.empty[Long] else starts.toArray
+      val keep = toks.indices.filter(i =>
+        !ss.exists(s => i >= s && i < s + window))
+      (toks.length, keep.length, keep.map(toks).mkString(" "))
+    })
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(cuts, Seq("id"), "left")
+      .withColumn("__r", cutUdf(col("__t"), col("__starts")))
+      .select(col("id").as(idCol),
+        col("__r._1").cast("long").as("n_tokens"),
+        col("__r._2").cast("long").as("kept_tokens"),
+        col("__r._3").as("clean_text"))
+  }
+
   /** Containment near-dup pairs: |W_a n W_b| / |W_a| (and the b-side
     * fraction) over distinct rolling-window fingerprints. The ASYMMETRIC
     * companion to Jaccard dedup: a short document quoted inside a long

@@ -115,16 +115,26 @@ object Sketches {
   /** Build the sketch: (row, slot, cnt) for depth rows of width slots;
     * slot_r(v) = hex8(md5("r:" || v)) % width. Absent (row, slot) pairs
     * mean zero.
+    *
+    * Hashing happens AFTER a per-value count aggregate: slot ids depend
+    * only on the distinct value, so the depth md5s run once per DISTINCT
+    * value and the counts ride as weights (sum, not count) -- on a token
+    * stream with Zipfian repetition that is orders of magnitude less
+    * hash work, and the first groupBy's map-side partial combine shrinks
+    * the shuffle to the distinct-value set. Output is identical (sum of
+    * per-value counts == count of occurrences).
     */
   def cmSketch(df: DataFrame, valueCol: String, depth: Int = 4,
       width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 2)
-    df.select(posexplode(transform(sequence(lit(0), lit(depth - 1)), r =>
-        hex8(concat(r.cast("string"), lit(":"),
-          col(valueCol).cast("string"))) % width))
-        .as(Seq("row", "slot")))
+    df.groupBy(col(valueCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("__c"),
+        posexplode(transform(sequence(lit(0), lit(depth - 1)), r =>
+          hex8(concat(r.cast("string"), lit(":"), col("__v"))) % width))
+          .as(Seq("row", "slot")))
       .groupBy("row", "slot")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__c")).as("cnt"))
   }
 
   /** Point estimates for `queries` (a frame with valueCol): min over

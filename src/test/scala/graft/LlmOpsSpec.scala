@@ -269,6 +269,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(cont.head.getLong(3) == 142857L)
   }
 
+  test("span cut removes the duplicated span from the higher-id doc only") {
+    import spark.implicits._
+    val span = (1 to 15).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, s"oneaa onebb onecc onedd oneee onef oneg oneh onei onej onek onel $span"),
+      (2L, s"twoaa twobb twocc twodd twoee twof twog twoh twoi twoj twok twol $span"),
+      (3L, "completely unrelated words that stand entirely on their own here"))
+      .toDF("doc_id", "text")
+    val spans = graft.llmops.Dedup.substringDupSpans(df, "doc_id", "text",
+      window = 12, minShared = 2)
+    val out = graft.llmops.Dedup.cutDupSpans(df, "doc_id", "text", spans,
+      window = 12)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 is the keep-first side: untouched (27 tokens)
+    assert(out(1L) == ((27L, 27L,
+      s"oneaa onebb onecc onedd oneee onef oneg oneh onei onej onek onel $span")))
+    // doc 2 loses the 4 shared windows' union = tokens 12..26 (the span)
+    assert(out(2L)._1 == 27L && out(2L)._2 == 12L)
+    assert(out(2L)._3 ==
+      "twoaa twobb twocc twodd twoee twof twog twoh twoi twoj twok twol")
+    // untouched doc keeps everything
+    assert(out(3L)._1 == out(3L)._2)
+  }
+
   test("collocations: repeated adjacent pair outranks common-word pairs") {
     import spark.implicits._
     // "new york" always adjacent (lift high); "the" pairs with many
