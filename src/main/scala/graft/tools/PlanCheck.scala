@@ -192,6 +192,65 @@ object PlanCheck {
       println("cms estimate: " +
         s"BroadcastHashJoin=${occ(cmsStr, "BroadcastHashJoin")}")
     }
+    // 9. Round-8 additions. (a) hot-fingerprint cap: the hot set must
+    // arrive via a BROADCAST left_anti join (the fingerprint stream
+    // never re-shuffles for the cap). (b) DSIR: the <= buckets-row
+    // weight table broadcasts; corpus-side exchanges are the per-doc
+    // agg + id join only. (c) semantic dedup: candidates keyed on the
+    // trained cell (the cluster IS the band key). (d) batch serving:
+    // the JOB COUNT (AQE materializes one job per query stage) must be
+    // CONSTANT in batch size -- the entire point of the one-pass design.
+    {
+      val docs = graft.core.Tables.documents(spark, sf)
+      def occ(hay: String, needle: String): Int =
+        hay.sliding(needle.length).count(_ == needle)
+      val capped = graft.llmops.Dedup.substringDupPairs(docs, "doc_id",
+        "text", window = 12, minShared = 2, maxDocFreq = 1000)
+      capped.collect()
+      val capStr = capped.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      println("\nhot-fingerprint cap: " +
+        s"LeftAnti=${occ(capStr, "LeftAnti")}, " +
+        s"BroadcastHashJoin=${occ(capStr, "BroadcastHashJoin")}")
+      val w = graft.llmops.Curation.dsirWeights(docs,
+        docs.where(col("lang") === "en"), "text", shingleN = 2,
+        buckets = 256)
+      val ds = graft.llmops.Curation.dsirScores(docs, "doc_id", "text", w,
+        shingleN = 2, buckets = 256)
+      val dsStr = ds.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      println("dsir scores: " +
+        s"BroadcastHashJoin=${occ(dsStr, "BroadcastHashJoin")} (weights), " +
+        s"hash exchanges=${occ(dsStr, "Exchange hashpartitioning")} " +
+        "(per-doc agg + id join)")
+      val emb2 = graft.core.Tables.embeddings(spark, sf)
+      val cents = graft.llmops.Ann.trainCentroids(emb2, "embedding", 16)
+      val sd = graft.llmops.Dedup.semanticDupFlags(emb2, "vec_id",
+        "embedding", cents, 900000L)
+      val sdStr = sd.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      println("semantic dedup: " +
+        s"joins=${occ(sdStr, "Join")} keyed on cell + id flag join, " +
+        s"hash exchanges=${occ(sdStr, "Exchange hashpartitioning")}")
+      // batch serving: same fixture tables as section 4.
+      val questions = (1 to 10).map(i =>
+        s"games where white is rated at least ${2000 + 50 * i}")
+      def plansOf(n: Int) = questions.take(n).map(q =>
+        graft.query.QueryIntent.analyse(
+          graft.query.QueryIntent.Request(q, Some(5)))).toSeq
+      val ht = graft.query.HybridExecutor.Tables(t.games, t.players, Some(v))
+      def jobsFor(tag: String, n: Int): Int = {
+        spark.sparkContext.setJobGroup(tag, tag)
+        graft.query.HybridExecutor.executeBatch(spark, ht, plansOf(n), e)
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+      }
+      jobsFor("warm", 2) // JIT + plan-cache warm, not reported
+      val j2 = jobsFor("batch2", 2)
+      val j10 = jobsFor("batch10", 10)
+      println(s"batch serving Spark jobs: N=2 -> $j2, N=10 -> $j10 " +
+        "(equal = stage count independent of batch size)")
+    }
     spark.stop()
   }
 }
