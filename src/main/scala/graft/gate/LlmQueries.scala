@@ -243,6 +243,16 @@ object LlmQueries {
       Curation.noveltyScore(Tables.documents(s, d), "doc_id", "text",
         shingleN = 3)),
 
+    // Weighted sampling: keep each doc with probability = its novelty
+    // score (integer micros) -- sample-proportional-to-score over the
+    // hash-of-id bucket; composes two curation operators in one gate.
+    "llm_weighted_sample" -> ((s, d) =>
+      Curation.weightedSample(
+        Curation.noveltyScore(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3),
+        "doc_id", "novelty_micro", salt = "wsamp")
+        .select(col("doc_id"), col("novelty_micro"))),
+
     // Epoch upsampling: de x3, fr x2, everything else x1, with copy ids.
     "llm_repeats" -> ((s, d) =>
       Curation.withRepeats(Tables.documents(s, d), "lang",
@@ -1222,6 +1232,34 @@ object LlmQueries {
             COALESCE(CAST(FLOOR(CAST(a.us AS DOUBLE) * 1000000.0 /
                 CAST(a.ns AS DOUBLE)) AS BIGINT), 0) AS novelty_micro
           FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id""",
+    // Weighted sampling: the novelty CTE chain, then the hash-of-id
+    // bucket against the integer micro weight.
+    "llm_weighted_sample" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $duckToks AS ws FROM documents),
+          sh AS (
+            SELECT doc_id, list_distinct(
+              CASE WHEN len(ws) < 3 THEN []
+                ELSE list_transform(range(1, len(ws) - 1), i ->
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] ||
+                  ' ' || ws[CAST(i AS INT)+2]) END) AS shl
+            FROM toks),
+          ds AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+          c AS (SELECT s, COUNT(*) AS cnt FROM ds GROUP BY s),
+          agg AS (
+            SELECT d.doc_id,
+              COUNT(*) AS ns,
+              SUM(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS us
+            FROM ds d JOIN c ON c.s = d.s
+            GROUP BY d.doc_id),
+          nov AS (
+            SELECT doc.doc_id,
+              COALESCE(CAST(FLOOR(CAST(a.us AS DOUBLE) * 1000000.0 /
+                  CAST(a.ns AS DOUBLE)) AS BIGINT), 0) AS novelty_micro
+            FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id)
+          SELECT doc_id, novelty_micro FROM nov
+          WHERE ${duckHex8("'wsamp:' || CAST(doc_id AS VARCHAR)")}
+            % 1000000 < novelty_micro""",
     // Epoch repeats: integer copies per language.
     "llm_repeats" ->
       """SELECT doc_id, lang, CAST(g AS BIGINT) AS copy

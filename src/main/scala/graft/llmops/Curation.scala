@@ -60,6 +60,23 @@ object Curation {
     df.where(bucket < threshold)
   }
 
+  /** Deterministic WEIGHTED Bernoulli sampling: keep a row with
+    * probability weightMicro/1e6 (integer micros in [0, 1e6], e.g. a
+    * quality or novelty score), decided by the same layout/RNG
+    * independent hash-of-id bucket as [[deterministicSample]] -- the
+    * "sample proportional to score" curation primitive with exact
+    * cross-engine reproducibility. Monotone in the weight (raising a
+    * row's weight can only keep it) and nested across salts like the
+    * unweighted sampler. Still a pure filter: no shuffle.
+    */
+  def weightedSample(df: DataFrame, idCol: String,
+      weightMicroCol: String, salt: String): DataFrame = {
+    val bucket = conv(substring(
+      md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    df.where(bucket < col(weightMicroCol).cast("long"))
+  }
+
   /** Temperature-based data mixing (the multilingual-LM sampling
     * scheme, alpha = 0.5): per-group keep rate sqrt(n_min / n_g), so
     * the smallest group is kept in full and group g's expected share

@@ -182,6 +182,27 @@ class CurationSpec extends SparkSpec {
     assert(got(4L)._1 == 7L) // 8 tokens -> 7 bigram occurrences
   }
 
+  test("weighted sample: rate tracks the weight, monotone, deterministic") {
+    val big = spark.range(10000).toDF("doc_id")
+      .withColumn("w", (col("doc_id") % 2) * 800000) // half 0, half 0.8
+    val kept = Curation.weightedSample(big, "doc_id", "w", "ws")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.forall(_ % 2 == 1)) // zero-weight rows never kept
+    assert(math.abs(kept.size / 5000.0 - 0.8) < 0.03) // ~80% of odd rows
+    // layout-independent
+    val kept2 = Curation.weightedSample(big.repartition(7), "doc_id", "w",
+      "ws").select("doc_id").as[Long].collect().toSet
+    assert(kept == kept2)
+    // monotone: halving every weight keeps a subset
+    val half = Curation.weightedSample(
+      big.withColumn("w", col("w") / 2), "doc_id", "w", "ws")
+      .select("doc_id").as[Long].collect().toSet
+    assert(half.subsetOf(kept))
+    // full weight keeps everything
+    assert(Curation.weightedSample(
+      big.withColumn("w", lit(1000000)), "doc_id", "w", "ws").count() == 10000)
+  }
+
   test("temperature mix: smallest group whole, big groups flattened") {
     import spark.implicits._
     // 40 "en" docs, 10 "mi" docs: rate_en = sqrt(10/40) = 0.5
