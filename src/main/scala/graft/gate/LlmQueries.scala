@@ -492,6 +492,21 @@ object LlmQueries {
           floor(col("score") * 1000000).cast("long").as("cosine_micro"))
     }),
 
+    // SQ8 ANN candidate stage: per-dimension int8 codes (exact min/max
+    // bounds), INTEGER code-dot top-10 -- the whole chain is per-element
+    // IEEE ops + integer sums, so the oracle is static SQL with no
+    // FP-margin machinery.
+    "llm_sq8_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val m = graft.llmops.Pq.sq8Train(emb, "embedding")
+      graft.llmops.Pq.sq8IntTopK(
+        graft.llmops.Pq.withSq8(emb, "embedding", m), "vec_id", q, m, 10)
+        .select(col("id").as("vec_id"), col("score_int"))
+    }),
+
     // Semantic dedup (SemDeDup shape): trained-centroid clusters, flag
     // docs with a smaller-id same-cluster neighbor at cosine >= 0.9.
     // Oracle is DYNAMIC (semanticDedupOracleSql): same centroid-VALUES
@@ -1232,6 +1247,32 @@ object LlmQueries {
             COALESCE(CAST(FLOOR(CAST(a.us AS DOUBLE) * 1000000.0 /
                 CAST(a.ns AS DOUBLE)) AS BIGINT), 0) AS novelty_micro
           FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id""",
+    // SQ8: per-dim exact bounds -> affine int8 codes (same per-element
+    // op order as the Spark expression: sub, *255.0, div, floor, clamp)
+    // -> integer code-dot top-10. No float accumulation anywhere.
+    "llm_sq8_ann" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (
+           SELECT vec_id, CAST(i AS INT) AS dim, v[CAST(i AS INT)] AS val
+           FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i)),
+         b AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx
+               FROM x GROUP BY dim),
+         c AS (
+           SELECT x.vec_id, x.dim,
+             CASE WHEN b.mx = b.mn THEN 0
+                  ELSE CAST(GREATEST(LEAST(FLOOR(
+                    (x.val - b.mn) * 255.0 / (b.mx - b.mn)), 255.0), 0.0)
+                    AS INT) END AS code
+           FROM x JOIN b USING (dim)),
+         q AS (SELECT dim, code FROM c WHERE vec_id = 7),
+         s AS (
+           SELECT c.vec_id,
+             CAST(SUM(CAST(c.code AS BIGINT) * CAST(q.code AS BIGINT))
+               AS BIGINT) AS score_int
+           FROM c JOIN q USING (dim) GROUP BY c.vec_id)
+         SELECT vec_id, score_int FROM s
+         ORDER BY score_int DESC, vec_id LIMIT 10""",
     // Weighted sampling: the novelty CTE chain, then the hash-of-id
     // bucket against the integer micro weight.
     "llm_weighted_sample" ->

@@ -126,4 +126,91 @@ object Pq {
     adcTopK(encodedCelled.where(col("cell").isin(order: _*)),
       idCol, vecCol, model, query, k, rerank)
   }
+
+  // --- int8 scalar quantization (SQ8) ---------------------------------
+  // The simpler sibling of PQ (the FAISS ScalarQuantizer shape, public):
+  // per-DIMENSION affine bounds map each component to an 8-bit code --
+  // 8x smaller than float64 with no codebook training, and candidate
+  // scoring becomes an INTEGER dot product of code arrays. Unlike PQ's
+  // ADC (driver-built float tables), the whole SQ8 scoring chain is
+  // integer arithmetic over expressions both engines evaluate with the
+  // SAME per-element IEEE ops (sub, mul, div, floor -- no accumulation
+  // order to disagree on), so a SQL oracle reproduces it bit-for-bit
+  // with no FP-margin machinery.
+
+  /** Per-dimension bounds, from an EXACT one-pass aggregate (min/max are
+    * exact over doubles regardless of partitioning; no sampling, no
+    * RNG). dims is bounded (embedding width), so the collected frame is
+    * tiny.
+    */
+  final case class Sq8Model(mins: Array[Double], maxs: Array[Double])
+
+  def sq8Train(df: DataFrame, vecCol: String): Sq8Model = {
+    val rows = df
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("dim")
+      .collect()
+    Sq8Model(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Column of int8 codes: code_i = floor((x_i - mn_i) * 255 /
+    * (mx_i - mn_i)) clamped to [0, 255]; constant dimensions code to 0.
+    * Pure per-element column expressions (codegen'd, no UDF), written in
+    * the exact operation order the SQL oracle uses.
+    */
+  def sq8CodeCol(vec: org.apache.spark.sql.Column,
+      model: Sq8Model): org.apache.spark.sql.Column = {
+    val mins = typedLit(model.mins.toSeq)
+    val maxs = typedLit(model.maxs.toSeq)
+    zip_with(vec.cast("array<double>"),
+      sequence(lit(1), lit(model.mins.length)), (x, i) => {
+        val mn = element_at(mins, i.cast("int"))
+        val mx = element_at(maxs, i.cast("int"))
+        when(mx === mn, lit(0))
+          .otherwise(greatest(least(
+            floor((x - mn) * lit(255.0) / (mx - mn)), lit(255.0)), lit(0.0))
+            .cast("int"))
+      })
+  }
+
+  def withSq8(df: DataFrame, vecCol: String, model: Sq8Model): DataFrame =
+    df.withColumn("sq_code", sq8CodeCol(col(vecCol), model))
+
+  /** Candidate top-k by INTEGER code dot product (the memory-tier scan:
+    * 1 byte/dim, integer multiply-adds), then exact cosine rerank on the
+    * over-fetched candidates -- the adcTopK contract with SQ8 codes.
+    * `sq8IntTopK` exposes the pure-integer candidate stage on its own
+    * (what the gate oracles bit-for-bit).
+    */
+  def sq8IntTopK(encoded: DataFrame, idCol: String, query: Seq[Double],
+      model: Sq8Model, k: Int): DataFrame = {
+    val qCode: Seq[Int] = query.indices.map { i =>
+      val (mn, mx) = (model.mins(i), model.maxs(i))
+      if (mx == mn) 0
+      else math.max(0, math.min(255,
+        math.floor((query(i) - mn) * 255.0 / (mx - mn)).toInt))
+    }
+    encoded
+      .select(col(idCol).as("id"),
+        aggregate(zip_with(col("sq_code"), typedLit(qCode),
+          (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, x) => acc + x).as("score_int"))
+      .orderBy(desc("score_int"), col("id"))
+      .limit(k)
+  }
+
+  def sq8TopK(encoded: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], model: Sq8Model, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k)
+    val cand = withSq8(encoded, vecCol, model)
+    val ids = sq8IntTopK(cand, idCol, query, model, rerank)
+    ids.join(encoded.select(col(idCol).as("id"), col(vecCol)), Seq("id"))
+      .select(col("id"),
+        graft.functions.CosineSimilarity(col(vecCol),
+          org.apache.spark.sql.functions.typedLit(query)).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
 }

@@ -89,4 +89,39 @@ class PqSpec extends SparkSpec {
       q, k = 10, probes = 4, rerank = 160).collect().map(_.getLong(0)).toSet
     assert(all === exact)
   }
+
+  test("SQ8: codes bounded, reconstruction within a bin, rerank recalls") {
+    val model = Pq.sq8Train(clustered, "embedding")
+    assert(model.mins.length == 8)
+    val enc = Pq.withSq8(clustered, "embedding", model)
+    val rows = enc.select(col("embedding"), col("sq_code")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val c = r.getSeq[Int](1)
+      assert(c.forall(x => x >= 0 && x <= 255))
+      // dequantized bin midpoint sits within one bin of the original
+      // (quantizer bins are range/255 wide)
+      v.indices.foreach { i =>
+        val range = model.maxs(i) - model.mins(i)
+        if (range > 0) {
+          val deq = model.mins(i) + (c(i) + 0.5) * range / 255.0
+          assert(math.abs(deq - v(i)) <= range / 255.0 + 1e-12)
+        }
+      }
+    }
+    val q = clustered.where(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Double](0)
+    // the integer candidate stage surfaces the query itself (the int
+    // dot is UNNORMALIZED, so larger-magnitude neighbors may outrank
+    // it -- exactness on self is the rerank stage's job)
+    val cand = Pq.sq8IntTopK(enc, "vec_id", q, model, 10).collect()
+    assert(cand.map(_.getLong(0)).contains(7L))
+    // exact rerank over a generous over-fetch recovers brute-force top-k
+    val exact = Ann.bruteForceTopK(clustered, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val sq = Pq.sq8TopK(clustered, "vec_id", "embedding", q, model,
+      k = 10, rerank = 60).collect().map(_.getLong(0)).toSet
+    assert((exact intersect sq).size >= 9,
+      s"SQ8 recall ${(exact intersect sq).size}/10")
+  }
 }
