@@ -8,6 +8,12 @@ import graft.embed.DeterministicEmbedder
   *
   *   runMain graft.app.QueryApp <tablesDir> <question words...> [--limit=N] [--offset=N]
   *
+  * Batch mode -- many questions separated by `;;` run through ONE
+  * amortized pass ([[HybridExecutor.executeBatch]]: constant stage
+  * count regardless of batch size):
+  *
+  *   runMain graft.app.QueryApp <tablesDir> "q1 ;; q2 ;; q3" [--limit=N]
+  *
   * Mirrors POST /query (reference services/api/chessmate_api.ml:586-724)
   * minus the HTTP envelope: same plan, same scoring, same pagination.
   */
@@ -41,28 +47,37 @@ object QueryApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val plan = QueryIntent.analyse(QueryIntent.Request(question, limit, offset))
-    println(s"[plan] cleaned='${plan.cleanedText}' limit=${plan.limit} " +
-      s"offset=${plan.offset} filters=${plan.filters} rating=${plan.rating} " +
-      s"keywords=${plan.keywords}")
+    val questions = question.split(";;").map(_.trim).filter(_.nonEmpty)
+    val plans = questions.toSeq.map(q =>
+      QueryIntent.analyse(QueryIntent.Request(q, limit, offset)))
+    plans.foreach(plan =>
+      println(s"[plan] cleaned='${plan.cleanedText}' limit=${plan.limit} " +
+        s"offset=${plan.offset} filters=${plan.filters} " +
+        s"rating=${plan.rating} keywords=${plan.keywords}"))
 
     val games = spark.read.parquet(s"$dir/games")
     val players = spark.read.parquet(s"$dir/players")
     val vectors =
       try Some(spark.read.parquet(s"$dir/vectors"))
       catch { case _: Throwable => None }
+    val embedder = DeterministicEmbedder(dims = vectors.map(v =>
+      v.selectExpr("size(embedding)").head().getInt(0)).getOrElse(1536))
+    val tables = HybridExecutor.Tables(games, players, vectors)
 
-    val exec = HybridExecutor.execute(spark,
-      HybridExecutor.Tables(games, players, vectors), plan,
-      DeterministicEmbedder(dims = vectors.map(v =>
-        v.selectExpr("size(embedding)").head().getInt(0)).getOrElse(1536)))
+    val execs =
+      if (plans.length == 1)
+        Seq(HybridExecutor.execute(spark, tables, plans.head, embedder))
+      else HybridExecutor.executeBatch(spark, tables, plans, embedder)
 
-    exec.warnings.foreach(w => println(s"[warning] $w"))
-    val rows = exec.results.collect()
-    println(s"[results] total=${exec.total} returned=${rows.length} " +
-      s"has_more=${exec.hasMore}")
-    println(ResultFormatter.summarize(rows.toSeq))
-    rows.foreach(r => println(ResultFormatter.resultFields(r)))
+    plans.zip(execs).foreach { case (plan, exec) =>
+      if (plans.length > 1) println(s"\n=== ${plan.cleanedText} ===")
+      exec.warnings.foreach(w => println(s"[warning] $w"))
+      val rows = exec.results.collect()
+      println(s"[results] total=${exec.total} returned=${rows.length} " +
+        s"has_more=${exec.hasMore}")
+      println(ResultFormatter.summarize(rows.toSeq))
+      rows.foreach(r => println(ResultFormatter.resultFields(r)))
+    }
     spark.stop()
   }
 }
