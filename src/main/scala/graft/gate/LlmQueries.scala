@@ -493,9 +493,10 @@ object LlmQueries {
     }),
 
     // SQ8 ANN candidate stage: per-dimension int8 codes (exact min/max
-    // bounds), INTEGER code-dot top-10 -- the whole chain is per-element
-    // IEEE ops + integer sums, so the oracle is static SQL with no
-    // FP-margin machinery.
+    // bounds), ASYMMETRIC integer scoring (code x micro-quantized query
+    // weight) top-10 -- the whole chain is per-element IEEE ops +
+    // integer sums, so the oracle is static SQL with no FP-margin
+    // machinery.
     "llm_sq8_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.where(col("vec_id") === 7)
@@ -1249,7 +1250,8 @@ object LlmQueries {
           FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id""",
     // SQ8: per-dim exact bounds -> affine int8 codes (same per-element
     // op order as the Spark expression: sub, *255.0, div, floor, clamp)
-    // -> integer code-dot top-10. No float accumulation anywhere.
+    // -> asymmetric integer score (code x floor(q*(mx-mn)*1e6/255))
+    // top-10. No float accumulation anywhere.
     "llm_sq8_ann" ->
       """WITH e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1265,12 +1267,17 @@ object LlmQueries {
                     (x.val - b.mn) * 255.0 / (b.mx - b.mn)), 255.0), 0.0)
                     AS INT) END AS code
            FROM x JOIN b USING (dim)),
-         q AS (SELECT dim, code FROM c WHERE vec_id = 7),
+         q AS (SELECT dim, val FROM x WHERE vec_id = 7),
+         w AS (
+           SELECT q.dim,
+             CAST(FLOOR(q.val * (b.mx - b.mn) * 1000000.0 / 255.0)
+               AS BIGINT) AS wq
+           FROM q JOIN b USING (dim)),
          s AS (
            SELECT c.vec_id,
-             CAST(SUM(CAST(c.code AS BIGINT) * CAST(q.code AS BIGINT))
-               AS BIGINT) AS score_int
-           FROM c JOIN q USING (dim) GROUP BY c.vec_id)
+             CAST(SUM(CAST(c.code AS BIGINT) * w.wq) AS BIGINT)
+               AS score_int
+           FROM c JOIN w USING (dim) GROUP BY c.vec_id)
          SELECT vec_id, score_int FROM s
          ORDER BY score_int DESC, vec_id LIMIT 10""",
     // Weighted sampling: the novelty CTE chain, then the hash-of-id

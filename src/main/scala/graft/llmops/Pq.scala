@@ -182,20 +182,33 @@ object Pq {
     * 1 byte/dim, integer multiply-adds), then exact cosine rerank on the
     * over-fetched candidates -- the adcTopK contract with SQ8 codes.
     * `sq8IntTopK` exposes the pure-integer candidate stage on its own
-    * (what the gate oracles bit-for-bit).
+    * (what the gate oracles bit-for-bit). The code dot approximates the
+    * raw DOT product: on cosine workloads with varied magnitudes,
+    * quantize L2-NORMALIZED vectors (measured in BASELINE.md -- recall
+    * roughly doubles; AnnRecall's sq8 rows do exactly that).
     */
   def sq8IntTopK(encoded: DataFrame, idCol: String, query: Seq[Double],
       model: Sq8Model, k: Int): DataFrame = {
-    val qCode: Seq[Int] = query.indices.map { i =>
-      val (mn, mx) = (model.mins(i), model.maxs(i))
-      if (mx == mn) 0
-      else math.max(0, math.min(255,
-        math.floor((query(i) - mn) * 255.0 / (mx - mn)).toInt))
+    // ASYMMETRIC integer scoring (the scalar-quantizer ADC shape): rank
+    // by sum_i code_i * floor(q_i * (mx_i - mn_i) * 1e6 / 255). Up to
+    // code quantization this equals dot(dequant(x), q) * 1e6 minus the
+    // candidate-independent sum_i mn_i*q_i term, which cancels in
+    // ranking -- unlike a symmetric code x code dot, whose dropped
+    // affine cross-terms VARY per candidate and scramble the order
+    // (measured on sf0.1 embeddings at rerank 50: recall@10 0.22
+    // symmetric vs 1.00 asymmetric -- 8-bit dequant noise is far below
+    // this corpus's neighbor gaps). The weights are per-element FP ops
+    // in one fixed order
+    // (mul, mul, div, floor), so both engines produce identical
+    // integers; the scan itself is integer multiply-adds over codes.
+    val qw: Seq[Long] = query.indices.map { i =>
+      val r = model.maxs(i) - model.mins(i)
+      math.floor(query(i) * r * 1000000.0 / 255.0).toLong
     }
     encoded
       .select(col(idCol).as("id"),
-        aggregate(zip_with(col("sq_code"), typedLit(qCode),
-          (a, b) => a.cast("long") * b.cast("long")),
+        aggregate(zip_with(col("sq_code"), typedLit(qw),
+          (a, b) => a.cast("long") * b),
           lit(0L), (acc, x) => acc + x).as("score_int"))
       .orderBy(desc("score_int"), col("id"))
       .limit(k)

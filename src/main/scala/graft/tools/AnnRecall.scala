@@ -104,6 +104,35 @@ object AnnRecall {
       both.unpersist()
     }
 
+    // SQ8: full scan of 1-byte/dim codes (compression path like PQ, but
+    // no codebook); "scanned" reports the exact-rerank candidate count.
+    // The int code dot approximates the raw DOT product, so for this
+    // cosine workload the vectors are L2-NORMALIZED before quantization
+    // (magnitude variation otherwise dominates the candidate order).
+    {
+      val vNorm = transform(col("embedding").cast("array<double>"), x =>
+        x / sqrt(aggregate(
+          transform(col("embedding").cast("array<double>"), y => y * y),
+          lit(0.0), (a, b) => a + b)))
+      val normed = emb.select(col("vec_id"), col("embedding"),
+        vNorm.as("emb_n")).cache()
+      normed.count()
+      val model = graft.llmops.Pq.sq8Train(normed, "emb_n")
+      Seq(50, 100).foreach { rerank =>
+        recall(s"sq8(normalized)+rerank $rerank",
+          q => {
+            val qa = q.toArray
+            var s = 0.0; var i = 0
+            while (i < qa.length) { s += qa(i) * qa(i); i += 1 }
+            val qn = if (s == 0) q else qa.map(_ / math.sqrt(s)).toSeq
+            graft.llmops.Pq.sq8TopK(normed, "vec_id", "emb_n", qn,
+              model, k, rerank)
+          },
+          _ => rerank.toLong)
+      }
+      normed.unpersist()
+    }
+
     // RP filter-and-refine: full scan of the PROJECTED vectors (planes
     // mults/row instead of dims -- the compression path, like PQ);
     // "scanned" reports the exact-rerank candidate count.
