@@ -214,6 +214,28 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))
 
+  // --- PII redaction ---------------------------------------------------
+  // Standard training-corpus scrubbing (the C4/RefinedWeb-style pass):
+  // emails, IPv4 addresses, and long digit runs (phone/account numbers)
+  // become typed placeholder tokens. Pure map-side regexp chain; the
+  // patterns use only syntax Java regex and RE2 (DuckDB) interpret
+  // identically (char classes, bounded repeats, \b, alternation), so a
+  // SQL oracle reproduces every replacement byte-for-byte. Order
+  // matters: emails before the digit-run rule (an email's local part
+  // may contain 7+ digits), IPs before digit runs (dots already break
+  // \b for dotted quads, but the order documents intent).
+
+  val piiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpPattern = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val piiNumPattern = "\\b\\d{7,}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmailPattern, "<EMAIL>"),
+        piiIpPattern, "<IP>"),
+      piiNumPattern, "<NUM>")
+
   // --- feature-hashed linear classifier --------------------------------
   // The fastText-style quality/domain classifier shape: hash each token
   // into one of `dims` buckets, score = mean bucket weight. Weights here

@@ -348,6 +348,25 @@ object LlmQueries {
       TextAnalysis.withFingerprint(Tables.documents(s, d), "text")
         .select("doc_id", "fingerprint")),
 
+    // PII redaction: per-doc synthetic email/IP/account suffix (so every
+    // row exercises all three patterns), then the email -> IP -> digit
+    // run replacement chain; match counts from the pre-redaction text.
+    "llm_pii_redact" -> ((s, d) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0.0."),
+        (pmod(col("doc_id"), lit(250)) + 1).cast("string"),
+        lit(" acct 12345678901"))
+      Tables.documents(s, d).select(col("doc_id"),
+        size(regexp_extract_all(aug, lit(piiEmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(aug, lit(piiIpPattern), lit(0)))
+          .cast("long").as("n_ips"),
+        size(regexp_extract_all(aug, lit(piiNumPattern), lit(0)))
+          .cast("long").as("n_nums"),
+        md5(redactPii(aug)).as("redacted_md5"))
+    }),
+
     // Exact-substring dup pairs: >= 2 shared distinct 12-token rolling
     // window fingerprints (suffix-array-style span dedup, distributed).
     "llm_substring_dup" -> ((s, d) =>
@@ -1424,6 +1443,28 @@ object LlmQueries {
             md5(array_to_string(list_sort(list_distinct($duckToks)), ' '))
               AS fingerprint
           FROM documents""",
+    // PII: same augmented text, same pattern constants (Java regex and
+    // RE2 agree on this syntax subset), 'g' flag = Spark's replace-all.
+    "llm_pii_redact" ->
+      s"""WITH a AS (
+            SELECT doc_id,
+              text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+              '@example.com or 10.0.0.' ||
+              CAST(doc_id % 250 + 1 AS VARCHAR) ||
+              ' acct 12345678901' AS aug
+            FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(aug, '$piiEmailPattern'))
+              AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(aug, '$piiIpPattern'))
+              AS BIGINT) AS n_ips,
+            CAST(len(regexp_extract_all(aug, '$piiNumPattern'))
+              AS BIGINT) AS n_nums,
+            md5(regexp_replace(regexp_replace(regexp_replace(aug,
+              '$piiEmailPattern', '<EMAIL>', 'g'),
+              '$piiIpPattern', '<IP>', 'g'),
+              '$piiNumPattern', '<NUM>', 'g')) AS redacted_md5
+          FROM a""",
     // Shared 12-token rolling-window fingerprints; Spark's
     // windowFingerprints emits md5 of the WHOLE doc when it is shorter
     // than the window, replicated by the CASE arm. Fingerprints shared

@@ -269,6 +269,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(cont.head.getLong(3) == 142857L)
   }
 
+  test("pii redaction: emails, IPs, digit runs; short numbers survive") {
+    import spark.implicits._
+    val out = Seq(
+      "mail bob.smith+x@sub.example.org now",
+      "server at 192.168.0.1 port 8080",
+      "call 5551234567 or ext 12345",
+      "clean text with nothing to hide")
+      .toDF("t")
+      .select(graft.functions.TextFunctions.redactPii(col("t")))
+      .as[String].collect()
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "server at <IP> port 8080") // 8080 too short for <NUM>
+    assert(out(2) == "call <NUM> or ext 12345") // 5-digit ext survives
+    assert(out(3) == "clean text with nothing to hide")
+  }
+
   test("span cut removes the duplicated span from the higher-id doc only") {
     import spark.implicits._
     val span = (1 to 15).map(i => s"tok$i").mkString(" ")
