@@ -243,6 +243,17 @@ object LlmQueries {
       Curation.noveltyScore(Tables.documents(s, d), "doc_id", "text",
         shingleN = 3)),
 
+    // Epoch shuffle: deterministic hash sort key per (epoch, id) plus
+    // explicit positions (window over the gate corpus for verification;
+    // the production write path is repartitionByRange on the key).
+    "llm_epoch_shuffle" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("shuffle_key"), col("doc_id"))
+      Curation.withEpochShuffle(Tables.documents(s, d), "doc_id", epoch = 2)
+        .select(col("doc_id"), col("shuffle_key"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+    }),
+
     // Weighted sampling: keep each doc with probability = its novelty
     // score (integer micros) -- sample-proportional-to-score over the
     // hash-of-id bucket; composes two curation operators in one gate.
@@ -1299,6 +1310,14 @@ object LlmQueries {
            FROM c JOIN w USING (dim) GROUP BY c.vec_id)
          SELECT vec_id, score_int FROM s
          ORDER BY score_int DESC, vec_id LIMIT 10""",
+    // Epoch shuffle: md5 key + ROW_NUMBER over (key, id).
+    "llm_epoch_shuffle" ->
+      """SELECT doc_id,
+           md5('shuffle:2:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('shuffle:2:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS pos
+         FROM documents""",
     // Weighted sampling: the novelty CTE chain, then the hash-of-id
     // bucket against the integer micro weight.
     "llm_weighted_sample" ->

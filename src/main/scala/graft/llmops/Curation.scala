@@ -336,6 +336,21 @@ object Curation {
           .as("keep"))
   }
 
+  /** Deterministic epoch shuffle for training-data export: a pure
+    * hash-of-(epoch-salt, id) sort key. Writing
+    * `repartitionByRange(col("shuffle_key")) .sortWithinPartitions`
+    * produces a globally shuffled, reproducible epoch order with NO
+    * single-partition stage (range exchange + local sorts); a different
+    * epoch salt reshuffles the corpus, and any engine recomputes the
+    * same order (md5 keys, id tiebreak). The gate materializes explicit
+    * positions through a window for verification only -- the write path
+    * above is the scale shape.
+    */
+  def withEpochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      salt: String = "shuffle"): DataFrame =
+    df.withColumn("shuffle_key",
+      md5(concat(lit(s"$salt:$epoch:"), col(idCol).cast("string"))))
+
   /** Hash-filter stride for the boundary sample: CEILING division, so the
     * expected sample size count/stride is <= cap and the hash filter --
     * not the ordered limit -- is what bounds the sample. Floor division

@@ -182,6 +182,18 @@ class CurationSpec extends SparkSpec {
     assert(got(4L)._1 == 7L) // 8 tokens -> 7 bigram occurrences
   }
 
+  test("epoch shuffle: reproducible order, epochs differ, no collisions") {
+    val big = spark.range(2000).toDF("doc_id")
+    def order(epoch: Int) = Curation.withEpochShuffle(big, "doc_id", epoch)
+      .orderBy("shuffle_key", "doc_id").select("doc_id")
+      .as[Long].collect().toSeq
+    val e1 = order(1)
+    assert(e1 == order(1)) // same epoch -> same order
+    assert(e1 != order(2)) // different epoch -> reshuffled
+    assert(e1.toSet == (0L until 2000L).toSet) // a permutation
+    assert(e1 != (0L until 2000L).toSeq) // and not the identity
+  }
+
   test("weighted sample: rate tracks the weight, monotone, deterministic") {
     val big = spark.range(10000).toDF("doc_id")
       .withColumn("w", (col("doc_id") % 2) * 800000) // half 0, half 0.8
