@@ -314,6 +314,17 @@ object LlmQueries {
         buckets = 256, thresholdMicro = 0L)
     }),
 
+    // CCNet-shape LM quality scoring: a hashed-bigram count model
+    // trained on the en subset, integer-log2 fluency bits per shingle.
+    // Unlike llm_dsir nothing is injected -- the oracle retrains the
+    // model in SQL (counts + length(bin(...)) are integer-exact in both
+    // engines).
+    "llm_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.lmScores(docs, docs.where(col("lang") === "en"),
+        "doc_id", "text", shingleN = 2, buckets = 256, minMeanBits = 6L)
+    }),
+
     // CAPSTONE: the whole training-data pipeline composed end-to-end --
     // exact dedup -> lang filter -> quality threshold (micro-quantized,
     // so the cut is cross-engine exact) -> benchmark decontamination ->
@@ -986,6 +997,36 @@ object LlmQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // LM scoring: the oracle retrains the hashed-bigram count model and
+    // rescores every doc -- all-integer (COUNT, bitlen via bin()), so a
+    // full hash-match proves model training AND scoring end-to-end.
+    "llm_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $duckToks AS ws
+            FROM documents),
+          sh AS (
+            SELECT doc_id, lang, unnest(
+              CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(range(1, len(ws)), i ->
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])
+              END) AS s
+            FROM toks),
+          b AS (SELECT doc_id, lang,
+                  CAST(${duckHex8("s")} % 256 AS INT) AS bucket FROM sh),
+          tc AS (SELECT bucket, COUNT(*) AS c FROM b WHERE lang = 'en'
+                 GROUP BY bucket),
+          per AS (
+            SELECT b.doc_id,
+              CAST(length(bin(COALESCE(tc.c, 0) + 1)) AS BIGINT) AS bits
+            FROM b LEFT JOIN tc USING (bucket)),
+          agg AS (SELECT doc_id, COUNT(*) AS n,
+                    CAST(SUM(bits) AS BIGINT) AS sc
+                  FROM per GROUP BY doc_id)
+          SELECT d.doc_id,
+            CAST(COALESCE(a.n, 0) AS BIGINT) AS n_grams,
+            CAST(COALESCE(a.sc, 0) AS BIGINT) AS lm_bits,
+            (COALESCE(a.n, 0) > 0
+              AND COALESCE(a.sc, 0) >= 6 * COALESCE(a.n, 0)) AS keep
+          FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
     "llm_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
            COUNT(*) AS dup_count

@@ -336,6 +336,58 @@ object Curation {
           .as("keep"))
   }
 
+  /** CCNet-shape n-gram LM quality scoring (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * public literature) re-expressed integer-exactly: the "language
+    * model" is the per-bucket occurrence count table of hashed bigrams
+    * over a TARGET (reference) corpus, and a document's fluency score is
+    * the sum over its shingles of bitlen(c_b + 1) -- the integer
+    * floor(log2)+1 of the add-one-smoothed bucket count, a monotone
+    * stand-in for log-probability. Low mean bits = shingles rarely seen
+    * in the reference corpus = high perplexity; the keep cut is the
+    * cross-multiplied mean threshold (score >= minMeanBits * n_grams --
+    * no per-doc division).
+    *
+    * Determinism protocol: unlike [[dsirWeights]] there is NO floating
+    * point anywhere -- counts are exact integer aggregates and bitlen
+    * is `length(bin(x))` in both Spark and DuckDB -- so the SQL oracle
+    * recomputes the ENTIRE pipeline, model training included (no
+    * injected constants).
+    *
+    * Scale shape: the model is a <= `buckets`-row count frame
+    * (broadcast into the scoring join); the corpus-side stages are the
+    * map-side shingle explode and one groupBy on the doc id. Docs with
+    * no shingles keep a row (n_grams = 0, lm_bits = 0, keep = false) --
+    * the [[noveltyScore]] completeness rule.
+    */
+  def lmScores(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 2, buckets: Int = 4096,
+      minMeanBits: Long = 0L): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val t = graft.functions.TextFunctions
+    val counts = target
+      .select(explode(t.shingles(t.tokens(col(textCol)), shingleN)).as("s"))
+      .select(dsirBucketCol(col("s"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("__c"))
+    val sh = raw.select(col(idCol).as("id"),
+        explode(t.shingles(t.tokens(col(textCol)), shingleN)).as("s"))
+      .select(col("id"), dsirBucketCol(col("s"), buckets).as("bucket"))
+    val agg = sh.join(broadcast(counts), Seq("bucket"), "left")
+      .select(col("id"),
+        length(bin(coalesce(col("__c"), lit(0L)) + 1)).cast("long")
+          .as("__bits"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("__n"), sum(col("__bits")).as("__sc"))
+    raw.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_grams"),
+        coalesce(col("__sc"), lit(0L)).as("lm_bits"),
+        (coalesce(col("__n"), lit(0L)) > 0 &&
+          coalesce(col("__sc"), lit(0L)) >=
+            lit(minMeanBits) * coalesce(col("__n"), lit(0L))).as("keep"))
+  }
+
   /** Deterministic epoch shuffle for training-data export: a pure
     * hash-of-(epoch-salt, id) sort key. Writing
     * `repartitionByRange(col("shuffle_key")) .sortWithinPartitions`

@@ -182,6 +182,33 @@ class CurationSpec extends SparkSpec {
     assert(got(4L)._1 == 7L) // 8 tokens -> 7 bigram occurrences
   }
 
+  test("lm score: fluent docs out-score off-target, bits are exact log2") {
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta alpha beta", "en"),
+      (2L, "alpha beta alpha beta gamma delta alpha beta", "en"),
+      (3L, "alpha beta alpha beta alpha beta gamma alpha", "xx"), // en-like
+      (4L, "uno dos tres cuatro cinco seis siete ocho", "xx"),
+      (5L, "solo", "xx")) // 1 token -> no bigrams
+      .toDF("doc_id", "text", "lang")
+    val got = Curation.lmScores(corpus,
+      corpus.where(col("lang") === "en"), "doc_id", "text",
+      shingleN = 2, buckets = 64, minMeanBits = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(5L) == ((0L, 0L, false))) // no shingles: defined, not kept
+    assert(got(1L)._3 && got(2L)._3) // reference-vocab docs keep
+    assert(!got(4L)._3) // off-target vocab drops (all counts 0 -> 1 bit)
+    assert(got(4L) == ((7L, 7L, false))) // bitlen(0+1)=1 per bigram
+    // mean bits order by target-likeness: pure target > mixed > disjoint
+    assert(got(1L)._2 * got(3L)._1 > got(3L)._2 * got(1L)._1)
+    assert(got(3L)._2 * got(4L)._1 > got(4L)._2 * got(3L)._1)
+    // bit math: "alpha beta" occurs 11x in the en refs ("alpha beta"
+    // 4+4 from docs 1,2 ... ) -- spot-check one known bucket count:
+    // doc 1 has 7 bigrams, 4x "alpha beta" + 3x "beta alpha"; both
+    // counts come only from docs 1-2, so bits in [1, 5] each
+    assert(got(1L)._1 == 7L && got(1L)._2 >= 7L && got(1L)._2 <= 35L)
+  }
+
   test("epoch shuffle: reproducible order, epochs differ, no collisions") {
     val big = spark.range(2000).toDF("doc_id")
     def order(epoch: Int) = Curation.withEpochShuffle(big, "doc_id", epoch)
