@@ -322,7 +322,8 @@ object LlmQueries {
     "llm_lm_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.lmScores(docs, docs.where(col("lang") === "en"),
-        "doc_id", "text", shingleN = 2, buckets = 256, minMeanBits = 6L)
+        "doc_id", "text", shingleN = 2, buckets = 256,
+        minMeanDeciBits = 60L)
     }),
 
     // CAPSTONE: the whole training-data pipeline composed end-to-end --
@@ -387,6 +388,41 @@ object LlmQueries {
         size(regexp_extract_all(aug, lit(piiNumPattern), lit(0)))
           .cast("long").as("n_nums"),
         md5(redactPii(aug)).as("redacted_md5"))
+    }),
+
+    // CAPSTONE 3 (round-8 family composed): synthetic-PII augment ->
+    // redaction -> LM fluency cut on the REDACTED text (model retrained
+    // on the redacted en subset; keep docs ABOVE CORPUS-MEAN mean-bits,
+    // cross-multiplied sc*T_n >= T_sc*n so the cut is integer-exact AND
+    // scale-free -- an absolute bits threshold drifts with reference-
+    // corpus size because counts grow with it) -> sequence packing of
+    // survivors. One static SQL oracle recomputes every stage -- regex
+    // chain, model training, integer bits, the mean cut, prefix-sum
+    // packing -- with zero injected constants.
+    "llm_pipeline3" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0.0."),
+        (pmod(col("doc_id"), lit(250)) + 1).cast("string"),
+        lit(" acct 12345678901"))
+      val red = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        redactPii(aug).as("clean"))
+      val scored = Curation.lmScores(red,
+        red.where(col("lang") === "en"), "doc_id", "clean",
+        shingleN = 2, buckets = 256)
+      val totals = scored.agg(
+        sum(col("n_grams")).as("__tn"), sum(col("lm_bits")).as("__tsc"))
+      val kept = red
+        .join(scored.crossJoin(broadcast(totals))
+          .where(col("n_grams") > 0 &&
+            col("lm_bits") * col("__tn") >= col("__tsc") * col("n_grams"))
+          .select("doc_id"), Seq("doc_id"))
+        .withColumn("clean_md5", md5(col("clean")))
+      Curation.packSequences(kept, "doc_id", "n_chars",
+        capacity = 2048, partitions = 8)
+        .select(col("doc_id"), col("bin"), col("bin_offset"),
+          col("clean_md5"))
     }),
 
     // Exact-substring dup pairs: >= 2 shared distinct 12-token rolling
@@ -1025,8 +1061,61 @@ object LlmQueries {
             CAST(COALESCE(a.n, 0) AS BIGINT) AS n_grams,
             CAST(COALESCE(a.sc, 0) AS BIGINT) AS lm_bits,
             (COALESCE(a.n, 0) > 0
-              AND COALESCE(a.sc, 0) >= 6 * COALESCE(a.n, 0)) AS keep
+              AND COALESCE(a.sc, 0) * 10 >= 60 * COALESCE(a.n, 0)) AS keep
           FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
+    // Capstone 3: redaction regexes -> retrained LM cut -> prefix-sum
+    // packing, all recomputed here (static; the regex chain and bin()
+    // bits are engine-exact, the packing is the llm_pack prefix sum).
+    "llm_pipeline3" ->
+      s"""WITH a AS (
+            SELECT doc_id, lang, n_chars,
+              regexp_replace(regexp_replace(regexp_replace(
+                text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                '@example.com or 10.0.0.' ||
+                CAST(doc_id % 250 + 1 AS VARCHAR) || ' acct 12345678901',
+                '$piiEmailPattern', '<EMAIL>', 'g'),
+                '$piiIpPattern', '<IP>', 'g'),
+                '$piiNumPattern', '<NUM>', 'g') AS clean
+            FROM documents),
+          toks AS (
+            SELECT doc_id, lang, list_filter(
+              string_split_regex(lower(clean), '[^a-z0-9]+'),
+              x -> x <> '') AS ws
+            FROM a),
+          sh AS (
+            SELECT doc_id, lang, unnest(
+              CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(range(1, len(ws)), i ->
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])
+              END) AS s
+            FROM toks),
+          b AS (SELECT doc_id, lang,
+                  CAST(${duckHex8("s")} % 256 AS INT) AS bucket FROM sh),
+          tc AS (SELECT bucket, COUNT(*) AS c FROM b WHERE lang = 'en'
+                 GROUP BY bucket),
+          agg AS (
+            SELECT b.doc_id, COUNT(*) AS n,
+              SUM(CAST(length(bin(COALESCE(tc.c, 0) + 1)) AS BIGINT))
+                AS sc
+            FROM b LEFT JOIN tc USING (bucket) GROUP BY b.doc_id),
+          totals AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS tn,
+              CAST(SUM(sc) AS BIGINT) AS tsc FROM agg),
+          kept AS (
+            SELECT a.doc_id, a.n_chars, md5(a.clean) AS clean_md5
+            FROM a JOIN agg USING (doc_id), totals
+            WHERE agg.n > 0 AND agg.sc * totals.tn >= totals.tsc * agg.n),
+          pre AS (
+            SELECT doc_id, clean_md5,
+              SUM(n_chars) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_chars AS cb
+            FROM kept)
+          SELECT doc_id,
+            CAST((cb // 2048) AS BIGINT) AS bin,
+            CAST((cb % 2048) AS BIGINT) AS bin_offset,
+            clean_md5
+          FROM pre""",
     "llm_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
            COUNT(*) AS dup_count

@@ -345,8 +345,10 @@ object Curation {
     * floor(log2)+1 of the add-one-smoothed bucket count, a monotone
     * stand-in for log-probability. Low mean bits = shingles rarely seen
     * in the reference corpus = high perplexity; the keep cut is the
-    * cross-multiplied mean threshold (score >= minMeanBits * n_grams --
-    * no per-doc division).
+    * cross-multiplied mean threshold in DECI-bits (score * 10 >=
+    * minMeanDeciBits * n_grams -- no per-doc division, and tenth-of-a-bit
+    * resolution because real corpora's mean-bits distributions are
+    * tight).
     *
     * Determinism protocol: unlike [[dsirWeights]] there is NO floating
     * point anywhere -- counts are exact integer aggregates and bitlen
@@ -362,7 +364,7 @@ object Curation {
     */
   def lmScores(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 2, buckets: Int = 4096,
-      minMeanBits: Long = 0L): DataFrame = {
+      minMeanDeciBits: Long = 0L): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val t = graft.functions.TextFunctions
     val counts = target
@@ -384,8 +386,9 @@ object Curation {
         coalesce(col("__n"), lit(0L)).as("n_grams"),
         coalesce(col("__sc"), lit(0L)).as("lm_bits"),
         (coalesce(col("__n"), lit(0L)) > 0 &&
-          coalesce(col("__sc"), lit(0L)) >=
-            lit(minMeanBits) * coalesce(col("__n"), lit(0L))).as("keep"))
+          coalesce(col("__sc"), lit(0L)) * 10 >=
+            lit(minMeanDeciBits) * coalesce(col("__n"), lit(0L)))
+          .as("keep"))
   }
 
   /** Deterministic epoch shuffle for training-data export: a pure

@@ -192,7 +192,7 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang")
     val got = Curation.lmScores(corpus,
       corpus.where(col("lang") === "en"), "doc_id", "text",
-      shingleN = 2, buckets = 64, minMeanBits = 3L)
+      shingleN = 2, buckets = 64, minMeanDeciBits = 30L)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     assert(got(5L) == ((0L, 0L, false))) // no shingles: defined, not kept
