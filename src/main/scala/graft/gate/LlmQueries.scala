@@ -661,6 +661,11 @@ object LlmQueries {
         .orderBy(desc("total_count"), col("token"))
         .limit(100)),
 
+    // BPE training round 1: adjacent char-pair merge candidates over
+    // the distinct-word frequency table, top-50 by weighted count.
+    "llm_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, d), "text", k = 50)),
+
     // Collocations: top-50 adjacent bigrams by integer-exact PMI lift.
     "llm_collocations" -> ((s, d) =>
       TextAnalysis.collocations(Tables.documents(s, d), "text",
@@ -2203,6 +2208,20 @@ object LlmQueries {
           SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_md5,
             chunk_tokens
           FROM chunks""",
+    "llm_bpe_pairs" ->
+      s"""WITH toks AS (SELECT $duckToks AS ws FROM documents),
+          w AS (SELECT unnest(ws) AS w FROM toks),
+          wc AS (SELECT w, COUNT(*) AS wc FROM w GROUP BY w),
+          p AS (
+            SELECT unnest(list_transform(range(1, length(w)), i ->
+              substr(w, CAST(i AS INT), 2))) AS pair, wc
+            FROM wc WHERE length(w) >= 2),
+          pc AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+                 FROM p GROUP BY pair),
+          r AS (SELECT pair, cnt, row_number()
+                  OVER (ORDER BY cnt DESC, pair) AS rk FROM pc)
+          SELECT pair, cnt, CAST(rk AS BIGINT) AS rk
+          FROM r WHERE rk <= 50""",
     "llm_vocab" ->
       s"""WITH t AS (
             SELECT doc_id, doc_id AS doc_key, $duckToks AS ws

@@ -234,4 +234,34 @@ object TextAnalysis {
       .orderBy(desc("lift_micro"), col("bigram"))
       .limit(k)
   }
+
+  /** BPE tokenizer-training primitive (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units", public
+    * literature): the first training round's merge-candidate table --
+    * adjacent character-pair counts over the corpus, weighted by word
+    * frequency, top-k by count (pair asc tiebreak).
+    *
+    * Scale shape: BPE trains on the DISTINCT-word frequency table, the
+    * standard Zipf compression -- at 100 TB the corpus has ~1e11 tokens
+    * but ~1e7-1e8 distinct words, so after the one word-count shuffle
+    * every later round of training touches only the compressed table.
+    * Pair extraction is map-side (2-char windows of each word); the
+    * pair-count groupBy key space is bounded by alphabet-squared
+    * (<= 36^2 here -- tokens are [a-z0-9]+), so the final rank window
+    * over the pair table is over a bounded frame, never the corpus.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val t = graft.functions.TextFunctions
+    val wc = df
+      .select(explode(t.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val pc = wc.where(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"), col("wc"))
+      .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+    pc.select(col("pair"), col("cnt"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cnt"), col("pair"))).cast("long").as("rk"))
+      .where(col("rk") <= k)
+  }
 }

@@ -700,4 +700,20 @@ class LlmOpsSpec extends SparkSpec {
       assert(math.abs(proj(p) - s) < 1e-12)
     }
   }
+
+  test("bpe pair counts: word-frequency weighted, overlaps counted, ranked") {
+    import spark.implicits._
+    // word counts: aaab x2, ab x1, x x1 (single char -> no pairs)
+    val df = Seq((1L, "aaab x"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairCounts(df, "text", k = 10)
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    // aaab pairs: aa, aa, ab (overlapping "aa" counts twice) -> aa: 2*2=4
+    // ab: 2 (from aaab) + 1 (word ab) = 3
+    assert(out.toSeq == Seq(("aa", 4L, 1L), ("ab", 3L, 2L)))
+    // tiebreak: equal counts rank by pair asc
+    val tie = TextAnalysis.bpePairCounts(
+      Seq((1L, "cd ab")).toDF("doc_id", "text"), "text", 10)
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(tie.toSeq == Seq(("ab", 1L, 1L), ("cd", 1L, 2L)))
+  }
 }
