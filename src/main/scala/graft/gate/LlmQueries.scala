@@ -666,6 +666,13 @@ object LlmQueries {
     "llm_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, d), "text", k = 50)),
 
+    // BPE training proper: 3 merge rounds over the word table (greedy
+    // left-to-right merges); the oracle unrolls the same rounds in SQL
+    // -- the ..-delimited string-replace merge is byte-equal in both
+    // engines by construction.
+    "llm_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d), "text", rounds = 3)),
+
     // Collocations: top-50 adjacent bigrams by integer-exact PMI lift.
     "llm_collocations" -> ((s, d) =>
       TextAnalysis.collocations(Tables.documents(s, d), "text",
@@ -1035,6 +1042,44 @@ object LlmQueries {
       Curation.dsirWeights(docs, docs.where(col("lang") === "en"), "text",
         shingleN = 2, buckets = 256)))
     ivf ++ sem ++ dsir
+  }
+
+  /** llm_bpe_merges oracle: `rounds` unrolled merge rounds. Each round
+    * recounts pairs from the previous round's symbol strings, takes the
+    * argmax (cnt desc, pair asc -- space sorts below [a-z0-9], so pair-
+    * string order is tuple order), and merges via the same one-dot-
+    * flanked string replace as the Spark side. Assumes the corpus has
+    * >= rounds mergeable pairs (any real corpus does).
+    */
+  private def bpeMergesOracleSql(rounds: Int): String = {
+    val base = s"""toks AS (SELECT $duckToks AS ws FROM documents),
+          w AS (SELECT unnest(ws) AS w FROM toks),
+          wc AS (SELECT w, COUNT(*) AS wc FROM w GROUP BY w),
+          s0 AS (SELECT regexp_replace(w, '(.)', '..\\1', 'g') || '..'
+                   AS s, wc FROM wc)"""
+    val per = (1 to rounds).map { r =>
+      s"""p$r AS (
+            SELECT unnest(list_transform(range(1, len(sy)), i ->
+              sy[CAST(i AS INT)] || ' ' || sy[CAST(i AS INT) + 1]))
+              AS pair, wc
+            FROM (SELECT list_filter(string_split(s, '..'), x -> x <> '')
+                    AS sy, wc FROM s${r - 1}) t$r
+            WHERE len(sy) >= 2),
+          c$r AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+                  FROM p$r GROUP BY pair),
+          b$r AS (SELECT pair, cnt FROM c$r ORDER BY cnt DESC, pair
+                  LIMIT 1),
+          s$r AS (
+            SELECT replace(s,
+              '.' || replace((SELECT pair FROM b$r), ' ', '..') || '.',
+              '.' || replace((SELECT pair FROM b$r), ' ', '') || '.')
+              AS s, wc
+            FROM s${r - 1})"""
+    }.mkString(",\n          ")
+    val sel = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, pair, cnt FROM b$r")
+      .mkString(" UNION ALL ")
+    s"WITH $base,\n          $per\n          $sel"
   }
 
   def oracles: Map[String, String] = Map(
@@ -2208,6 +2253,7 @@ object LlmQueries {
           SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_md5,
             chunk_tokens
           FROM chunks""",
+    "llm_bpe_merges" -> bpeMergesOracleSql(3),
     "llm_bpe_pairs" ->
       s"""WITH toks AS (SELECT $duckToks AS ws FROM documents),
           w AS (SELECT unnest(ws) AS w FROM toks),

@@ -250,6 +250,68 @@ object TextAnalysis {
     * (<= 36^2 here -- tokens are [a-z0-9]+), so the final rank window
     * over the pair table is over a bounded frame, never the corpus.
     */
+  /** Multi-round BPE training (the real merge loop, distributed): per
+    * round, count adjacent symbol pairs over the distinct-word frequency
+    * table, pick the argmax (count desc, pair asc -- the space separator
+    * sorts below [a-z0-9], so space-joined pair order IS (left, right)
+    * tuple order), merge every non-overlapping occurrence left-to-right,
+    * repeat. Returns the merge table (round, pair, cnt).
+    *
+    * Words are carried as `..`-delimited symbol strings ("ab c" ->
+    * "..a..b.." / "..c..") and a merge of pair (a, b) is the plain
+    * string replace of ".a..b." with ".ab." -- each match consumes one
+    * dot from each flanking boundary, so back-to-back matches still see
+    * their leading dot and left-to-right non-overlapping replace
+    * implements exactly the BPE merge scan ("aaa" + (a,a) -> "aa a",
+    * "babab" + (a,b) -> "b ab ab"). Symbols are [a-z0-9]+ so the
+    * delimiter can never collide. The per-round argmax is a 1-row
+    * collect (bounded by `rounds`, the trainCentroids pattern); the
+    * word table stays distributed throughout.
+    *
+    * Scale shape: same as [[bpePairCounts]] -- everything after the one
+    * word-count shuffle runs over the Zipf-compressed distinct-word
+    * table; each round is one map-side pair explode + one bounded-key
+    * groupBy + one map-side string replace.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    val t = graft.functions.TextFunctions
+    var state = df
+      .select(explode(t.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(concat(regexp_replace(col("w"), "(.)", "..$1"), lit(".."))
+        .as("s"), col("wc"))
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = state
+        .select(filter(split(col("s"), "\\.\\."), x => x =!= "").as("sy"),
+          col("wc"))
+        .where(size(col("sy")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("sy")) - 2),
+          i => concat(element_at(col("sy"), i + 1), lit(" "),
+            element_at(col("sy"), i + 2)))).as("pair"), col("wc"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(desc("cnt"), col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        merges += ((r.toLong, pair, cnt))
+        val Array(a, b) = pair.split(" ", 2)
+        // no re-agg: the symbol string determines the word (strip dots),
+        // so distinct words stay distinct -- the merge is pure map-side
+        state = state.withColumn("s",
+          expr(s"replace(s, '.$a..$b.', '.$a$b.')"))
+      }
+      r += 1
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "pair", "cnt")
+  }
+
   def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val t = graft.functions.TextFunctions
     val wc = df

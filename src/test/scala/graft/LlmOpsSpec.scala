@@ -701,6 +701,26 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe train: greedy merges, round chaining, overlap semantics") {
+    import spark.implicits._
+    // words: banana x3, bananas x1, nan x1
+    val df = Seq((1L, "banana banana bananas"), (2L, "banana nan"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(df, "text", rounds = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // round 1 pairs: banana (b-a,a-n,n-a,a-n,n-a) x4, bananas adds a-s,
+    // nan adds n-a,a-n -> "a n": 4*2+1=9, "n a": 4*2+1=9, tie -> "a n"
+    assert(out(0) == ((1L, "a n", 9L)))
+    // round 2: banana -> b [an] [an] a (x3), bananas -> b an an a s,
+    // nan -> n [an]: "b an" 4, "an an" 4, "an a" 4, "a s" 1, "n an" 1
+    // -> three-way tie at 4, pair-asc picks "an a" (< "an an" < "b an")
+    assert(out(1) == ((2L, "an a", 4L)))
+    // round 3: banana -> b an [an a->ana] = b an ana (greedy: the LAST
+    // an absorbs a; the first an already passed): "b an" 4, "an ana" 4,
+    // "ana s" 1, "n an" 1 -> tie, "an ana" < "b an"
+    assert(out(2) == ((3L, "an ana", 4L)))
+  }
+
   test("bpe pair counts: word-frequency weighted, overlaps counted, ranked") {
     import spark.implicits._
     // word counts: aaab x2, ab x1, x x1 (single char -> no pairs)
