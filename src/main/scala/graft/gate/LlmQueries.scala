@@ -673,6 +673,15 @@ object LlmQueries {
     "llm_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeTrain(Tables.documents(s, d), "text", rounds = 3)),
 
+    // BPE encode: tokenize the corpus under the 3 merges just trained
+    // (train -> apply composition); per-doc BPE token counts.
+    "llm_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.bpeTrain(docs, "text", rounds = 3)
+        .orderBy("round").collect().map(_.getString(1)).toSeq
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+    }),
+
     // Collocations: top-50 adjacent bigrams by integer-exact PMI lift.
     "llm_collocations" -> ((s, d) =>
       TextAnalysis.collocations(Tables.documents(s, d), "text",
@@ -1051,7 +1060,7 @@ object LlmQueries {
     * flanked string replace as the Spark side. Assumes the corpus has
     * >= rounds mergeable pairs (any real corpus does).
     */
-  private def bpeMergesOracleSql(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String = {
     val base = s"""toks AS (SELECT $duckToks AS ws FROM documents),
           w AS (SELECT unnest(ws) AS w FROM toks),
           wc AS (SELECT w, COUNT(*) AS wc FROM w GROUP BY w),
@@ -1076,11 +1085,38 @@ object LlmQueries {
               AS s, wc
             FROM s${r - 1})"""
     }.mkString(",\n          ")
+    s"$base,\n          $per"
+  }
+
+  private def bpeMergesOracleSql(rounds: Int): String = {
     val sel = (1 to rounds).map(r =>
       s"SELECT CAST($r AS BIGINT) AS round, pair, cnt FROM b$r")
       .mkString(" UNION ALL ")
-    s"WITH $base,\n          $per\n          $sel"
+    s"WITH ${bpeCtes(rounds)}\n          $sel"
   }
+
+  /** llm_bpe_encode oracle: the same unrolled training chain, then the
+    * final segmentation s<rounds> becomes a (word, n_syms) table that
+    * joins back to the per-doc word explode. Left join keeps tokenless
+    * docs with a defined zero row.
+    */
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)},
+          ns AS (
+            SELECT replace(s, '.', '') AS w,
+              CAST(len(list_filter(string_split(s, '..'), x -> x <> ''))
+                AS BIGINT) AS n_syms
+            FROM s$rounds),
+          dtoks AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          dw AS (SELECT doc_id, unnest(ws) AS w FROM dtoks),
+          agg AS (
+            SELECT dw.doc_id, COUNT(*) AS n,
+              CAST(SUM(ns.n_syms) AS BIGINT) AS nt
+            FROM dw JOIN ns USING (w) GROUP BY dw.doc_id)
+          SELECT d.doc_id,
+            CAST(COALESCE(a.n, 0) AS BIGINT) AS n_words,
+            CAST(COALESCE(a.nt, 0) AS BIGINT) AS bpe_tokens
+          FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
 
   def oracles: Map[String, String] = Map(
     // LM scoring: the oracle retrains the hashed-bigram count model and
@@ -2254,6 +2290,7 @@ object LlmQueries {
             chunk_tokens
           FROM chunks""",
     "llm_bpe_merges" -> bpeMergesOracleSql(3),
+    "llm_bpe_encode" -> bpeEncodeOracleSql(3),
     "llm_bpe_pairs" ->
       s"""WITH toks AS (SELECT $duckToks AS ws FROM documents),
           w AS (SELECT unnest(ws) AS w FROM toks),

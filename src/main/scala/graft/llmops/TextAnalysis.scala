@@ -312,6 +312,45 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "pair", "cnt")
   }
 
+  /** BPE encode (the apply half of [[bpeTrain]]): segment every doc's
+    * words with an already-trained merge list and return per-doc BPE
+    * token counts -- the "how many tokens is this corpus under my
+    * tokenizer" primitive that drives packing capacities and token
+    * budgets. Merges apply in training order via the same dot-delimited
+    * greedy string replace as training.
+    *
+    * Scale shape: the merge chain runs once per DISTINCT word (the Zipf
+    * compression again), producing a (word, n_syms) table that joins
+    * back to the per-doc word explode -- a broadcast-sized table for
+    * real vocabularies. Docs with no tokens keep a defined row
+    * (n_words = 0, bpe_tokens = 0).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String]): DataFrame = {
+    val t = graft.functions.TextFunctions
+    val words = df.select(col(idCol).as("id"),
+      explode(t.tokens(col(textCol))).as("w"))
+    var seg = words.select(col("w")).distinct()
+      .select(col("w"),
+        concat(regexp_replace(col("w"), "(.)", "..$1"), lit(".."))
+          .as("s"))
+    merges.foreach { pair =>
+      val Array(a, b) = pair.split(" ", 2)
+      seg = seg.withColumn("s", expr(s"replace(s, '.$a..$b.', '.$a$b.')"))
+    }
+    val nsyms = seg.select(col("w"),
+      size(filter(split(col("s"), "\\.\\."), x => x =!= ""))
+        .cast("long").as("n_syms"))
+    val agg = words.join(broadcast(nsyms), Seq("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("__nw"), sum(col("n_syms")).as("__nt"))
+    df.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__nw"), lit(0L)).as("n_words"),
+        coalesce(col("__nt"), lit(0L)).as("bpe_tokens"))
+  }
+
   def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val t = graft.functions.TextFunctions
     val wc = df

@@ -719,6 +719,17 @@ class LlmOpsSpec extends SparkSpec {
     // an absorbs a; the first an already passed): "b an" 4, "an ana" 4,
     // "ana s" 1, "n an" 1 -> tie, "an ana" < "b an"
     assert(out(2) == ((3L, "an ana", 4L)))
+    // encode under those merges (all three apply, including round 3's):
+    // banana = b [an][ana] -> b [anana] -> 2 tokens, bananas = 3,
+    // nan = [n, an] -> 2
+    val enc = TextAnalysis.bpeEncode(df, "doc_id", "text",
+      out.map(_._2).toSeq)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(enc.toSeq == Seq((1L, 3L, 2L + 2L + 3L), (2L, 2L, 2L + 2L)))
+    // empty merge list degenerates to char counts
+    val raw = TextAnalysis.bpeEncode(df, "doc_id", "text", Seq.empty)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(raw.toSeq == Seq((1L, 3L, 19L), (2L, 2L, 9L)))
   }
 
   test("bpe pair counts: word-frequency weighted, overlaps counted, ranked") {
