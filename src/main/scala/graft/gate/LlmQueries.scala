@@ -139,6 +139,26 @@ object LlmQueries {
     // the exact count: registers are md5-derived integers and the
     // harmonic denominator is an exact dyadic sum, so even the float
     // estimate hash-matches cross-engine.
+    // Bloom membership: build over en-doc tokens (62-usable-bit int64
+    // words, md5 positions); probe with every distinct corpus token
+    // PLUS a guaranteed-absent variant of each (token || 'zz'), at a
+    // deliberately small m so both clean misses and genuine false
+    // positives occur. Deterministic layout -> the oracle reproduces
+    // the answers including the false positives bit-for-bit.
+    "llm_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val en = docs.where(col("lang") === "en")
+        .select(explode(tokens(col("text"))).as("token")).distinct()
+      val base = docs
+        .select(explode(tokens(col("text"))).as("token")).distinct()
+      val probes = base.union(base.select(concat(col("token"), lit("zz"))
+        .as("token"))).distinct()
+      val sk = graft.llmops.Sketches.bloomSketch(en, "token",
+        mBits = 124, k = 3, salt = "bl")
+      graft.llmops.Sketches.bloomContains(sk, probes, "token",
+        mBits = 124, k = 3, salt = "bl")
+    }),
+
     "llm_hll_distinct" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
@@ -1254,6 +1274,35 @@ object LlmQueries {
     // HLL: bucket = top 4 bits of hex8(md5(tok)), rho = leading zeros of
     // the 28-bit suffix + 1 (via length(bin())), 2^-register through an
     // integer shift + one division -- exact dyadic arithmetic end to end.
+    "llm_bloom" ->
+      s"""WITH toks AS (SELECT lang, $duckToks AS ws FROM documents),
+          items AS (SELECT DISTINCT unnest(ws) AS w FROM toks
+                    WHERE lang = 'en'),
+          -- seed column named sd: duckHex8's internal lambda var is i
+          -- and would shadow an outer column of the same name
+          ik AS (SELECT w, unnest([0, 1, 2]) AS sd FROM items),
+          ip AS (SELECT
+              ${duckHex8("CAST(sd AS VARCHAR) || ':bl:' || w")} % 124
+                AS pos
+            FROM ik),
+          sk AS (SELECT pos // 62 AS word_idx,
+                   bit_or(1::BIGINT << CAST(pos % 62 AS INT)) AS bits
+                 FROM ip GROUP BY 1),
+          base AS (SELECT DISTINCT unnest(ws) AS w FROM toks),
+          probes AS (SELECT w FROM base
+                     UNION SELECT w || 'zz' FROM base),
+          pk AS (SELECT w, unnest([0, 1, 2]) AS sd FROM probes),
+          pp AS (SELECT w,
+              ${duckHex8("CAST(sd AS VARCHAR) || ':bl:' || w")} % 124
+                AS pos
+            FROM pk),
+          hit AS (
+            SELECT pp.w,
+              bool_and((COALESCE(sk.bits, 0) &
+                (1::BIGINT << CAST(pp.pos % 62 AS INT))) <> 0) AS mc
+            FROM pp LEFT JOIN sk ON sk.word_idx = pp.pos // 62
+            GROUP BY pp.w)
+          SELECT w AS token, mc AS might_contain FROM hit""",
     "llm_hll_distinct" -> {
       val hvExpr = duckHex8("tok")
       s"""WITH tok AS (

@@ -266,6 +266,60 @@ object Sketches {
     * estimate is unaffected (the merged prefix is the full union either
     * way), so the heuristic guard is sufficient.
     */
+  // --- Bloom filter -----------------------------------------------------
+  // The set-membership sketch (Bloom 1970): k md5-derived bit positions
+  // per item, OR'd into an mBits-wide bitset carried as int64 words of
+  // 62 USABLE BITS each -- bits 62/63 stay clear because engines that
+  // check signed overflow (DuckDB errors on 1 << 63) could not rebuild
+  // a 64-bit layout, and the layout is ours to define. Deterministic
+  // (hex8(i:salt:value) % mBits), so any engine rebuilds the identical
+  // bitset and membership answers -- including the false positives --
+  // bit-for-bit. The 100 TB use is broadcast decontamination/join
+  // pre-filtering: the sketch is mBits/62 rows regardless of corpus
+  // size (1 GB of bits screens ~1e9 members at 1% FP), where the exact
+  // shingle set would be a corpus-scale shuffle.
+
+  /** Build: (word_idx, bits) rows; absent words are all-zero (omitted).
+    * mBits must be a multiple of 62 (62 usable bits per int64 word).
+    */
+  def bloomSketch(df: DataFrame, valueCol: String, mBits: Int = 15872,
+      k: Int = 3, salt: String = "bloom"): DataFrame = {
+    require(mBits > 0 && mBits % 62 == 0, "mBits must be a multiple of 62")
+    require(k >= 1, "k must be >= 1")
+    df.select(explode(transform(sequence(lit(0), lit(k - 1)), i =>
+        hex8(concat(i.cast("string"), lit(s":$salt:"),
+          col(valueCol).cast("string"))) % mBits)).as("pos"))
+      .groupBy((col("pos") / 62).cast("long").as("word_idx"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), " +
+        "cast(pos % 62 as int)))").as("bits"))
+  }
+
+  /** Probe: one row per probe row with `might_contain` -- true iff all k
+    * positions are set. Parameters must match the build (the
+    * [[cmEstimate]] convention); the width check below catches a sketch
+    * built with larger mBits.
+    */
+  def bloomContains(sketch: DataFrame, probes: DataFrame,
+      valueCol: String, mBits: Int = 15872, k: Int = 3,
+      salt: String = "bloom"): DataFrame = {
+    require(mBits > 0 && mBits % 62 == 0, "mBits must be a multiple of 62")
+    val chk = sketch.agg(max(col("word_idx"))).head()
+    if (!chk.isNullAt(0))
+      require(chk.getAs[Number](0).longValue() < mBits / 62,
+        s"sketch width mismatch: max(word_idx)=${chk.get(0)} >= ${mBits / 62}")
+    probes
+      .select(col(valueCol),
+        explode(transform(sequence(lit(0), lit(k - 1)), i =>
+          hex8(concat(i.cast("string"), lit(s":$salt:"),
+            col(valueCol).cast("string"))) % mBits)).as("pos"))
+      .withColumn("word_idx", (col("pos") / 62).cast("long"))
+      .join(broadcast(sketch), Seq("word_idx"), "left")
+      .groupBy(valueCol)
+      .agg(expr("bool_and((coalesce(bits, cast(0 as bigint)) & " +
+        "shiftleft(cast(1 as bigint), cast(pos % 62 as int))) != 0)")
+        .as("might_contain"))
+  }
+
   def bottomKJaccardPairs(sketches: DataFrame, groupCol: String,
       k: Int): DataFrame = {
     val chk = sketches.agg(max(size(col("signature")))).head()

@@ -701,6 +701,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom: members always hit, misses mostly clean, params checked") {
+    import spark.implicits._
+    import graft.llmops.Sketches
+    val members = spark.range(200).select(concat(lit("m"), col("id"))
+      .as("v"))
+    val sk = Sketches.bloomSketch(members, "v", mBits = 62 * 64, k = 3,
+      salt = "t")
+    // no member can miss (Bloom's one-sided guarantee)
+    val hits = Sketches.bloomContains(sk, members, "v", 62 * 64, 3, "t")
+    assert(hits.where(!col("might_contain")).count() == 0)
+    // absent probes: FP rate near theory ((1-e^(-kn/m))^k ~ 2.6% here),
+    // never anywhere near 50%
+    val absent = spark.range(1000).select(concat(lit("a"), col("id"))
+      .as("v"))
+    val fp = Sketches.bloomContains(sk, absent, "v", 62 * 64, 3, "t")
+      .where(col("might_contain")).count()
+    assert(fp < 100, s"fp=$fp out of 1000")
+    // sketch word count bounded by layout, bits 62/63 never set
+    val rows = sk.collect()
+    assert(rows.forall(r => r.getLong(0) < 64 && r.getLong(1) > 0 &&
+      (r.getLong(1) >>> 62) == 0))
+    // width mismatch: probing with smaller mBits than the build fails
+    intercept[IllegalArgumentException] {
+      Sketches.bloomContains(sk, absent, "v", mBits = 62, k = 3, salt = "t")
+    }
+  }
+
   test("bpe train: greedy merges, round chaining, overlap semantics") {
     import spark.implicits._
     // words: banana x3, bananas x1, nan x1
