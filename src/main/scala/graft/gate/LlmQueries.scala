@@ -534,6 +534,19 @@ object LlmQueries {
     }),
 
     // Quality features + composite score (micro-quantized).
+    // Token-budget prefix selection: best-quality docs until a 60k-char
+    // budget is spent (inclusive prefix cut, score desc / id asc).
+    "llm_budget_select" -> ((s, d) => {
+      val q = TextAnalysis.withQuality(Tables.documents(s, d), "text")
+        .select(col("doc_id"),
+          floor(col("quality_score") * 1000000).cast("long")
+            .as("quality_micro"),
+          col("n_chars"))
+      Curation.budgetSelect(q, "doc_id", "n_chars", "quality_micro",
+        budget = 60000L, partitions = 8)
+        .withColumnRenamed("cum_tokens", "cum_chars")
+    }),
+
     "llm_quality" -> ((s, d) =>
       TextAnalysis.withQuality(Tables.documents(s, d), "text")
         .select(col("doc_id"), col("n_chars"), col("n_tokens"),
@@ -2092,6 +2105,24 @@ object LlmQueries {
               WHERE s.doc_id = t.doc_id AND s.plang = 'en') * 1000000)
               AS BIGINT) AS en_score_micro
           FROM toks t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1"""
+    },
+    "llm_budget_select" -> {
+      s"""WITH t AS (
+            SELECT doc_id, text, n_chars, $duckToks AS ws FROM documents),
+          q AS (
+            SELECT doc_id,
+              CAST(FLOOR($duckQualityScore * 1000000) AS BIGINT)
+                AS quality_micro,
+              n_chars
+            FROM t),
+          sel AS (
+            SELECT doc_id, quality_micro, n_chars,
+              SUM(n_chars) OVER (ORDER BY quality_micro DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM q)
+          SELECT doc_id, quality_micro, n_chars,
+            CAST(cum AS BIGINT) AS cum_chars
+          FROM sel WHERE cum <= 60000"""
     },
     "llm_quality" -> {
       val stopArr = qualityStopwords.map(m => s"'$m'").mkString("[", ",", "]")

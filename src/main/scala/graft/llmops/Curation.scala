@@ -461,6 +461,22 @@ object Curation {
         org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else df
+    withExclusivePrefix(in, idCol, tokensCol, n)
+      .withColumn("bin", expr(s"__before div ${capacity}"))
+      .withColumn("bin_offset", pmod(col("__before"), lit(capacity)))
+      .drop("__before")
+  }
+
+  /** The distributed exclusive prefix sum both [[packSequences]] and
+    * [[budgetSelect]] ride on: adds `__before` = sum of `tokensCol`
+    * over all rows strictly ahead of this one in `idCol` order, with NO
+    * single-partition window over the data -- n-1 boundary ids from a
+    * bounded deterministic sample split the corpus into ranges, a
+    * <= n-row totals frame carries the cross-range offsets, and each
+    * range windows locally.
+    */
+  private def withExclusivePrefix(in: DataFrame, idCol: String,
+      tokensCol: String, n: Int): DataFrame = {
     val idc = col(idCol)
     // n-1 boundary ids from a bounded deterministic sample (<= sampleCap
     // rows collected, any orderable id type). Comparisons against the
@@ -495,8 +511,40 @@ object Curation {
       sum(col(tokensCol).cast("long")).over(w) - col(tokensCol).cast("long")
     ranged.join(broadcast(offsets), Seq("__pid"))
       .withColumn("__before", before)
-      .withColumn("bin", expr(s"__before div ${capacity}"))
-      .withColumn("bin_offset", pmod(col("__before"), lit(capacity)))
-      .drop("__pid", "__off", "__before")
+      .drop("__pid", "__off")
+  }
+
+  /** Token-budget prefix selection: sort the corpus by (score desc, id
+    * asc), keep the longest prefix whose INCLUSIVE token sum stays
+    * within `budget` -- the "best docs until the budget is spent"
+    * curation primitive (data mixing under a fixed token budget). Docs
+    * past the cut drop even if a smaller later doc would still fit:
+    * prefix semantics keep the selection a rank cut, reproducible by
+    * any engine with one window, instead of a sequential knapsack.
+    *
+    * The sort key is a zero-padded string composite
+    * (MaxValue - score, id), so lexicographic order IS (score desc, id
+    * asc) and the prefix sum rides the same sampled-boundary machinery
+    * as [[packSequences]] -- no single-partition window. Requires
+    * non-negative long scores and ids.
+    *
+    * Returns kept rows: (idCol, scoreCol, tokensCol, cum_tokens).
+    */
+  def budgetSelect(df: DataFrame, idCol: String, tokensCol: String,
+      scoreCol: String, budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val keyed = df.select(col(idCol), col(scoreCol), col(tokensCol))
+      .withColumn("__bk", concat(
+        format_string("%019d",
+          lit(Long.MaxValue) - col(scoreCol).cast("long")),
+        lit(":"), format_string("%019d", col(idCol).cast("long"))))
+    withExclusivePrefix(keyed, "__bk", tokensCol, n)
+      .withColumn("cum_tokens",
+        col("__before") + col(tokensCol).cast("long"))
+      .where(col("cum_tokens") <= budget)
+      .select(col(idCol), col(scoreCol), col(tokensCol), col("cum_tokens"))
   }
 }

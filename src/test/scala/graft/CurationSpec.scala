@@ -84,6 +84,33 @@ class CurationSpec extends SparkSpec {
     assert(one.toSeq == out.toSeq)
   }
 
+  test("budget select: inclusive prefix cut in score order, layout-free") {
+    val df = Seq(
+      (1L, 900L, 300L), (2L, 800L, 400L), (3L, 700L, 500L),
+      (4L, 600L, 200L), (5L, 500L, 100L), (6L, 800L, 250L))
+      .toDF("doc_id", "score", "tok")
+    // order: 1(300) 2(400) 6(250: score tie with 2, id asc) 3(500) ...
+    // cums:  300    700    950     1450 -> budget 1000 keeps 1,2,6
+    val out = Curation.budgetSelect(df, "doc_id", "tok", "score", 1000L,
+      partitions = 3)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 300L, 2L -> 700L, 6L -> 950L))
+    // prefix semantics: doc 5 (100 toks) would fit after the cut but is
+    // NOT taken -- the selection is a rank cut, not a knapsack
+    assert(!out.contains(5L))
+    // partition count does not change the selection
+    val one = Curation.budgetSelect(df.repartition(7), "doc_id", "tok",
+      "score", 1000L, partitions = 1)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(one == out)
+    // zero budget keeps nothing; big budget keeps all with exact total
+    assert(Curation.budgetSelect(df, "doc_id", "tok", "score", 0L)
+      .count() == 0)
+    val all = Curation.budgetSelect(df, "doc_id", "tok", "score", 10000L)
+    assert(all.count() == 6 &&
+      all.agg(max("cum_tokens")).head().getLong(0) == 1750L)
+  }
+
   test("sample stride: ceiling division keeps the hash filter binding") {
     // floor division gave stride=1 for cap < count < 2*cap, so limit(cap)
     // kept only the smallest ids and skewed the last range.
