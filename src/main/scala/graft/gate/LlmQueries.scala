@@ -715,6 +715,27 @@ object LlmQueries {
       TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
     }),
 
+    // CAPSTONE 4: train the tokenizer -> cost the corpus under it ->
+    // spend a token budget on the best-quality docs. bpeTrain's merges
+    // are data-derived but the oracle retrains them statically (the
+    // llm_bpe_merges chain), so the whole composition is recomputed
+    // from raw data with zero injected constants.
+    "llm_pipeline4" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.bpeTrain(docs, "text", rounds = 3)
+        .orderBy("round").collect().map(_.getString(1)).toSeq
+      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      val q = TextAnalysis.withQuality(docs, "text")
+        .select(col("doc_id"),
+          floor(col("quality_score") * 1000000).cast("long")
+            .as("quality_micro"))
+      val costed = enc.select(col("doc_id"), col("bpe_tokens"))
+        .join(q, Seq("doc_id"))
+      Curation.budgetSelect(costed, "doc_id", "bpe_tokens",
+        "quality_micro", budget = 45000L, partitions = 8)
+        .withColumnRenamed("cum_tokens", "cum_bpe_tokens")
+    }),
+
     // Collocations: top-50 adjacent bigrams by integer-exact PMI lift.
     "llm_collocations" -> ((s, d) =>
       TextAnalysis.collocations(Tables.documents(s, d), "text",
@@ -2370,6 +2391,40 @@ object LlmQueries {
             chunk_tokens
           FROM chunks""",
     "llm_bpe_merges" -> bpeMergesOracleSql(3),
+    // Capstone 4: the bpe_encode chain (training included) + the
+    // quality ranking + the one-window budget cut, all static.
+    "llm_pipeline4" ->
+      s"""WITH ${bpeCtes(3)},
+          ns AS (
+            SELECT replace(s, '.', '') AS w,
+              CAST(len(list_filter(string_split(s, '..'), x -> x <> ''))
+                AS BIGINT) AS n_syms
+            FROM s3),
+          dtoks AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          dw AS (SELECT doc_id, unnest(ws) AS w FROM dtoks),
+          enc AS (
+            SELECT d.doc_id,
+              CAST(COALESCE(SUM(ns.n_syms), 0) AS BIGINT) AS bpe_tokens
+            FROM documents d
+            LEFT JOIN dw ON dw.doc_id = d.doc_id
+            LEFT JOIN ns ON ns.w = dw.w
+            GROUP BY d.doc_id),
+          tq AS (SELECT doc_id, text, $duckToks AS ws FROM documents),
+          q AS (
+            SELECT doc_id,
+              CAST(FLOOR($duckQualityScore * 1000000) AS BIGINT)
+                AS quality_micro
+            FROM tq),
+          j AS (SELECT e.doc_id, q.quality_micro, e.bpe_tokens
+                FROM enc e JOIN q USING (doc_id)),
+          sel AS (
+            SELECT doc_id, quality_micro, bpe_tokens,
+              SUM(bpe_tokens) OVER (ORDER BY quality_micro DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM j)
+          SELECT doc_id, quality_micro, bpe_tokens,
+            CAST(cum AS BIGINT) AS cum_bpe_tokens
+          FROM sel WHERE cum <= 45000""",
     "llm_bpe_encode" -> bpeEncodeOracleSql(3),
     "llm_bpe_pairs" ->
       s"""WITH toks AS (SELECT $duckToks AS ws FROM documents),
