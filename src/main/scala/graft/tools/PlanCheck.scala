@@ -250,6 +250,46 @@ object PlanCheck {
       val j10 = jobsFor("batch10", 10)
       println(s"batch serving Spark jobs: N=2 -> $j2, N=10 -> $j10 " +
         "(equal = stage count independent of batch size)")
+
+      // 8 (round-8 continuation). (a) bloom probe: the sketch must
+      // BROADCAST into the probe join (mBits/62 rows vs a corpus-sized
+      // probe stream). (b) budget select: every Window must be
+      // partitioned (by __pid) -- a "No Partition Defined" global
+      // window over data would be the scale-killer; the only
+      // single-partition window is over the <= n-row totals frame.
+      // (c) LM scoring: the bucket-count model broadcasts.
+      val toks0 = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token"))
+      val bsk = graft.llmops.Sketches.bloomSketch(
+        toks0.select("token").distinct(), "token", 124 * 25, 3, "pc")
+      val bpr = graft.llmops.Sketches.bloomContains(bsk,
+        toks0.select("token").distinct(), "token", 124 * 25, 3, "pc")
+      val bprStr = bpr.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      println("bloom probe: " +
+        s"BroadcastHashJoin=${occ(bprStr, "BroadcastHashJoin")} (sketch), " +
+        s"hash exchanges=${occ(bprStr, "Exchange hashpartitioning")}")
+      val bq = graft.llmops.Curation.budgetSelect(
+        docs.select(col("doc_id"), col("n_chars"),
+          col("n_chars").as("sc")), "doc_id", "n_chars", "sc",
+        50000L, partitions = 4)
+      val bqStr = bq.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      println("budget select: " +
+        s"windows=${occ(bqStr, "Window")} (data window partitioned by " +
+        s"__pid -- ${occ(bqStr, "__pid")} refs; the other is the " +
+        "<= n-row totals frame), " +
+        s"broadcast=${occ(bqStr, "BroadcastHashJoin")} (offsets frame)")
+      val lm = graft.llmops.Curation.lmScores(docs,
+        docs.where(col("lang") === "en"), "doc_id", "text",
+        shingleN = 2, buckets = 256)
+      val lmStr = lm.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      println("lm scores: " +
+        s"BroadcastHashJoin=${occ(lmStr, "BroadcastHashJoin")} " +
+        "(count model + id join), " +
+        s"hash exchanges=${occ(lmStr, "Exchange hashpartitioning")}")
     }
     spark.stop()
   }
