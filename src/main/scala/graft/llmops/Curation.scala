@@ -536,11 +536,19 @@ object Curation {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
-    val keyed = df.select(col(idCol), col(scoreCol), col(tokensCol))
+    val keyed0 = df.select(col(idCol), col(scoreCol), col(tokensCol))
       .withColumn("__bk", concat(
         format_string("%019d",
           lit(Long.MaxValue) - col(scoreCol).cast("long")),
         lit(":"), format_string("%019d", col(idCol).cast("long"))))
+    // the prefix-sum machinery makes four passes (count, boundary
+    // sample, range totals, final); persist the narrow keyed input so
+    // an expensive upstream (llm_pipeline4 feeds a tokenizer-costed
+    // quality join in here) executes once -- packSequences' pattern
+    val keyed = if (keyed0.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE)
+      keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else keyed0
     withExclusivePrefix(keyed, "__bk", tokensCol, n)
       .withColumn("cum_tokens",
         col("__before") + col(tokensCol).cast("long"))

@@ -276,11 +276,18 @@ object TextAnalysis {
   def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = df.sparkSession
     val t = graft.functions.TextFunctions
+    // The merge loop is iterative: each round's argmax action would
+    // otherwise re-tokenize the whole corpus through the state lineage.
+    // The state is the distinct-word table (Zipf-compressed), so
+    // persisting it is cheap and every later round recomputes only the
+    // map-side replace chain. Spark evicts LRU; not unpersisting is
+    // safe for a session (the packSequences convention).
     var state = df
       .select(explode(t.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .select(concat(regexp_replace(col("w"), "(.)", "..$1"), lit(".."))
         .as("s"), col("wc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
     var r = 1
     var exhausted = false
@@ -330,7 +337,10 @@ object TextAnalysis {
     val t = graft.functions.TextFunctions
     val words = df.select(col(idCol).as("id"),
       explode(t.tokens(col(textCol))).as("w"))
+    // distinct-word table: persisted for the same reason as bpeTrain's
+    // state (the nsyms join would re-run the corpus explode + distinct)
     var seg = words.select(col("w")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col("w"),
         concat(regexp_replace(col("w"), "(.)", "..$1"), lit(".."))
           .as("s"))
