@@ -547,6 +547,54 @@ object LlmQueries {
         .withColumnRenamed("cum_tokens", "cum_chars")
     }),
 
+    // Gopher-rule filter suite (Rae et al. A1.1): integer-exact rule
+    // booleans + conjunctive keep. Bounds tuned so every rule splits
+    // this corpus (tokens 10..99, distinct ratio 0.27..1.0, stopword
+    // presence ~78%): min 25 tokens, >= 2 stopword hits, distinct
+    // ratio >= 0.30.
+    "llm_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d), "text",
+        minTokens = 25, maxTokens = 100000, minStopHits = 2,
+        repMilli = 300)
+        .select(col("doc_id"), col("n_tokens"), col("rule_len"),
+          col("rule_mean"), col("rule_stop"), col("rule_rep"),
+          col("keep"))),
+
+    // Per-source curation dashboard: doc/token counts, corpus-wide
+    // exact-duplicate pressure, integer mean quality per source. Same
+    // shifted-id re-insertion as llm_exact_rep so the duplicate-pressure
+    // column is exercised (the raw corpus has no exact dups).
+    "llm_source_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dupes = docs.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Curation.sourceStats(docs.unionByName(dupes), "doc_id", "text",
+        "source")
+    }),
+
+    // Exact-dup representative selection: best-n_chars doc per content
+    // hash (ties to min id), all members flagged with cluster size.
+    // The synthetic corpus has no exact dups, so every 7th doc is
+    // re-inserted under a shifted id (same text -> 2-member clusters;
+    // the n_chars tie falls to min id, keeping the original copy).
+    "llm_exact_rep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dupes = docs.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.exactRepresentatives(docs.unionByName(dupes), "doc_id",
+        "text", "n_chars")
+        .select(col("doc_id"), col("content_hash"), col("cluster_size"),
+          col("is_rep"))
+    }),
+
+    // Shard-export plan: epoch-1 shuffled order cut into 16384-char
+    // shards via the distributed prefix sum; placement is a pure
+    // function of (doc_id, epoch).
+    "llm_shard_plan" -> ((s, d) =>
+      Curation.shardPlan(Tables.documents(s, d), "doc_id", "n_chars",
+        targetTokens = 16384L, epoch = 1, partitions = 8)
+        .select(col("doc_id"), col("shard_id"), col("shard_offset"))),
+
     "llm_quality" -> ((s, d) =>
       TextAnalysis.withQuality(Tables.documents(s, d), "text")
         .select(col("doc_id"), col("n_chars"), col("n_tokens"),
@@ -2145,6 +2193,79 @@ object LlmQueries {
             CAST(cum AS BIGINT) AS cum_chars
           FROM sel WHERE cum <= 60000"""
     },
+    "llm_gopher_rules" -> {
+      val stopArr = qualityStopwords.map(m => s"'$m'").mkString("[", ",", "]")
+      s"""WITH t AS (
+            SELECT doc_id, $duckToks AS ws FROM documents),
+          s AS (
+            SELECT doc_id, len(ws) AS n,
+              COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+                AS sumlen,
+              len(list_filter(ws, w -> list_contains($stopArr, w)))
+                AS stops,
+              len(list_distinct(ws)) AS u
+            FROM t)
+          SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+            (n >= 25 AND n <= 100000) AS rule_len,
+            (n > 0 AND 3*n <= sumlen AND sumlen <= 10*n) AS rule_mean,
+            (stops >= 2) AS rule_stop,
+            (n > 0 AND 1000*u >= 300*n) AS rule_rep,
+            ((n >= 25 AND n <= 100000)
+              AND (n > 0 AND 3*n <= sumlen AND sumlen <= 10*n)
+              AND (stops >= 2)
+              AND (n > 0 AND 1000*u >= 300*n)) AS keep
+          FROM s"""
+    },
+    "llm_source_stats" ->
+      s"""WITH aug AS (
+            SELECT source, doc_id, text FROM documents
+            UNION ALL
+            SELECT source, doc_id + 1000000, text FROM documents
+            WHERE doc_id % 7 = 0),
+          t AS (
+            SELECT source, doc_id, text, md5(text) AS h, $duckToks AS ws
+            FROM aug),
+          c AS (SELECT h, COUNT(*) AS cnt FROM t GROUP BY h),
+          q AS (
+            SELECT source, len(ws) AS ntok,
+              CAST(FLOOR($duckQualityScore * 1000000) AS BIGINT) AS qm,
+              cnt
+            FROM t JOIN c USING (h))
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+            CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS dup_docs,
+            CAST(SUM(qm) // COUNT(*) AS BIGINT) AS mean_quality_micro
+          FROM q GROUP BY source""",
+    "llm_exact_rep" ->
+      """WITH aug AS (
+           SELECT doc_id, text, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text, n_chars FROM documents
+           WHERE doc_id % 7 = 0)
+         SELECT doc_id, content_hash,
+           CAST(cluster_size AS BIGINT) AS cluster_size, is_rep
+         FROM (
+           SELECT doc_id, md5(text) AS content_hash,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS cluster_size,
+             (ROW_NUMBER() OVER (PARTITION BY md5(text)
+                ORDER BY n_chars DESC, doc_id) = 1) AS is_rep
+           FROM aug) t""",
+    "llm_shard_plan" ->
+      """WITH k AS (
+           SELECT doc_id, n_chars,
+             md5('shard:1:' || CAST(doc_id AS VARCHAR)) || ':' ||
+               printf('%019d', doc_id) AS sk
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+             SUM(n_chars) OVER (ORDER BY sk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chars AS cb
+           FROM k)
+         SELECT doc_id, CAST((cb // 16384) AS BIGINT) AS shard_id,
+           CAST((cb % 16384) AS BIGINT) AS shard_offset
+         FROM p""",
     "llm_quality" -> {
       val stopArr = qualityStopwords.map(m => s"'$m'").mkString("[", ",", "]")
       s"""WITH t AS (

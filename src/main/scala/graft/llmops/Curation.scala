@@ -555,4 +555,64 @@ object Curation {
       .where(col("cum_tokens") <= budget)
       .select(col(idCol), col(scoreCol), col(tokensCol), col("cum_tokens"))
   }
+
+  /** Per-source curation dashboard: for each value of `groupCol`
+    * (source/domain/crawl), the document count, total token count,
+    * number of documents whose exact text also appears elsewhere in the
+    * CORPUS (cross-source duplicate pressure -- the per-domain signal
+    * web-curation pipelines act on), and the mean quality score
+    * (micro-quantized integer mean, exact cross-engine).
+    *
+    * Scale shape: one narrow projection, one hash-partitioned groupBy on
+    * the content hash (partial aggregation map-side), one shuffle join
+    * back on the hash, one groupBy on the source. Both shuffles are on
+    * high-cardinality keys; the output is one row per source, so the
+    * final agg collapses to a tiny frame. Mean quality is computed as
+    * an integer `div` of two exact long sums -- never a float mean, so
+    * the result is independent of aggregation order at any scale.
+    */
+  def sourceStats(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val t = graft.functions.TextFunctions
+    val base = df.select(col(groupCol), col(idCol),
+      md5(col(textCol)).as("__h"),
+      size(t.tokens(col(textCol))).cast("long").as("__ntok"),
+      floor(t.qualityScore(col(textCol)) * 1000000.0).cast("long")
+        .as("__qm"))
+    val dupCounts = base.groupBy("__h").agg(count(lit(1)).as("__cnt"))
+    base.join(dupCounts, Seq("__h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(when(col("__cnt") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(col("__qm")).as("__qsum"))
+      .withColumn("mean_quality_micro",
+        expr("__qsum div n_docs"))
+      .drop("__qsum")
+  }
+
+  /** Deterministic shard-export plan (the WebDataset/tfrecord write
+    * stage): documents are laid out in EPOCH-SHUFFLED order (md5 of
+    * salt:epoch:id -- reshuffled every epoch, reproducible from the
+    * epoch number alone) and cut into shards of `targetTokens` tokens by
+    * the same distributed prefix sum [[packSequences]] rides on. Each
+    * doc lands in exactly one shard at a deterministic offset, so a
+    * 1000-executor writer can produce byte-identical shards with no
+    * coordination: shard assignment is a pure function of (id, epoch).
+    *
+    * The order key appends the zero-padded id to the hash so exact hash
+    * collisions cannot make placement ambiguous. Returns the input
+    * columns plus `shard_id` and `shard_offset` (both long).
+    */
+  def shardPlan(df: DataFrame, idCol: String, tokensCol: String,
+      targetTokens: Long, epoch: Int, partitions: Int = 0): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    val keyed = df.withColumn("__sk", concat(
+      md5(concat(lit(s"shard:$epoch:"), col(idCol).cast("string"))),
+      lit(":"), format_string("%019d", col(idCol).cast("long"))))
+    packSequences(keyed, "__sk", tokensCol, targetTokens, partitions)
+      .withColumnRenamed("bin", "shard_id")
+      .withColumnRenamed("bin_offset", "shard_offset")
+      .drop("__sk")
+  }
 }

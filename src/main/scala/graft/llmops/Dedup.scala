@@ -24,6 +24,33 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Quality-aware exact-dedup representative selection -- the DECISION
+    * stage of dedup: within each content-hash group, the representative
+    * is the highest-score member (ties broken by min id), and every
+    * member row is returned with its cluster size and an `is_rep` flag
+    * so a consumer can keep reps, audit losers, or re-weight by
+    * `cluster_size` (duplicate count is an upweighting signal -- "Deduplicating
+    * Training Data Makes Language Models Better" keeps one copy but the
+    * count is what importance-samplers consume).
+    *
+    * Scale shape: one hash-partitioned window per content-hash group --
+    * group width is the duplicate multiplicity of one exact text, which
+    * stays small under any real corpus (a pathological constant document
+    * is one AQE-splittable partition), so no single-partition funnel.
+    */
+  def exactRepresentatives(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("content_hash", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
+      .withColumn("is_rep", col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Survivors of exact dedup (keeps min id per content hash). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("content_hash", md5(col(textCol)))

@@ -27,6 +27,55 @@ object TextAnalysis {
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", fingerprint(col(textCol)))
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021, "Scaling
+    * Language Models", appendix A1.1 heuristics), re-expressed over alnum
+    * word tokens: per-document rule booleans plus the conjunctive keep
+    * flag. Every rule is an INTEGER comparison -- counts, and ratio
+    * bounds as cross-multiplications (3*n <= sum_len, not sum_len/n >=
+    * 3.0) -- so a SQL oracle reproduces each boolean bit-exactly with no
+    * float division anywhere. Pure narrow projection: no shuffle, one
+    * pass, codegen'd.
+    *
+    * Rules:
+    *  - `rule_len`:  minTokens <= n_tokens <= maxTokens
+    *  - `rule_mean`: mean token length in [3, 10] (cross-multiplied)
+    *  - `rule_stop`: >= minStopHits occurrences of English stopwords
+    *    (the paper requires 2 of a small "the/be/to/of/and/that/have/
+    *    with" list; ours is [[graft.functions.TextFunctions.qualityStopwords]])
+    *  - `rule_rep`:  distinct-token ratio >= repMilli/1000 (the paper's
+    *    duplicate-word-fraction cap, inverted: word-spam documents
+    *    repeat a tiny vocabulary)
+    *  - `keep` = all of the above. Empty documents fail `rule_len`.
+    */
+  def gopherRules(df: DataFrame, textCol: String, minTokens: Int = 50,
+      maxTokens: Int = 100000, minStopHits: Int = 2,
+      repMilli: Int = 300): DataFrame = {
+    val stopArr = array(qualityStopwords.map(lit): _*)
+    val out = bind(tokens(col(textCol))) { toks =>
+      val n = size(toks).cast("long")
+      val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      val stops = size(filter(toks, t => array_contains(stopArr, t)))
+      val uniq = size(array_distinct(toks)).cast("long")
+      struct(
+        n.as("n_tokens"),
+        (n >= minTokens && n <= maxTokens).as("rule_len"),
+        (n > 0 && lit(3L) * n <= sumLen && sumLen <= lit(10L) * n)
+          .as("rule_mean"),
+        (stops >= minStopHits).as("rule_stop"),
+        (n > 0 && lit(1000L) * uniq >= lit(repMilli.toLong) * n)
+          .as("rule_rep"))
+    }
+    df.withColumn("__g", out)
+      .withColumn("n_tokens", col("__g.n_tokens"))
+      .withColumn("rule_len", col("__g.rule_len"))
+      .withColumn("rule_mean", col("__g.rule_mean"))
+      .withColumn("rule_stop", col("__g.rule_stop"))
+      .withColumn("rule_rep", col("__g.rule_rep"))
+      .withColumn("keep", col("__g.rule_len") && col("__g.rule_mean") &&
+        col("__g.rule_stop") && col("__g.rule_rep"))
+      .drop("__g")
+  }
+
   /** Feature-hashed linear classifier score (fastText-style quality /
     * domain classifier): tokens hash into `dims` buckets, score = mean
     * bucket weight, label = score > 0. Entirely map-side (no vocabulary

@@ -284,4 +284,43 @@ class CurationSpec extends SparkSpec {
       .select("id", "lang").as[(Long, String)].collect()
     assert(kept.map(_._1).toSet == again.map(_._1).toSet)
   }
+
+  test("source stats: counts, dup pressure, exact integer mean quality") {
+    val out = Curation.sourceStats(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (aDocs, aToks, aDups, aQm) = out("a")
+    assert(aDocs == 3 && aToks == 6 + 6 + 7)
+    assert(aDups == 2) // docs 1 and 2 share exact text
+    val (bDocs, _, bDups, _) = out("b")
+    assert(bDocs == 3 && bDups == 0)
+    // mean is an integer div of exact long sums: recompute per-doc
+    val qm = graft.llmops.TextAnalysis.withQuality(docs, "text")
+      .where(col("source") === "a")
+      .select(floor(col("quality_score") * 1000000.0).cast("long"))
+      .as[Long].collect()
+    assert(aQm == qm.sum / qm.length)
+  }
+
+  test("shard plan: pure function of (id, epoch), layout-independent") {
+    val big = spark.range(2000).toDF("doc_id")
+      .withColumn("n_chars", col("doc_id") % 97 + 10)
+    def plan(df: org.apache.spark.sql.DataFrame, epoch: Int) =
+      Curation.shardPlan(df, "doc_id", "n_chars", 4096L, epoch,
+        partitions = 8)
+        .select("doc_id", "shard_id", "shard_offset")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val e1 = plan(big, 1)
+    // layout-independent: a 7-partition relayout places identically
+    assert(plan(big.repartition(7), 1).sameElements(e1))
+    // different epoch -> different order -> different placement
+    assert(!plan(big, 2).sameElements(e1))
+    // every offset is within the shard and shards are dense 0..max
+    assert(e1.forall { case (_, _, off) => off >= 0 && off < 4096 })
+    val shards = e1.map(_._2).toSet
+    assert(shards == (0L to shards.max).toSet)
+    // conservation: total chars = sum over shards of within-shard spans
+    val total = big.agg(sum("n_chars")).as[Long].head()
+    assert(total == e1.map(_._1).map(id => id % 97 + 10).sum)
+  }
 }

@@ -774,4 +774,43 @@ class LlmOpsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().sortBy(_._3)
     assert(tie.toSeq == Seq(("ab", 1L, 1L), ("cd", 1L, 2L)))
   }
+
+  test("gopher rules: each rule fires on its own pathology, keep is the and") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over a lazy dog and then it " +
+      "runs far away to find more of that good food for the winter"
+    val df = Seq(
+      (1L, good),                        // passes everything
+      (2L, "too short"),                 // fails rule_len (and stop)
+      (3L, ("spam " * 30).trim),         // fails rule_rep (1 distinct tok)
+      (4L, ("extraordinarily " * 20).trim), // every token 15 chars: mean>10
+      (5L, "")                           // empty: fails len (n=0 guard)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "text", minTokens = 20,
+      maxTokens = 1000, minStopHits = 2, repMilli = 300)
+      .select("doc_id", "rule_len", "rule_mean", "rule_stop", "rule_rep",
+        "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, true, true, true, true, true)))
+    assert(!out(2L)._2 && !out(2L)._6)          // too short
+    assert(out(3L)._2 && !out(3L)._5)           // repetitive
+    assert(!out(4L)._3 && !out(4L)._6)          // mean token len > 10
+    assert(!out(5L)._2 && !out(5L)._3 && !out(5L)._6) // empty: guards hold
+    // every output row carries all 4 booleans; no rows dropped
+    assert(out.size == 5)
+  }
+
+  test("exact representatives: best score wins, ties to min id, sizes right") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text", 10L), (2L, "same text", 30L), (3L, "same text", 30L),
+      (4L, "unique here", 5L)).toDF("doc_id", "text", "score")
+    val out = Dedup.exactRepresentatives(df, "doc_id", "text", "score")
+      .select("doc_id", "cluster_size", "is_rep")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(2L) == ((2L, 3L, true)))  // top score 30, min id among ties
+    assert(!out(1L)._3 && !out(3L)._3)
+    assert(out(4L) == ((4L, 1L, true))) // singleton is its own rep
+  }
 }
