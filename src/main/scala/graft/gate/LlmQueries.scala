@@ -784,6 +784,34 @@ object LlmQueries {
         .withColumnRenamed("cum_tokens", "cum_bpe_tokens")
     }),
 
+    // CAPSTONE 5: build the training mix -- the curation funnel a
+    // pretraining run actually executes, end to end: Gopher-rule filter
+    // -> per-source temperature mix (flatten head sources) -> spend a
+    // char budget on the best-quality survivors -> deterministic shard
+    // export plan. Every stage is an oracled operator above; the oracle
+    // recomputes all four statically from raw data with zero injected
+    // constants.
+    "llm_pipeline5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = TextAnalysis.gopherRules(docs, "text", minTokens = 25,
+        maxTokens = 100000, minStopHits = 2, repMilli = 300)
+        .where(col("keep"))
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val mixed = Curation.temperatureMix(kept, "doc_id", "source", "p5")
+      val q = TextAnalysis.withQuality(mixed, "text")
+        .select(col("doc_id"),
+          floor(col("quality_score") * 1000000).cast("long")
+            .as("quality_micro"),
+          col("n_chars"))
+      val sel = Curation.budgetSelect(q, "doc_id", "n_chars",
+        "quality_micro", budget = 30000L, partitions = 8)
+      Curation.shardPlan(sel.select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", targetTokens = 4096L, epoch = 1,
+        partitions = 8)
+        .select(col("doc_id"), col("n_chars"), col("shard_id"),
+          col("shard_offset"))
+    }),
+
     // Collocations: top-50 adjacent bigrams by integer-exact PMI lift.
     "llm_collocations" -> ((s, d) =>
       TextAnalysis.collocations(Tables.documents(s, d), "text",
@@ -2266,6 +2294,62 @@ object LlmQueries {
          SELECT doc_id, CAST((cb // 16384) AS BIGINT) AS shard_id,
            CAST((cb % 16384) AS BIGINT) AS shard_offset
          FROM p""",
+    // Capstone 5: gopher filter -> sqrt temperature thresholds ->
+    // budget window cut -> shard prefix sum, all recomputed statically.
+    "llm_pipeline5" -> {
+      val stopArr = qualityStopwords.map(m => s"'$m'").mkString("[", ",", "]")
+      s"""WITH t AS (
+            SELECT doc_id, text, source, n_chars, $duckToks AS ws
+            FROM documents),
+          g AS (
+            SELECT doc_id, len(ws) AS n,
+              COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+                AS sumlen,
+              len(list_filter(ws, w -> list_contains($stopArr, w)))
+                AS stops,
+              len(list_distinct(ws)) AS u
+            FROM t),
+          kept AS (
+            SELECT t.* FROM t JOIN g USING (doc_id)
+            WHERE n >= 25 AND n <= 100000
+              AND n > 0 AND 3*n <= sumlen AND sumlen <= 10*n
+              AND stops >= 2 AND 1000*u >= 300*n),
+          counts AS (SELECT source, COUNT(*) AS n FROM kept
+                     GROUP BY source),
+          mn AS (SELECT MIN(n) AS nmin FROM counts),
+          th AS (SELECT source,
+                   CAST(FLOOR(sqrt(CAST(nmin AS DOUBLE) /
+                     CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS thr
+                 FROM counts, mn),
+          mixed AS (
+            SELECT kept.* FROM kept JOIN th USING (source)
+            WHERE ${duckHex8("'p5:' || CAST(doc_id AS VARCHAR)")}
+              % 10000 < thr),
+          q AS (
+            SELECT doc_id, n_chars,
+              CAST(FLOOR($duckQualityScore * 1000000) AS BIGINT) AS qm
+            FROM mixed),
+          sel AS (
+            SELECT doc_id, n_chars,
+              SUM(n_chars) OVER (ORDER BY qm DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM q),
+          cut AS (SELECT doc_id, n_chars FROM sel WHERE cum <= 30000),
+          k AS (
+            SELECT doc_id, n_chars,
+              md5('shard:1:' || CAST(doc_id AS VARCHAR)) || ':' ||
+                printf('%019d', doc_id) AS sk
+            FROM cut),
+          p AS (
+            SELECT doc_id, n_chars,
+              SUM(n_chars) OVER (ORDER BY sk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_chars AS cb
+            FROM k)
+          SELECT doc_id, n_chars, CAST((cb // 4096) AS BIGINT) AS shard_id,
+            CAST((cb % 4096) AS BIGINT) AS shard_offset
+          FROM p"""
+    },
     "llm_quality" -> {
       val stopArr = qualityStopwords.map(m => s"'$m'").mkString("[", ",", "]")
       s"""WITH t AS (
