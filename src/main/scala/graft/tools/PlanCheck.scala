@@ -291,6 +291,48 @@ object PlanCheck {
         "(count model + id join), " +
         s"hash exchanges=${occ(lmStr, "Exchange hashpartitioning")}")
     }
+    // 10. Round-8 late additions. (a) gopher rules: pure map-side
+    // projection, NO exchange. (b) source stats: exactly the content-
+    // hash groupBy + hash join + tiny source agg -- document text never
+    // rides more than the two keyed shuffles. (c) exact representatives:
+    // ONE hash exchange (the content-hash window); no join at all.
+    // (d) shard plan: same partitioned-window discipline as budget
+    // select -- the only single-partition window is the <= n-row totals
+    // frame.
+    {
+      val docs = graft.core.Tables.documents(spark, sf)
+      def occ(hay: String, needle: String): Int =
+        hay.sliding(needle.length).count(_ == needle)
+      val gr = graft.llmops.TextAnalysis.gopherRules(docs, "text")
+      val grExch = gr.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      println(s"\ngopher rules: ${grExch.size} shuffles (map-side only)")
+      val ss = graft.llmops.Curation.sourceStats(docs, "doc_id", "text",
+        "source")
+      val ssStr = ss.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      println("source stats: " +
+        s"hash exchanges=${occ(ssStr, "Exchange hashpartitioning")} " +
+        "(content-hash agg + hash join + per-source agg), " +
+        s"joins=${occ(ssStr, "Join")}")
+      val er = graft.llmops.Dedup.exactRepresentatives(docs, "doc_id",
+        "text", "n_chars")
+      val erStr = er.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      println("exact representatives: " +
+        s"hash exchanges=${occ(erStr, "Exchange hashpartitioning")} " +
+        s"(content-hash window), joins=${occ(erStr, "Join")}")
+      val sp = graft.llmops.Curation.shardPlan(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", 16384L,
+        epoch = 1, partitions = 4)
+      val spStr = sp.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      println("shard plan: " +
+        s"windows=${occ(spStr, "Window")} (data window partitioned by " +
+        s"__pid -- ${occ(spStr, "__pid")} refs), " +
+        s"broadcast=${occ(spStr, "BroadcastHashJoin")} (offsets frame)")
+    }
     spark.stop()
   }
 }
