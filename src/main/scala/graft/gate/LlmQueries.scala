@@ -763,6 +763,31 @@ object LlmQueries {
       TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
     }),
 
+    // Tokenizer fertility (compression per language): alnum chars per
+    // BPE token under the merges just trained, per lang -- the standard
+    // tokenizer-eval metric (a language the merges were not trained on
+    // costs more tokens per char). The micro ratio is computed as
+    // div + scaled-remainder-div so the intermediate never exceeds
+    // 1e6 * bpe_tokens -- overflow-safe at any corpus size, and exactly
+    // equal to (1e6*chars) div tokens.
+    "llm_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.bpeTrain(docs, "text", rounds = 3)
+        .orderBy("round").collect().map(_.getString(1)).toSeq
+      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      val chars = docs.select(col("doc_id"), col("lang"),
+        aggregate(tokens(col("text")), lit(0L), (a, t) => a + length(t))
+          .as("alnum_chars"))
+      chars.join(enc.select("doc_id", "bpe_tokens"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(sum("alnum_chars").as("alnum_chars"),
+          sum("bpe_tokens").as("bpe_tokens"))
+        .withColumn("chars_per_token_micro",
+          when(col("bpe_tokens") === 0, 0L).otherwise(
+            expr("(alnum_chars div bpe_tokens) * 1000000 + " +
+              "((alnum_chars % bpe_tokens) * 1000000) div bpe_tokens")))
+    }),
+
     // CAPSTONE 4: train the tokenizer -> cost the corpus under it ->
     // spend a token budget on the best-quality docs. bpeTrain's merges
     // are data-derived but the oracle retrains them statically (the
@@ -2631,6 +2656,27 @@ object LlmQueries {
             CAST(cum AS BIGINT) AS cum_bpe_tokens
           FROM sel WHERE cum <= 45000""",
     "llm_bpe_encode" -> bpeEncodeOracleSql(3),
+    // Fertility: the bpe_encode chain aggregated per lang; the micro
+    // ratio uses the same overflow-safe div + scaled-remainder form.
+    "llm_fertility" ->
+      s"""WITH ${bpeCtes(3)},
+          ns AS (
+            SELECT replace(s, '.', '') AS w,
+              CAST(len(list_filter(string_split(s, '..'), x -> x <> ''))
+                AS BIGINT) AS n_syms
+            FROM s3),
+          dtoks AS (SELECT doc_id, lang, $duckToks AS ws FROM documents),
+          dw AS (SELECT doc_id, lang, unnest(ws) AS w FROM dtoks),
+          agg AS (
+            SELECT lang, CAST(SUM(length(dw.w)) AS BIGINT) AS alnum_chars,
+              CAST(SUM(ns.n_syms) AS BIGINT) AS bpe_tokens
+            FROM dw JOIN ns USING (w) GROUP BY lang)
+          SELECT lang, alnum_chars, bpe_tokens,
+            CAST(CASE WHEN bpe_tokens = 0 THEN 0 ELSE
+              (alnum_chars // bpe_tokens) * 1000000 +
+              ((alnum_chars % bpe_tokens) * 1000000) // bpe_tokens
+            END AS BIGINT) AS chars_per_token_micro
+          FROM agg""",
     "llm_bpe_pairs" ->
       s"""WITH toks AS (SELECT $duckToks AS ws FROM documents),
           w AS (SELECT unnest(ws) AS w FROM toks),
