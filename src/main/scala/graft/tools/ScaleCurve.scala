@@ -70,6 +70,29 @@ object ScaleCurve {
         bits = 64, bandBits = 16, maxHamming = 3))
       val (sub, subX, subSec) = timed(Dedup.substringDupPairs(c, "doc_id",
         "text", window = 12, minShared = 2))
+      // Prefix-sum family: shardPlan (the distributed exclusive prefix
+      // sum under epoch-shuffled order). Linearity evidence = wall time
+      // and shard count both scale with rows; the invariant checks
+      // (every offset < target, shard ids dense 0..max, chars conserved)
+      // prove the sampled-boundary machinery still places every row
+      // correctly as ranges multiply.
+      val spT0 = System.nanoTime()
+      val withChars = c.withColumn("n_chars", length(col("text")))
+      val sp = graft.llmops.Curation.shardPlan(withChars, "doc_id",
+        "n_chars", targetTokens = 65536L, epoch = 1, partitions = 32)
+      val spAgg = sp.agg(
+        countDistinct(col("shard_id")).as("shards"),
+        max(col("shard_id")).as("maxShard"),
+        max(col("shard_offset")).as("maxOff"),
+        sum(col("n_chars")).as("chars")).head()
+      val spSec = (System.nanoTime() - spT0) / 1e9
+      val (nShards, maxShard, maxOff, chars) = (spAgg.getLong(0),
+        spAgg.getLong(1), spAgg.getLong(2), spAgg.getLong(3))
+      val expectShards = (chars + 65536L - 1) / 65536L
+      require(maxOff < 65536L && nShards == maxShard + 1 &&
+        nShards == expectShards,
+        s"shardPlan invariant broke at scale $s: " +
+          s"$nShards/$expectShards shards, maxOff $maxOff")
       println(f"""{"scale":$s,"rows":$rows,""" +
         f""""minhash_pairs":$mh,"minhash_cross":$mhX,""" +
         f""""minhash_sec":$mhSec%.2f,""" +
@@ -79,7 +102,9 @@ object ScaleCurve {
         f""""simhash_rows_per_sec":${rows / shSec}%.0f,""" +
         f""""substring_pairs":$sub,"substring_cross":$subX,""" +
         f""""substring_sec":$subSec%.2f,""" +
-        f""""substring_rows_per_sec":${rows / subSec}%.0f}""")
+        f""""substring_rows_per_sec":${rows / subSec}%.0f,""" +
+        f""""shardplan_shards":$nShards,"shardplan_sec":$spSec%.2f,""" +
+        f""""shardplan_rows_per_sec":${rows / spSec}%.0f}""")
       c.unpersist()
     }
     spark.stop()
