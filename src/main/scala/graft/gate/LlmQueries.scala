@@ -391,6 +391,19 @@ object LlmQueries {
       TextAnalysis.withFingerprint(Tables.documents(s, d), "text")
         .select("doc_id", "fingerprint")),
 
+    // Winnowing fingerprint selection (MOSS scheme): 8-gram hashes,
+    // window 4, rightmost-min per window; per-doc digest of the
+    // selected (position, hash) sequence proves the exact selection.
+    "llm_winnow" -> ((s, d) => {
+      val fp = Dedup.winnowedFingerprints(Tables.documents(s, d),
+        "doc_id", "text", k = 8, w = 4)
+      fp.select(col("doc_id"), col("n_kgrams"),
+        size(col("fps")).cast("long").as("n_selected"),
+        md5(array_join(transform(col("fps"), f =>
+          concat_ws(":", f.getField("p").cast("string"),
+            f.getField("h"))), ",")).as("sel_md5"))
+    }),
+
     // PII redaction: per-doc synthetic email/IP/account suffix (so every
     // row exercises all three patterns), then the email -> IP -> digit
     // run replacement chain; match counts from the pre-redaction text.
@@ -1862,6 +1875,53 @@ object LlmQueries {
             md5(array_to_string(list_sort(list_distinct($duckToks)), ' '))
               AS fingerprint
           FROM documents""",
+    // Winnowing: the oracle recomputes the selection DECLARATIVELY
+    // (explode every window of 4 consecutive 8-gram hashes, per-window
+    // min, rightmost position on ties, distinct) -- proving the Spark
+    // side's linear scan against the scheme's definition. Short docs
+    // (< 8 tokens) hash whole; < 4 hashes shrink the window to the
+    // hash count (one global window).
+    "llm_winnow" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          hs AS (
+            SELECT doc_id,
+              CASE WHEN len(ws) < 8 THEN
+                [md5(COALESCE(array_to_string(ws, ' '), ''))]
+              ELSE list_transform(range(1, len(ws) - 6), d ->
+                md5(array_to_string(
+                  list_slice(ws, CAST(d AS INT), CAST(d + 7 AS INT)),
+                  ' ')))
+              END AS hl
+            FROM toks),
+          hp AS (
+            SELECT doc_id, nh, u.p AS p, u.h AS h FROM (
+              SELECT doc_id, len(hl) AS nh,
+                unnest(list_transform(range(1, len(hl) + 1), d ->
+                  {'p': CAST(d - 1 AS BIGINT),
+                   'h': hl[CAST(d AS INT)]})) AS u
+              FROM hs)),
+          wins AS (
+            SELECT doc_id, p, h,
+              unnest(range(greatest(0, p - least(4, nh) + 1),
+                least(p, nh - least(4, nh)) + 1)) AS q
+            FROM hp),
+          mins AS (
+            SELECT doc_id, q, min(h) AS mh FROM wins GROUP BY 1, 2),
+          sel AS (
+            SELECT w.doc_id AS doc_id, MAX(w.p) AS p, m.mh AS h
+            FROM wins w JOIN mins m
+              ON w.doc_id = m.doc_id AND w.q = m.q AND w.h = m.mh
+            GROUP BY w.doc_id, w.q, m.mh),
+          seld AS (SELECT DISTINCT doc_id, p, h FROM sel),
+          agg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected,
+              md5(string_agg(CAST(p AS VARCHAR) || ':' || h, ','
+                ORDER BY p)) AS sel_md5
+            FROM seld GROUP BY doc_id)
+          SELECT n.doc_id, CAST(n.nh AS BIGINT) AS n_kgrams,
+            a.n_selected, a.sel_md5
+          FROM (SELECT DISTINCT doc_id, nh FROM hp) n
+            JOIN agg a USING (doc_id)""",
     // PII: same augmented text, same pattern constants (Java regex and
     // RE2 agree on this syntax subset), 'g' flag = Spark's replace-all.
     "llm_pii_redact" ->

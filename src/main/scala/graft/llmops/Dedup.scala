@@ -795,4 +795,85 @@ object Dedup {
         coalesce(col("__e"), lit(false)).as("dup_exact"),
         coalesce(col("__n"), lit(false)).as("dup_near"))
   }
+
+  /** One winnowing-selected fingerprint: 0-based k-gram start position
+    * and the k-gram's md5 hex.
+    */
+  case class WinnowFp(p: Long, h: String)
+
+  /** Per-document winnowing result: the k-gram hash count and the
+    * selected fingerprints in ascending-position order.
+    */
+  case class WinnowDoc(n_kgrams: Long, fps: Seq[WinnowFp])
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 -- the MOSS scheme): hash every k-token gram, slide a
+    * window of w consecutive hashes, and in each window select the
+    * MINIMUM hash, rightmost occurrence on ties; the distinct selected
+    * (position, hash) set is the document's fingerprint sample. The
+    * guarantee: any shared token run of length >= k + w - 1 between two
+    * documents yields at least one shared SELECTED fingerprint, at an
+    * expected density of only 2/(w+1) of the full k-gram stream -- so
+    * downstream fingerprint self-joins ([[substringDupPairs]]-style)
+    * shuffle ~2/(w+1) of the volume for a known detection floor.
+    *
+    * Docs with fewer than k tokens contribute one whole-doc hash (same
+    * short-doc arm as [[graft.functions.TextFunctions.windowFingerprints]]);
+    * when fewer than w hashes exist the window shrinks to the hash count
+    * (one global window), so every non-empty doc keeps >= 1 fingerprint.
+    *
+    * Scale shape: winnowing is a per-document LINEAR SCAN -- this runs
+    * it inside one compiled UDF (the repo's standard for md5-heavy
+    * per-token loops; an exploded windows/groupBy formulation would
+    * shuffle w x 16 B per k-gram for work that never crosses document
+    * boundaries). Zero shuffle: the operator is embarrassingly parallel
+    * over input partitions; only the ~2/(w+1)-dense output rides any
+    * downstream join. Selections are non-decreasing in position as the
+    * window slides, so the scan dedupes against the last selection only.
+    *
+    * Returns (idCol, n_kgrams, fps: array<struct<p,h>>) with fps in
+    * ascending-p order.
+    */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val winnowUdf = udf((text: String) => {
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(s: String): String = {
+        val d = md.digest(s.getBytes("UTF-8"))
+        val out = new Array[Char](32)
+        var i = 0
+        while (i < 16) {
+          out(2 * i) = "0123456789abcdef" ((d(i) >> 4) & 0xf)
+          out(2 * i + 1) = "0123456789abcdef" (d(i) & 0xf)
+          i += 1
+        }
+        new String(out)
+      }
+      val hs: Array[String] =
+        if (toks.length < k) Array(hex(toks.mkString(" ")))
+        else (0 to toks.length - k).map(i =>
+          hex(toks.slice(i, i + k).mkString(" "))).toArray
+      val weff = math.min(w, hs.length)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[WinnowFp]
+      var q = 0
+      while (q <= hs.length - weff) {
+        var best = q
+        var j = q + 1
+        while (j < q + weff) {
+          if (hs(j) <= hs(best)) best = j // rightmost min on ties
+          j += 1
+        }
+        if (sel.isEmpty || sel.last.p != best.toLong)
+          sel += WinnowFp(best.toLong, hs(best))
+        q += 1
+      }
+      WinnowDoc(hs.length.toLong, sel.toSeq)
+    })
+    df.select(col(idCol), winnowUdf(col(textCol)).as("__w"))
+      .select(col(idCol), col("__w.n_kgrams").as("n_kgrams"),
+        col("__w.fps").as("fps"))
+  }
 }

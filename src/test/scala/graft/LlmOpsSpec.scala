@@ -813,4 +813,57 @@ class LlmOpsSpec extends SparkSpec {
     assert(!out(1L)._3 && !out(3L)._3)
     assert(out(4L) == ((4L, 1L, true))) // singleton is its own rep
   }
+
+  test("winnowing matches brute-force rightmost-min and keeps its guarantees") {
+    import spark.implicits._
+    val k = 2
+    val w = 3
+    // 60 real docs plus hand-shaped edges: short doc (< k tokens),
+    // fewer hashes than the window, and an all-equal-hash doc whose
+    // repeated token stream forces the rightmost tie-break.
+    val sample = docs.select(col("doc_id").as("id"), col("text"))
+      .limit(60)
+      .union(Seq((9001L, "solo"), (9002L, "alpha beta gamma"),
+        (9003L, "x x x x x x x x")).toDF("id", "text"))
+    val out = Dedup.winnowedFingerprints(sample, "id", "text", k, w)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(f => (f.getLong(0), f.getString(1)))))
+    val texts = sample.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    assert(out.length == texts.size)
+    out.foreach { case (id, nk, fps) =>
+      val toks = texts(id).toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
+      val hs = if (toks.length < k) Array(md5hex(toks.mkString(" ")))
+        else (0 to toks.length - k)
+          .map(i => md5hex(toks.slice(i, i + k).mkString(" "))).toArray
+      assert(nk == hs.length.toLong)
+      // brute-force reference: distinct rightmost-min of every window
+      val weff = math.min(w, hs.length)
+      val want = (0 to hs.length - weff).map { q =>
+        val win = hs.slice(q, q + weff)
+        val m = win.min
+        val p = q + win.lastIndexOf(m)
+        (p.toLong, hs(p))
+      }.distinct.sortBy(_._1)
+      assert(fps == want, s"doc $id")
+      // selection is sampled from the hash stream at guaranteed density:
+      // every window of weff consecutive hashes holds >= 1 selection
+      val ps = fps.map(_._1).toSet
+      (0 to hs.length - weff).foreach { q =>
+        assert((q until q + weff).exists(j => ps.contains(j.toLong)))
+      }
+    }
+    // the all-ties doc selects exactly the rightmost position of each
+    // window: positions weff-1 .. n_h-1 (k=2 over 8 tokens -> 7 hashes)
+    val ties = out.find(_._1 == 9003L).get
+    assert(ties._3.map(_._1) == Seq(2L, 3L, 4L, 5L, 6L))
+    // short-doc arm: single whole-doc fingerprint at position 0
+    assert(out.find(_._1 == 9001L).get._3.map(_._1) == Seq(0L))
+  }
 }
