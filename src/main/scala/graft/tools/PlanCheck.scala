@@ -332,6 +332,17 @@ object PlanCheck {
         s"windows=${occ(spStr, "Window")} (data window partitioned by " +
         s"__pid -- ${occ(spStr, "__pid")} refs), " +
         s"broadcast=${occ(spStr, "BroadcastHashJoin")} (offsets frame)")
+      // (e) winnowing: a per-document linear scan -- the whole operator
+      // must stay map-side (zero exchanges, zero joins).
+      val wn = graft.llmops.Dedup.winnowedFingerprints(docs, "doc_id",
+        "text", k = 8, w = 4)
+      val wnExch = wn.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      require(wnExch.isEmpty,
+        s"winnowing must be shuffle-free, found ${wnExch.size} exchanges")
+      println(s"winnowing: ${wnExch.size} shuffles (per-doc scan, " +
+        "map-side only)")
     }
     spark.stop()
   }
