@@ -60,6 +60,7 @@ object ScaleCurve {
       (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
     }
 
+    var baseKgrams = -1L // winnow k-gram total at the first scale
     scales.foreach { s =>
       val c = corpusAt(s)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -93,6 +94,20 @@ object ScaleCurve {
         nShards == expectShards,
         s"shardPlan invariant broke at scale $s: " +
           s"$nShards/$expectShards shards, maxOff $maxOff")
+      // Winnowing: map-side scan, so wall time should track rows and the
+      // selected density should hold at the scheme's ~2/(w+1). The
+      // per-copy token suffix leaves token COUNTS unchanged, so total
+      // k-grams must scale exactly with the replica factor.
+      val wnT0 = System.nanoTime()
+      val wn = Dedup.winnowedFingerprints(c, "doc_id", "text", k = 8,
+          w = 4)
+        .agg(sum(col("n_kgrams")).as("kg"),
+          sum(size(col("fps")).cast("long")).as("sel")).head()
+      val wnSec = (System.nanoTime() - wnT0) / 1e9
+      val (kg, selN) = (wn.getLong(0), wn.getLong(1))
+      if (baseKgrams < 0) baseKgrams = kg / s
+      require(kg == baseKgrams * s,
+        s"winnow k-grams not linear at scale $s: $kg vs ${baseKgrams * s}")
       println(f"""{"scale":$s,"rows":$rows,""" +
         f""""minhash_pairs":$mh,"minhash_cross":$mhX,""" +
         f""""minhash_sec":$mhSec%.2f,""" +
@@ -104,7 +119,11 @@ object ScaleCurve {
         f""""substring_sec":$subSec%.2f,""" +
         f""""substring_rows_per_sec":${rows / subSec}%.0f,""" +
         f""""shardplan_shards":$nShards,"shardplan_sec":$spSec%.2f,""" +
-        f""""shardplan_rows_per_sec":${rows / spSec}%.0f}""")
+        f""""shardplan_rows_per_sec":${rows / spSec}%.0f,""" +
+        f""""winnow_kgrams":$kg,"winnow_selected":$selN,""" +
+        f""""winnow_density":${selN.toDouble / kg}%.4f,""" +
+        f""""winnow_sec":$wnSec%.2f,""" +
+        f""""winnow_rows_per_sec":${rows / wnSec}%.0f}""")
       c.unpersist()
     }
     spark.stop()
