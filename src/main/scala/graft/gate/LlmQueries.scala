@@ -19,6 +19,43 @@ object LlmQueries {
   private val duckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  // Shared CTE chain recomputing the winnowing selection (8-gram md5s,
+  // window 4, rightmost-min per window, distinct): ends at
+  // `seld(doc_id, p, h)` with `hp` exposing (doc_id, nh, p, h). Used by
+  // llm_winnow (per-doc digest) and llm_winnow_pairs (candidate join).
+  private val winnowSeldCtes =
+    s"""toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          hs AS (
+            SELECT doc_id,
+              CASE WHEN len(ws) < 8 THEN
+                [md5(COALESCE(array_to_string(ws, ' '), ''))]
+              ELSE list_transform(range(1, len(ws) - 6), d ->
+                md5(array_to_string(
+                  list_slice(ws, CAST(d AS INT), CAST(d + 7 AS INT)),
+                  ' ')))
+              END AS hl
+            FROM toks),
+          hp AS (
+            SELECT doc_id, nh, u.p AS p, u.h AS h FROM (
+              SELECT doc_id, len(hl) AS nh,
+                unnest(list_transform(range(1, len(hl) + 1), d ->
+                  {'p': CAST(d - 1 AS BIGINT),
+                   'h': hl[CAST(d AS INT)]})) AS u
+              FROM hs)),
+          wins AS (
+            SELECT doc_id, p, h,
+              unnest(range(greatest(0, p - least(4, nh) + 1),
+                least(p, nh - least(4, nh)) + 1)) AS q
+            FROM hp),
+          mins AS (
+            SELECT doc_id, q, min(h) AS mh FROM wins GROUP BY 1, 2),
+          sel AS (
+            SELECT w.doc_id AS doc_id, MAX(w.p) AS p, m.mh AS h
+            FROM wins w JOIN mins m
+              ON w.doc_id = m.doc_id AND w.q = m.q AND w.h = m.mh
+            GROUP BY w.doc_id, w.q, m.mh),
+          seld AS (SELECT DISTINCT doc_id, p, h FROM sel)"""
+
   // Shared CTE chain recomputing MinHash+LSH near-dup candidates and
   // their exact Jaccard (`verified(id_a, id_b, j)`): tokenize -> 3-gram
   // shingles -> 8 seeded md5-min signatures -> 2 bands of 4 -> band-key
@@ -403,6 +440,14 @@ object LlmQueries {
           concat_ws(":", f.getField("p").cast("string"),
             f.getField("h"))), ",")).as("sel_md5"))
     }),
+
+    // Winnowed dup-candidate pairs: docs sharing >= 1 SELECTED
+    // fingerprint -- the dedup use of winnowing, joining ~0.39x the
+    // volume of the full k-gram stream with the scheme's detection
+    // guarantee as the floor.
+    "llm_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowedDupPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 8, w = 4, minShared = 1)),
 
     // PII redaction: per-doc synthetic email/IP/account suffix (so every
     // row exercises all three patterns), then the email -> IP -> digit
@@ -1882,37 +1927,7 @@ object LlmQueries {
     // (< 8 tokens) hash whole; < 4 hashes shrink the window to the
     // hash count (one global window).
     "llm_winnow" ->
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS ws FROM documents),
-          hs AS (
-            SELECT doc_id,
-              CASE WHEN len(ws) < 8 THEN
-                [md5(COALESCE(array_to_string(ws, ' '), ''))]
-              ELSE list_transform(range(1, len(ws) - 6), d ->
-                md5(array_to_string(
-                  list_slice(ws, CAST(d AS INT), CAST(d + 7 AS INT)),
-                  ' ')))
-              END AS hl
-            FROM toks),
-          hp AS (
-            SELECT doc_id, nh, u.p AS p, u.h AS h FROM (
-              SELECT doc_id, len(hl) AS nh,
-                unnest(list_transform(range(1, len(hl) + 1), d ->
-                  {'p': CAST(d - 1 AS BIGINT),
-                   'h': hl[CAST(d AS INT)]})) AS u
-              FROM hs)),
-          wins AS (
-            SELECT doc_id, p, h,
-              unnest(range(greatest(0, p - least(4, nh) + 1),
-                least(p, nh - least(4, nh)) + 1)) AS q
-            FROM hp),
-          mins AS (
-            SELECT doc_id, q, min(h) AS mh FROM wins GROUP BY 1, 2),
-          sel AS (
-            SELECT w.doc_id AS doc_id, MAX(w.p) AS p, m.mh AS h
-            FROM wins w JOIN mins m
-              ON w.doc_id = m.doc_id AND w.q = m.q AND w.h = m.mh
-            GROUP BY w.doc_id, w.q, m.mh),
-          seld AS (SELECT DISTINCT doc_id, p, h FROM sel),
+      s"""WITH $winnowSeldCtes,
           agg AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected,
               md5(string_agg(CAST(p AS VARCHAR) || ':' || h, ','
@@ -1922,6 +1937,19 @@ object LlmQueries {
             a.n_selected, a.sel_md5
           FROM (SELECT DISTINCT doc_id, nh FROM hp) n
             JOIN agg a USING (doc_id)""",
+    // Winnowed pairs: distinct selected hashes per doc, the > 1000-doc
+    // boilerplate cap, then the id-ordered self-join -- the same pair
+    // semantics as llm_substring_dup but over the winnowed sample.
+    "llm_winnow_pairs" ->
+      s"""WITH $winnowSeldCtes,
+          fpd AS (SELECT DISTINCT doc_id, h FROM seld),
+          hot AS (SELECT h FROM fpd GROUP BY h HAVING COUNT(*) > 1000),
+          fpc AS (SELECT * FROM fpd
+                  WHERE h NOT IN (SELECT h FROM hot))
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+            CAST(COUNT(*) AS BIGINT) AS shared_fps
+          FROM fpc l JOIN fpc r ON l.h = r.h AND l.doc_id < r.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 1""",
     // PII: same augmented text, same pattern constants (Java regex and
     // RE2 agree on this syntax subset), 'g' flag = Spark's replace-all.
     "llm_pii_redact" ->

@@ -876,4 +876,29 @@ object Dedup {
       .select(col(idCol), col("__w.n_kgrams").as("n_kgrams"),
         col("__w.fps").as("fps"))
   }
+
+  /** Duplicate-candidate pairs over the WINNOWED fingerprint sample:
+    * docs sharing >= minShared selected fingerprint hashes. Same join
+    * shape as [[substringDupPairs]] but the fingerprint stream entering
+    * the shuffle is the ~2/(w+1)-dense winnowing selection instead of
+    * every k-gram -- the scheme's guarantee (a shared token run of
+    * length >= k + w - 1 always yields a shared SELECTED hash) makes
+    * minShared = 1 a sound detection floor rather than a sampling
+    * accident. The [[dropHotFingerprints]] boilerplate cap applies
+    * unchanged: a hash is keyed identically however it was selected.
+    */
+  def winnowedDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int = 1,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val fp = winnowedFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), explode(col("fps.h")).as("wh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = dropHotFingerprints(fp, maxDocFreq)
+    capped.as("l").join(capped.as("r"),
+        col("l.wh") === col("r.wh") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
 }

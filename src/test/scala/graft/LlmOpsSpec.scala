@@ -866,4 +866,27 @@ class LlmOpsSpec extends SparkSpec {
     // short-doc arm: single whole-doc fingerprint at position 0
     assert(out.find(_._1 == 9001L).get._3.map(_._1) == Seq(0L))
   }
+
+  test("winnowed dup pairs: guarantee floor holds, unrelated docs stay apart") {
+    import spark.implicits._
+    val k = 8
+    val w = 4
+    // shared run of 12 tokens > k + w - 1 = 11 -> the scheme
+    // GUARANTEES a shared selected fingerprint between docs 1 and 2
+    val run = "the winnowing guarantee says eleven shared tokens always " +
+      "yield one selected hash"
+    val df = Seq(
+      (1L, s"prefix alpha words then $run and a tail here"),
+      (2L, s"different beginning tokens $run closing words instead"),
+      (3L, "entirely unrelated content nothing in common with the " +
+        "others at all in any window")).toDF("id", "text")
+    val pairs = Dedup.winnowedDupPairs(df, "id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // the winnowed join volume is a strict subset of the k-gram stream
+    val fp = Dedup.winnowedFingerprints(df, "id", "text", k, w)
+      .agg(sum(size(col("fps"))).cast("long").as("s"),
+        sum(col("n_kgrams")).as("kg")).head()
+    assert(fp.getLong(0) < fp.getLong(1))
+  }
 }
