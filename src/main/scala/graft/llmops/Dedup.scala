@@ -890,9 +890,12 @@ object Dedup {
   def winnowedDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Int = 1,
       maxDocFreq: Int = 1000): DataFrame = {
+    // array_distinct BEFORE the explode: per-doc hash dedup is map-side
+    // (a doc can select one hash at several positions), so no
+    // distinct() shuffle ever sees the fingerprint stream.
     val fp = winnowedFingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), explode(col("fps.h")).as("wh"))
-      .distinct()
+      .select(col(idCol).as("id"),
+        explode(array_distinct(col("fps.h"))).as("wh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = dropHotFingerprints(fp, maxDocFreq)
     capped.as("l").join(capped.as("r"),
