@@ -725,14 +725,19 @@ object LlmQueries {
     }),
 
     // Semantic dedup (SemDeDup shape): trained-centroid clusters, flag
-    // docs with a smaller-id same-cluster neighbor at cosine >= 0.9.
-    // Oracle is DYNAMIC (semanticDedupOracleSql): same centroid-VALUES
-    // injection + FP-margin guard protocol as llm_ann_ivf.
+    // docs with a smaller-id same-cluster (and same hot-cell sub-bucket)
+    // neighbor at cosine >= 0.9. The hot-cell cap (maxCellPop = 32,
+    // vs 500-2000 rows over 16 cells) exercises BOTH branches at every
+    // SF: some cells stay under the cap, some sub-split. Oracle is
+    // DYNAMIC (semanticDedupOracleSql): same centroid-VALUES injection
+    // + FP-margin guard protocol as llm_ann_ivf, and it re-makes the
+    // identical md5-mod-k sub-split in SQL.
     "llm_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cents = Ann.trainCentroids(emb, "embedding", nCells = 16)
       Dedup.semanticDupFlags(emb, "vec_id", "embedding", cents,
-        thresholdMicro = semanticDedupThresholdMicro)
+        thresholdMicro = semanticDedupThresholdMicro,
+        maxCellPop = semanticDedupMaxCellPop)
     }),
 
     // Top-20 most-similar embedding pairs within random-hyperplane LSH
@@ -1098,12 +1103,21 @@ object LlmQueries {
   /** llm_semantic_dedup's cosine cut, in floor-micro units (0.9). */
   private[gate] val semanticDedupThresholdMicro = 900000L
 
+  /** llm_semantic_dedup's hot-cell population cap: cells above this
+    * sub-split into ceil(pop/cap) md5-keyed sub-buckets before the
+    * pair join ([[Dedup.semanticDupFlags]]). 32 vs ~31/125 average
+    * cell population (sf0.001-0.1) keeps both branches live.
+    */
+  private[gate] val semanticDedupMaxCellPop = 32
+
   /** llm_semantic_dedup oracle: the same centroid-VALUES injection as
     * [[annIvfOracleSql]] (k-means is not SQL-expressible; everything
     * downstream of training is recomputed) -- l2 normalization,
     * nearest-centroid assignment (lowest cell on dot ties), the
-    * within-cell smaller-id neighbor scan at floor(cosine*1e6) >=
-    * threshold, and the per-doc flag.
+    * hot-cell sub-split (pop > cap -> md5(id) mod ceil(pop/cap); both
+    * engines parse the first 14 hex chars of md5 base-16), the
+    * within-(cell, sub) smaller-id neighbor scan at floor(cosine*1e6)
+    * >= threshold, and the per-doc flag.
     */
   def semanticDedupOracleSql(cents: Array[Array[Double]]): String = {
     val values = cents.zipWithIndex.map { case (c, i) =>
@@ -1127,9 +1141,20 @@ object LlmQueries {
                  ${dotN("e.ev", "c.cv")} AS dd
                FROM en e CROSS JOIN cents c)),
        a AS (SELECT vec_id, embedding, cell FROM assigned WHERE rn = 1),
+       pop AS (SELECT cell, COUNT(*) AS n FROM a GROUP BY cell),
+       ak AS (
+         SELECT a.vec_id, a.embedding, a.cell,
+           CASE WHEN p.n > $semanticDedupMaxCellPop THEN
+             CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 14))
+               AS BIGINT)
+             % CAST(CEIL(CAST(p.n AS DOUBLE)
+                 / $semanticDedupMaxCellPop) AS BIGINT)
+           ELSE 0 END AS sub
+         FROM a JOIN pop p USING (cell)),
        dups AS (
          SELECT DISTINCT l.vec_id
-         FROM a l JOIN a r ON l.cell = r.cell AND r.vec_id < l.vec_id
+         FROM ak l JOIN ak r
+           ON l.cell = r.cell AND l.sub = r.sub AND r.vec_id < l.vec_id
          WHERE CAST(FLOOR(
            list_sum(list_transform(range(1, len(l.embedding) + 1), i ->
              CAST(l.embedding[CAST(i AS INT)] AS DOUBLE)
@@ -1151,8 +1176,12 @@ object LlmQueries {
     * boundary that matters, the threshold itself (floor(c*1e6) >= thr
     * flips only when c*1e6 sits within rounding of thr -- unlike
     * annIvfFpSafe's quantization check, distance to other integers is
-    * irrelevant because the cosine is never emitted). Collects the
-    * embeddings table -- Verify-time only, bounded.
+    * irrelevant because the cosine is never emitted). Checks ALL
+    * same-cell pairs -- a SUPERSET of the pairs actually compared after
+    * the hot-cell sub-split, so it stays conservative under the cap;
+    * the sub-split itself (counts, ceil, md5 bits) is integer-exact and
+    * adds no FP decision. Collects the embeddings table -- Verify-time
+    * only, bounded.
     */
   private[gate] def semanticDedupFpSafe(s: org.apache.spark.sql.SparkSession,
       d: String, cents: Array[Array[Double]],

@@ -343,22 +343,69 @@ object Dedup {
     * within a cluster only -- the clustering IS the candidate generator,
     * same role as a band key) and the id-keyed flag join. Cluster sizes
     * are bounded by nCells sizing (at 100 TB: ~sqrt(n) cells keeps
-    * within-cell pair volume near-linear); a degenerate mega-cluster is
-    * the embedding-space analog of a hot fingerprint and is visible in
-    * the cell histogram before running the join.
+    * within-cell pair volume near-linear) PLUS `maxCellPop`: a cell
+    * whose population exceeds the cap is sub-split into
+    * k = ceil(pop / maxCellPop) deterministic sub-buckets (md5(id) mod
+    * k -- the same judgment call as [[dropHotFingerprints]], applied to
+    * the embedding-space analog of a hot fingerprint), so no single
+    * degenerate mega-cluster (near-identical boilerplate docs at web
+    * scale) can make its join quadratic: per-(cell, sub) pair volume is
+    * bounded by ~maxCellPop^2 regardless of cluster skew.
+    *
+    * Recall tradeoff of the cap (mirrors dropHotFingerprints): a dup
+    * pair split across sub-buckets of a hot cell is no longer compared.
+    * Hot cells are exactly the boilerplate clusters where greedy
+    * keep-first pruning is least meaningful, and expected recall inside
+    * a sub-split cell stays 1/k per pair while total candidate volume
+    * drops from pop^2/2 to pop*maxCellPop/2 -- linear in pop. The
+    * sub-key is md5-derived so a DuckDB oracle re-makes the identical
+    * split (both engines: first 14 hex chars of md5(cast(id as
+    * string)) parsed base-16, mod k).
     *
     * The threshold compares floor(cosine * 1e6) against an integer so a
     * SQL oracle re-makes the same decision; see the gate's FP-margin
-    * guard for the cross-engine rounding protocol.
+    * guard for the cross-engine rounding protocol. The cap machinery
+    * itself is integer-exact (counts, ceil of an exact small-int ratio,
+    * md5 bits) and adds no FP surface.
     */
-  def semanticDupFlags(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], thresholdMicro: Long): DataFrame = {
+  /** Cell + hot-cell sub-bucket assignment shared by
+    * [[semanticDupFlags]], its bounded-candidates spec, and the
+    * ScaleCurve harness: (id, __v, cell, __sub). Pair candidates exist
+    * only within an exact (cell, __sub) match.
+    */
+  private[graft] def semanticKeyed(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      maxCellPop: Int): DataFrame = {
+    require(maxCellPop > 0, "maxCellPop must be positive")
     val base = Ann.withIvfCentroidCell(
       df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("__v")),
       "__v", centroids)
-    val dups = base.as("l").join(base.as("r"),
-        col("l.cell") === col("r.cell") && col("r.id") < col("l.id"))
+    if (maxCellPop == Int.MaxValue) base.withColumn("__sub", lit(0L))
+    else {
+      // Cell histogram is bounded by nCells -> broadcastable by
+      // construction; the corpus joins it map-side.
+      val pops = base.groupBy("cell").agg(count(lit(1)).as("__pop"))
+      base.join(broadcast(pops), Seq("cell"))
+        .withColumn("__k",
+          when(col("__pop") > maxCellPop,
+            ceil(col("__pop").cast("double") / maxCellPop).cast("long"))
+            .otherwise(lit(1L)))
+        .withColumn("__sub",
+          pmod(conv(substring(md5(col("id").cast("string")), 1, 14),
+            16, 10).cast("long"), col("__k")))
+        .drop("__pop", "__k")
+    }
+  }
+
+  def semanticDupFlags(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], thresholdMicro: Long,
+      maxCellPop: Int = Int.MaxValue): DataFrame = {
+    val keyed = semanticKeyed(df, idCol, vecCol, centroids, maxCellPop)
+    val base = keyed.drop("__sub")
+    val dups = keyed.as("l").join(keyed.as("r"),
+        col("l.cell") === col("r.cell") &&
+          col("l.__sub") === col("r.__sub") && col("r.id") < col("l.id"))
       .where(floor(graft.functions.CosineSimilarity(col("l.__v"),
         col("r.__v")) * 1000000).cast("long") >= thresholdMicro)
       .select(col("l.id").as("id")).distinct()

@@ -36,6 +36,24 @@ object ScaleCurve {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
 
+    // Semantic-dedup scaling input: replicas with IDENTICAL vectors are
+    // the adversarial case -- every copy lands in the same centroid
+    // cells, so cell population grows with scale exactly like a
+    // web-scale boilerplate mega-cluster. The hot-cell cap
+    // (semanticKeyed's md5 sub-split) must keep candidate volume linear
+    // where the uncapped join would go quadratic.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.llmops.Ann.trainCentroids(emb, "embedding",
+      nCells = 16)
+    def embAt(k: Int): DataFrame =
+      (0 until k).map { j =>
+        if (j == 0) emb
+        else emb.select((col("vec_id") + lit(j * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ union _)
+    val semCap = 32
+
     def corpusAt(k: Int): DataFrame =
       (0 until k).map { j =>
         if (j == 0) docs
@@ -108,6 +126,28 @@ object ScaleCurve {
       if (baseKgrams < 0) baseKgrams = kg / s
       require(kg == baseKgrams * s,
         s"winnow k-grams not linear at scale $s: $kg vs ${baseKgrams * s}")
+      // Semantic dedup under the hot-cell cap: capped candidate volume
+      // must stay within the linear bound sum(pop_i * cap) while the
+      // UNCAPPED volume (computed from the same histogram, no join)
+      // grows quadratically with the replica factor.
+      val sdT0 = System.nanoTime()
+      val se = embAt(s)
+      val keyed = Dedup.semanticKeyed(se, "vec_id", "embedding", cents,
+        maxCellPop = semCap)
+      val subHist = keyed.groupBy("cell", "__sub")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2")).as("cand"),
+          sum(col("n")).as("rows")).head()
+      val (semCand, semRows) = (subHist.getLong(0), subHist.getLong(1))
+      val semDups = Dedup.semanticDupFlags(se, "vec_id", "embedding",
+        cents, thresholdMicro = 900000L, maxCellPop = semCap)
+        .where(col("semantic_dup")).count()
+      val sdSec = (System.nanoTime() - sdT0) / 1e9
+      val semUncapped = keyed.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2")).as("c")).head().getLong(0)
+      require(semCand <= semRows * semCap,
+        s"semantic capped candidates $semCand exceed linear bound " +
+          s"${semRows * semCap} at scale $s")
       println(f"""{"scale":$s,"rows":$rows,""" +
         f""""minhash_pairs":$mh,"minhash_cross":$mhX,""" +
         f""""minhash_sec":$mhSec%.2f,""" +
@@ -123,7 +163,10 @@ object ScaleCurve {
         f""""winnow_kgrams":$kg,"winnow_selected":$selN,""" +
         f""""winnow_density":${selN.toDouble / kg}%.4f,""" +
         f""""winnow_sec":$wnSec%.2f,""" +
-        f""""winnow_rows_per_sec":${rows / wnSec}%.0f}""")
+        f""""winnow_rows_per_sec":${rows / wnSec}%.0f,""" +
+        f""""semantic_rows":$semRows,"semantic_cand":$semCand,""" +
+        f""""semantic_uncapped_cand":$semUncapped,""" +
+        f""""semantic_dups":$semDups,"semantic_sec":$sdSec%.2f}""")
       c.unpersist()
     }
     spark.stop()

@@ -233,6 +233,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(out == Map(1L -> false, 5L -> true, 9L -> false))
   }
 
+  test("semantic dedup hot-cell cap bounds mega-cluster pair blowup") {
+    import spark.implicits._
+    // 40 identical embeddings = one degenerate mega-cluster (the
+    // web-scale boilerplate shape), plus a 3-doc healthy cell.
+    val hot = (1L to 40L).map(i => (i, Seq(1.0, 0.0, 0.0, 0.0)))
+    val cold = (100L to 102L).map(i => (i, Seq(0.0, 1.0, 0.0, 0.0)))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    // cap = 8 -> the hot cell (pop 40) sub-splits into ceil(40/8) = 5
+    // md5-keyed sub-buckets; the cold cell (pop 3) keeps sub = 0.
+    val keyed = Dedup.semanticKeyed(df, "vec_id", "embedding", cents,
+      maxCellPop = 8)
+    val subs = keyed.groupBy("cell", "__sub").count()
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+    val hotSubs = subs.filter(_._1._1 == 0)
+    assert(hotSubs.map(_._2).sum == 40L)
+    assert(hotSubs.forall { case ((_, s), _) => s >= 0 && s < 5 })
+    // candidate volume: sum n_i*(n_i-1)/2 over (cell, sub) groups must
+    // sit far below the uncapped 40*39/2 = 780 -- the bound the cap buys
+    val candidates = subs.map { case (_, n) => n * (n - 1) / 2 }.sum
+    assert(candidates < 250,
+      s"capped candidates $candidates ~ quadratic (uncapped = 780+3)")
+    // semantics under the cap: identical vectors, so within each
+    // non-empty sub-bucket exactly the min-id doc is unflagged
+    val flags = Dedup.semanticDupFlags(df, "vec_id", "embedding", cents,
+      thresholdMicro = 990000L, maxCellPop = 8)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(flags.size == 43)
+    val unflaggedHot = flags.filter { case (id, f) => id <= 40 && !f }.keys
+    assert(unflaggedHot.size == hotSubs.length,
+      "one survivor per non-empty sub-bucket")
+    assert(flags(100L) == false && flags(101L) && flags(102L))
+    // uncapped control: the mega-cluster welds to a single survivor
+    val un = Dedup.semanticDupFlags(df, "vec_id", "embedding", cents,
+      thresholdMicro = 990000L)
+      .collect().count(r => r.getLong(0) <= 40 && !r.getBoolean(2))
+    assert(un == 1)
+  }
+
   test("hot-fingerprint cap bounds boilerplate pair blowup; spans localize") {
     import spark.implicits._
     // one 12-token boilerplate span in ALL 40 docs (license-header

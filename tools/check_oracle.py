@@ -53,7 +53,7 @@ def frame_hash(cols, rows):
     return h.hexdigest()
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -61,6 +61,8 @@ def main(sf_dir, out_dir):
             con.execute(f"create view {t} as select * from '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     ok = fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
@@ -117,4 +119,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
