@@ -215,27 +215,73 @@ object Curation {
   def contaminationHits(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
       minHits: Int = 1): DataFrame = {
-    val benchShingles = benchmark
-      .select(explode(array_distinct(
-        graft.functions.TextFunctions.shingles(
-        graft.functions.TextFunctions.tokens(col(textCol)), shingleN))).as("sh"))
+    val benchShingles = distinctShingles(benchmark, textCol, shingleN)
+    contaminationHitsOn(docs, benchShingles, idCol, textCol, shingleN,
+      minHits, hintBroadcast = true)
+  }
+
+  private def distinctShingles(df: DataFrame, textCol: String,
+      shingleN: Int): DataFrame =
+    df.select(explode(array_distinct(
+      graft.functions.TextFunctions.shingles(
+      graft.functions.TextFunctions.tokens(col(textCol)), shingleN)))
+      .as("sh"))
       .distinct()
+
+  private def contaminationHitsOn(docs: DataFrame,
+      benchShingles: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, minHits: Int, hintBroadcast: Boolean): DataFrame = {
     val docShingles = docs.select(col(idCol).as("id"),
       explode(array_distinct(
         graft.functions.TextFunctions.shingles(
         graft.functions.TextFunctions.tokens(col(textCol)), shingleN))).as("sh"))
     docShingles
-      .join(broadcast(benchShingles), Seq("sh"))
+      .join(if (hintBroadcast) broadcast(benchShingles) else benchShingles,
+        Seq("sh"))
       .groupBy("id")
       .agg(count(lit(1)).as("hits")) // shingles already distinct per side
       .where(col("hits") >= minHits)
   }
 
-  /** Corpus minus contaminated docs (decontamination before training). */
+  /** Corpus minus contaminated docs (decontamination before training).
+    *
+    * `bloomBits > 0` turns on the big-benchmark tier for contamination
+    * lists too large to broadcast raw (a prior corpus snapshot, not a
+    * benchmark suite): the benchmark's shingle set folds DISTRIBUTED
+    * into a fixed-width [[Sketches.bloomSketch]], the mBits/62-word
+    * bitset broadcasts into a map-side candidate filter (no false
+    * negatives, so the candidate set is a SUPERSET of the contaminated
+    * docs), and the exact shingle join + count runs over candidates
+    * only -- the Bloom FP rate is exactly the fraction of clean docs
+    * that pay the join, and the verify removes every FP, so the OUTPUT
+    * is identical to the exact path at any bloomBits. The verify join
+    * is left unhinted in this tier (candidates are few; the benchmark
+    * side is assumed too big to broadcast -- AQE picks).
+    */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, shingleN: Int = 3, minHits: Int = 1): DataFrame = {
-    val bad = contaminationHits(docs, benchmark, idCol, textCol,
-      shingleN, minHits).select(col("id").as(idCol))
+      textCol: String, shingleN: Int = 3, minHits: Int = 1,
+      bloomBits: Int = 0, bloomK: Int = 3): DataFrame = {
+    val bad =
+      if (bloomBits <= 0)
+        contaminationHits(docs, benchmark, idCol, textCol,
+          shingleN, minHits).select(col("id").as(idCol))
+      else {
+        val benchShingles = distinctShingles(benchmark, textCol, shingleN)
+        val sk = Sketches.bloomSketch(benchShingles, "sh",
+          mBits = bloomBits, k = bloomK, salt = "decontam")
+        val words = Sketches.bloomWords(sk, bloomBits)
+        val bc = docs.sparkSession.sparkContext.broadcast(words)
+        val bloomHits = udf((sh: Seq[String]) =>
+          sh.count(s => Sketches.bloomHit(bc.value, bloomBits, bloomK,
+            "decontam", s)))
+        val candidates = docs.where(bloomHits(array_distinct(
+          graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokens(col(textCol)), shingleN)))
+          >= minHits)
+        contaminationHitsOn(candidates, benchShingles, idCol, textCol,
+          shingleN, minHits, hintBroadcast = false)
+          .select(col("id").as(idCol))
+      }
     docs.join(bad, Seq(idCol), "left_anti")
   }
 

@@ -294,6 +294,51 @@ object Sketches {
         "cast(pos % 62 as int)))").as("bits"))
   }
 
+  /** Dense word array of a built sketch: index = word_idx, value =
+    * bits. The collect is bounded by LAYOUT (mBits/62 rows max),
+    * independent of the member-set size -- the structure that makes
+    * broadcast decontamination driver-memory-constant at any corpus
+    * scale, where collecting the raw member set is
+    * O(benchmark). Fails fast on a sketch built with a larger mBits.
+    */
+  def bloomWords(sketch: DataFrame, mBits: Int = 15872): Array[Long] = {
+    require(mBits > 0 && mBits % 62 == 0, "mBits must be a multiple of 62")
+    val words = new Array[Long](mBits / 62)
+    sketch.select(col("word_idx").cast("long"), col("bits").cast("long"))
+      .collect().foreach { r =>
+        val i = r.getLong(0)
+        require(i >= 0 && i < words.length,
+          s"sketch width mismatch: word_idx $i outside ${words.length} words")
+        words(i.toInt) = r.getLong(1)
+      }
+    words
+  }
+
+  /** JVM mirror of the [[bloomSketch]] / [[bloomContains]] hash layout
+    * -- byte-equal positions (first 8 md5 hex chars of "i:salt:value"
+    * parsed base 16, mod mBits; 62 usable bits per word) -- so a
+    * map-side closure can answer membership against a broadcast
+    * [[bloomWords]] array with zero joins. True iff all k bits set:
+    * no false negatives; false positives at the sketch's FP rate.
+    */
+  def bloomHit(words: Array[Long], mBits: Int, k: Int, salt: String,
+      value: String): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < k) {
+      md.reset()
+      val d = md.digest(s"$i:$salt:$value".getBytes("UTF-8"))
+      // first 8 hex chars == first 4 digest bytes as unsigned 32-bit
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val pos = h % mBits
+      if ((words((pos / 62).toInt) &
+          (1L << (pos % 62).toInt)) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Probe: one row per probe row with `might_contain` -- true iff all k
     * positions are set. Parameters must match the build (the
     * [[cmEstimate]] convention); the width check below catches a sketch

@@ -26,28 +26,55 @@ object StreamingDedup {
   /** Stream-static decontamination: drop every streamed document whose
     * text shares >= minHits distinct shingles with the STATIC benchmark
     * frame -- the batch [[graft.llmops.Curation]] semantics applied to
-    * continuous ingestion. The benchmark's shingle set (small by
-    * definition: benchmark suites vs a crawl) is collected ONCE from the
-    * static side and broadcast into a per-row counting filter, so the
-    * operator is a pure map-side predicate: Append-mode safe, no state
-    * store, no shuffle, no per-batch joins. The batch variant
-    * ([[graft.llmops.Curation.contaminationHits]]) keeps the set
-    * distributed instead -- same semantics, different residency.
+    * continuous ingestion. Either way the operator is a pure map-side
+    * predicate: Append-mode safe, no state store, no shuffle, no
+    * per-batch joins. Two residency tiers for the benchmark set:
+    *
+    *  - `bloomBits = 0` (exact): the raw shingle set is collected ONCE
+    *    and broadcast. Right for real benchmark suites (small by
+    *    definition vs a crawl), and the only driver structure that
+    *    grows with the static side.
+    *  - `bloomBits > 0` (sketch): the shingle set is folded
+    *    DISTRIBUTED into a [[graft.llmops.Sketches.bloomSketch]] and
+    *    only the fixed mBits/62-word bitset ships to the driver /
+    *    broadcast -- memory is O(bloomBits) no matter how large the
+    *    contamination list grows (e.g. screening against a full prior
+    *    corpus snapshot). Guarantee is ONE-SIDED: a Bloom filter has
+    *    no false negatives, so every truly contaminated doc still
+    *    drops; a clean doc may additionally drop at the FP rate
+    *    (~(1-e^(-kn/m))^k) -- the conservative direction for
+    *    decontamination. Kept rows are always a subset of the exact
+    *    path's kept rows. For exact batch semantics over a huge set,
+    *    use [[graft.llmops.Curation.decontaminate]]'s bloom tier,
+    *    which can afford the exact verify join a stateless
+    *    append-mode stream cannot.
     */
   def decontaminated(stream: DataFrame, benchmark: DataFrame,
-      textCol: String, shingleN: Int = 3, minHits: Int = 1): DataFrame = {
+      textCol: String, shingleN: Int = 3, minHits: Int = 1,
+      bloomBits: Int = 0, bloomK: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions._
     val t = graft.functions.TextFunctions
-    val bench = benchmark
-      .select(explode(array_distinct(
+    val shingleCol = array_distinct(
+      t.shingles(t.tokens(col(textCol)), shingleN))
+    val benchShingles = benchmark.select(explode(array_distinct(
         t.shingles(t.tokens(col(textCol)), shingleN))).as("sh"))
       .distinct()
-      .collect().map(_.getString(0)).toSet
-    val bc = stream.sparkSession.sparkContext.broadcast(bench)
-    val hitsUdf = org.apache.spark.sql.functions.udf(
-      (sh: Seq[String]) => sh.count(bc.value.contains))
-    stream.where(hitsUdf(array_distinct(
-      t.shingles(t.tokens(col(textCol)), shingleN))) < minHits)
+    val hitsUdf =
+      if (bloomBits > 0) {
+        val sk = graft.llmops.Sketches.bloomSketch(benchShingles, "sh",
+          mBits = bloomBits, k = bloomK, salt = "decontam")
+        val words = graft.llmops.Sketches.bloomWords(sk, bloomBits)
+        val bc = stream.sparkSession.sparkContext.broadcast(words)
+        org.apache.spark.sql.functions.udf((sh: Seq[String]) =>
+          sh.count(s => graft.llmops.Sketches.bloomHit(bc.value,
+            bloomBits, bloomK, "decontam", s)))
+      } else {
+        val bench = benchShingles.collect().map(_.getString(0)).toSet
+        val bc = stream.sparkSession.sparkContext.broadcast(bench)
+        org.apache.spark.sql.functions.udf(
+          (sh: Seq[String]) => sh.count(bc.value.contains))
+      }
+    stream.where(hitsUdf(shingleCol) < minHits)
   }
 
   /** @param df        input (streaming or batch)

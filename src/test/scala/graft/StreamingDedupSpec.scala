@@ -69,6 +69,53 @@ class StreamingDedupSpec extends SparkSpec {
     assert(streaming === batch && streaming === Set(2L))
   }
 
+  test("bloom decontamination tier: one-sided, subset of exact keeps") {
+    // wide sketch: FP-free at this size -> bloom path == exact path
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma something else entirely"),
+      (2L, "totally unrelated clean document text here"),
+      (3L, "delta epsilon is fine but beta gamma delta hits"),
+      (4L, "another spotless document with original words only"))
+      .toDF("doc_id", "text")
+    val exact = StreamingDedup.decontaminated(corpus, bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val wide = StreamingDedup.decontaminated(corpus, bench, "text",
+      bloomBits = 62 * 64).select("doc_id").as[Long].collect().toSet
+    assert(exact === Set(2L, 4L))
+    assert(wide === exact)
+    // saturated 62-bit sketch: heavy FP, but the guarantee stays
+    // one-sided -- kept rows are a SUBSET of the exact keeps (clean
+    // docs may over-drop; contaminated docs NEVER pass)
+    val tiny = StreamingDedup.decontaminated(corpus, bench, "text",
+      bloomBits = 62, bloomK = 1).select("doc_id").as[Long].collect().toSet
+    assert(tiny.subsetOf(exact))
+    assert(tiny.intersect(Set(1L, 3L)).isEmpty)
+  }
+
+  test("batch bloom decontaminate verifies FPs away: output exact") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma something else entirely"),
+      (2L, "totally unrelated clean document text here"),
+      (3L, "delta epsilon is fine but beta gamma delta hits"),
+      (4L, "another spotless document with original words only"))
+      .toDF("doc_id", "text")
+    val exact = graft.llmops.Curation.decontaminate(corpus, bench,
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    // even a SATURATED 62-bit sketch (every doc a candidate) must give
+    // the exact output: the verify join removes every false positive
+    for (bits <- Seq(62, 62 * 64)) {
+      val got = graft.llmops.Curation.decontaminate(corpus, bench,
+        "doc_id", "text", bloomBits = bits, bloomK = 1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === exact, s"bloom tier at $bits bits diverged")
+    }
+    assert(exact === Set(2L, 4L))
+  }
+
   test("batch mode behaves like dropDuplicates on the key") {
     val df = Seq(("x", 1L), ("y", 2L), ("x", 3L), ("z", 4L), ("y", 5L))
       .toDF("content_md5", "doc_id")
