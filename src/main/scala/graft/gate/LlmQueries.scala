@@ -943,6 +943,34 @@ object LlmQueries {
       TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         queryTerms = Seq("spark", "join", "vector", "stream"), k = 25)),
 
+    // Structured Streaming batch-parity gates (the one family r8 had no
+    // CORRECTNESS row for): the operator runs FOR REAL -- readStream
+    // over the sf files, Trigger.AvailableNow, state store + watermark
+    // engaged, append parquet sink -- and the SINK is what DuckDB
+    // gates. First-occurrence state dedup projected to the key column
+    // alone is deterministic (any winning row is identical), and equals
+    // DISTINCT keys.
+    "llm_stream_dedup" -> ((s, d) =>
+      graft.streaming.StreamingGate.availableNow(s, s"$d/events.parquet",
+        "dedup") { in =>
+        graft.streaming.StreamingDedup.firstOccurrence(
+          in.select(col("user_id")), "user_id")
+      }),
+
+    // Tumbling 6h event-time windows + zero-delay watermark under
+    // append mode: a window reaches the sink only once the final
+    // watermark (= max event time after the no-data batch) passes its
+    // end, so the oracle asserts BOTH the per-window counts and the
+    // open-window withholding.
+    "llm_stream_window" -> ((s, d) =>
+      graft.streaming.StreamingGate.availableNow(s, s"$d/events.parquet",
+        "window") { in =>
+        graft.streaming.StreamingStats.windowedCounts(
+          in.withColumn("ts_t", timestamp_micros(expr("ts div 1000"))),
+          "ts_t", "event_type", "6 hours", "0 seconds")
+      }.select(unix_micros(col("window_start")).as("w_start_us"),
+        col("event_type"), col("n"))),
+
     // Multimodal metadata over text-as-binary (decode stub plumbing:
     // byte length + content hash are the real, verifiable parts).
     "llm_multimodal_meta" -> ((s, d) =>
@@ -2613,6 +2641,18 @@ object LlmQueries {
             CAST(FLOOR(v * 1000000) AS BIGINT) AS v_micro
           FROM vals"""
     },
+    "llm_stream_dedup" ->
+      """SELECT DISTINCT user_id FROM events""",
+    // Append-mode watermark semantics in SQL: only windows whose end
+    // has been passed by the final watermark (max event time, zero
+    // delay) appear in the sink.
+    "llm_stream_window" ->
+      """WITH e AS (
+           SELECT epoch_ns(ts)//1000 AS ts_us, event_type FROM events)
+         SELECT (ts_us//21600000000) * 21600000000 AS w_start_us,
+           event_type, COUNT(*) AS n
+         FROM e GROUP BY 1, 2
+         HAVING w_start_us + 21600000000 <= (SELECT MAX(ts_us) FROM e)""",
     "llm_multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
            md5(text) AS content_md5
