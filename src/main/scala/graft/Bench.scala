@@ -90,6 +90,11 @@ object Bench {
       val warm = if (failed) cold else median3(run(), run(), run())
       results(name) = if (failed) -cold else cold
       warmResults(name) = if (failed) -warm else warm
+      // release the operator-internal scoped persists this query pinned
+      // (each run re-persists its own frames, so the four runs above
+      // never reuse them anyway; dropping them between QUERIES stops a
+      // 100+-gate session from evicting the warm fixture caches)
+      graft.core.Caches.releaseScoped()
     }
 
     // 2) Chessmate workload (BASELINE.md metrics), on a synthetic corpus:

@@ -501,12 +501,9 @@ object Curation {
     // upstream (llm_pipeline feeds a 5-stage curation chain in here)
     // would re-execute once per pass. Persisting the input is the
     // stage-table pattern: at 100 TB you'd write the curated corpus to a
-    // table before packing; MEMORY_AND_DISK is the in-session analog.
-    // Spark evicts LRU, so not unpersisting is safe for a long session.
-    val in = if (persistInput && df.storageLevel ==
-        org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else df
+    // table before packing; scoped MEMORY_AND_DISK is the in-session
+    // analog (harnesses release scoped caches between queries).
+    val in = if (persistInput) graft.core.Caches.scoped(df) else df
     withExclusivePrefix(in, idCol, tokensCol, n)
       .withColumn("bin", expr(s"__before div ${capacity}"))
       .withColumn("bin_offset", pmod(col("__before"), lit(capacity)))
@@ -572,7 +569,10 @@ object Curation {
     * (MaxValue - score, id), so lexicographic order IS (score desc, id
     * asc) and the prefix sum rides the same sampled-boundary machinery
     * as [[packSequences]] -- no single-partition window. Requires
-    * non-negative long scores and ids.
+    * non-negative long scores and ids, ENFORCED per-row: a negative
+    * value would render as a '-'-prefixed 20-char segment that silently
+    * corrupts lexicographic order and the prefix cut, so the key
+    * expression raises instead of mis-selecting.
     *
     * Returns kept rows: (idCol, scoreCol, tokensCol, cum_tokens).
     */
@@ -584,17 +584,17 @@ object Curation {
       else spark.sparkContext.defaultParallelism
     val keyed0 = df.select(col(idCol), col(scoreCol), col(tokensCol))
       .withColumn("__bk", concat(
+        format_string("%019d", lit(Long.MaxValue) -
+          requireNonNeg(col(scoreCol).cast("long"), "score")),
+        lit(":"),
         format_string("%019d",
-          lit(Long.MaxValue) - col(scoreCol).cast("long")),
-        lit(":"), format_string("%019d", col(idCol).cast("long"))))
+          requireNonNeg(col(idCol).cast("long"), "id"))))
     // the prefix-sum machinery makes four passes (count, boundary
-    // sample, range totals, final); persist the narrow keyed input so
-    // an expensive upstream (llm_pipeline4 feeds a tokenizer-costed
-    // quality join in here) executes once -- packSequences' pattern
-    val keyed = if (keyed0.storageLevel ==
-        org.apache.spark.storage.StorageLevel.NONE)
-      keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else keyed0
+    // sample, range totals, final); scoped-persist the narrow keyed
+    // input so an expensive upstream (llm_pipeline4 feeds a
+    // tokenizer-costed quality join in here) executes once --
+    // packSequences' pattern
+    val keyed = graft.core.Caches.scoped(keyed0)
     withExclusivePrefix(keyed, "__bk", tokensCol, n)
       .withColumn("cum_tokens",
         col("__before") + col(tokensCol).cast("long"))
@@ -637,6 +637,17 @@ object Curation {
       .drop("__qsum")
   }
 
+  /** Per-row fail-fast guard for %019d composite keying: a negative
+    * long renders as a 20-char '-'-prefixed segment that silently
+    * corrupts lexicographic order, so raise instead. NULL passes
+    * through unchanged (pre-existing key-of-null behavior).
+    */
+  private def requireNonNeg(c: Column, what: String): Column =
+    when(c < 0, raise_error(concat(
+      lit(s"composite sort key requires non-negative $what, got "),
+      c.cast("string"))).cast("long"))
+      .otherwise(c)
+
   /** Deterministic shard-export plan (the WebDataset/tfrecord write
     * stage): documents are laid out in EPOCH-SHUFFLED order (md5 of
     * salt:epoch:id -- reshuffled every epoch, reproducible from the
@@ -655,7 +666,8 @@ object Curation {
     require(targetTokens > 0, "targetTokens must be positive")
     val keyed = df.withColumn("__sk", concat(
       md5(concat(lit(s"shard:$epoch:"), col(idCol).cast("string"))),
-      lit(":"), format_string("%019d", col(idCol).cast("long"))))
+      lit(":"),
+      format_string("%019d", requireNonNeg(col(idCol).cast("long"), "id"))))
     packSequences(keyed, "__sk", tokensCol, targetTokens, partitions)
       .withColumnRenamed("bin", "shard_id")
       .withColumnRenamed("bin_offset", "shard_offset")

@@ -132,10 +132,10 @@ object Dedup {
     // persisted: consumed by BOTH verification attach joins on different
     // keys (id_a / id_b), which exchange reuse can't cover (round-7
     // measurement, same rationale as ngramJaccardPairs.ordered).
-    val base = df.select(col(idCol).as("id"),
-      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = graft.core.Caches.scoped(
+      df.select(col(idCol).as("id"),
+        array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+        .where(size(col("sh")) > 0))
     // candidate ids first (narrow self-join on the band keys), shingle
     // arrays attached once per side AFTER pair dedup -- the wide arrays
     // never ride through the LSH shuffle.
@@ -280,8 +280,7 @@ object Dedup {
         sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
       .select(col("id"), col("sz"),
         transform(col("o"), x => x("tok")).as("o"))
-    val orderedP = ordered.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val orderedP = graft.core.Caches.scoped(ordered)
     val plen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     val pref = orderedP.select(col("id"), col("sz"),
       explode(slice(col("o"), lit(1), plen)).as("tok"))
@@ -479,14 +478,15 @@ object Dedup {
   def substringDupPairs(df: DataFrame, idCol: String, textCol: String,
       window: Int = 20, minShared: Int = 1,
       maxDocFreq: Int = 1000): DataFrame = {
-    // persisted: the md5-per-window UDF subtree has THREE consumers
-    // (hot-hash count, both self-join sides) that exchange reuse cannot
-    // cover; 16 B/window + id is the narrowest frame in the operator.
-    // At 100 TB this is the stage-table pattern (write wf, then join).
-    val wf = df.select(col(idCol).as("id"),
-      explode(array_distinct(windowFingerprintsUdf(window)(col(textCol))))
-        .as("wh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scoped-persisted: the md5-per-window UDF subtree has THREE
+    // consumers (hot-hash count, both self-join sides) that exchange
+    // reuse cannot cover; 16 B/window + id is the narrowest frame in the
+    // operator. At 100 TB this is the stage-table pattern (write wf,
+    // then join). Harnesses release scoped caches between queries.
+    val wf = graft.core.Caches.scoped(
+      df.select(col(idCol).as("id"),
+        explode(array_distinct(windowFingerprintsUdf(window)(col(textCol))))
+          .as("wh")))
     val capped = dropHotFingerprints(wf, maxDocFreq)
     capped.as("l").join(capped.as("r"),
         col("l.wh") === col("r.wh") && col("l.id") < col("r.id"))
@@ -543,13 +543,13 @@ object Dedup {
   def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
       window: Int = 20, minShared: Int = 1,
       maxDocFreq: Int = 1000): DataFrame = {
-    val wp = df.select(col(idCol).as("id"),
-        explode(windowFingerprintPositionsUdf(window)(col(textCol))).as("w"))
-      .select(col("id"), col("w._2").as("wh"),
-        col("w._1").cast("long").as("start"))
+    val wp = graft.core.Caches.scoped(
+      df.select(col(idCol).as("id"),
+          explode(windowFingerprintPositionsUdf(window)(col(textCol))).as("w"))
+        .select(col("id"), col("w._2").as("wh"),
+          col("w._1").cast("long").as("start")))
       // distinct-per-doc by UDF construction (no groupBy shuffle);
-      // persisted for the same three consumers as substringDupPairs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // scoped-persisted for the same three consumers as substringDupPairs
     val capped = dropHotFingerprints(wp, maxDocFreq)
     val spans = capped.as("l").join(capped.as("r"),
         col("l.wh") === col("r.wh") && col("l.id") < col("r.id"))
@@ -613,11 +613,11 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       window: Int = 12, minMicros: Long = 500000,
       maxDocFreq: Int = 1000): DataFrame = {
-    // persisted: FOUR consumers here (sizes, hot count, two join sides).
-    val wf = df.select(col(idCol).as("id"),
-      explode(array_distinct(windowFingerprintsUdf(window)(col(textCol))))
-        .as("wh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scoped-persisted: FOUR consumers (sizes, hot count, two join sides).
+    val wf = graft.core.Caches.scoped(
+      df.select(col(idCol).as("id"),
+        explode(array_distinct(windowFingerprintsUdf(window)(col(textCol))))
+          .as("wh")))
     // Denominators stay UNCAPPED (a doc's full distinct-window count):
     // capping only the shared-window numerator UNDER-estimates
     // containment for boilerplate-heavy docs -- conservative, never a
@@ -940,10 +940,10 @@ object Dedup {
     // array_distinct BEFORE the explode: per-doc hash dedup is map-side
     // (a doc can select one hash at several positions), so no
     // distinct() shuffle ever sees the fingerprint stream.
-    val fp = winnowedFingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("id"),
-        explode(array_distinct(col("fps.h"))).as("wh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = graft.core.Caches.scoped(
+      winnowedFingerprints(df, idCol, textCol, k, w)
+        .select(col(idCol).as("id"),
+          explode(array_distinct(col("fps.h"))).as("wh")))
     val capped = dropHotFingerprints(fp, maxDocFreq)
     capped.as("l").join(capped.as("r"),
         col("l.wh") === col("r.wh") && col("l.id") < col("r.id"))

@@ -67,10 +67,10 @@ object Graphs {
             .as("rank_micro"))
       i += 1
     }
-    val out = ranks.persist(MEMORY_AND_DISK)
+    val out = graft.core.Caches.scoped(ranks)
     out.count() // one action fills the cache through all rounds
     edges.unpersist()
     deg.unpersist()
-    out // caller-owned unpersist (same contract as Curation.packSequences)
+    out // scoped: harnesses release between queries; callers may earlier
   }
 }

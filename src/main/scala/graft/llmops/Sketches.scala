@@ -152,8 +152,11 @@ object Sketches {
     * below `width` passes; carrying depth/width in a config table fixes
     * that at the cost of the plain-frame API.
     */
-  def cmEstimate(sketch: DataFrame, queries: DataFrame, valueCol: String,
+  def cmEstimate(sketch0: DataFrame, queries: DataFrame, valueCol: String,
       depth: Int = 4, width: Int = 256): DataFrame = {
+    // validation is an eager action over the sketch; scoped-persist so
+    // an uncached build plan executes once, not once per consumer
+    val sketch = graft.core.Caches.scoped(sketch0)
     val chk = sketch.agg(max(col("row")).as("mr"), max(col("slot")).as("ms"))
       .head()
     if (!chk.isNullAt(0)) {
@@ -339,15 +342,21 @@ object Sketches {
     true
   }
 
-  /** Probe: one row per probe row with `might_contain` -- true iff all k
-    * positions are set. Parameters must match the build (the
-    * [[cmEstimate]] convention); the width check below catches a sketch
-    * built with larger mBits.
+  /** Probe: one row per DISTINCT probe VALUE with `might_contain` --
+    * true iff all k positions are set. Duplicate probe values collapse
+    * to one row and no other probe column is carried (the groupBy keys
+    * on the value alone); callers wanting per-row answers join this
+    * result back on `valueCol`. Parameters must match the build (the
+    * [[cmEstimate]] convention); the width check catches a sketch built
+    * with larger mBits. Validation is an eager action, so the sketch is
+    * scoped-persisted first -- its build plan runs once and the probe
+    * join reuses the cache instead of rebuilding.
     */
-  def bloomContains(sketch: DataFrame, probes: DataFrame,
+  def bloomContains(sketch0: DataFrame, probes: DataFrame,
       valueCol: String, mBits: Int = 15872, k: Int = 3,
       salt: String = "bloom"): DataFrame = {
     require(mBits > 0 && mBits % 62 == 0, "mBits must be a multiple of 62")
+    val sketch = graft.core.Caches.scoped(sketch0)
     val chk = sketch.agg(max(col("word_idx"))).head()
     if (!chk.isNullAt(0))
       require(chk.getAs[Number](0).longValue() < mBits / 62,

@@ -259,9 +259,9 @@ object TextAnalysis {
     // persisted: attached to BOTH sides of every surviving bigram (t1 and
     // t2 joins -- different keys, so exchange reuse can't dedup them);
     // without it each attach join re-scans and re-aggregates the corpus.
-    val uni = toks.select(explode(col("ws")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = graft.core.Caches.scoped(
+      toks.select(explode(col("ws")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1")))
     val total = toks.select(
       sum(greatest(size(col("ws")) - 1, lit(0)).cast("long")).as("n_bi"))
     // tokens contain no spaces (tokenizer splits on non-alnum), so the
@@ -331,12 +331,11 @@ object TextAnalysis {
     // persisting it is cheap and every later round recomputes only the
     // map-side replace chain. Spark evicts LRU; not unpersisting is
     // safe for a session (the packSequences convention).
-    var state = df
+    var state = graft.core.Caches.scoped(df
       .select(explode(t.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .select(concat(regexp_replace(col("w"), "(.)", "..$1"), lit(".."))
-        .as("s"), col("wc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .as("s"), col("wc")))
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
     var r = 1
     var exhausted = false
@@ -388,8 +387,7 @@ object TextAnalysis {
       explode(t.tokens(col(textCol))).as("w"))
     // distinct-word table: persisted for the same reason as bpeTrain's
     // state (the nsyms join would re-run the corpus explode + distinct)
-    var seg = words.select(col("w")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var seg = graft.core.Caches.scoped(words.select(col("w")).distinct())
       .select(col("w"),
         concat(regexp_replace(col("w"), "(.)", "..$1"), lit(".."))
           .as("s"))

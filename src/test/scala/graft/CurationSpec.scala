@@ -111,6 +111,21 @@ class CurationSpec extends SparkSpec {
       all.agg(max("cum_tokens")).head().getLong(0) == 1750L)
   }
 
+  test("negative score/id fails fast instead of corrupting the key cut") {
+    import spark.implicits._
+    val bad = Seq((1L, 100L, 500L), (2L, 100L, -3L))
+      .toDF("doc_id", "tok", "score")
+    val e = intercept[Throwable] {
+      Curation.budgetSelect(bad, "doc_id", "tok", "score", 1000L).count()
+    }
+    assert(e.getMessage.contains("non-negative"))
+    val badId = Seq((-7L, 100L)).toDF("doc_id", "tok")
+    val e2 = intercept[Throwable] {
+      Curation.shardPlan(badId, "doc_id", "tok", 1000L, epoch = 1).count()
+    }
+    assert(e2.getMessage.contains("non-negative"))
+  }
+
   test("sample stride: ceiling division keeps the hash filter binding") {
     // floor division gave stride=1 for cap < count < 2*cap, so limit(cap)
     // kept only the smallest ids and skewed the last range.
