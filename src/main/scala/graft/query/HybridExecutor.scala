@@ -97,19 +97,26 @@ object HybridExecutor {
     out
   }
 
-  /** V3+V5: payload-filtered cosine top-k, collapsed per game
-    * (score=max, lists=lowercased dedup-sorted unions).
+  /** V3: the payload-filtered cosine top-k frame [[vectorHits]]
+    * collapses -- exposed separately so the eager per-query path can
+    * collect its bounded <= max(3*limit, 15) rows and collapse them
+    * driver-side (one TakeOrderedAndProject stage, no collapse
+    * exchange).
     */
-  def vectorHits(vectors: DataFrame, plan: Plan, qv: Array[Double]): DataFrame = {
-    val k = math.max(3 * plan.limit, 15)
-    val lower_ = (c: Column) => transform(c, x => lower(x))
+  def vectorTopK(vectors: DataFrame, plan: Plan, qv: Array[Double]): DataFrame =
     vectors
       .where(PlanCompiler.vectorPredicate(plan))
       .withColumn("score",
         normalizeScore(graft.functions.CosineSimilarity(col("embedding"),
           org.apache.spark.sql.functions.typedLit(qv.toSeq))))
       .orderBy(desc("score"), desc("vector_id"))
-      .limit(k)
+      .limit(math.max(3 * plan.limit, 15))
+
+  /** V3+V5: payload-filtered cosine top-k, collapsed per game
+    * (score=max, lists=lowercased dedup-sorted unions).
+    */
+  def vectorHits(vectors: DataFrame, plan: Plan, qv: Array[Double]): DataFrame =
+    vectorTopK(vectors, plan, qv)
       .groupBy("game_id")
       // typed Aggregator (TagUnionAgg): buffer = distinct tag set with
       // map-side partial agg, not every hit's list via collect_list
@@ -120,6 +127,43 @@ object HybridExecutor {
           .as("hit_themes"),
         graft.functions.TagUnionAgg.lowerSortedUnion(col("keywords"))
           .as("hit_keywords"))
+
+  /** Driver-side mirror of the [[vectorHits]] collapse over collected
+    * [[vectorTopK]] rows: max score per game + TagUnionAgg's
+    * lowercased dedup-sorted union per tag list (same null handling:
+    * null arrays and null elements are skipped). Bounded input by
+    * construction (k rows), used only on the eager per-query path; the
+    * batch path keeps the distributed collapse and the bench asserts
+    * row-for-row equality between the two every run.
+    */
+  private def collapseTopKLocal(rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType)
+      : (java.util.List[org.apache.spark.sql.Row],
+         org.apache.spark.sql.types.StructType) = {
+    import org.apache.spark.sql.types._
+    val gi = schema.fieldIndex("game_id")
+    val si = schema.fieldIndex("score")
+    val li = Seq("phases", "themes", "keywords").map(schema.fieldIndex)
+    val outSchema = StructType(Seq(schema(gi).copy(name = "game_id"),
+      StructField("hit_score", DoubleType),
+      StructField("hit_phases", ArrayType(StringType)),
+      StructField("hit_themes", ArrayType(StringType)),
+      StructField("hit_keywords", ArrayType(StringType))))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.groupBy(_.get(gi)).foreach { case (gid, rs) =>
+      val score = rs.map(_.getDouble(si)).max
+      val unions = li.map { i =>
+        val set = scala.collection.mutable.HashSet.empty[String]
+        rs.foreach { r =>
+          val a = r.getSeq[String](i)
+          if (a != null) a.foreach(t => if (t != null) set += t.toLowerCase)
+        }
+        set.toSeq.sorted
+      }
+      out.add(org.apache.spark.sql.Row(
+        gid, score, unions(0), unions(1), unions(2)))
+    }
+    (out, outSchema)
   }
 
   /** Full execution of a plan.
@@ -156,6 +200,11 @@ object HybridExecutor {
 
     val base = tables.summariesPrebuilt
       .getOrElse(summaries(tables.games, tables.players))
+    def hitsFrame(vectors: DataFrame): DataFrame = {
+      val qv = queryVector(plan, embedder)
+      EngineMetrics.queryEmbeddingTotal.inc(Seq("deterministic"))
+      vectorHits(vectors, plan, qv)
+    }
     // R1 vector_only: semi/anti-join against embedded game ids (the
     // reference's `positions.vector_id IS (NOT) NULL` EXISTS clause).
     val filtered0 = filteredFor(base, plan, tables)
@@ -175,6 +224,28 @@ object HybridExecutor {
       Some(org.apache.spark.sql.Observation()) else None
     val filtered = obs.map(o =>
       filtered0.observe(o, count(lit(1)).as("total"))).getOrElse(filtered0)
+    // On the eager (Observation) path, the vector top-k is bounded
+    // (<= max(3*limit, 15) rows) just like the page, so its single
+    // TakeOrderedAndProject action runs CONCURRENTLY with the page scan
+    // below, and the per-game collapse happens driver-side
+    // ([[collapseTopKLocal]], byte-equal to the TagUnionAgg collapse --
+    // bench-asserted): per-query latency becomes max(page scan, hit
+    // top-k) + a driver-local scoring job, instead of page scan THEN a
+    // second distributed action that also paid a collapse exchange +
+    // AQE replan.
+    val hitsEager: Option[scala.concurrent.Future[
+        (Array[org.apache.spark.sql.Row],
+         org.apache.spark.sql.types.StructType)]] =
+      if (obs.isDefined) tables.vectors.map { vectors =>
+        val qv = queryVector(plan, embedder)
+        EngineMetrics.queryEmbeddingTotal.inc(Seq("deterministic"))
+        // plan construction (an eager analyzer pass) rides the future
+        // too, overlapping the page subtree's analysis + action
+        scala.concurrent.Future {
+          val tk = vectorTopK(vectors, plan, qv)
+          (tk.collect(), tk.schema)
+        }(scala.concurrent.ExecutionContext.global)
+      } else None
     // With computeTotal the page is collected HERE, as the terminal op of
     // its own action: a terminal orderBy.limit.collect() runs as
     // TakeOrderedAndProject.executeCollect (per-partition top-k + driver
@@ -187,24 +258,60 @@ object HybridExecutor {
     // that by QueryIntent.maxOffset + maxLimit (= 5,500 small summary
     // rows) by design; offset is applied by dropping the already-sorted
     // prefix, exactly what the row_number window does on the lazy path.
-    val (page, total) = obs match {
+    val (pageRowsOpt, page, total) = obs match {
       case Some(o) =>
         val rows = filtered.orderBy(pageOrder: _*).limit(pageLimit).collect()
-        val local = spark.createDataFrame(
-          java.util.Arrays.asList(rows.drop(plan.offset): _*),
-          org.apache.spark.sql.types.StructType(filtered.schema))
+        val kept = rows.drop(plan.offset)
         val t = o.get("total") match {
           case n: Long => n
           case n: Number => n.longValue()
         }
-        (local, t)
+        (Some(kept), null: DataFrame, t)
       case None =>
         // window over <= offset+limit rows only (limited inside).
         val t = if (computeTotal) filtered0.count() else -1L
-        (lazyPageFor(filtered, plan), t)
+        (None, lazyPageFor(filtered, plan), t)
     }
 
-    val (ranked, warnings) = scoreAndRank(page, plan, tables, embedder)
+    val (ranked, warnings) = (pageRowsOpt, hitsEager) match {
+      case (Some(kept), Some(fut)) =>
+        // Page AND hits are bounded local rows here, so the left join
+        // on game_id is a driver-side hash lookup instead of a Spark
+        // broadcast join -- one less exchange job and a smaller tree
+        // under the final local plan. Scoring still runs through the
+        // shared Column builders (rankScored), so formulas cannot
+        // drift from the batch path.
+        val (rows, schema) = scala.concurrent.Await.result(fut,
+          scala.concurrent.duration.Duration.Inf)
+        val (collapsed, _) = collapseTopKLocal(rows, schema)
+        import org.apache.spark.sql.types._
+        val gi = filtered.schema.fieldIndex("game_id")
+        val byGid = new java.util.HashMap[Any, org.apache.spark.sql.Row]()
+        collapsed.forEach(r => byGid.put(r.get(0), r))
+        val merged = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        kept.foreach { pr =>
+          val h = byGid.get(pr.get(gi))
+          val tail = if (h == null) Seq(null, null, null, null)
+            else Seq(h.get(1), h.get(2), h.get(3), h.get(4))
+          merged.add(org.apache.spark.sql.Row.fromSeq(pr.toSeq ++ tail))
+        }
+        val mergedSchema = StructType(filtered.schema.fields ++ Seq(
+          StructField("hit_score", DoubleType),
+          StructField("hit_phases", ArrayType(StringType)),
+          StructField("hit_themes", ArrayType(StringType)),
+          StructField("hit_keywords", ArrayType(StringType))))
+        (rankScored(spark.createDataFrame(merged, mergedSchema), plan),
+          Seq.empty[String])
+      case _ =>
+        val localPage = pageRowsOpt match {
+          case Some(kept) => spark.createDataFrame(
+            java.util.Arrays.asList(kept: _*),
+            org.apache.spark.sql.types.StructType(filtered.schema))
+          case None => page
+        }
+        // lazy path (or no vectors): keep the hit subtree lazy too
+        scoreAndRank(localPage, plan, tables.vectors.map(hitsFrame))
+    }
 
     val hasMore =
       if (computeTotal) {
@@ -221,15 +328,14 @@ object HybridExecutor {
     * behaves identically on a collected LocalRelation (per-query
     * Observation path) and a lazy distributed page (batch path).
     */
-  private def scoreAndRank(page: DataFrame, plan: Plan, tables: Tables,
-      embedder: DeterministicEmbedder): (DataFrame, Seq[String]) = {
+  private def scoreAndRank(page: DataFrame, plan: Plan,
+      hitsOpt: Option[DataFrame]): (DataFrame, Seq[String]) = {
     // Vector stage (degrades to fallback scoring when no vectors table --
-    // the reference's "vector search unavailable" path).
-    val (withHits, warnings) = tables.vectors match {
-      case Some(vectors) =>
-        val qv = queryVector(plan, embedder)
-        EngineMetrics.queryEmbeddingTotal.inc(Seq("deterministic"))
-        val hits = vectorHits(vectors, plan, qv)
+    // the reference's "vector search unavailable" path). `hitsOpt` is
+    // either the lazy vectorHits subtree or its pre-collected local
+    // frame (Observation path) -- identical rows either way.
+    val (withHits, warnings) = hitsOpt match {
+      case Some(hits) =>
         (page.join(broadcast(hits), Seq("game_id"), "left"), Seq.empty[String])
       case None =>
         (page.withColumn("hit_score", lit(null).cast("double"))
@@ -239,18 +345,21 @@ object HybridExecutor {
           Seq("Vector search unavailable (no vectors table)"))
     }
 
-    val scored = applyScoring(withHits, plan)
+    (rankScored(withHits, plan), warnings)
+  }
 
-    // V13: stable sort -- score desc, ties keep the page's date order
-    // (OCaml List.sort is stable; Spark orderBy is not, so the original
-    // order keys are explicit tiebreakers).
-    val ranked = scored
+  /** applyScoring + the V13 stable rank + final projection -- the tail
+    * every serving path shares once its page-with-hits frame exists.
+    * V13: stable sort -- score desc, ties keep the page's date order
+    * (OCaml List.sort is stable; Spark orderBy is not, so the original
+    * order keys are explicit tiebreakers).
+    */
+  private def rankScored(withHits: DataFrame, plan: Plan): DataFrame =
+    applyScoring(withHits, plan)
       .orderBy(desc("total_score"), col("played_on").desc_nulls_last,
         col("game_id").desc)
       .limit(plan.limit)
       .select(resultColumns.head, resultColumns.tail: _*)
-    (ranked, warnings)
-  }
 
   private val resultColumns = Seq("game_id", "white", "black", "event",
     "played_on_str", "eco_code", "opening_name", "opening_slug", "result",
@@ -317,19 +426,25 @@ object HybridExecutor {
       col("tokens"))))
 
   /** Attach tokens + the four score/list columns for one plan (the
-    * direct, no-dispatch form).
+    * direct, no-dispatch form). TWO selects, not seven withColumns:
+    * every DataFrame transformation runs the analyzer eagerly over the
+    * whole accumulated tree, and on the per-query serving path that
+    * analyzer time IS the latency floor -- the data is five local rows.
+    * total_score inlines the two score expressions (deterministic, so
+    * value-identical to referencing the aliases; double-evaluating over
+    * a page of rows is free).
     */
   private def applyScoring(withHits: DataFrame, plan: Plan): DataFrame =
     withHits
-      .withColumn("tokens", tokensCol)
-      .withColumn("vector_score", vectorScoreCol(plan))
-      .withColumn("keyword_score", keywordScoreCol(plan))
-      .withColumn("total_score",
-        lit(vectorWeight) * col("vector_score") +
-          lit(keywordWeight) * col("keyword_score"))
-      .withColumn("phases", phasesCol(plan))
-      .withColumn("themes", themesCol(plan))
-      .withColumn("keywords", keywordsCol(plan))
+      .select(col("*"), tokensCol.as("tokens"))
+      .select(col("*"),
+        vectorScoreCol(plan).as("vector_score"),
+        keywordScoreCol(plan).as("keyword_score"),
+        (lit(vectorWeight) * vectorScoreCol(plan) +
+          lit(keywordWeight) * keywordScoreCol(plan)).as("total_score"),
+        phasesCol(plan).as("phases"),
+        themesCol(plan).as("themes"),
+        keywordsCol(plan).as("keywords"))
 
   /** The lazy page for one plan: orderBy().limit() (top-k, never a
     * global sort) with the offset prefix dropped by a window over the
