@@ -971,6 +971,55 @@ object LlmQueries {
       }.select(unix_micros(col("window_start")).as("w_start_us"),
         col("event_type"), col("n"))),
 
+    // REAL image-header kernel gate: both engines construct well-formed
+    // PNG/GIF/BMP headers (unhex of a hex string built from md5-derived
+    // dims -- big-endian u32 for PNG, byte-swapped little-endian for
+    // GIF/BMP), Spark PARSES them back with Multimodal.imageHeaderMeta,
+    // and the oracle recomputes the encoded dims directly: a hash-match
+    // proves the parser inverts the real container layouts.
+    "llm_image_headers" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 300)
+      def dim(off: Int) = expr("1 + CAST(conv(substring(md5(CAST(doc_id" +
+        s" AS STRING)), $off, 3), 16, 10) AS INT) % 4000")
+      val (w, h) = (dim(1), dim(4))
+      def be32(c: org.apache.spark.sql.Column) = format_string("%08X", c)
+      def le16(c: org.apache.spark.sql.Column) = {
+        val h4 = format_string("%04X", c)
+        concat(substring(h4, 3, 2), substring(h4, 1, 2))
+      }
+      def le32(c: org.apache.spark.sql.Column) = {
+        val h8 = format_string("%08X", c)
+        concat(substring(h8, 7, 2), substring(h8, 5, 2),
+          substring(h8, 3, 2), substring(h8, 1, 2))
+      }
+      val hexPayload = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("89504E470D0A1A0A0000000D49484452"), be32(w), be32(h),
+            lit("0806000000")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("474946383961"), le16(w), le16(h), lit("F70000")))
+        .otherwise(concat(lit("424D"), lit("0" * 24), lit("28000000"),
+          le32(w), le32(h), lit("0100")))
+      Multimodal.withImageHeaderMeta(
+        docs.select(col("doc_id"), unhex(hexPayload).as("payload")),
+        "payload")
+        .select(col("doc_id"), col("img_format"), col("img_width"),
+          col("img_height"))
+    }),
+
+    // Byte-histogram feature over REAL variable payloads (the text
+    // bytes): 16 high-nibble buckets, emitted as non-zero (doc_id, nib,
+    // n) rows; the oracle recounts from the hex encoding (high nibble
+    // of byte j = hex char 2j-1).
+    "llm_byte_hist" -> ((s, d) =>
+      Tables.documents(s, d).where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          posexplode(Multimodal.byteHistogramUdf(
+            col("text").cast("binary"))).as(Seq("bucket", "n")))
+        .where(col("n") > 0)
+        .select(col("doc_id"),
+          expr("substring('0123456789ABCDEF', bucket + 1, 1)").as("nib"),
+          col("n"))),
+
     // Multimodal metadata over text-as-binary (decode stub plumbing:
     // byte length + content hash are the real, verifiable parts).
     "llm_multimodal_meta" -> ((s, d) =>
@@ -2653,6 +2702,32 @@ object LlmQueries {
            event_type, COUNT(*) AS n
          FROM e GROUP BY 1, 2
          HAVING w_start_us + 21600000000 <= (SELECT MAX(ts_us) FROM e)""",
+    // The parser must INVERT the header construction, so the oracle just
+    // recomputes the encoded dims from the same md5 source.
+    "llm_image_headers" ->
+      """WITH m AS (
+           SELECT doc_id,
+             1 + CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 3)) AS BIGINT) % 4000 AS INT) AS w,
+             1 + CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               4, 3)) AS BIGINT) % 4000 AS INT) AS h
+           FROM documents WHERE doc_id < 300)
+         SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+             ELSE 'bmp' END AS img_format,
+           w AS img_width, h AS img_height
+         FROM m""",
+    "llm_byte_hist" ->
+      """WITH hb AS (
+           SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+           FROM documents WHERE doc_id < 300),
+         e AS (
+           SELECT doc_id, unnest(list_transform(range(1, nb + 1), j ->
+             substr(hx, 2 * CAST(j AS INT) - 1, 1))) AS nib
+           FROM hb)
+         SELECT doc_id, nib, CAST(COUNT(*) AS BIGINT) AS n
+         FROM e GROUP BY 1, 2""",
     "llm_multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
            md5(text) AS content_md5

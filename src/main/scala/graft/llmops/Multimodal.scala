@@ -60,6 +60,113 @@ object Multimodal {
     }(rowEnc).toDF()
   }
 
+  /** REAL image-header parser -- past the stub line: container headers
+    * are fixed public layouts, so no codec is needed to read true
+    * dimensions from the leading bytes of a binary column.
+    *
+    *  - PNG: 8-byte signature, IHDR chunk -> big-endian u32 width at
+    *    offset 16, height at 20.
+    *  - GIF (87a/89a): logical-screen little-endian u16 width at 6,
+    *    height at 8.
+    *  - BMP: 14-byte file header + BITMAPINFOHEADER -> little-endian
+    *    i32 width at 18, height at 22 (abs: height may be negative for
+    *    top-down rows).
+    *  - JPEG: FF D8 then an FF-marker segment walk to the first SOF
+    *    (C0-C3, C5-C7, C9-CB, CD-CF): big-endian u16 height then width
+    *    after the precision byte.
+    *
+    * Unknown/truncated payloads -> ("unknown", -1, -1), never a throw:
+    * a crawl's media column always contains garbage.
+    */
+  def imageHeaderMeta(bytes: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def beU32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)
+    def beU16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def leU16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def leI32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3) << 24)
+    val n = bytes.length
+    if (n >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+        u8(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a &&
+        u8(7) == 0x0a)
+      ("png", beU32(16).toInt, beU32(20).toInt)
+    else if (n >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+        u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+      ("gif", leU16(6), leU16(8))
+    else if (n >= 26 && u8(0) == 'B' && u8(1) == 'M')
+      ("bmp", leI32(18), math.abs(leI32(22)))
+    else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // segment walk: FF marker, 2-byte big-endian length including
+      // itself; stop at the first SOF frame header
+      var i = 2
+      var out = ("jpeg", -1, -1)
+      var done = false
+      while (!done && i + 3 < n) {
+        if (u8(i) != 0xff) { done = true } // desynced -> give up
+        else {
+          val marker = u8(i + 1)
+          if (marker == 0xff) i += 1 // fill byte
+          else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7))
+            i += 2 // standalone markers, no length
+          else {
+            val len = beU16(i + 2)
+            val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+            if (isSof) {
+              if (i + 9 <= n)
+                out = ("jpeg", beU16(i + 7), beU16(i + 5)) // (width, height)
+              done = true
+            } else if (len < 2) done = true
+            else i += 2 + len
+          }
+        }
+      }
+      out
+    } else ("unknown", -1, -1)
+  }
+
+  /** Attach the REAL header parse to a binary column: img_format /
+    * img_width / img_height via the same per-partition map shape as
+    * [[withMediaMeta]].
+    */
+  def withImageHeaderMeta(df: DataFrame, binCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(binCol)
+    val add = Seq("img_format", "img_width", "img_height")
+    val clash = add.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withImageHeaderMeta output columns already present: ${clash.mkString(", ")}")
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("img_format", StringType),
+      StructField("img_width", IntegerType),
+      StructField("img_height", IntegerType)))
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val (f, w, h) = imageHeaderMeta(row.getAs[Array[Byte]](idx))
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(f, w, h))
+      }
+    }(rowEnc).toDF()
+  }
+
+  /** 16-bucket high-nibble byte histogram of a binary column (integer
+    * counts, order-independent -- the cheap content-type/entropy feature
+    * a media pipeline screens payloads with before decode). Compiled
+    * per-partition loop; a SQL oracle recomputes it from the hex
+    * encoding (high nibble of byte j = hex char 2j+1).
+    */
+  def byteHistogramUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      val counts = new Array[Long](16)
+      var i = 0
+      while (i < bytes.length) {
+        counts((bytes(i) >> 4) & 0xf) += 1
+        i += 1
+      }
+      counts.toSeq
+    }
+
   /** Deterministic frame-sample positions for a (fake-)video column:
     * `n` evenly spaced byte offsets -- the partition/batch shape of a real
     * frame sampler.

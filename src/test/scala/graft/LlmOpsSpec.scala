@@ -272,6 +272,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(un == 1)
   }
 
+  test("image header parser: real PNG/GIF/BMP/JPEG layouts, safe on junk") {
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 640x480: sig + IHDR, big-endian u32 dims
+    assert(Multimodal.imageHeaderMeta(bytes(
+      "89504E470D0A1A0A0000000D49484452" + "00000280" + "000001E0" +
+        "0806000000")) == ("png", 640, 480))
+    // GIF89a 320x200: little-endian u16 dims
+    assert(Multimodal.imageHeaderMeta(bytes(
+      "474946383961" + "4001" + "C800" + "F70000")) == ("gif", 320, 200))
+    // BMP 800x600 (LE i32; negative height = top-down -> abs)
+    assert(Multimodal.imageHeaderMeta(bytes(
+      "424D" + "0" * 24 + "28000000" + "20030000" + "58020000" + "0100"))
+      == ("bmp", 800, 600))
+    assert(Multimodal.imageHeaderMeta(bytes(
+      "424D" + "0" * 24 + "28000000" + "20030000" + "A8FDFFFF" + "0100"))
+      == ("bmp", 800, 600))
+    // JPEG: SOI + APP0 (skipped via its length) + SOF0 240x320
+    //   SOF0 payload: len=0011, precision 08, height 0140, width 00F0
+    assert(Multimodal.imageHeaderMeta(bytes(
+      "FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000" +
+        "FFC0" + "0011" + "08" + "0140" + "00F0" +
+        "03012200021101031101")) == ("jpeg", 240, 320))
+    // junk / truncated / empty never throw
+    assert(Multimodal.imageHeaderMeta(Array[Byte]()) == ("unknown", -1, -1))
+    assert(Multimodal.imageHeaderMeta(bytes("DEADBEEF")) ==
+      ("unknown", -1, -1))
+    assert(Multimodal.imageHeaderMeta(bytes("FFD8FFFE")) == ("jpeg", -1, -1))
+    // and the DataFrame form attaches the parse per row
+    import spark.implicits._
+    val df = Seq((1L, "89504E470D0A1A0A0000000D49484452" + "00000280" +
+      "000001E0" + "0806000000")).toDF("id", "hx")
+      .select(col("id"), unhex(col("hx")).as("payload"))
+    val out = Multimodal.withImageHeaderMeta(df, "payload")
+      .select("img_format", "img_width", "img_height").head()
+    assert(out.getString(0) == "png" && out.getInt(1) == 640 &&
+      out.getInt(2) == 480)
+  }
+
   test("hot-fingerprint cap bounds boilerplate pair blowup; spans localize") {
     import spark.implicits._
     // one 12-token boilerplate span in ALL 40 docs (license-header
