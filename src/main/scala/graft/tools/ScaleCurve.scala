@@ -53,6 +53,12 @@ object ScaleCurve {
           col("embedding"))
       }.reduce(_ union _)
     val semCap = 32
+    // ANN scaling inputs: one fixed query vector + SQ8 bounds trained on
+    // the base table (replica values are identical, so the model is
+    // scale-invariant by construction).
+    val annQ = emb.where(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val sq8m = graft.llmops.Pq.sq8Train(emb, "embedding")
 
     def corpusAt(k: Int): DataFrame =
       (0 until k).map { j =>
@@ -148,6 +154,30 @@ object ScaleCurve {
       require(semCand <= semRows * semCap,
         s"semantic capped candidates $semCand exceed linear bound " +
           s"${semRows * semCap} at scale $s")
+      // ANN at-rest IVF: write the replicas partitioned by trained cell,
+      // then probe 4/16 cells -- the scan fraction (rows in probed
+      // cells / total) should hold ~constant as rows grow, and file
+      // pruning means query wall time tracks the PROBED volume only.
+      val annPath = s"/tmp/scalecurve_ann_$s"
+      graft.llmops.Ann.writePartitionedByCell(
+        se.select(col("vec_id"), col("embedding")), "embedding", cents,
+        annPath)
+      val probed = graft.llmops.Ann.probeCells(annQ, cents, 4).toSet
+      val cellPops = keyed.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val probedRows = cellPops.filter { case (c, _) => probed(c) }
+        .values.sum
+      val ivfT0 = System.nanoTime()
+      val ivfN = graft.llmops.Ann.ivfCentroidTopKAtRest(spark, annPath,
+        "vec_id", "embedding", annQ, 10, cents, probes = 4).collect().length
+      val ivfSec = (System.nanoTime() - ivfT0) / 1e9
+      // SQ8 integer scan: full pass over 1-byte/dim codes + exact top-k
+      val sqT0 = System.nanoTime()
+      val sqN = graft.llmops.Pq.sq8IntTopK(
+        graft.llmops.Pq.withSq8(se, "embedding", sq8m), "vec_id", annQ,
+        sq8m, 10).collect().length
+      val sqSec = (System.nanoTime() - sqT0) / 1e9
+      require(ivfN == 10 && sqN == 10, s"ANN top-k short at scale $s")
       println(f"""{"scale":$s,"rows":$rows,""" +
         f""""minhash_pairs":$mh,"minhash_cross":$mhX,""" +
         f""""minhash_sec":$mhSec%.2f,""" +
@@ -166,7 +196,12 @@ object ScaleCurve {
         f""""winnow_rows_per_sec":${rows / wnSec}%.0f,""" +
         f""""semantic_rows":$semRows,"semantic_cand":$semCand,""" +
         f""""semantic_uncapped_cand":$semUncapped,""" +
-        f""""semantic_dups":$semDups,"semantic_sec":$sdSec%.2f}""")
+        f""""semantic_dups":$semDups,"semantic_sec":$sdSec%.2f,""" +
+        f""""ivf_probed_rows":$probedRows,""" +
+        f""""ivf_scan_frac":${probedRows.toDouble / semRows}%.4f,""" +
+        f""""ivf_atrest_sec":$ivfSec%.2f,""" +
+        f""""sq8_rows":$semRows,"sq8_sec":$sqSec%.2f,""" +
+        f""""sq8_rows_per_sec":${semRows / sqSec}%.0f}""")
       c.unpersist()
     }
     spark.stop()
