@@ -65,4 +65,51 @@ class SnapshotCommitSpec extends SparkSpec {
     Snapshots.vacuum(dir, keep = 1)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "v=1")))
   }
+
+  test("retention: keep-last-N window restorable under interleaved writes") {
+    val dir = tmp()
+    def commitN(n: Long) = Snapshots.commit((1L to n).toDF("id"), dir)
+    commitN(10) // v1
+    Snapshots.create((1L to 999L).toDF("id"), dir) // v2: crashed writer
+    commitN(20) // v3
+    // a reader that resolved _CURRENT before the next commit keeps its
+    // fully-committed version -- the files are immutable until vacuum
+    val early = Snapshots.readCurrent(spark, dir) // resolves v3
+    commitN(30) // v4
+    assert(early.count() === 20L)
+    // retention pass: window = last 2 published + current
+    val removed1 = Snapshots.vacuum(dir, keep = 2)
+    assert(removed1 === Seq(1, 2)) // old history + crashed leftover
+    assert(Snapshots.restore(spark, dir, Some(3)).count() === 20L)
+    assert(Snapshots.readCurrent(spark, dir).count() === 30L)
+    // a vacuumed version is GONE, not half-readable
+    intercept[Throwable] {
+      Snapshots.restore(spark, dir, Some(1)).count()
+    }
+    // concurrent-ish: a reader loop polling readCurrent while more
+    // commits land must only ever observe fully-committed row counts
+    val valid = Set(30L, 40L, 50L)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try seen.add(Snapshots.readCurrent(spark, dir).count())
+        catch { case _: Throwable => () }
+      }
+    })
+    reader.start()
+    try {
+      commitN(40) // v5
+      commitN(50) // v6
+    } finally { stop.set(true); reader.join() }
+    assert(!seen.isEmpty)
+    seen.forEach(c => assert(valid.contains(c),
+      s"reader observed a torn/partial snapshot count $c"))
+    // second retention pass over the deeper history
+    val removed2 = Snapshots.vacuum(dir, keep = 3)
+    assert(removed2 === Seq(3))
+    for ((ver, n) <- Seq(4 -> 30L, 5 -> 40L, 6 -> 50L))
+      assert(Snapshots.restore(spark, dir, Some(ver)).count() === n)
+    assert(Snapshots.currentVersion(dir) === Some(6))
+  }
 }
