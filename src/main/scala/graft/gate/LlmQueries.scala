@@ -415,9 +415,16 @@ object LlmQueries {
         window = 2, maxDocFrac = 0.03)
         .where(col("kept_lines") > 0)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      val kept = TextAnalysis.withClassifier(cleaned, "clean_text",
-        dims = 64, seed = "clf")
-        .where(col("clf_keep"))
+      // temperatureMix reads its input twice (stratum counts + the
+      // final join) and lineDedup's exploded frame is itself
+      // multi-scanned -- pin the funnel output once so the expensive
+      // upstream chain materializes a single time (the stage-table
+      // pattern; at warehouse scale this is the checkpoint between
+      // funnel stages).
+      val kept = graft.core.Caches.scoped(
+        TextAnalysis.withClassifier(cleaned, "clean_text",
+          dims = 64, seed = "clf")
+          .where(col("clf_keep")))
       Curation.temperatureMix(kept, "doc_id", "lang", salt = "p2")
         .select(col("doc_id"), col("lang"),
           md5(col("clean_text")).as("clean_md5"))
