@@ -1059,7 +1059,22 @@ object LlmQueries {
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("resized_md5"), col("frame_mid"), col("dim"),
           floor(col("v") * 1000000).cast("long").as("v_micro"))
-    }))
+    }),
+
+    // Deterministic train/val/test split (80/10/10): pure hash-of-id
+    // assignment, disjoint + exhaustive by construction, reproducible
+    // from (salt, id) alone in any engine.
+    "llm_split" -> ((s, d) =>
+      Curation.hashSplit(Tables.documents(s, d), "doc_id", salt = "sp",
+        fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))),
+
+    // Keyword extraction: per-doc top-3 terms by rational tf-idf
+    // (tf/df; integer inputs, one IEEE division, deterministic term
+    // tie-break -- no libm in the ranking).
+    "llm_keywords" -> ((s, d) =>
+      TextAnalysis.topTerms(Tables.documents(s, d), "doc_id", "text",
+        k = 3)))
 
   /** llm_ann_ivf oracle, built at Verify time from the SAME deterministic
     * training the gate query runs: k-means itself is not SQL-expressible,
@@ -2965,5 +2980,28 @@ object LlmQueries {
           FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
           CROSS JOIN stats
           GROUP BY doc_id
-          ORDER BY score_micro DESC, doc_id LIMIT 25""")
+          ORDER BY score_micro DESC, doc_id LIMIT 25""",
+    "llm_split" ->
+      s"""SELECT doc_id,
+            CASE WHEN ${duckHex8("'sp:' || CAST(doc_id AS VARCHAR)")}
+                   % 10000 < 8000 THEN 'train'
+                 WHEN ${duckHex8("'sp:' || CAST(doc_id AS VARCHAR)")}
+                   % 10000 < 9000 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents""",
+    // Rational tf-idf: tf/df is a single correctly-rounded division in
+    // both engines; equal rationals tie-break on the term.
+    "llm_keywords" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                 FROM tok GROUP BY doc_id, term),
+          dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          ranked AS (
+            SELECT doc_id, term, tf, df,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rank
+            FROM tf JOIN dfreq USING (term))
+          SELECT doc_id, term, tf, df, rank
+          FROM ranked WHERE rank <= 3""")
 }

@@ -26,6 +26,23 @@ object Ann {
       .orderBy(desc("score"), col("id"))
       .limit(k)
 
+  /** Recall of an approximate top-k against the exact one: one row
+    * (hits, k_exact) where hits = |approx ∩ exact| by id -- recall@k is
+    * hits/k_exact. This is the tuning primitive for every approximate
+    * tier (probes / scan fraction / code size vs recall): measure, don't
+    * guess. Both inputs are k-row frames, so the semi join is trivially
+    * broadcast; the call composes with any (exact, approx) pair from
+    * [[bruteForceTopK]] / [[ivfCentroidTopK]] / [[rpTopK]] / PQ tiers.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+      idCol: String = "id"): DataFrame = {
+    val hits = exact.select(col(idCol))
+      .join(broadcast(approx.select(col(idCol))), Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val kx = exact.agg(count(lit(1)).as("k_exact"))
+    hits.crossJoin(broadcast(kx))
+  }
+
   /** Sign-bit cell id over the first `bits` dimensions. */
   def cellOf(query: Seq[Double], bits: Int): String =
     query.take(bits).map(x => if (x >= 0) '1' else '0').mkString

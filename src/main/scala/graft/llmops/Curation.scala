@@ -60,6 +60,38 @@ object Curation {
     df.where(bucket < threshold)
   }
 
+  /** Deterministic train/validation/test split: every row gets exactly
+    * one named split, decided by the same layout/RNG-independent
+    * hash-of-id bucket as [[deterministicSample]] (0.01% resolution).
+    * The split assignment is a pure map -- no shuffle, stable under
+    * repartitioning/retries, and any engine reproduces it from (salt,
+    * id) alone, so train/test membership survives reprocessing: the
+    * property that prevents silent test-set leakage when a 100 TB
+    * corpus is re-curated.
+    *
+    * `fractions` are (name, fraction) in assignment order; they must sum
+    * to 1 at the 1/10000 resolution (checked). A row's bucket falls in
+    * exactly one cumulative interval, so splits are disjoint and
+    * exhaustive by construction.
+    */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "hashSplit needs at least one split")
+    val widths = fractions.map { case (_, f) => math.round(f * 10000.0) }
+    require(widths.sum == 10000L,
+      s"split fractions must sum to 1 at 1/10000 resolution, " +
+        s"got ${widths.sum / 10000.0}")
+    val bucket = conv(substring(
+      md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000L
+    val cuts = widths.scanLeft(0L)(_ + _).tail // cumulative upper bounds
+    val split = fractions.map(_._1).zip(cuts).init
+      .foldRight(lit(fractions.last._1): Column) {
+        case ((name, cut), acc) => when(bucket < cut, name).otherwise(acc)
+      }
+    df.withColumn("split", split)
+  }
+
   /** Deterministic WEIGHTED Bernoulli sampling: keep a row with
     * probability weightMicro/1e6 (integer micros in [0, 1e6], e.g. a
     * quality or novelty score), decided by the same layout/RNG

@@ -139,6 +139,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("total_count"),
         countDistinct("doc_key").as("doc_freq"))
 
+  /** Per-document keyword extraction: top-k terms by tf-idf with a
+    * RATIONAL idf (score = tf/df; the corpus-constant N factor cancels
+    * within a document's ranking). The rational form keeps the gate
+    * hash-exact across engines: tf and df are integers, tf/df is ONE
+    * correctly-rounded IEEE division (no libm), and equal rationals
+    * (2/4 = 1/2) compare equal in both engines, falling through to the
+    * deterministic term tie-break.
+    *
+    * Scale shape: explode -> (doc, term) count with map-side combine;
+    * df re-aggregates that same frame (pinned once -- two consumers);
+    * the term join shuffles 16-byte (term, df) rows, never text; the
+    * per-doc top-k is one rank window on the doc key. No frame in the
+    * chain carries the document body past the tokenizer.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = graft.core.Caches.scoped(
+      df.select(col(idCol).as("doc_key"),
+          explode(tokens(col(textCol))).as("term"))
+        .groupBy("doc_key", "term")
+        .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_key")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_key").as(idCol), col("term"), col("tf"), col("df"),
+        col("rank"))
+  }
+
   /** BM25 top-k document ranking for a bag of query terms (Robertson
     * k1/b form, idf = ln((N - df + 0.5)/(df + 0.5) + 1) as in Lucene).
     * Replaces keyword-overlap scoring (reference hybrid_executor.ml
