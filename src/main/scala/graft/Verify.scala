@@ -15,20 +15,30 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as raw ns longs.
+      // If events.parquet carries TIMESTAMP(NANOS), read as raw ns longs
+      // (TIMESTAMP(MICROS) vintages normalize in Tables.events instead).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // test tables are single-row-group files; allow sub-file splits
       .config("spark.sql.files.maxPartitionBytes", "4194304")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A throwing gate must leave an explicit record, not a silent hole:
+    // the driver's compare only reports on dumped dirs, so an exception
+    // here would otherwise DROP the gate from CORRECTNESS_r{N}.json and
+    // read as "no failures" (round-10 postmortem). verify_failures.json
+    // names every gate that threw so the file set diffs cleanly against
+    // the gate inventory.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        failures(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
       }
       // operator-internal persists die with the query that pinned them
       finally graft.core.Caches.releaseScoped()
@@ -56,6 +66,13 @@ object Verify {
     val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} gate(s) FAILED: " +
+          failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -973,7 +973,8 @@ object LlmQueries {
       graft.streaming.StreamingGate.availableNow(s, s"$d/events.parquet",
         "window") { in =>
         graft.streaming.StreamingStats.windowedCounts(
-          in.withColumn("ts_t", timestamp_micros(expr("ts div 1000"))),
+          graft.core.Tables.withTsNanos(in)
+            .withColumn("ts_t", timestamp_micros(expr("ts div 1000"))),
           "ts_t", "event_type", "6 hours", "0 seconds")
       }.select(unix_micros(col("window_start")).as("w_start_us"),
         col("event_type"), col("n"))),

@@ -133,7 +133,7 @@ object RelationalQueries {
     }),
 
     // Window functions: row_number / lag / exact running sum per user.
-    // events.ts arrives as raw nanosecond longs (nanosAsLong).
+    // Tables.events pins ts to epoch-nanosecond longs.
     "q11_window" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts_us"), col("event_id"))
