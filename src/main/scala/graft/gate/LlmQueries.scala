@@ -770,10 +770,15 @@ object LlmQueries {
           floor(col("v") * 1000000).cast("long").as("v_micro"))
     }),
 
-    // KNN graph: top-3 neighbors per vector within hyperplane LSH cells.
+    // KNN graph: top-3 neighbors per vector within hyperplane LSH cells,
+    // with the hot-cell md5 sub-split cap engaged (cap 150 vs ~125/cell
+    // at sf0.001/0.01 and ~500/cell at sf0.1 keeps both the capped and
+    // uncapped branches live across the SF family). Oracle re-makes the
+    // identical pop -> ceil(pop/cap) -> md5(id) mod k split in SQL.
     "llm_knn_graph" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Ann.knnJoin(emb, emb, "vec_id", "embedding", k = 3, planes = 2)
+      Ann.knnJoin(emb, emb, "vec_id", "embedding", k = 3, planes = 2,
+        maxCellPop = knnGraphMaxCellPop)
         .select(col("lid"), col("rid"),
           floor(col("score") * 1000000).cast("long").as("cosine_micro"))
     }),
@@ -1209,6 +1214,13 @@ object LlmQueries {
     * cell population (sf0.001-0.1) keeps both branches live.
     */
   private[gate] val semanticDedupMaxCellPop = 32
+
+  /** llm_knn_graph's hot-cell population cap ([[Ann.knnJoin]]
+    * maxCellPop): 150 vs ~125 average cell population at sf0.001/0.01
+    * (4 hyperplane cells over 500 vectors) and ~500 at sf0.1 -- the
+    * small SFs keep uncapped cells, sf0.1 sub-splits every cell.
+    */
+  private[gate] val knnGraphMaxCellPop = 150
 
   /** llm_semantic_dedup oracle: the same centroid-VALUES injection as
     * [[annIvfOracleSql]] (k-means is not SQL-expressible; everything
@@ -2803,10 +2815,20 @@ object LlmQueries {
             CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_micro
           FROM pairs WHERE j >= 0.8""",
     "llm_knn_graph" ->
-      s"""WITH v AS (
+      s"""WITH v0 AS (
            SELECT vec_id,
              ${duckHyperCell("embedding", 2)} AS cell,
              embedding FROM embeddings),
+         pop AS (SELECT cell, COUNT(*) AS n FROM v0 GROUP BY cell),
+         v AS (
+           SELECT v0.vec_id, v0.cell, v0.embedding,
+             CASE WHEN p.n > $knnGraphMaxCellPop THEN
+               CAST(('0x' || substr(md5(CAST(v0.vec_id AS VARCHAR)), 1, 14))
+                 AS BIGINT)
+               % CAST(CEIL(CAST(p.n AS DOUBLE)
+                   / $knnGraphMaxCellPop) AS BIGINT)
+             ELSE 0 END AS sub
+           FROM v0 JOIN pop p USING (cell)),
          pairs AS (
            SELECT l.vec_id AS lid, r.vec_id AS rid,
              list_sum(list_transform(range(1, len(l.embedding) + 1), i ->
@@ -2817,7 +2839,8 @@ object LlmQueries {
               sqrt(list_sum(list_transform(r.embedding, x ->
                 CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
            FROM v l JOIN v r
-             ON l.cell = r.cell AND l.vec_id <> r.vec_id),
+             ON l.cell = r.cell AND l.sub = r.sub
+            AND l.vec_id <> r.vec_id),
          ranked AS (
            SELECT lid, rid, c,
              ROW_NUMBER() OVER (PARTITION BY lid ORDER BY c DESC, rid)

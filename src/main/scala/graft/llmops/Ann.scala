@@ -398,16 +398,76 @@ object Ann {
     * most rows into the all-positive sign bucket, degenerating the
     * within-cell join to near-O(n^2); random hyperplanes stay balanced
     * under rotation/offset.
+    *
+    * `maxCellPop` closes the remaining quadratic hole: N near-identical
+    * vectors (web-scale boilerplate) land in ONE cell no matter how many
+    * planes, and the within-cell join goes O(N^2). A cell whose RIGHT
+    * population exceeds the cap is sub-split into k = ceil(pop/cap)
+    * deterministic md5(id)-mod-k sub-buckets on BOTH sides (the
+    * [[Dedup.semanticKeyed]] protocol: first 14 hex chars of
+    * md5(cast(id as string)) base-16), so per-left candidates are
+    * bounded by ~maxCellPop and total pair volume by pop*cap -- linear
+    * in pop. Recall trade is one-sided: only neighbors split across
+    * sub-buckets of a hot cell can be lost, and a hot cell is exactly
+    * the near-duplicate pile where any k of the pile are
+    * interchangeable neighbors. The cell histogram is bounded by
+    * 2^planes, broadcastable by construction.
     */
+  /** Per-cell sub-split factor from a hyperplane-celled frame:
+    * (cell, __k) with k = ceil(pop/maxCellPop) for hot cells, 1
+    * otherwise. At most 2^planes rows -- broadcastable by construction.
+    */
+  private[graft] def hotCellSubK(celled: DataFrame,
+      maxCellPop: Int): DataFrame =
+    celled.groupBy("cell").agg(count(lit(1)).as("__pop"))
+      .select(col("cell"),
+        when(col("__pop") > maxCellPop,
+          ceil(col("__pop").cast("double") / maxCellPop).cast("long"))
+          .otherwise(lit(1L)).as("__k"))
+
+  /** md5(id)-mod-k sub-bucket within each cell (the semanticKeyed
+    * protocol: first 14 hex chars of md5(cast(id as string)), base-16).
+    */
+  private[graft] def withHotCellSub(celled: DataFrame, idName: String,
+      subK: DataFrame): DataFrame =
+    celled.join(broadcast(subK), Seq("cell"))
+      .withColumn("__sub",
+        pmod(conv(substring(md5(col(idName).cast("string")), 1, 14),
+          16, 10).cast("long"), col("__k")))
+      .drop("__k")
+
+  /** Self-join keying as [[knnJoin]] applies it: (id, cell, __sub) with
+    * the sub-split factor from the frame's own cell histogram -- the
+    * ScaleCurve harness derives capped candidate volume from exactly
+    * the keys the join would use.
+    */
+  private[graft] def knnKeyed(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, seed: Int, maxCellPop: Int): DataFrame = {
+    val celled = withHyperplaneCell(df, vecCol, planes, seed)
+      .select(col(idCol).as("id"), col("cell"))
+    withHotCellSub(celled, "id", hotCellSubK(celled, maxCellPop))
+  }
+
   def knnJoin(left: DataFrame, right: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 8, seed: Int = 42): DataFrame = {
-    val l = withHyperplaneCell(left, vecCol, planes, seed)
+      vecCol: String, k: Int, planes: Int = 8, seed: Int = 42,
+      maxCellPop: Int = Int.MaxValue): DataFrame = {
+    require(maxCellPop > 0, "maxCellPop must be positive")
+    val l0 = withHyperplaneCell(left, vecCol, planes, seed)
       .select(col(idCol).as("lid"), col(vecCol).cast("array<double>").as("lv"),
         col("cell"))
-    val r = withHyperplaneCell(right, vecCol, planes, seed)
+    val r0 = withHyperplaneCell(right, vecCol, planes, seed)
       .select(col(idCol).as("rid"), col(vecCol).cast("array<double>").as("rv"),
         col("cell"))
-    val scored = l.join(r, Seq("cell"))
+    val (l, r, joinKeys) =
+      if (maxCellPop == Int.MaxValue) (l0, r0, Seq("cell"))
+      else {
+        // Sub-split factor from the RIGHT side (the candidate pool being
+        // searched); both sides split by their own id under the same k.
+        val subK = hotCellSubK(r0, maxCellPop)
+        (withHotCellSub(l0, "lid", subK), withHotCellSub(r0, "rid", subK),
+          Seq("cell", "__sub"))
+      }
+    val scored = l.join(r, joinKeys)
       .where(col("lid") =!= col("rid"))
       .select(col("lid"), col("rid"), graft.functions.CosineSimilarity(col("lv"), col("rv")).as("score"))
     val w = org.apache.spark.sql.expressions.Window

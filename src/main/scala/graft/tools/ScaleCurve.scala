@@ -154,6 +154,32 @@ object ScaleCurve {
       require(semCand <= semRows * semCap,
         s"semantic capped candidates $semCand exceed linear bound " +
           s"${semRows * semCap} at scale $s")
+      // KNN-graph join under the hot-cell cap: identical-vector replicas
+      // pile every copy into ONE hyperplane cell (LSH's adversarial
+      // case), so uncapped within-cell candidates grow quadratically
+      // with the replica factor while the md5 sub-split keeps capped
+      // volume within the linear sum(pop_i * cap) bound. Edge count
+      // stays k-bounded per row; wall time tracks capped candidates.
+      val knnCap = 64
+      val knnT0 = System.nanoTime()
+      val knnKeyed = graft.llmops.Ann.knnKeyed(se, "vec_id", "embedding",
+        planes = 4, seed = 42, maxCellPop = knnCap)
+      val knnHist = knnKeyed.groupBy("cell", "__sub")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2")).as("cand"),
+          sum(expr("n * (n - 1)")).as("ordCand")).head()
+      val knnCand = knnHist.getLong(0)
+      val knnEdges = graft.llmops.Ann.knnJoin(se, se, "vec_id",
+        "embedding", k = 3, planes = 4, maxCellPop = knnCap).count()
+      val knnSec = (System.nanoTime() - knnT0) / 1e9
+      val knnUncapped = knnKeyed.groupBy("cell")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2")).as("c")).head().getLong(0)
+      require(knnCand <= semRows * knnCap,
+        s"knn capped candidates $knnCand exceed linear bound " +
+          s"${semRows * knnCap} at scale $s")
+      require(knnEdges <= semRows * 3,
+        s"knn edges $knnEdges exceed k-bound ${semRows * 3} at scale $s")
       // ANN at-rest IVF: write the replicas partitioned by trained cell,
       // then probe 4/16 cells -- the scan fraction (rows in probed
       // cells / total) should hold ~constant as rows grow, and file
@@ -197,6 +223,8 @@ object ScaleCurve {
         f""""semantic_rows":$semRows,"semantic_cand":$semCand,""" +
         f""""semantic_uncapped_cand":$semUncapped,""" +
         f""""semantic_dups":$semDups,"semantic_sec":$sdSec%.2f,""" +
+        f""""knn_cand":$knnCand,"knn_uncapped_cand":$knnUncapped,""" +
+        f""""knn_edges":$knnEdges,"knn_sec":$knnSec%.2f,""" +
         f""""ivf_probed_rows":$probedRows,""" +
         f""""ivf_scan_frac":${probedRows.toDouble / semRows}%.4f,""" +
         f""""ivf_atrest_sec":$ivfSec%.2f,""" +

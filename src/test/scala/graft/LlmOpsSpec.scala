@@ -156,6 +156,38 @@ class LlmOpsSpec extends SparkSpec {
     counts.foreach(r => assert(r.getLong(1) <= 2))
   }
 
+  test("knnJoin hot-cell cap bounds mega-cluster candidates") {
+    import spark.implicits._
+    // 60 identical vectors land in ONE hyperplane cell no matter how
+    // many planes (the web-boilerplate shape that defeats LSH); 3
+    // opposite-sign vectors form a healthy cell.
+    val hot = (1L to 60L).map(i => (i, Seq(1.0, 0.0, 0.0, 0.0)))
+    val cold = (100L to 102L).map(i => (i, Seq(-1.0, 0.0, 0.0, 0.0)))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    // cap = 10 -> hot cell (pop 60) sub-splits into ceil(60/10) = 6
+    // md5(id)-mod-6 sub-buckets; cold cell (pop 3) keeps sub = 0.
+    val knn = Ann.knnJoin(df, df, "vec_id", "embedding", k = 2,
+      planes = 4, maxCellPop = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def subOf(id: Long, k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(14)
+      java.lang.Long.parseLong(hex, 16) % k
+    }
+    val perLid = knn.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perLid.values.forall(_ <= 2))
+    // every hot-cell edge stays inside one md5 sub-bucket: the join
+    // never compared rows across sub-buckets, so per-left candidate
+    // count is bounded by the sub population (~cap), not the cell's 60
+    knn.filter(_._1 <= 60L).foreach { case (lid, rid) =>
+      assert(subOf(lid, 6) == subOf(rid, 6),
+        s"edge ($lid,$rid) crosses sub-buckets")
+    }
+    // cold cell is under the cap: uncapped all-pairs semantics intact
+    assert(knn.count { case (l, r) => l >= 100L && r >= 100L } == 6)
+  }
+
   test("langId deterministic and stable on documents") {
     val out = TextAnalysis.withLangId(docs.limit(20), "text")
       .select("lang_pred").distinct().collect().map(_.getString(0))
