@@ -784,13 +784,15 @@ object LlmQueries {
     }),
 
     // SimHash near-dup pairs: 16-bit hashes, 4-bit band candidates,
-    // hamming <= 3 verification.
-    // capped slice: 16-bit simhash over a vocab-identical corpus has
-    // quadratic band collisions by construction; 600 docs verifies the
-    // algorithm (the full sf0.01 set) without a pathological pair count.
+    // hamming <= 3 verification, over the FULL documents table. 16-bit
+    // simhash of a vocab-identical corpus collides quadratically by
+    // construction; the operator's banded hot-bucket cap (pop > cap ->
+    // md5 sub-split, mirrored in SQL) is what makes the full input
+    // tractable -- the cap IS part of what this gate verifies.
     "llm_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d).where(col("doc_id") < 600),
-        "doc_id", "text", bits = 16, bandBits = 4, maxHamming = 3)),
+      Dedup.simhashPairs(Tables.documents(s, d),
+        "doc_id", "text", bits = 16, bandBits = 4, maxHamming = 3,
+        maxBucketPop = simhashMaxBucketPop)),
 
     // N-gram Jaccard near-dup pairs via size-banding. The oracle is
     // BRUTE FORCE over all pairs: a hash-match proves the log-size
@@ -1221,6 +1223,14 @@ object LlmQueries {
     * small SFs keep uncapped cells, sf0.1 sub-splits every cell.
     */
   private[gate] val knnGraphMaxCellPop = 150
+
+  /** llm_simhash_pairs' hot-bucket population cap
+    * ([[Dedup.simhashPairs]] maxBucketPop): 48 vs ~31 average (band,
+    * chunk) population at sf0.001/0.01 (500 docs over 16 4-bit chunks)
+    * and ~312 at sf0.1 -- small SFs keep mostly-uncapped buckets, sf0.1
+    * sub-splits the hot ones.
+    */
+  private[gate] val simhashMaxBucketPop = 48
 
   /** llm_semantic_dedup oracle: the same centroid-VALUES injection as
     * [[annIvfOracleSql]] (k-means is not SQL-expressible; everything
@@ -2850,8 +2860,7 @@ object LlmQueries {
          FROM ranked WHERE rn <= 3""",
     "llm_simhash_pairs" ->
       s"""WITH toks AS (
-            SELECT doc_id, $duckToks AS ws FROM documents
-            WHERE doc_id < 600),
+            SELECT doc_id, $duckToks AS ws FROM documents),
           sh AS (
             SELECT doc_id,
               array_to_string(list_transform(range(0, 16), j ->
@@ -2865,11 +2874,24 @@ object LlmQueries {
             SELECT doc_id, h, CAST(b AS INT) AS band,
               substr(h, CAST(b*4+1 AS INT), 4) AS chunk
             FROM sh, (VALUES (0), (1), (2), (3)) bands(b)),
+          pop AS (
+            SELECT band, chunk, COUNT(*) AS n
+            FROM banded GROUP BY band, chunk),
+          bsub AS (
+            SELECT b.doc_id, b.h, b.band, b.chunk,
+              CASE WHEN p.n > $simhashMaxBucketPop THEN
+                CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT)
+                % CAST(CEIL(CAST(p.n AS DOUBLE)
+                    / $simhashMaxBucketPop) AS BIGINT)
+              ELSE 0 END AS sub
+            FROM banded b JOIN pop p USING (band, chunk)),
           cand AS (
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
               l.h AS h_a, r.h AS h_b
-            FROM banded l JOIN banded r
+            FROM bsub l JOIN bsub r
               ON l.band = r.band AND l.chunk = r.chunk
+             AND l.sub = r.sub
              AND l.doc_id < r.doc_id)
           SELECT id_a, id_b,
             CAST(list_sum(list_transform(range(1, 17), i ->

@@ -203,22 +203,55 @@ object Dedup {
 
   /** SimHash near-dup pairs: `bits`-bit simhash, banded into bits/bandBits
     * chunks for candidate generation, hamming-distance verification.
+    *
+    * `maxBucketPop` bounds the quadratic failure mode of short hashes /
+    * low-entropy corpora: when many docs share a band chunk (16-bit
+    * simhash over a shared-vocabulary corpus collides by construction;
+    * at web scale, boilerplate does the same), the within-bucket join is
+    * O(pop^2). A (band, chunk) bucket whose population exceeds the cap
+    * sub-splits into ceil(pop/cap) deterministic md5(id)-mod-k
+    * sub-buckets ([[semanticKeyed]] protocol), bounding per-bucket pair
+    * volume by pop*cap. Recall trade is one-sided -- a pair split across
+    * sub-buckets in EVERY band it collides in is no longer compared --
+    * and hot buckets are exactly where hamming-verified survivors are
+    * interchangeable. The (band, chunk) histogram has at most
+    * (bits/bandBits) * 2^bandBits rows; it is broadcast when bandBits
+    * keeps that bounded, shuffled otherwise.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 64, bandBits: Int = 16, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 64, bandBits: Int = 16, maxHamming: Int = 3,
+      maxBucketPop: Int = Int.MaxValue): DataFrame = {
+    require(maxBucketPop > 0, "maxBucketPop must be positive")
     val base = df.select(col(idCol).as("id"),
       simhashUdfFor(bits)(tokens(col(textCol))).as("sh"))
     val nBands = bits / bandBits
-    val banded = base.select(col("id"), col("sh"),
+    val banded0 = base.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
         struct(b.as("band"),
           col("sh").substr(b * bandBits + 1, lit(bandBits)).as("chunk"))))
         .as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.chunk"))
+    val banded =
+      if (maxBucketPop == Int.MaxValue) banded0.withColumn("__sub", lit(0L))
+      else {
+        val pops = banded0.groupBy("band", "chunk")
+          .agg(count(lit(1)).as("__pop"))
+          .select(col("band"), col("chunk"),
+            when(col("__pop") > maxBucketPop,
+              ceil(col("__pop").cast("double") / maxBucketPop).cast("long"))
+              .otherwise(lit(1L)).as("__k"))
+        val popsH = if (bandBits <= 20) broadcast(pops) else pops
+        banded0.join(popsH, Seq("band", "chunk"))
+          .withColumn("__sub",
+            pmod(conv(substring(md5(col("id").cast("string")), 1, 14),
+              16, 10).cast("long"), col("__k")))
+          .drop("__k")
+      }
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") &&
           col("l.chunk") === col("r.chunk") &&
+          col("l.__sub") === col("r.__sub") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
