@@ -831,6 +831,16 @@ object LlmQueries {
     "llm_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeTrain(Tables.documents(s, d), "text", rounds = 3)),
 
+    // Batched BPE training: 4 rounds x 4 symbol-disjoint merges per
+    // round = 16 merges in 4 driver actions (vs 16 for sequential
+    // bpeTrain -- the sub-linear wall that real 10^4-merge vocabularies
+    // need). The oracle unrolls the same greedy conflict-free selection
+    // per round in SQL: rank-1 pair, then best pair sharing no symbol
+    // with earlier picks, then the batch replace chain in rank order.
+    "llm_bpe_batch" -> ((s, d) =>
+      TextAnalysis.bpeTrainBatched(Tables.documents(s, d), "text",
+        rounds = 4, perRound = 4)),
+
     // BPE encode: tokenize the corpus under the 3 merges just trained
     // (train -> apply composition); per-doc BPE token counts.
     "llm_bpe_encode" -> ((s, d) => {
@@ -1450,6 +1460,64 @@ object LlmQueries {
             FROM s${r - 1})"""
     }.mkString(",\n          ")
     s"$base,\n          $per"
+  }
+
+  /** llm_bpe_batch oracle: per round, the pair-count CTE from the
+    * previous segmentation, then `perRound` unrolled greedy selections
+    * (selection j excludes any pair sharing a symbol -- left or right --
+    * with selections 1..j-1), then one nested replace chain applying the
+    * batch in rank order. Symbol-disjointness within a batch makes the
+    * chain order-insensitive semantically; rank order keeps it
+    * deterministic anyway.
+    */
+  private def bpeBatchedOracleSql(rounds: Int, perRound: Int): String = {
+    val base = s"""toks AS (SELECT $duckToks AS ws FROM documents),
+          w AS (SELECT unnest(ws) AS w FROM toks),
+          wc AS (SELECT w, COUNT(*) AS wc FROM w GROUP BY w),
+          s0 AS (SELECT regexp_replace(w, '(.)', '..\\1', 'g') || '..'
+                   AS s, wc FROM wc)"""
+    def sym(cte: String, i: Int): String =
+      s"string_split((SELECT pair FROM $cte), ' ')[$i]"
+    val per = (1 to rounds).map { r =>
+      val counts = s"""p$r AS (
+            SELECT unnest(list_transform(range(1, len(sy)), i ->
+              sy[CAST(i AS INT)] || ' ' || sy[CAST(i AS INT) + 1]))
+              AS pair, wc
+            FROM (SELECT list_filter(string_split(s, '..'), x -> x <> '')
+                    AS sy, wc FROM s${r - 1}) t$r
+            WHERE len(sy) >= 2),
+          c$r AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+                  FROM p$r GROUP BY pair)"""
+      val sels = (1 to perRound).map { j =>
+        val noConflict = (1 until j).map { i =>
+          val c = s"b${r}x$i"
+          s"""string_split(pair, ' ')[1] <> ${sym(c, 1)}
+             AND string_split(pair, ' ')[1] <> ${sym(c, 2)}
+             AND string_split(pair, ' ')[2] <> ${sym(c, 1)}
+             AND string_split(pair, ' ')[2] <> ${sym(c, 2)}"""
+        }.mkString(" AND ")
+        val where = if (j == 1) "" else s"WHERE $noConflict"
+        // MATERIALIZED: each selection is referenced by every later
+        // selection's conflict test and twice by the replace chain --
+        // DuckDB's default CTE inlining would re-expand the whole
+        // training prefix exponentially per reference.
+        s"""b${r}x$j AS MATERIALIZED (SELECT pair, cnt FROM c$r $where
+              ORDER BY cnt DESC, pair LIMIT 1)"""
+      }.mkString(",\n          ")
+      val chain = (1 to perRound).foldLeft("s") { (e, j) =>
+        val c = s"b${r}x$j"
+        s"""replace($e,
+             '.' || replace((SELECT pair FROM $c), ' ', '..') || '.',
+             '.' || replace((SELECT pair FROM $c), ' ', '') || '.')"""
+      }
+      s"""$counts,
+          $sels,
+          s$r AS MATERIALIZED (SELECT $chain AS s, wc FROM s${r - 1})"""
+    }.mkString(",\n          ")
+    val sel = (for (r <- 1 to rounds; j <- 1 to perRound) yield
+      s"""SELECT CAST($r AS BIGINT) AS round, CAST($j AS BIGINT) AS rank,
+            pair, cnt FROM b${r}x$j""").mkString(" UNION ALL ")
+    s"WITH $base,\n          $per\n          $sel"
   }
 
   private def bpeMergesOracleSql(rounds: Int): String = {
@@ -2921,6 +2989,7 @@ object LlmQueries {
             chunk_tokens
           FROM chunks""",
     "llm_bpe_merges" -> bpeMergesOracleSql(3),
+    "llm_bpe_batch" -> bpeBatchedOracleSql(4, 4),
     // Capstone 4: the bpe_encode chain (training included) + the
     // quality ranking + the one-window budget cut, all static.
     "llm_pipeline4" ->

@@ -400,6 +400,80 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "pair", "cnt")
   }
 
+  /** Batched BPE training (the public parallel-BPE formulation): per
+    * round, count pairs ONCE, then greedily select up to `perRound`
+    * mutually symbol-disjoint pairs in (cnt desc, pair asc) order and
+    * apply them all in one map-side replace chain. Symbol-disjointness
+    * makes the batch exact: merging (a,b) can only create or destroy
+    * occurrences of pairs that mention a, b, or the new symbol ab, so
+    * the pre-batch counts and occurrence sites of every other selected
+    * pair are invariant -- each round's selection equals what sequential
+    * BPE would pick if restricted to disjoint pairs. The trade vs
+    * [[bpeTrain]]: a pair CREATED by a merge can't be picked until the
+    * next round. Driver actions per training run drop from `merges` to
+    * `rounds` -- the sub-linear wall-clock that makes 10^4-merge
+    * vocabularies practical (the per-merge argmax action is what caps
+    * bpeTrain).
+    *
+    * Returns (round, rank, pair, cnt); rank is the 1-based selection
+    * order within the round. The candidate pool per round is a bounded
+    * 512-row collect; selection failing to fill `perRound` slots from it
+    * throws rather than silently diverging from an oracle that selects
+    * from the unbounded pair table.
+    */
+  def bpeTrainBatched(df: DataFrame, textCol: String, rounds: Int,
+      perRound: Int): DataFrame = {
+    require(rounds > 0 && perRound > 0, "rounds and perRound must be > 0")
+    val spark = df.sparkSession
+    val t = graft.functions.TextFunctions
+    var state = graft.core.Caches.scoped(df
+      .select(explode(t.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(concat(regexp_replace(col("w"), "(.)", "..$1"), lit(".."))
+        .as("s"), col("wc")))
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long)]()
+    (1 to rounds).foreach { r =>
+      val pool = state
+        .select(filter(split(col("s"), "\\.\\."), x => x =!= "").as("sy"),
+          col("wc"))
+        .where(size(col("sy")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("sy")) - 2),
+          i => concat(element_at(col("sy"), i + 1), lit(" "),
+            element_at(col("sy"), i + 2)))).as("pair"), col("wc"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(desc("cnt"), col("pair"))
+        .limit(512).collect()
+      val used = scala.collection.mutable.Set[String]()
+      var rank = 0
+      val it = pool.iterator
+      while (rank < perRound && it.hasNext) {
+        val row = it.next()
+        val pair = row.getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        if (!used(a) && !used(b)) {
+          rank += 1
+          merges += ((r.toLong, rank.toLong, pair, row.getLong(1)))
+          used += a
+          used += b
+        }
+      }
+      require(rank == perRound,
+        s"round $r: only $rank of $perRound disjoint pairs in the " +
+          "512-pair pool -- corpus exhausted or pool too small")
+      // one map-side literal-replace chain for the whole batch, applied
+      // in selection order (symbols are [a-z0-9]+ -- no quoting hazard)
+      val exprStr = merges.takeRight(perRound)
+        .foldLeft("s") { case (e, (_, _, pair, _)) =>
+          val Array(a, b) = pair.split(" ", 2)
+          s"replace($e, '.$a..$b.', '.$a$b.')"
+        }
+      state = state.withColumn("s", expr(exprStr))
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "rank", "pair", "cnt")
+  }
+
   /** BPE encode (the apply half of [[bpeTrain]]): segment every doc's
     * words with an already-trained merge list and return per-doc BPE
     * token counts -- the "how many tokens is this corpus under my

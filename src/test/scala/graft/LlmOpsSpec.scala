@@ -869,6 +869,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(raw.toSeq == Seq((1L, 3L, 19L), (2L, 2L, 9L)))
   }
 
+  test("bpe batched training: disjoint batch equals sequential prefix") {
+    import spark.implicits._
+    val df = Seq((1L, "banana banana bananas cherry cherry"),
+      (2L, "banana nan cherry grape grape")).toDF("doc_id", "text")
+    val batched = TextAnalysis.bpeTrainBatched(df, "text",
+      rounds = 2, perRound = 2)
+      .as[(Long, Long, String, Long)].collect()
+      .sortBy(t => (t._1, t._2))
+    assert(batched.length == 4)
+    // within each round: ranks dense from 1 and pairs symbol-disjoint
+    batched.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1L, 2L))
+      val syms = rows.flatMap(_._3.split(" "))
+      assert(syms.distinct.length == syms.length,
+        s"batch not symbol-disjoint: ${rows.map(_._3).mkString(", ")}")
+    }
+    // the round-1 batch is sequential BPE's merge sequence restricted to
+    // disjoint pairs: rank-1 IS sequential round 1's argmax, and
+    // sequential BPE eventually picks the same rank-2 pair (it spends
+    // earlier rounds on the chain the batch deferred; disjointness
+    // means those merges never change rank-2's count)
+    val seq6 = TextAnalysis.bpeTrain(df, "text", rounds = 6)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(batched(0)._3 == seq6(0)._2 && batched(0)._4 == seq6(0)._3)
+    assert(seq6.map(_._2).contains(batched(1)._3))
+    // too-greedy batches fail loudly instead of silently under-filling
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrainBatched(
+        Seq((1L, "ab ab")).toDF("doc_id", "text"), "text",
+        rounds = 1, perRound = 3)
+    }
+  }
+
   test("bpe pair counts: word-frequency weighted, overlaps counted, ranked") {
     import spark.implicits._
     // word counts: aaab x2, ab x1, x x1 (single char -> no pairs)
