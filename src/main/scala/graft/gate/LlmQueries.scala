@@ -1031,6 +1031,46 @@ object LlmQueries {
           col("img_height"))
     }),
 
+    // REAL WAV-header kernel gate (same protocol as llm_image_headers):
+    // both engines derive PCM params from md5(doc_id), Spark BUILDS a
+    // canonical 44-byte RIFF/WAVE header (unhex of little-endian hex
+    // fields) and PARSES it back with Multimodal.wavHeaderMeta; the
+    // oracle recomputes the encoded params directly -- a hash-match
+    // proves the parser inverts the real container layout.
+    "llm_wav_headers" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 300)
+      def h(off: Int, len: Int) = expr(
+        s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), $off, $len)," +
+          " 16, 10) AS BIGINT)")
+      val ch = (lit(1) + pmod(h(1, 1), lit(2))).cast("int")
+      val rate = (lit(8000) + pmod(h(2, 4), lit(40000))).cast("int")
+      val bits = (lit(8) * (lit(1) + pmod(h(6, 1), lit(3)))).cast("int")
+      val dataLen = pmod(h(10, 5), lit(1000000L))
+      // Spark's `/` is double division; cast back so the %X hex
+      // formatters see integers (values are exact multiples of 8)
+      val blockAlign = (ch * bits / lit(8)).cast("int")
+      val byteRate = rate * blockAlign
+      def le16(c: org.apache.spark.sql.Column) = {
+        val h4 = format_string("%04X", c)
+        concat(substring(h4, 3, 2), substring(h4, 1, 2))
+      }
+      def le32(c: org.apache.spark.sql.Column) = {
+        val h8 = format_string("%08X", c)
+        concat(substring(h8, 7, 2), substring(h8, 5, 2),
+          substring(h8, 3, 2), substring(h8, 1, 2))
+      }
+      val hexPayload = concat(
+        lit("52494646"), le32(lit(36) + dataLen), lit("57415645"), // RIFF/WAVE
+        lit("666D7420"), lit("10000000"), lit("0100"),             // fmt /16/PCM
+        le16(ch), le32(rate), le32(byteRate), le16(blockAlign), le16(bits),
+        lit("64617461"), le32(dataLen))                            // data
+      Multimodal.withWavHeaderMeta(
+        docs.select(col("doc_id"), unhex(hexPayload).as("payload")),
+        "payload")
+        .select(col("doc_id"), col("wav_channels"), col("wav_sample_rate"),
+          col("wav_bits"), col("wav_data_len"))
+    }),
+
     // Byte-histogram feature over REAL variable payloads (the text
     // bytes): 16 high-nibble buckets, emitted as non-zero (doc_id, nib,
     // n) rows; the oracle recounts from the hex encoding (high nibble
@@ -2829,6 +2869,21 @@ object LlmQueries {
            CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
              ELSE 'bmp' END AS img_format,
            w AS img_width, h AS img_height
+         FROM m""",
+    "llm_wav_headers" ->
+      """WITH m AS (
+           SELECT doc_id,
+             1 + CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 1)) AS BIGINT) % 2 AS INT) AS ch,
+             8000 + CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               2, 4)) AS BIGINT) % 40000 AS INT) AS rate,
+             8 * (1 + CAST(CAST(('0x' || substr(md5(CAST(doc_id
+               AS VARCHAR)), 6, 1)) AS BIGINT) % 3 AS INT)) AS bits,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               10, 5)) AS BIGINT) % 1000000 AS data_len
+           FROM documents WHERE doc_id < 300)
+         SELECT doc_id, ch AS wav_channels, rate AS wav_sample_rate,
+           bits AS wav_bits, CAST(data_len AS BIGINT) AS wav_data_len
          FROM m""",
     "llm_byte_hist" ->
       """WITH hb AS (

@@ -150,6 +150,73 @@ object Multimodal {
     }(rowEnc).toDF()
   }
 
+  /** REAL WAV (RIFF/WAVE) header parser -- same no-codec principle as
+    * [[imageHeaderMeta]]: the container layout is a fixed public spec,
+    * so channels / sample rate / bit depth / payload size read straight
+    * off the leading bytes. RIFF signature at 0, WAVE at 8, then a
+    * 4-byte-id + little-endian-u32-size chunk walk: "fmt " carries
+    * channels (u16 @+2), sample rate (u32 @+4), bits/sample (u16 @+14);
+    * "data"'s size is the payload byte length. Chunks are word-aligned
+    * (odd sizes pad one byte). Unknown/truncated payloads ->
+    * (-1, -1, -1, -1), never a throw.
+    */
+  def wavHeaderMeta(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def leU16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def leU32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val n = bytes.length
+    if (n < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") (-1, -1, -1, -1L)
+    else {
+      var i = 12
+      var ch = -1
+      var rate = -1
+      var bits = -1
+      var dataLen = -1L
+      while (i + 8 <= n && (ch < 0 || dataLen < 0)) {
+        val id = tag(i)
+        val size = leU32(i + 4)
+        if (id == "fmt " && size >= 16 && i + 24 <= n) {
+          ch = leU16(i + 10)
+          rate = leU32(i + 12).toInt
+          bits = leU16(i + 22)
+        } else if (id == "data") dataLen = size
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      (ch, rate, bits, dataLen)
+    }
+  }
+
+  /** Attach the REAL WAV header parse to a binary column: wav_channels /
+    * wav_sample_rate / wav_bits / wav_data_len via the same
+    * per-partition map shape as [[withImageHeaderMeta]].
+    */
+  def withWavHeaderMeta(df: DataFrame, binCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(binCol)
+    val add = Seq("wav_channels", "wav_sample_rate", "wav_bits",
+      "wav_data_len")
+    val clash = add.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withWavHeaderMeta output columns already present: ${clash.mkString(", ")}")
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("wav_channels", IntegerType),
+      StructField("wav_sample_rate", IntegerType),
+      StructField("wav_bits", IntegerType),
+      StructField("wav_data_len", LongType)))
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val (c, r, b, l) = wavHeaderMeta(row.getAs[Array[Byte]](idx))
+        // Seq[Any]: a bare Seq(c, r, b, l) weakly unifies Int|Long to
+        // Seq[Long], silently widening the Int fields past the schema
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq[Any](c, r, b, l))
+      }
+    }(rowEnc).toDF()
+  }
+
   /** 16-bucket high-nibble byte histogram of a binary column (integer
     * counts, order-independent -- the cheap content-type/entropy feature
     * a media pipeline screens payloads with before decode). Compiled

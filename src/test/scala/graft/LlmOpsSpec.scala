@@ -343,6 +343,38 @@ class LlmOpsSpec extends SparkSpec {
       out.getInt(2) == 480)
   }
 
+  test("wav header parser: canonical RIFF layout, chunk walk, junk-safe") {
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // canonical 44100 Hz stereo 16-bit, 1000-byte data chunk:
+    // RIFF size | WAVE | fmt(16) PCM ch=2 rate=AC44 byteRate blockAlign
+    val canon = "52494646" + "0C040000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" +
+      "10B10200" + "0400" + "1000" + "64617461" + "E8030000"
+    assert(Multimodal.wavHeaderMeta(bytes(canon)) == ((2, 44100, 16, 1000L)))
+    // a LIST chunk (odd size -> word-aligned skip) before fmt/data
+    val listed = "52494646" + "FF000000" + "57415645" +
+      "4C495354" + "05000000" + "494E464F41" + "00" + // LIST, 5 bytes + pad
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" +
+      "803E0000" + "0200" + "1000" + "64617461" + "64000000"
+    assert(Multimodal.wavHeaderMeta(bytes(listed)) == ((1, 8000, 16, 100L)))
+    // junk / truncated / RIFF-but-not-WAVE never throw
+    assert(Multimodal.wavHeaderMeta(Array[Byte]()) == ((-1, -1, -1, -1L)))
+    assert(Multimodal.wavHeaderMeta(bytes("DEADBEEF")) ==
+      ((-1, -1, -1, -1L)))
+    assert(Multimodal.wavHeaderMeta(bytes(
+      "52494646" + "04000000" + "41564920")) == ((-1, -1, -1, -1L)))
+    // DataFrame form attaches the parse per row
+    import spark.implicits._
+    val df = Seq((1L, canon)).toDF("id", "hx")
+      .select(col("id"), unhex(col("hx")).as("payload"))
+    val out = Multimodal.withWavHeaderMeta(df, "payload")
+      .select("wav_channels", "wav_sample_rate", "wav_bits", "wav_data_len")
+      .head()
+    assert(out.getInt(0) == 2 && out.getInt(1) == 44100 &&
+      out.getInt(2) == 16 && out.getLong(3) == 1000L)
+  }
+
   test("hot-fingerprint cap bounds boilerplate pair blowup; spans localize") {
     import spark.implicits._
     // one 12-token boilerplate span in ALL 40 docs (license-header
