@@ -214,12 +214,18 @@ object Bench {
     val canaryPost = cpuCanary()
     val canarySec = math.min(canaryPre, canaryPost)
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"queries_warm":${jmap(warmResults)},"total_warm":$totalWarm%.3f,"warmup_sec":$warmupSec%.3f,"canary_sec":$canarySec%.3f,"canary_pre_sec":$canaryPre%.3f,"canary_post_sec":$canaryPost%.3f,"engine_metrics":$metrics,"sf":"$sfDir"}"""
-    println(line)
-    // The driver retains only the tail of stdout, which has truncated
-    // the per-query map for the first half of the alphabet in past
-    // round records (r8's llm_pipeline2 time was unverifiable from the
-    // artifact). Persist the COMPLETE record to a repo file too, so
-    // every per-query number is independently checkable.
+    // stdout gets a COMPACT record: the driver's wrapper keeps only a
+    // bounded tail of output and has recorded parsed:null for every
+    // round where the full ~9 KB line's head fell off the window (r9,
+    // r10). One map (warm gates + the chessmate workload numbers)
+    // keeps the stdout line within the window; the full cold+warm+
+    // engine-metrics record goes to BENCH_FULL.json below.
+    val compact = warmResults ++ results.filter(_._1.startsWith("chess_"))
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(compact)},"total_warm":$totalWarm%.3f,"canary_sec":$canarySec%.3f,"sf":"$sfDir"}""")
+    // Persist the COMPLETE record to a repo file, so every per-query
+    // number is independently checkable (the stdout tail has truncated
+    // past rounds' records: r8's llm_pipeline2 time was unverifiable
+    // from the artifact).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),

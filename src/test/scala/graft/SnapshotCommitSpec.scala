@@ -46,6 +46,42 @@ class SnapshotCommitSpec extends SparkSpec {
     assert(Snapshots.restore(spark, dir, Some(2)).count() === 2L)
   }
 
+  test("torn pointer write / partial version dir never reach readers") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmp()
+    Snapshots.commit((1L to 7L).toDF("id"), dir) // v1 committed
+    // CRASH SHAPE 1 -- torn pointer: commit() writes _CURRENT.tmpN then
+    // ATOMIC_MOVEs it, so a crash mid-write can only strand a tmp file
+    // (possibly holding garbage or a half-written version number);
+    // _CURRENT itself is never partially written. Readers must ignore
+    // strays entirely.
+    Files.write(Paths.get(dir, "_CURRENT.tmp9"), "9".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "_CURRENT.tmp10"),
+      Array[Byte](0x31, 0x00, 0x7f)) // binary garbage
+    assert(Snapshots.currentVersion(dir) === Some(1))
+    assert(Snapshots.readCurrent(spark, dir).count() === 7L)
+    // CRASH SHAPE 2 -- partial version dir: a writer died mid-landing,
+    // leaving v=9 with a stray temp file and NO journal line or pointer.
+    val partial = Paths.get(dir, "v=9")
+    Files.createDirectories(partial)
+    Files.write(partial.resolve("_temporary_part-0000.parquet.crc"),
+      "junk".getBytes("UTF-8"))
+    assert(Snapshots.currentVersion(dir) === Some(1))
+    assert(Snapshots.readCurrent(spark, dir).count() === 7L)
+    // recovery: the next commit is unaffected (fresh tmp name, next
+    // version from the journal -- v2, not v10) and publishes atomically
+    val snap = Snapshots.commit((1L to 11L).toDF("id"), dir)
+    assert(snap.version === 2)
+    assert(Snapshots.currentVersion(dir) === Some(2))
+    assert(Snapshots.readCurrent(spark, dir).count() === 11L)
+    // vacuum reclaims the partial dir (unpublished, > pointer at the
+    // time it crashed is irrelevant -- it is simply not in the keep set)
+    val removed = Snapshots.vacuum(dir, keep = 2)
+    assert(removed.contains(9))
+    assert(!Files.exists(partial))
+    assert(Snapshots.readCurrent(spark, dir).count() === 11L)
+  }
+
   test("compactCurrent: new committed version, same data, fewer files") {
     val dir = tmp()
     // many small files: repartition(16) on a tiny frame
