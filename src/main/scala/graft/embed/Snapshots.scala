@@ -18,8 +18,17 @@ object Snapshots {
     Paths.get(baseDir, "snapshots.jsonl")
 
   def create(vectors: DataFrame, baseDir: String): Snapshot = {
-    val versions = list(baseDir).map(_.version)
-    val next = if (versions.isEmpty) 1 else versions.max + 1
+    // Next version = past BOTH the journal and any landed v-dir: a
+    // writer that crashed after landing v=N but before the journal
+    // append (or whose tail line was torn) leaves a dir the journal
+    // does not know about, and re-picking N would abort on the
+    // errorifexists write below.
+    val journaled = list(baseDir).map(_.version)
+    val landed = Option(Paths.get(baseDir).toFile.listFiles())
+      .getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .flatMap(f => f.getName.stripPrefix("v=").toIntOption)
+    val next = (journaled ++ landed).maxOption.getOrElse(0) + 1
     vectors.write.mode("errorifexists").parquet(s"$baseDir/v=$next")
     val rows = vectors.sparkSession.read.parquet(s"$baseDir/v=$next").count()
     val snap = Snapshot(next, rows, System.currentTimeMillis())
@@ -34,11 +43,24 @@ object Snapshots {
   def list(baseDir: String): Seq[Snapshot] = {
     val p = manifestPath(baseDir)
     if (!Files.exists(p)) Seq.empty
-    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { line =>
-      def field(k: String): String =
-        line.split(s""""$k":""")(1).takeWhile(c => c.isDigit)
-      Snapshot(field("version").toInt, field("rows").toLong,
-        field("created_at_ms").toLong)
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).flatMap {
+      line =>
+        // A writer that died mid-append leaves one torn line at the
+        // tail; a journal parser that throws on it would brick every
+        // later create/list/restore. Skip what does not parse -- the
+        // torn line's version was never published (_CURRENT moves
+        // after the journal append), so dropping it loses nothing.
+        def field(k: String): Option[String] =
+          line.split(s""""$k":""") match {
+            case Array(_, rest) =>
+              Some(rest.takeWhile(_.isDigit)).filter(_.nonEmpty)
+            case _ => None
+          }
+        for {
+          v <- field("version")
+          r <- field("rows")
+          c <- field("created_at_ms")
+        } yield Snapshot(v.toInt, r.toLong, c.toLong)
     }
   }
 

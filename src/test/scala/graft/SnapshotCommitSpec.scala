@@ -68,11 +68,12 @@ class SnapshotCommitSpec extends SparkSpec {
       "junk".getBytes("UTF-8"))
     assert(Snapshots.currentVersion(dir) === Some(1))
     assert(Snapshots.readCurrent(spark, dir).count() === 7L)
-    // recovery: the next commit is unaffected (fresh tmp name, next
-    // version from the journal -- v2, not v10) and publishes atomically
+    // recovery: the next commit numbers PAST the crashed writer's
+    // landed dir (v=9 -> next is 10, never an errorifexists collision
+    // with debris) and publishes atomically
     val snap = Snapshots.commit((1L to 11L).toDF("id"), dir)
-    assert(snap.version === 2)
-    assert(Snapshots.currentVersion(dir) === Some(2))
+    assert(snap.version === 10)
+    assert(Snapshots.currentVersion(dir) === Some(10))
     assert(Snapshots.readCurrent(spark, dir).count() === 11L)
     // vacuum reclaims the partial dir (unpublished, > pointer at the
     // time it crashed is irrelevant -- it is simply not in the keep set)
@@ -80,6 +81,19 @@ class SnapshotCommitSpec extends SparkSpec {
     assert(removed.contains(9))
     assert(!Files.exists(partial))
     assert(Snapshots.readCurrent(spark, dir).count() === 11L)
+    // CRASH SHAPE 3 -- torn journal append: a writer that died mid-line
+    // leaves a truncated record at the manifest tail. list() skips it
+    // (the torn version was never published: the pointer moves only
+    // after the append), and the next commit numbers PAST the torn line
+    // rather than colliding with its landed v-dir.
+    Files.write(Paths.get(dir, "snapshots.jsonl"),
+      "{\"version\":12,\"ro".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(Snapshots.list(dir).map(_.version) === Seq(1, 10))
+    assert(Snapshots.readCurrent(spark, dir).count() === 11L)
+    val after = Snapshots.commit((1L to 3L).toDF("id"), dir)
+    assert(after.version === 11)
+    assert(Snapshots.readCurrent(spark, dir).count() === 3L)
   }
 
   test("compactCurrent: new committed version, same data, fewer files") {
