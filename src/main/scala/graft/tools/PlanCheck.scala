@@ -343,6 +343,32 @@ object PlanCheck {
         s"winnowing must be shuffle-free, found ${wnExch.size} exchanges")
       println(s"winnowing: ${wnExch.size} shuffles (per-doc scan, " +
         "map-side only)")
+      // (f) round-11 capped candidate generators: the hot-cell/bucket
+      // histograms are bounded by construction (2^planes cells;
+      // nBands * 2^bandBits chunks) and MUST ride broadcast joins --
+      // a sort-merge join on the sub-key would mean the cap itself
+      // introduced a corpus-sized shuffle.
+      val emb = graft.core.Tables.embeddings(spark, sf)
+      val knn = graft.llmops.Ann.knnJoin(emb, emb, "vec_id", "embedding",
+        k = 3, planes = 2, maxCellPop = 150)
+      val knnStr = knn.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      require(occ(knnStr, "SortMergeJoin") == 0,
+        "capped knnJoin must not sort-merge")
+      println("knnJoin capped: " +
+        s"broadcast=${occ(knnStr, "BroadcastHashJoin")} " +
+        "(sub-k histogram to both sides + within-cell join), " +
+        s"sortmerge=${occ(knnStr, "SortMergeJoin")}")
+      val shp = graft.llmops.Dedup.simhashPairs(docs, "doc_id", "text",
+        bits = 16, bandBits = 4, maxHamming = 3, maxBucketPop = 48)
+      val shpStr = shp.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      require(occ(shpStr, "SortMergeJoin") == 0,
+        "capped simhashPairs must not sort-merge")
+      println("simhashPairs capped: " +
+        s"broadcast=${occ(shpStr, "BroadcastHashJoin")} " +
+        "(bucket histogram to banded rows + banded self-join), " +
+        s"sortmerge=${occ(shpStr, "SortMergeJoin")}")
     }
     spark.stop()
   }
