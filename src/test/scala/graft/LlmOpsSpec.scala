@@ -375,6 +375,50 @@ class LlmOpsSpec extends SparkSpec {
       out.getInt(2) == 16 && out.getLong(3) == 1000L)
   }
 
+  test("simhash hot-bucket cap: capped pairs are a subset of uncapped") {
+    import spark.implicits._
+    // shared-vocab corpus (every doc drawn from 6 tokens) -> short-hash
+    // band collisions everywhere; the cap's recall loss must be
+    // ONE-SIDED: it can only drop pairs, never invent or rescore one.
+    val toks = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val df = (1L to 60L).map { i =>
+      (i, (0 until 12).map(j => toks(((i * 7 + j * 5) % 6).toInt))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.simhashPairs(df, "doc_id", "text",
+      bits = 16, bandBits = 4, maxHamming = 3, maxBucketPop = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val uncapped = run(Int.MaxValue)
+    val capped = run(8)
+    assert(capped.subsetOf(uncapped),
+      s"cap invented pairs: ${(capped -- uncapped).take(3)}")
+    assert(capped.size < uncapped.size,
+      "cap=8 on 60 colliding docs must actually drop candidates")
+    // hamming values of surviving pairs are identical to uncapped's
+    val byPair = uncapped.map(t => (t._1, t._2) -> t._3).toMap
+    capped.foreach { case (a, b, h) => assert(byPair((a, b)) == h) }
+  }
+
+  test("wav header roundtrip property: build -> parse inverts for any params") {
+    val rnd = new scala.util.Random(42)
+    def le16(v: Int) = f"$v%04X".grouped(2).toSeq.reverse.mkString
+    def le32(v: Long) = f"$v%08X".grouped(2).toSeq.reverse.mkString
+    (1 to 200).foreach { _ =>
+      val ch = 1 + rnd.nextInt(8)
+      val rate = 1 + rnd.nextInt(200000)
+      val bits = 8 * (1 + rnd.nextInt(4))
+      val dataLen = rnd.nextInt(10000000).toLong
+      val block = ch * bits / 8
+      val hex = "52494646" + le32(36 + dataLen) + "57415645" +
+        "666D7420" + "10000000" + "0100" + le16(ch) + le32(rate) +
+        le32(rate.toLong * block) + le16(block) + le16(bits) +
+        "64617461" + le32(dataLen)
+      val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      assert(Multimodal.wavHeaderMeta(bytes) == ((ch, rate, bits, dataLen)),
+        s"roundtrip failed for ch=$ch rate=$rate bits=$bits len=$dataLen")
+    }
+  }
+
   test("hot-fingerprint cap bounds boilerplate pair blowup; spans localize") {
     import spark.implicits._
     // one 12-token boilerplate span in ALL 40 docs (license-header
