@@ -109,7 +109,13 @@ object HybridExecutor {
       .withColumn("score",
         normalizeScore(graft.functions.CosineSimilarity(col("embedding"),
           org.apache.spark.sql.functions.typedLit(qv.toSeq))))
-      .orderBy(desc("score"), desc("vector_id"))
+      // game_id tiebreak makes the order TOTAL: vector_id is the fen
+      // hash and the embedding cache dedups by fen, so (score,
+      // vector_id) ties EXACTLY across games sharing a position (any
+      // replicated/boilerplate corpus) -- without it, which game's row
+      // enters the top-k is partition-order luck and the per-query and
+      // batch paths can legally disagree.
+      .orderBy(desc("score"), desc("vector_id"), desc("game_id"))
       .limit(math.max(3 * plan.limit, 15))
 
   /** V3+V5: payload-filtered cosine top-k, collapsed per game
@@ -300,8 +306,55 @@ object HybridExecutor {
           StructField("hit_phases", ArrayType(StringType)),
           StructField("hit_themes", ArrayType(StringType)),
           StructField("hit_keywords", ArrayType(StringType))))
-        (rankScored(spark.createDataFrame(merged, mergedSchema), plan),
-          Seq.empty[String])
+        // Jobless tail: applyScoring is pure Projects, so over this
+        // LocalRelation the optimizer folds the scoring projection into
+        // the LocalTableScan and collect() never touches the scheduler
+        // -- the third per-query Spark action (rankScored's
+        // TakeOrderedAndProject over <= offset+limit local rows, a full
+        // ~70-110 ms action slot) disappears. The V13 sort+limit runs
+        // driver-side over those same rows with rankScored's exact
+        // ordering (total_score desc, played_on desc NULLS LAST,
+        // game_id desc; ids are ASCII so String order == UTF8 binary
+        // order), and the bench asserts byte-equality to the
+        // executeBatch path -- which still runs the Spark orderBy --
+        // every run, so the orderings cannot drift silently.
+        val scored = applyScoring(
+          spark.createDataFrame(merged, mergedSchema), plan)
+        val proj = scored.select(
+          (resultColumns :+ "played_on").map(col): _*)
+        val sch = proj.schema
+        val all = proj.collect()
+        val iS = sch.fieldIndex("total_score")
+        val iD = sch.fieldIndex("played_on")
+        val iG = sch.fieldIndex("game_id")
+        val ord = new Ordering[org.apache.spark.sql.Row] {
+          def compare(x: org.apache.spark.sql.Row,
+              y: org.apache.spark.sql.Row): Int = {
+            val s = java.lang.Double.compare(
+              if (y.isNullAt(iS)) Double.NegativeInfinity
+              else y.getDouble(iS),
+              if (x.isNullAt(iS)) Double.NegativeInfinity
+              else x.getDouble(iS))
+            if (s != 0) s
+            else {
+              val d = (x.isNullAt(iD), y.isNullAt(iD)) match {
+                case (true, true) => 0
+                case (true, false) => 1 // desc NULLS LAST
+                case (false, true) => -1
+                case _ => y.getAs[java.sql.Date](iD)
+                  .compareTo(x.getAs[java.sql.Date](iD))
+              }
+              if (d != 0) d else y.getString(iG).compareTo(x.getString(iG))
+            }
+          }
+        }
+        val outIdx = resultColumns.map(sch.fieldIndex)
+        val top = all.sorted(ord).take(plan.limit).map { r =>
+          org.apache.spark.sql.Row.fromSeq(outIdx.map(r.get))
+        }
+        val finalSchema = StructType(outIdx.map(sch.fields))
+        (spark.createDataFrame(java.util.Arrays.asList(top: _*),
+          finalSchema), Seq.empty[String])
       case _ =>
         val localPage = pageRowsOpt match {
           case Some(kept) => spark.createDataFrame(
@@ -584,8 +637,10 @@ object HybridExecutor {
         }: _*), x => x.isNotNull)
         val qvE = byPid(p => typedLit(queryVector(p, embedder).toSeq))
         val kE = byPid(p => lit(math.max(3 * p.limit, 15)))
+        // same TOTAL order as vectorTopK (game_id tiebreak: vector_id
+        // ties exactly across games sharing a fen)
         val wk = Window.partitionBy(col("__pid"))
-          .orderBy(desc("score"), desc("vector_id"))
+          .orderBy(desc("score"), desc("vector_id"), desc("game_id"))
         val topk = vectors.withColumn("__pid", explode(vPidArr))
           .withColumn("score", normalizeScore(
             graft.functions.CosineSimilarity(col("embedding"), qvE)))

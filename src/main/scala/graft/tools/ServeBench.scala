@@ -71,9 +71,20 @@ object ServeBench {
         Some(vectors), summariesPrebuilt = Some(summaries))
       val plan = graft.query.QueryIntent.analyse(graft.query.QueryIntent
         .Request("find top 5 games where white is rated at least 2500"))
-      // warm once, then reps
+      // warm once, then reps; count Spark jobs per query -- the eager
+      // path should cost exactly TWO scheduled jobs (page action +
+      // concurrent top-k), with the scoring tail folded to a jobless
+      // LocalTableScan
+      val jobCounter = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCounter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
       graft.query.HybridExecutor.execute(spark, ht, plan, embedder)
         .results.collect()
+      val jobsBefore = jobCounter.get()
       val times = (1 to nReps).map { _ =>
         val t0 = System.nanoTime()
         val e = graft.query.HybridExecutor.execute(spark, ht, plan,
@@ -81,6 +92,27 @@ object ServeBench {
         e.results.collect()
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      val jobsPerQuery =
+        (jobCounter.get() - jobsBefore).toDouble / nReps
+      spark.sparkContext.removeSparkListener(listener)
+      // Floor probes: the cheapest possible actions in this session,
+      // measured the same way as the query reps. `range1` = bare
+      // scheduler+codegen floor for ONE job; `page5` = the minimal
+      // page-shaped action over the cached summaries (scan + per-
+      // partition top-k + driver merge). execute() runs a page action,
+      // a concurrent top-k action, and a driver-local scoring job, so
+      // p50 - (page5 + range1) ~ the engine's own margin.
+      val range1 = (1 to nReps).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(nReps / 2)
+      val page5 = (1 to nReps).map { _ =>
+        val t0 = System.nanoTime()
+        summaries.orderBy(org.apache.spark.sql.functions
+          .col("game_id").desc).limit(5).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(nReps / 2)
       // batch: warm the branch plans once, then one timed run; count
       // the batch's result-row volume for the linearity axis
       val plans = batchQs.map(q => graft.query.QueryIntent.analyse(
@@ -97,7 +129,9 @@ object ServeBench {
         f""""min":${times.head}%.3f,"max":${times.last}%.3f,""" +
         f""""batch10_sec":$batchSec%.3f,""" +
         f""""batch10_amortized":${batchSec / plans.length}%.3f,""" +
-        f""""batch_rows":$batchRows,"batch_total_matched":$batchTotal}""")
+        f""""batch_rows":$batchRows,"batch_total_matched":$batchTotal,""" +
+        f""""floor_range1":$range1%.3f,"floor_page5":$page5%.3f,""" +
+        f""""jobs_per_query":$jobsPerQuery%.1f}""")
       // drop this scale's caches so the next scale starts clean
       spark.sharedState.cacheManager.clearCache()
       graft.core.Caches.releaseScoped()
