@@ -1031,6 +1031,45 @@ object LlmQueries {
           col("img_height"))
     }),
 
+    // REAL TIFF-header kernel gate: even doc_ids build little-endian
+    // (II) files with LONG dim entries, odd doc_ids big-endian (MM)
+    // with SHORT entries (value packed in the value field's first two
+    // bytes, file byte order) -- the parser must walk the IFD in the
+    // declared byte order and handle both value types to invert this.
+    "llm_tiff_headers" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 300)
+      def dim(off: Int) = expr("1 + CAST(conv(substring(md5(CAST(doc_id" +
+        s" AS STRING)), $off, 3), 16, 10) AS INT) % 4000")
+      val (w, h) = (dim(1), dim(4))
+      def be16(c: org.apache.spark.sql.Column) = format_string("%04X", c)
+      def be32(c: org.apache.spark.sql.Column) = format_string("%08X", c)
+      def le16(c: org.apache.spark.sql.Column) = {
+        val h4 = format_string("%04X", c)
+        concat(substring(h4, 3, 2), substring(h4, 1, 2))
+      }
+      def le32(c: org.apache.spark.sql.Column) = {
+        val h8 = format_string("%08X", c)
+        concat(substring(h8, 7, 2), substring(h8, 5, 2),
+          substring(h8, 3, 2), substring(h8, 1, 2))
+      }
+      def leEntry(tag: Int, v: org.apache.spark.sql.Column) =
+        concat(le16(lit(tag)), lit("0400"), le32(lit(1)), le32(v))
+      def beEntryShort(tag: Int, v: org.apache.spark.sql.Column) =
+        concat(be16(lit(tag)), lit("0003"), be32(lit(1)), be16(v),
+          lit("0000"))
+      val hexPayload = when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("49492A00"), le32(lit(8)), le16(lit(2)),
+            leEntry(256, w), leEntry(257, h), le32(lit(0))))
+        .otherwise(
+          concat(lit("4D4D002A"), be32(lit(8)), be16(lit(2)),
+            beEntryShort(256, w), beEntryShort(257, h), be32(lit(0))))
+      Multimodal.withImageHeaderMeta(
+        docs.select(col("doc_id"), unhex(hexPayload).as("payload")),
+        "payload")
+        .select(col("doc_id"), col("img_format"), col("img_width"),
+          col("img_height"))
+    }),
+
     // REAL WAV-header kernel gate (same protocol as llm_image_headers):
     // both engines derive PCM params from md5(doc_id), Spark BUILDS a
     // canonical 44-byte RIFF/WAVE header (unhex of little-endian hex
@@ -2868,6 +2907,17 @@ object LlmQueries {
          SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
              ELSE 'bmp' END AS img_format,
+           w AS img_width, h AS img_height
+         FROM m""",
+    "llm_tiff_headers" ->
+      """WITH m AS (
+           SELECT doc_id,
+             1 + CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 3)) AS BIGINT) % 4000 AS INT) AS w,
+             1 + CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               4, 3)) AS BIGINT) % 4000 AS INT) AS h
+           FROM documents WHERE doc_id < 300)
+         SELECT doc_id, 'tiff' AS img_format,
            w AS img_width, h AS img_height
          FROM m""",
     "llm_wav_headers" ->

@@ -74,6 +74,9 @@ object Multimodal {
     *  - JPEG: FF D8 then an FF-marker segment walk to the first SOF
     *    (C0-C3, C5-C7, C9-CB, CD-CF): big-endian u16 height then width
     *    after the precision byte.
+    *  - TIFF (II/MM + magic 42): IFD entry walk for tags 256/257
+    *    (ImageWidth/ImageLength), SHORT and LONG value types, in the
+    *    file's declared byte order.
     *
     * Unknown/truncated payloads -> ("unknown", -1, -1), never a throw:
     * a crawl's media column always contains garbage.
@@ -96,6 +99,39 @@ object Multimodal {
       ("gif", leU16(6), leU16(8))
     else if (n >= 26 && u8(0) == 'B' && u8(1) == 'M')
       ("bmp", leI32(18), math.abs(leI32(22)))
+    else if (n >= 8 &&
+        ((u8(0) == 'I' && u8(1) == 'I' && u8(2) == 0x2a && u8(3) == 0) ||
+         (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 0x2a))) {
+      // TIFF: byte-order flag (II little / MM big), magic 42, u32 offset
+      // to the first IFD; the IFD is a u16 entry count then 12-byte
+      // entries (tag u16, type u16, count u32, value u32 -- a SHORT
+      // value sits in the value field's FIRST two bytes in file byte
+      // order). Dims are tags 256 (ImageWidth) / 257 (ImageLength),
+      // type SHORT(3) or LONG(4).
+      val le = u8(0) == 'I'
+      def u16o(i: Int): Int = if (le) leU16(i) else beU16(i)
+      def u32o(i: Int): Long =
+        if (le) leI32(i).toLong & 0xffffffffL else beU32(i)
+      val ifd = u32o(4).toInt
+      var w = -1
+      var h = -1
+      if (ifd >= 0 && ifd + 2 <= n) {
+        val cnt = u16o(ifd)
+        var e = 0
+        while (e < cnt && ifd + 2 + 12 * (e + 1) <= n) {
+          val off = ifd + 2 + 12 * e
+          val tag = u16o(off)
+          val v = u16o(off + 2) match {
+            case 3 => u16o(off + 8)
+            case 4 => u32o(off + 8).toInt
+            case _ => -1
+          }
+          if (tag == 256) w = v else if (tag == 257) h = v
+          e += 1
+        }
+      }
+      ("tiff", w, h)
+    }
     else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // segment walk: FF marker, 2-byte big-endian length including
       // itself; stop at the first SOF frame header

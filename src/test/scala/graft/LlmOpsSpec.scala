@@ -327,6 +327,22 @@ class LlmOpsSpec extends SparkSpec {
       "FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000" +
         "FFC0" + "0011" + "08" + "0140" + "00F0" +
         "03012200021101031101")) == ("jpeg", 240, 320))
+    // TIFF little-endian, LONG dims: II 42, IFD@8, 2 entries
+    assert(Multimodal.imageHeaderMeta(bytes(
+      "49492A00" + "08000000" + "0200" +
+        "0001" + "0400" + "01000000" + "80020000" + // 256 LONG 640
+        "0101" + "0400" + "01000000" + "E0010000" + // 257 LONG 480
+        "00000000")) == ("tiff", 640, 480))
+    // TIFF big-endian, SHORT dims packed in the value field's first
+    // two bytes (MM byte order)
+    assert(Multimodal.imageHeaderMeta(bytes(
+      "4D4D002A" + "00000008" + "0002" +
+        "0100" + "0003" + "00000001" + "01400000" + // 256 SHORT 320
+        "0101" + "0003" + "00000001" + "00C80000" + // 257 SHORT 200
+        "00000000")) == ("tiff", 320, 200))
+    // truncated TIFF (IFD offset past the payload) never throws
+    assert(Multimodal.imageHeaderMeta(bytes("49492A00" + "FF000000")) ==
+      ("tiff", -1, -1))
     // junk / truncated / empty never throw
     assert(Multimodal.imageHeaderMeta(Array[Byte]()) == ("unknown", -1, -1))
     assert(Multimodal.imageHeaderMeta(bytes("DEADBEEF")) ==
