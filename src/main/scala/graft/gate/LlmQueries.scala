@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.llmops.{Ann, Curation, Dedup, Multimodal, TextAnalysis}
+import graft.llmops.{Ann, Curation, Dedup, Multimodal, TextAnalysis, Web}
 
 /** LLM-data-pipeline gate queries over the driver's documents/embeddings
   * tables, each with an exact DuckDB oracle. The oracles re-implement the
@@ -1029,6 +1029,52 @@ object LlmQueries {
         "payload")
         .select(col("doc_id"), col("img_format"), col("img_width"),
           col("img_height"))
+    }),
+
+    // URL/domain curation kernels (the CCNet/RefinedWeb shape): both
+    // engines construct deterministic URLs from md5(doc_id) -- scheme
+    // by parity, host w<hex>.s<hex>.<tld> with tld cycling through
+    // {com, org, co.uk, com.au} (exercising both 2- and 3-label
+    // registered domains) -- Spark PARSES them back with Web's pure
+    // column expressions, and the oracle recomputes the encoded parts
+    // directly: a hash-match proves scheme/host/path extraction and the
+    // suffix-aware registered-domain slice invert the construction.
+    "llm_url_parse" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 300)
+      val h = md5(col("doc_id").cast("string"))
+      val scheme = when(pmod(col("doc_id"), lit(2)) === 0, lit("https"))
+        .otherwise(lit("http"))
+      val tld = element_at(
+        array(lit("com"), lit("org"), lit("co.uk"), lit("com.au")),
+        (pmod(conv(substring(h, 3, 1), 16, 10).cast("int"), lit(4))
+          + lit(1)))
+      val host = concat(lit("w"), substring(h, 1, 2), lit(".s"),
+        substring(h, 4, 1), lit("."), tld)
+      val url = concat(scheme, lit("://"), host, lit("/p/"),
+        substring(h, 5, 3))
+      Web.withRegisteredDomain(
+        Web.withUrlParts(docs.select(col("doc_id"), url.as("url")), "url"),
+        "url_host")
+        .select("doc_id", "url_scheme", "url_host", "url_path", "domain")
+    }),
+
+    // Domain blocklist + per-domain counts over the same synthetic
+    // hosts: registered domains s0.com..s7.com are blocklisted (the
+    // broadcast anti-join policy filter), survivors aggregate per
+    // domain -- the quota/reporting primitive behind per-domain caps.
+    "llm_domain_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = md5(col("doc_id").cast("string"))
+      val tld = element_at(
+        array(lit("com"), lit("org"), lit("co.uk"), lit("com.au")),
+        (pmod(conv(substring(h, 3, 1), 16, 10).cast("int"), lit(4))
+          + lit(1)))
+      val host = concat(lit("w"), substring(h, 1, 2), lit(".s"),
+        substring(h, 4, 1), lit("."), tld)
+      val blocked = (0 to 7).map(c => s"s${"0123456789abcdef" (c)}.com")
+      Web.blocklistFilter(docs.select(col("doc_id"), host.as("host")),
+        "host", blocked)
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
     }),
 
     // REAL TIFF-header kernel gate: even doc_ids build little-endian
@@ -2909,6 +2955,35 @@ object LlmQueries {
              ELSE 'bmp' END AS img_format,
            w AS img_width, h AS img_height
          FROM m""",
+    "llm_url_parse" ->
+      """WITH m AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS sch,
+             CASE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 1))
+                 AS BIGINT) % 4
+               WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+               WHEN 2 THEN 'co.uk' ELSE 'com.au' END AS tld
+           FROM documents WHERE doc_id < 300)
+         SELECT doc_id, sch AS url_scheme,
+           'w' || substr(h, 1, 2) || '.s' || substr(h, 4, 1) || '.' || tld
+             AS url_host,
+           '/p/' || substr(h, 5, 3) AS url_path,
+           's' || substr(h, 4, 1) || '.' || tld AS domain
+         FROM m""",
+    "llm_domain_filter" ->
+      """WITH m AS (
+           SELECT doc_id,
+             's' || substr(md5(CAST(doc_id AS VARCHAR)), 4, 1) || '.' ||
+               CASE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                   3, 1)) AS BIGINT) % 4
+                 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                 WHEN 2 THEN 'co.uk' ELSE 'com.au' END AS domain
+           FROM documents)
+         SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM m
+         WHERE domain NOT IN ('s0.com', 's1.com', 's2.com', 's3.com',
+           's4.com', 's5.com', 's6.com', 's7.com')
+         GROUP BY domain""",
     "llm_tiff_headers" ->
       """WITH m AS (
            SELECT doc_id,

@@ -1,0 +1,82 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain operators for web-corpus curation (the CCNet/RefinedWeb
+  * shape: URL-keyed dedup, per-domain quotas, domain blocklists).
+  * Everything is pure column expressions -- regexp_extract + array ops,
+  * codegen'd, no UDFs -- so the parse runs inside whole-stage codegen
+  * at crawl scale and a SQL oracle recomputes it verbatim.
+  */
+object Web {
+
+  /** Two-level public suffixes the registered-domain heuristic knows:
+    * host "a.b.co.uk" -> registered domain "b.co.uk" (three labels),
+    * while "a.b.com" -> "b.com" (two). A real deployment swaps in the
+    * full public-suffix list; the MECHANISM (suffix-aware label slice)
+    * is what these operators own, and the list rides a broadcast
+    * either way.
+    */
+  val twoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar", "co.za")
+
+  /** scheme / host / path columns from a URL string column. Hosts are
+    * lowercased; a URL that does not match scheme://host... yields
+    * empty strings (crawl columns always contain garbage -- never
+    * throw).
+    */
+  def withUrlParts(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("url_scheme",
+        lower(regexp_extract(col(urlCol), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+      .withColumn("url_host",
+        lower(regexp_extract(col(urlCol),
+          "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)))
+      .withColumn("url_path",
+        regexp_extract(col(urlCol),
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1))
+
+  /** Registered domain from a host column: last two labels, or last
+    * THREE when the last two form a known two-level public suffix
+    * ("a.b.co.uk" -> "b.co.uk"). Single-label hosts pass through.
+    */
+  def registeredDomainCol(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".",
+      element_at(labels, -2), element_at(labels, -1))
+    val lastThree = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2),
+      element_at(labels, -1))
+    when(n <= 1, host)
+      .when(n >= 3 && lastTwo.isin(twoLevelSuffixes: _*), lastThree)
+      .otherwise(lastTwo)
+  }
+
+  def withRegisteredDomain(df: DataFrame, hostCol: String): DataFrame =
+    df.withColumn("domain", registeredDomainCol(col(hostCol)))
+
+  /** Drop rows whose registered domain is blocklisted. The blocklist is
+    * a driver-side Seq (policy-sized, not data-sized) broadcast as a
+    * left_anti join -- at 100 TB the corpus side never shuffles.
+    */
+  def blocklistFilter(df: DataFrame, hostCol: String,
+      blockedDomains: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val block = blockedDomains.map(_.toLowerCase).toDF("domain")
+    df.withColumn("domain", registeredDomainCol(col(hostCol)))
+      .join(broadcast(block), Seq("domain"), "left_anti")
+  }
+
+  /** Per-registered-domain doc counts, descending (count desc, domain
+    * asc tiebreak) -- the quota/reporting primitive behind per-domain
+    * caps. One hash aggregation; the key space is domains, not docs.
+    */
+  def domainCounts(df: DataFrame, hostCol: String): DataFrame =
+    df.withColumn("domain", registeredDomainCol(col(hostCol)))
+      .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_docs"), col("domain"))
+}

@@ -359,6 +359,41 @@ class LlmOpsSpec extends SparkSpec {
       out.getInt(2) == 480)
   }
 
+  test("url parts + registered domain: suffix-aware, garbage-safe") {
+    import spark.implicits._
+    import graft.llmops.Web
+    val df = Seq(
+      (1L, "https://a.b.co.uk/x/y?q=1#f"),
+      (2L, "http://WWW.Example.COM/p"),
+      (3L, "ftp://files.example.org"),        // no path
+      (4L, "not a url at all"),               // garbage -> empty parts
+      (5L, "https://localhost/x")             // single-label host
+    ).toDF("id", "url")
+    val out = Web.withRegisteredDomain(
+      Web.withUrlParts(df, "url"), "url_host")
+      .select("id", "url_scheme", "url_host", "url_path", "domain")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(out(1L) == (("https", "a.b.co.uk", "/x/y", "b.co.uk")))
+    assert(out(2L) == (("http", "www.example.com", "/p", "example.com")))
+    assert(out(3L) == (("ftp", "files.example.org", "", "example.org")))
+    assert(out(4L) == (("", "", "", "")))
+    assert(out(5L) == (("https", "localhost", "/x", "localhost")))
+    // blocklist drops by REGISTERED domain, not full host
+    val hosts = Seq((1L, "a.b.co.uk"), (2L, "www.example.com"),
+      (3L, "sub.example.com"), (4L, "other.org"))
+      .toDF("id", "host")
+    val kept = Web.blocklistFilter(hosts, "host", Seq("example.com"))
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+    // per-domain counts aggregate over the registered domain
+    val counts = Web.domainCounts(hosts, "host")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("b.co.uk" -> 1L, "example.com" -> 2L,
+      "other.org" -> 1L))
+  }
+
   test("wav header parser: canonical RIFF layout, chunk walk, junk-safe") {
     def bytes(hex: String): Array[Byte] =
       hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
