@@ -1077,6 +1077,23 @@ object LlmQueries {
         .groupBy("domain").agg(count(lit(1)).as("n_docs"))
     }),
 
+    // Per-domain quota: keep at most 20 docs per registered domain,
+    // selected by md5(doc_id) order (id tiebreak) -- the hard cap that
+    // domainCounts reports for. Oracle re-makes the identical window.
+    "llm_domain_quota" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = md5(col("doc_id").cast("string"))
+      val tld = element_at(
+        array(lit("com"), lit("org"), lit("co.uk"), lit("com.au")),
+        (pmod(conv(substring(h, 3, 1), 16, 10).cast("int"), lit(4))
+          + lit(1)))
+      val host = concat(lit("w"), substring(h, 1, 2), lit(".s"),
+        substring(h, 4, 1), lit("."), tld)
+      Web.domainQuota(docs.select(col("doc_id"), host.as("host")),
+        "host", "doc_id", n = 20)
+        .select("doc_id", "domain")
+    }),
+
     // REAL TIFF-header kernel gate: even doc_ids build little-endian
     // (II) files with LONG dim entries, odd doc_ids big-endian (MM)
     // with SHORT entries (value packed in the value field's first two
@@ -2984,6 +3001,21 @@ object LlmQueries {
          WHERE domain NOT IN ('s0.com', 's1.com', 's2.com', 's3.com',
            's4.com', 's5.com', 's6.com', 's7.com')
          GROUP BY domain""",
+    "llm_domain_quota" ->
+      """WITH m AS (
+           SELECT doc_id,
+             's' || substr(md5(CAST(doc_id AS VARCHAR)), 4, 1) || '.' ||
+               CASE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                   3, 1)) AS BIGINT) % 4
+                 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                 WHEN 2 THEN 'co.uk' ELSE 'com.au' END AS domain
+           FROM documents),
+         r AS (
+           SELECT doc_id, domain,
+             ROW_NUMBER() OVER (PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM m)
+         SELECT doc_id, domain FROM r WHERE rn <= 20""",
     "llm_tiff_headers" ->
       """WITH m AS (
            SELECT doc_id,

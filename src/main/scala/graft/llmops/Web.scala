@@ -79,4 +79,23 @@ object Web {
     df.withColumn("domain", registeredDomainCol(col(hostCol)))
       .groupBy("domain").agg(count(lit(1)).as("n_docs"))
       .orderBy(desc("n_docs"), col("domain"))
+
+  /** Hard per-domain cap: keep at most `n` rows per registered domain,
+    * selected by md5(id) order with an id tiebreak -- deterministic,
+    * layout-independent, and TOTAL (content-hash ties fall back to the
+    * real row key; see the round-11 vector_id lesson). One window over
+    * (domain)-partitioned rows; at crawl scale the per-domain frames
+    * are what AQE skew-splits.
+    */
+  def domainQuota(df: DataFrame, hostCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain")
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("domain", registeredDomainCol(col(hostCol)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

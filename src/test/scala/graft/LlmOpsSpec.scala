@@ -392,6 +392,17 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("b.co.uk" -> 1L, "example.com" -> 2L,
       "other.org" -> 1L))
+    // quota caps per registered domain, deterministically by md5(id)
+    val many = (1L to 30L).map(i => (i, "x.example.com"))
+      .toDF("id", "host")
+    val capped = Web.domainQuota(many, "host", "id", n = 5)
+      .select("id").as[Long].collect()
+    assert(capped.length == 5)
+    val expect = (1L to 30L).sortBy(i =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString, i)).take(5).toSet
+    assert(capped.toSet == expect)
   }
 
   test("wav header parser: canonical RIFF layout, chunk walk, junk-safe") {
