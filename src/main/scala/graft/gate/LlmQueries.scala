@@ -1077,6 +1077,28 @@ object LlmQueries {
         .groupBy("domain").agg(count(lit(1)).as("n_docs"))
     }),
 
+    // HTML -> text extraction kernel: both engines derive the title/
+    // body fragments from md5(doc_id); Spark BUILDS a full page around
+    // them (head/style/script/nested tags/entities) and extracts the
+    // text with the single-pass walk, the oracle constructs the
+    // EXPECTED text directly -- a hash-match proves tag dropping,
+    // script/style content removal, entity decode, and whitespace
+    // collapse against a known-answer page corpus.
+    "llm_html_extract" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 300)
+      val h = md5(col("doc_id").cast("string"))
+      val (t1, t2, t3) =
+        (substring(h, 1, 4), substring(h, 5, 4), substring(h, 9, 4))
+      val html = concat(
+        lit("<html><head><title>"), t1, lit("</title>"),
+        lit("<style>body{c:"), t2, lit("}</style>"),
+        lit("<script>var a='"), t3, lit("';</script></head>"),
+        lit("<body>\n  <h1>Head "), t1, lit("</h1>\n  <p>Para <b>"), t2,
+        lit("</b> &amp; tail &lt;"), t3, lit("&gt;</p>\n</body></html>"))
+      docs.select(col("doc_id"),
+        Web.htmlTextUdf(html).as("text"))
+    }),
+
     // Per-domain quota: keep at most 20 docs per registered domain,
     // selected by md5(doc_id) order (id tiebreak) -- the hard cap that
     // domainCounts reports for. Oracle re-makes the identical window.
@@ -3001,6 +3023,15 @@ object LlmQueries {
          WHERE domain NOT IN ('s0.com', 's1.com', 's2.com', 's3.com',
            's4.com', 's5.com', 's6.com', 's7.com')
          GROUP BY domain""",
+    "llm_html_extract" ->
+      """WITH m AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents WHERE doc_id < 300)
+         SELECT doc_id,
+           substr(h, 1, 4) || ' Head ' || substr(h, 1, 4) || ' Para ' ||
+             substr(h, 5, 4) || ' & tail <' || substr(h, 9, 4) || '>'
+             AS text
+         FROM m""",
     "llm_domain_quota" ->
       """WITH m AS (
            SELECT doc_id,

@@ -80,6 +80,65 @@ object Web {
       .groupBy("domain").agg(count(lit(1)).as("n_docs"))
       .orderBy(desc("n_docs"), col("domain"))
 
+  /** HTML -> text extraction, the first step of every web-corpus
+    * pipeline: a single-pass character walk that (a) drops tags, (b)
+    * drops <script>/<style> element CONTENTS (their text is code, not
+    * prose), (c) decodes the six entities that dominate real pages
+    * (&amp; &lt; &gt; &quot; &#39;/&apos; &nbsp;), passing unknown
+    * entities through verbatim, and (d) collapses all whitespace runs
+    * to single spaces. Truncated tags drop the malformed remainder;
+    * never throws on crawl garbage. Compiled per-row kernel (the
+    * winnowing/simhash pattern): a stateful walk is not expressible as
+    * codegen'd column functions, and the scan is map-side only.
+    */
+  def extractHtmlText(html: String): String = {
+    if (html == null) return ""
+    val lower = html.toLowerCase(java.util.Locale.ROOT)
+    val sb = new StringBuilder
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        // every dropped tag becomes ONE space ("<p>word</p><p>next"
+        // must not weld words); the final collapse absorbs runs
+        sb += ' '
+        val close = html.indexOf('>', i)
+        if (close < 0) i = n // truncated tag: malformed tail dropped
+        else {
+          val name = lower.substring(i + 1, close).trim
+            .takeWhile(ch => ch.isLetter || ch.isDigit)
+          if (name == "script" || name == "style") {
+            val end = lower.indexOf("</" + name, close)
+            i = if (end < 0) n
+            else {
+              val e = html.indexOf('>', end)
+              if (e < 0) n else e + 1
+            }
+          } else i = close + 1
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i)
+        if (semi > i && semi - i <= 6) {
+          html.substring(i + 1, semi) match {
+            case "amp" => sb += '&'
+            case "lt" => sb += '<'
+            case "gt" => sb += '>'
+            case "quot" => sb += '"'
+            case "#39" | "apos" => sb += '\''
+            case "nbsp" => sb += ' '
+            case _ => sb ++= html.substring(i, semi + 1)
+          }
+          i = semi + 1
+        } else { sb += c; i += 1 }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+  }
+
+  val htmlTextUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((html: String) => extractHtmlText(html))
+
   /** Hard per-domain cap: keep at most `n` rows per registered domain,
     * selected by md5(id) order with an id tiebreak -- deterministic,
     * layout-independent, and TOTAL (content-hash ties fall back to the

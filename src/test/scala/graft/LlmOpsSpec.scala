@@ -405,6 +405,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(capped.toSet == expect)
   }
 
+  test("html text extraction: tags, script/style, entities, garbage") {
+    import graft.llmops.Web.extractHtmlText
+    assert(extractHtmlText(
+      "<html><body><h1>Hi</h1><p>a <b>b</b> c</p></body></html>")
+      == "Hi a b c")
+    // script/style CONTENTS dropped, case-insensitive close tags;
+    // dropped elements separate the surrounding words
+    assert(extractHtmlText(
+      "<STYLE>p{x}</STYLE>keep<script>var x='<p>no</p>';</SCRIPT>end")
+      == "keep end")
+    // entity decode + unknown passthrough + nbsp
+    assert(extractHtmlText("a &amp; b &lt;c&gt; &quot;d&quot; " +
+      "&#39;e&#39; f&nbsp;g &bogus; &stray h")
+      == "a & b <c> \"d\" 'e' f g &bogus; &stray h")
+    // whitespace collapse across newlines/tabs
+    assert(extractHtmlText("<p>\n  one\t two\n</p>\n<p>three</p>")
+      == "one two three")
+    // truncated tag drops the malformed tail; unclosed script drops rest
+    assert(extractHtmlText("ok <a href=") == "ok")
+    assert(extractHtmlText("pre<script>never closed") == "pre")
+    assert(extractHtmlText(null) == "")
+    assert(extractHtmlText("") == "")
+  }
+
   test("wav header parser: canonical RIFF layout, chunk walk, junk-safe") {
     def bytes(hex: String): Array[Byte] =
       hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
