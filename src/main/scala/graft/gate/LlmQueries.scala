@@ -924,6 +924,37 @@ object LlmQueries {
           col("shard_offset"))
     }),
 
+    // CAPSTONE 6 -- the web-curation composition end-to-end: synthesize
+    // a crawl (per-doc URL + full HTML page embedding the REAL document
+    // text), extract text (tag walk, style drop, whitespace collapse),
+    // parse hosts to registered domains, drop blocklisted domains
+    // (broadcast anti-join), enforce the per-domain keep-20 quota, and
+    // count tokens of the extracted text. The oracle recomputes every
+    // stage from raw data (expected text built directly, same window/
+    // filter chain) -- one hash asserts the whole funnel.
+    "llm_pipeline6" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = md5(col("doc_id").cast("string"))
+      val (t1, t2) = (substring(h, 1, 4), substring(h, 5, 4))
+      val tld = element_at(
+        array(lit("com"), lit("org"), lit("co.uk"), lit("com.au")),
+        (pmod(conv(substring(h, 3, 1), 16, 10).cast("int"), lit(4))
+          + lit(1)))
+      val host = concat(lit("w"), substring(h, 1, 2), lit(".s"),
+        substring(h, 4, 1), lit("."), tld)
+      val html = concat(
+        lit("<html><head><title>"), t1, lit("</title><style>b{"), t2,
+        lit("}</style></head><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val crawled = docs.select(col("doc_id"), host.as("host"),
+        Web.htmlTextUdf(html).as("text"))
+      val blocked = (0 to 7).map(c => s"s${"0123456789abcdef" (c)}.com")
+      Web.domainQuota(Web.blocklistFilter(crawled, "host", blocked),
+        "host", "doc_id", n = 20)
+        .select(col("doc_id"), col("domain"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+    }),
+
     // Collocations: top-50 adjacent bigrams by integer-exact PMI lift.
     "llm_collocations" -> ((s, d) =>
       TextAnalysis.collocations(Tables.documents(s, d), "text",
@@ -3023,6 +3054,29 @@ object LlmQueries {
          WHERE domain NOT IN ('s0.com', 's1.com', 's2.com', 's3.com',
            's4.com', 's5.com', 's6.com', 's7.com')
          GROUP BY domain""",
+    "llm_pipeline6" ->
+      """WITH m AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             trim(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) || ' ' ||
+               regexp_replace(trim(text), '\s+', ' ', 'g')) AS etext,
+             's' || substr(md5(CAST(doc_id AS VARCHAR)), 4, 1) || '.' ||
+               CASE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                   3, 1)) AS BIGINT) % 4
+                 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                 WHEN 2 THEN 'co.uk' ELSE 'com.au' END AS domain
+           FROM documents),
+         f AS (
+           SELECT doc_id, domain, etext FROM m
+           WHERE domain NOT IN ('s0.com', 's1.com', 's2.com', 's3.com',
+             's4.com', 's5.com', 's6.com', 's7.com')),
+         r AS (
+           SELECT doc_id, domain, etext,
+             ROW_NUMBER() OVER (PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM f)
+         SELECT doc_id, domain, etext AS text,
+           CAST(len(string_split(etext, ' ')) AS BIGINT) AS n_toks
+         FROM r WHERE rn <= 20""",
     "llm_html_extract" ->
       """WITH m AS (
            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
