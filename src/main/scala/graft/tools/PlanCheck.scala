@@ -369,6 +369,28 @@ object PlanCheck {
         s"broadcast=${occ(shpStr, "BroadcastHashJoin")} " +
         "(bucket histogram to banded rows + banded self-join), " +
         s"sortmerge=${occ(shpStr, "SortMergeJoin")}")
+      // (g) web-curation funnel: extraction is map-side, the blocklist
+      // rides a broadcast anti-join, and the ONLY wide stage is the
+      // per-domain quota window's hash exchange.
+      val webFunnel = graft.llmops.Web.domainQuota(
+        graft.llmops.Web.blocklistFilter(
+          docs.select(col("doc_id"),
+            concat(lit("w"),
+              org.apache.spark.sql.functions.substring(
+                md5(col("doc_id").cast("string")), 1, 2),
+              lit(".example.com")).as("host")),
+          "host", Seq("blocked.com")),
+        "host", "doc_id", n = 20)
+      val webStr = webFunnel.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      require(occ(webStr, "SortMergeJoin") == 0,
+        "web funnel must not sort-merge")
+      require(occ(webStr, "Exchange hashpartitioning") <= 1,
+        "web funnel must shuffle only for the quota window")
+      println("web funnel: " +
+        s"broadcast=${occ(webStr, "BroadcastHashJoin")} (blocklist), " +
+        s"hash exchanges=${occ(webStr, "Exchange hashpartitioning")} " +
+        "(quota window only)")
     }
     spark.stop()
   }

@@ -180,6 +180,37 @@ object ScaleCurve {
           s"${semRows * knnCap} at scale $s")
       require(knnEdges <= semRows * 3,
         s"knn edges $knnEdges exceed k-bound ${semRows * 3} at scale $s")
+      // Web-curation funnel (round 11): HTML extraction is map-side, the
+      // blocklist is a broadcast anti-join, and the per-domain quota
+      // window is the ONLY wide stage -- wall should track rows. Hosts
+      // derive from md5(doc_id), so replicas spread over the same ~56
+      // unblocked domains and the quota output is capped at
+      // 20 * domains regardless of corpus size (the per-domain cap
+      // invariant, machine-checked here).
+      val webT0 = System.nanoTime()
+      val webHtml = concat(
+        lit("<html><head><title>t</title><style>b{x}</style></head>" +
+          "<body><p>"), col("text"), lit("</p></body></html>"))
+      val webHash = md5(col("doc_id").cast("string"))
+      val webTld = element_at(
+        array(lit("com"), lit("org"), lit("co.uk"), lit("com.au")),
+        (pmod(conv(substring(webHash, 3, 1), 16, 10).cast("int"),
+          lit(4)) + lit(1)))
+      val webHost = concat(lit("w"), substring(webHash, 1, 2), lit(".s"),
+        substring(webHash, 4, 1), lit("."), webTld)
+      val crawled = c.select(col("doc_id"), webHost.as("host"),
+        graft.llmops.Web.htmlTextUdf(webHtml).as("text"))
+      val webBlocked = (0 to 7).map(x => s"s${"0123456789abcdef" (x)}.com")
+      val webKept = graft.llmops.Web.domainQuota(
+        graft.llmops.Web.blocklistFilter(crawled, "host", webBlocked),
+        "host", "doc_id", n = 20)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("domain")).as("nd")).head()
+      val webSec = (System.nanoTime() - webT0) / 1e9
+      val (webRows, webDomains) = (webKept.getLong(0), webKept.getLong(1))
+      require(webRows <= webDomains * 20,
+        s"domain quota violated at scale $s: $webRows rows over " +
+          s"$webDomains domains")
       // ANN at-rest IVF: write the replicas partitioned by trained cell,
       // then probe 4/16 cells -- the scan fraction (rows in probed
       // cells / total) should hold ~constant as rows grow, and file
@@ -225,6 +256,8 @@ object ScaleCurve {
         f""""semantic_dups":$semDups,"semantic_sec":$sdSec%.2f,""" +
         f""""knn_cand":$knnCand,"knn_uncapped_cand":$knnUncapped,""" +
         f""""knn_edges":$knnEdges,"knn_sec":$knnSec%.2f,""" +
+        f""""web_kept":$webRows,"web_domains":$webDomains,""" +
+        f""""web_sec":$webSec%.2f,""" +
         f""""ivf_probed_rows":$probedRows,""" +
         f""""ivf_scan_frac":${probedRows.toDouble / semRows}%.4f,""" +
         f""""ivf_atrest_sec":$ivfSec%.2f,""" +
