@@ -240,7 +240,13 @@ object Dedup {
             when(col("__pop") > maxBucketPop,
               ceil(col("__pop").cast("double") / maxBucketPop).cast("long"))
               .otherwise(lit(1L)).as("__k"))
-        val popsH = if (bandBits <= 20) broadcast(pops) else pops
+        // broadcast only when the THEORETICAL bucket-key bound (one row
+        // per populated (band, chunk)) is small -- bandBits alone is the
+        // wrong gate: at bandBits=20 with 64-bit hashes there are
+        // nBands<<bandBits = 4M possible keys, megabytes per task
+        val maxKeys =
+          if (bandBits >= 40) Long.MaxValue else nBands.toLong << bandBits
+        val popsH = if (maxKeys <= (1L << 20)) broadcast(pops) else pops
         banded0.join(popsH, Seq("band", "chunk"))
           .withColumn("__sub",
             pmod(conv(substring(md5(col("id").cast("string")), 1, 14),

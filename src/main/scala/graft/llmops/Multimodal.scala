@@ -22,6 +22,7 @@ object Multimodal {
     * hash (stands in for an image decoder; see module doc).
     */
   def decodeStub(bytes: Array[Byte]): MediaMeta = {
+    if (bytes == null) return MediaMeta(-1, "", "unknown", -1, -1)
     val md = java.security.MessageDigest.getInstance("MD5")
     val d = md.digest(bytes)
     val hex = d.map("%02x".format(_)).mkString
@@ -89,7 +90,8 @@ object Multimodal {
     def leU16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def leI32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
       (u8(i + 3) << 24)
-    val n = bytes.length
+    // null is ordinary crawl-column garbage, same contract as truncated
+    val n = if (bytes == null) -1 else bytes.length
     if (n >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
         u8(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a &&
         u8(7) == 0x0a)
@@ -203,7 +205,7 @@ object Multimodal {
       (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
     def tag(i: Int): String =
       new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    val n = bytes.length
+    val n = if (bytes == null) -1 else bytes.length
     if (n < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") (-1, -1, -1, -1L)
     else {
       var i = 12
@@ -219,7 +221,11 @@ object Multimodal {
           rate = leU32(i + 12).toInt
           bits = leU16(i + 22)
         } else if (id == "data") dataLen = size
-        i += 8 + size.toInt + (size.toInt & 1)
+        // step stays in Long: a crawl-garbage chunk size >= 2^31 would
+        // truncate to a zero/negative Int step (infinite loop or
+        // negative index); any step past n just ends the walk
+        val step = 8L + size + (size & 1L)
+        if (i + step > n) i = n else i += step.toInt
       }
       (ch, rate, bits, dataLen)
     }
@@ -261,13 +267,16 @@ object Multimodal {
     */
   def byteHistogramUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (bytes: Array[Byte]) =>
-      val counts = new Array[Long](16)
-      var i = 0
-      while (i < bytes.length) {
-        counts((bytes(i) >> 4) & 0xf) += 1
-        i += 1
+      if (bytes == null) null // null payload -> null histogram, like hex(null)
+      else {
+        val counts = new Array[Long](16)
+        var i = 0
+        while (i < bytes.length) {
+          counts((bytes(i) >> 4) & 0xf) += 1
+          i += 1
+        }
+        counts.toSeq
       }
-      counts.toSeq
     }
 
   /** Deterministic frame-sample positions for a (fake-)video column:

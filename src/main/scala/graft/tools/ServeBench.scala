@@ -84,6 +84,9 @@ object ServeBench {
       spark.sparkContext.addSparkListener(listener)
       graft.query.HybridExecutor.execute(spark, ht, plan, embedder)
         .results.collect()
+      // drain the async listener bus before each counter read, or
+      // late-delivered onJobStart events are missed / cross-attributed
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       val jobsBefore = jobCounter.get()
       val times = (1 to nReps).map { _ =>
         val t0 = System.nanoTime()
@@ -92,6 +95,7 @@ object ServeBench {
         e.results.collect()
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       val jobsPerQuery =
         (jobCounter.get() - jobsBefore).toDouble / nReps
       spark.sparkContext.removeSparkListener(listener)

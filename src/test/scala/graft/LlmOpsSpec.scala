@@ -450,6 +450,16 @@ class LlmOpsSpec extends SparkSpec {
       ((-1, -1, -1, -1L)))
     assert(Multimodal.wavHeaderMeta(bytes(
       "52494646" + "04000000" + "41564920")) == ((-1, -1, -1, -1L)))
+    // adversarial chunk sizes >= 2^31: 0xFFFFFFF7/F8 once made the Int
+    // step zero (infinite loop) and 0x80000000 made it negative
+    // (negative index) -- the walk must terminate with no throw
+    for (sz <- Seq("F7FFFFFF", "F8FFFFFF", "00000080", "FFFFFFFF"))
+      assert(Multimodal.wavHeaderMeta(bytes(
+        "52494646" + "FF000000" + "57415645" + "4C495354" + sz + "0000"))
+        == ((-1, -1, -1, -1L)), s"size $sz must bail, not loop/throw")
+    // null payload (the most common crawl-column garbage)
+    assert(Multimodal.wavHeaderMeta(null) == ((-1, -1, -1, -1L)))
+    assert(Multimodal.imageHeaderMeta(null) == (("unknown", -1, -1)))
     // DataFrame form attaches the parse per row
     import spark.implicits._
     val df = Seq((1L, canon)).toDF("id", "hx")
