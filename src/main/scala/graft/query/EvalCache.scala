@@ -64,6 +64,94 @@ object EvalCache {
     def size: Int = m.synchronized(m.size())
   }
 
+  /** Persistent backend -- the reference's Redis cache
+    * (agent_cache.ml Redis backend) re-expressed without a network
+    * service: an append-only JSONL log under `dir` with an in-memory
+    * index, durable across processes. `put` appends one line and fsyncs
+    * are left to the OS (same durability class as Redis's default
+    * everysec appendfsync); a crash can lose the tail but never corrupts
+    * earlier entries because a torn final line is skipped on load.
+    * Last-write-wins on duplicate keys (log order), like SET. `compact()`
+    * rewrites the log to one line per live key; callers run it
+    * opportunistically, as Redis does AOF rewrite.
+    */
+  final class PersistentBackend(dir: java.nio.file.Path) extends Backend {
+    private val file = dir.resolve("eval_cache.jsonl")
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+    private def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    private def unesc(s: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '"' => b += '"'; i += 2
+            case '\\' => b += '\\'; i += 2
+            case 'n' => b += '\n'; i += 2
+            case 'r' => b += '\r'; i += 2
+            case 't' => b += '\t'; i += 2
+            case 'u' if i + 6 <= s.length =>
+              b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case o => b += o; i += 2
+          }
+        } else { b += c; i += 1 }
+      }
+      b.toString
+    }
+    // one entry per line: {"k":"<md5>","s":<score>,"e":"<explanation>"}
+    private def render(k: String, e: Entry): String =
+      s"""{"k":"${esc(k)}","s":${e.agentScore},"e":"${esc(e.explanation)}"}"""
+    private val lineRe =
+      """\{"k":"((?:[^"\\]|\\.)*)","s":(-?[0-9.Ee+-]+),"e":"((?:[^"\\]|\\.)*)"\}""".r
+    private def parseLine(line: String): Option[(String, Entry)] =
+      line.trim match {
+        case lineRe(k, s, e) =>
+          try Some((unesc(k), Entry(s.toDouble, unesc(e))))
+          catch { case _: NumberFormatException => None }
+        case _ => None // torn tail line from a crash -- skip
+      }
+
+    def get(key: String): Option[Entry] = Option(m.get(key))
+    def put(key: String, e: Entry): Unit = synchronized {
+      m.put(key, e)
+      java.nio.file.Files.writeString(file, render(key, e) + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      ()
+    }
+    def size: Int = m.size()
+    /** Rewrite the log to one line per live key (AOF-rewrite analog). */
+    def compact(): Unit = synchronized {
+      val tmp = dir.resolve("eval_cache.jsonl.tmp")
+      val sb = new StringBuilder
+      m.forEach((k, e) => { sb.append(render(k, e)).append('\n'); () })
+      java.nio.file.Files.writeString(tmp, sb.toString)
+      java.nio.file.Files.move(tmp, file,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+
+    // load AFTER every val above is initialized (lineRe is used here)
+    java.nio.file.Files.createDirectories(dir)
+    if (java.nio.file.Files.exists(file)) {
+      val it = java.nio.file.Files.lines(file)
+      try it.forEach { line =>
+        parseLine(line).foreach { case (k, e) => m.put(k, e) }
+      } finally it.close()
+    }
+  }
+
   /** Candidate columns (beyond opening_slug/result/pgn) that the bundled
     * evaluator's prompt block renders -- all fold into the cache key so a
     * cached score can never go stale against a block change.

@@ -84,6 +84,57 @@ class EvalCacheSpec extends SparkSpec {
     assert(inner.rowsScored === 4)
   }
 
+  test("persistent backend: hit/miss parity with LRU, survives reopen") {
+    val dir = java.nio.file.Files.createTempDirectory("evalcache")
+    val inner = new CountingReranker
+    val backend = new EvalCache.PersistentBackend(dir)
+    val r = EvalCache.cached(inner, backend)
+    val plan = planOf("top games in the english opening")
+    val first = r.scores(candidates(10L, 20L), plan)
+      .orderBy("game_id").as[(String, Double, String)].collect().toSeq
+    val second = r.scores(candidates(10L, 20L), plan)
+      .orderBy("game_id").as[(String, Double, String)].collect().toSeq
+    assert(first === second)
+    assert(inner.calls === 1) // same contract as the LRU backend
+    // a NEW process (fresh backend over the same dir) still hits
+    val inner2 = new CountingReranker
+    val reopened = new EvalCache.PersistentBackend(dir)
+    assert(reopened.size === 2)
+    val r2 = EvalCache.cached(inner2, reopened)
+    val third = r2.scores(candidates(10L, 20L), plan)
+      .orderBy("game_id").as[(String, Double, String)].collect().toSeq
+    assert(third === first)
+    assert(inner2.calls === 0)
+    // partial hit after reopen: only the new candidate is evaluated
+    r2.scores(candidates(10L, 30L), plan).collect()
+    assert(inner2.rowsScored === 1)
+  }
+
+  test("persistent backend: last-write-wins, torn tail skipped, compact") {
+    val dir = java.nio.file.Files.createTempDirectory("evalcache2")
+    val b = new EvalCache.PersistentBackend(dir)
+    b.put("k1", EvalCache.Entry(0.1, "first"))
+    b.put("k1", EvalCache.Entry(0.9, "second\nline \"quoted\" \\ tab\t"))
+    b.put("k2", EvalCache.Entry(-0.5, "neg"))
+    assert(b.get("k1").map(_.agentScore) === Some(0.9))
+    assert(b.get("k1").map(_.explanation) ===
+      Some("second\nline \"quoted\" \\ tab\t"))
+    // simulate a crash mid-append: torn final line must not poison load
+    val f = dir.resolve("eval_cache.jsonl")
+    java.nio.file.Files.writeString(f, "{\"k\":\"torn",
+      java.nio.file.StandardOpenOption.APPEND)
+    val b2 = new EvalCache.PersistentBackend(dir)
+    assert(b2.size === 2)
+    assert(b2.get("k1").map(_.agentScore) === Some(0.9))
+    // compact rewrites to one live line per key (3 appends + torn -> 2)
+    b2.compact()
+    val lines = java.nio.file.Files.readAllLines(f)
+    assert(lines.size === 2)
+    val b3 = new EvalCache.PersistentBackend(dir)
+    assert(b3.get("k1").map(_.explanation) === b2.get("k1").map(_.explanation))
+    assert(b3.get("k2").map(_.agentScore) === Some(-0.5))
+  }
+
   test("cached reranker composes with Reranker.apply blend") {
     val inner = new CountingReranker
     val r = EvalCache.cached(inner, new EvalCache.LruBackend())
