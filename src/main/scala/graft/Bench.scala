@@ -33,6 +33,32 @@ object Bench {
     sec
   }
 
+  /** ALL-CORE companion to [[cpuCanary]]: `threads` workers each run a
+    * fixed loop; the wall is the slowest worker. The single-thread
+    * canary has a blind spot this closes: a co-tenant burst that leaves
+    * one core free reads "quiet" on cpuCanary while every 32-thread
+    * Spark stage runs at a fraction of the machine -- exactly the
+    * signature of the r10/r11 driver records, where llm_chunking /
+    * llm_dup_clusters (alphabetically adjacent) degraded 8-9x between
+    * two quiet single-thread canaries. quiet-host value scales with
+    * the per-thread loop (2.5e8 iters ~ 0.33s); a value far above the
+    * committed baseline = multi-core contention during the window.
+    */
+  private def mcCanary(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val pool = (1 to threads).map { t =>
+      val th = new Thread(() => {
+        var x = t.toLong
+        var i = 0L
+        while (i < 250000000L) { x = x * 6364136223846793005L + i; i += 1 }
+        if (x == 42L) System.err.println("")
+      })
+      th.start(); th
+    }
+    pool.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def median3(a: Double, b: Double, c: Double): Double =
     Seq(a, b, c).sorted.apply(1)
 
@@ -54,17 +80,32 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warmResults = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val soakResults = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val tOffsets = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val benchT0 = System.nanoTime()
+    def sinceStart(): Double = (System.nanoTime() - benchT0) / 1e9
 
     // 0) Warmup: materialize the shared chess fixture tables and run one
     // trivial sf-table action, so the alphabetically-first gate query does
     // not absorb fixture ingest + JIT warmup (r4/r5 benches mischarged
     // 3-9s to whichever query ran first).
     val warmupSec = time {
-      graft.gate.ChessQueries.data(spark)._1.games.count()
+      // ALL four fixture frames (chess_agent_rerank, alphabetically
+      // first, otherwise absorbs positions+vectors materialization),
+      // one sf-table action, and one window-function action (JITs the
+      // window/codegen path the first gate's rank() would otherwise pay)
+      val (t, v) = graft.gate.ChessQueries.data(spark)
+      t.games.count(); t.players.count(); t.positions.count(); v.count()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
+      import org.apache.spark.sql.expressions.Window
+      spark.range(100).toDF("id")
+        .withColumn("r", org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy(org.apache.spark.sql.functions.col("id"))))
+        .count()
     }
 
     val canaryPre = cpuCanary()
+    val mcPre = mcCanary(cpus.toInt)
 
     // 1) Gate queries (SURVEY §2 inventory) on the sf tables: one cold
     // run (first execution this session), then warm = MEDIAN OF 3
@@ -86,6 +127,11 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
       }
+      // per-gate start offset: a co-tenant burst in a future driver
+      // record localizes to a wall-clock window, and this maps windows
+      // to gates (r11's 8x llm_chunking..llm_dup_clusters anomaly was
+      // alphabetically contiguous -- i.e. a time window, not a plan)
+      tOffsets(name) = sinceStart()
       val cold = run()
       val warm = if (failed) cold else median3(run(), run(), run())
       results(name) = if (failed) -cold else cold
@@ -94,6 +140,26 @@ object Bench {
       // (each run re-persists its own frames, so the four runs above
       // never reuse them anyway; dropping them between QUERIES stops a
       // 100+-gate session from evicting the warm fixture caches)
+      graft.core.Caches.releaseScoped()
+    }
+
+    // 1b) SOAK: a SECOND full sweep (one run per gate) in the same JVM.
+    // If the same session really degrades over time (broadcast/GC
+    // accumulation), pass 2 must be slower than pass 1's warm column;
+    // if pass 2 matches pass 1, a slow gate in pass 1 was external
+    // (host contention), proven without the driver in the loop.
+    val mcMid = mcCanary(cpus.toInt)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      var failed = false
+      tOffsets(name + "#2") = sinceStart()
+      val sec = time {
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] soak $name FAILED: ${e.getMessage}")
+        }
+      }
+      soakResults(name) = if (failed) -sec else sec
       graft.core.Caches.releaseScoped()
     }
 
@@ -212,16 +278,18 @@ object Bench {
     // smaller one is the closer bound on the machine's quiet speed; a
     // large pre/post GAP additionally localizes WHEN contention hit.
     val canaryPost = cpuCanary()
+    val mcPost = mcCanary(cpus.toInt)
     val canarySec = math.min(canaryPre, canaryPost)
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"queries_warm":${jmap(warmResults)},"total_warm":$totalWarm%.3f,"warmup_sec":$warmupSec%.3f,"canary_sec":$canarySec%.3f,"canary_pre_sec":$canaryPre%.3f,"canary_post_sec":$canaryPost%.3f,"engine_metrics":$metrics,"sf":"$sfDir"}"""
+    val mcSec = math.min(mcPre, math.min(mcMid, mcPost))
+    val totalSoak = soakResults.values.sum
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"queries_warm":${jmap(warmResults)},"queries_soak":${jmap(soakResults)},"total_warm":$totalWarm%.3f,"total_soak":$totalSoak%.3f,"t_offsets":${jmap(tOffsets)},"warmup_sec":$warmupSec%.3f,"canary_sec":$canarySec%.3f,"canary_pre_sec":$canaryPre%.3f,"canary_post_sec":$canaryPost%.3f,"canary_mc_sec":$mcSec%.3f,"canary_mc_pre_sec":$mcPre%.3f,"canary_mc_mid_sec":$mcMid%.3f,"canary_mc_post_sec":$mcPost%.3f,"engine_metrics":$metrics,"sf":"$sfDir"}"""
     // stdout gets a COMPACT record: the driver's wrapper keeps only a
-    // bounded tail of output and has recorded parsed:null for every
-    // round where the full ~9 KB line's head fell off the window (r9,
-    // r10). One map (warm gates + the chessmate workload numbers)
-    // keeps the stdout line within the window; the full cold+warm+
-    // engine-metrics record goes to BENCH_FULL.json below.
-    val compact = warmResults ++ results.filter(_._1.startsWith("chess_"))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(compact)},"total_warm":$totalWarm%.3f,"canary_sec":$canarySec%.3f,"sf":"$sfDir"}""")
+    // bounded tail of output and has recorded parsed:null whenever a
+    // full per-query map rode the line (r9-r11 -- even the 123-entry
+    // warm map alone overflowed the window). Headline metrics ONLY here
+    // (~400 bytes); every per-query number lives in BENCH_FULL.json.
+    val compact = results.filter(_._1.startsWith("chess_"))
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(compact)},"total_warm":$totalWarm%.3f,"total_soak":$totalSoak%.3f,"canary_sec":$canarySec%.3f,"canary_mc_sec":$mcSec%.3f,"sf":"$sfDir"}""")
     // Persist the COMPLETE record to a repo file, so every per-query
     // number is independently checkable (the stdout tail has truncated
     // past rounds' records: r8's llm_pipeline2 time was unverifiable

@@ -1,0 +1,311 @@
+package graft.app
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.embed.DeterministicEmbedder
+import graft.core.Sanitizer
+import graft.query.{HybridExecutor, QueryIntent, ResultFormatter}
+
+/** P1 live HTTP surface (reference services/api/chessmate_api.ml:586-724,
+  * routes :809-827): the same `/query` contract as the reference API --
+  * GET with `q`/`limit`/`offset` params, POST with a JSON
+  * `{question, limit, offset}` body -- over [[HybridExecutor]], plus
+  * `GET /health` (P5) and `GET /metrics` (P6). Served by the JDK's
+  * built-in `com.sun.net.httpserver` on localhost: the engine stays a
+  * zero-extra-dependency library; this main is the thin envelope.
+  *
+  * Validation mirrors chessmate_api.ml exactly: question required and
+  * non-empty after trim; limit an integer in 1..[[QueryIntent.maxLimit]];
+  * offset a non-negative integer; a POST body over the 64 KiB cap is
+  * rejected 413 (the reference's body-limit middleware, :307-363).
+  * Error bodies are `{"error": "..."}` with the sanitizer applied, and
+  * the success payload carries the reference's field set: question,
+  * plan, summary, results, offset, limit, total, has_more, agent_status
+  * (+ warnings when non-empty).
+  *
+  *   runMain graft.app.ServeApp <tablesDir> [--port=8080]
+  */
+object ServeApp {
+
+  val maxBodyBytes = 65536
+
+  private val mapper = new ObjectMapper()
+
+  /** limit per validate_limit (chessmate_api.ml:27-31). */
+  def validateLimit(raw: String): Either[String, Int] =
+    parseIntField("limit", raw).flatMap { v =>
+      if (v < 1) Left("limit must be >= 1")
+      else if (v > QueryIntent.maxLimit)
+        Left(s"limit must be <= ${QueryIntent.maxLimit}")
+      else Right(v)
+    }
+
+  /** offset per validate_offset (chessmate_api.ml:33-35). */
+  def validateOffset(raw: String): Either[String, Int] =
+    parseIntField("offset", raw).flatMap { v =>
+      if (v < 0) Left("offset must be >= 0") else Right(v)
+    }
+
+  private def parseIntField(field: String, raw: String): Either[String, Int] = {
+    val s = raw.trim
+    if (s.isEmpty) Left(s"$field must not be empty")
+    else
+      try Right(s.toInt)
+      catch { case _: NumberFormatException => Left(s"$field must be an integer") }
+  }
+
+  /** URL query string -> first-value map (no decoding surprises: the
+    * reference reads repeated params first-wins too).
+    */
+  def queryParams(rawQuery: String): Map[String, String] =
+    Option(rawQuery).getOrElse("").split("&").iterator
+      .filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }
+      .foldLeft(Map.empty[String, String]) { (m, kv) =>
+        if (m.contains(kv._1)) m else m + kv
+      }
+
+  final case class Parsed(question: String, limit: Option[Int],
+      offset: Option[Int])
+
+  /** GET param extraction (chessmate_api.ml:95-116 `extract_query`). */
+  def parseGet(rawQuery: String): Either[String, Parsed] = {
+    val p = queryParams(rawQuery)
+    for {
+      q <- p.get("q").toRight("question parameter missing")
+      qq <- { val t = q.trim
+        if (t.isEmpty) Left("question must not be empty") else Right(t) }
+      lim <- p.get("limit") match {
+        case None => Right(None)
+        case Some(raw) => validateLimit(raw).map(Some(_))
+      }
+      off <- p.get("offset") match {
+        case None => Right(None)
+        case Some(raw) => validateOffset(raw).map(Some(_))
+      }
+    } yield Parsed(qq, lim, off)
+  }
+
+  /** POST body extraction (chessmate_api.ml:59-93 + :697-724): limit /
+    * offset accept either a JSON int or an int-looking string.
+    */
+  def parsePost(body: String): Either[String, Parsed] = {
+    val json: JsonNode =
+      try mapper.readTree(body)
+      catch { case _: Throwable => return Left("invalid JSON payload") }
+    if (json == null || !json.isObject) return Left("invalid JSON payload")
+    def intField(name: String,
+        check: String => Either[String, Int]): Either[String, Option[Int]] =
+      json.get(name) match {
+        case null => Right(None)
+        case n if n.isNull => Right(None)
+        case n if n.isIntegralNumber => check(n.asText()).map(Some(_))
+        case n if n.isTextual => check(n.asText()).map(Some(_))
+        case _ => Left(s"$name must be an integer")
+      }
+    for {
+      qn <- json.get("question") match {
+        case null => Left("question parameter missing")
+        case n if n.isNull => Left("question parameter missing")
+        case n if n.isTextual => Right(n.asText())
+        case _ => Left("question must be a string")
+      }
+      q <- { val t = qn.trim
+        if (t.isEmpty) Left("question must not be empty") else Right(t) }
+      lim <- intField("limit", validateLimit)
+      off <- intField("offset", validateOffset)
+    } yield Parsed(q, lim, off)
+  }
+
+  private def planJson(plan: QueryIntent.Plan): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("cleaned_text", plan.cleanedText)
+    o.put("limit", plan.limit)
+    o.put("offset", plan.offset)
+    val fs = o.putArray("filters")
+    plan.filters.foreach { case QueryIntent.MetadataFilter(k, v) =>
+      val f = mapper.createObjectNode(); f.put("field", k); f.put("value", v)
+      fs.add(f); ()
+    }
+    val r = o.putObject("rating")
+    plan.rating.whiteMin.foreach(v => r.put("white_min", v))
+    plan.rating.blackMin.foreach(v => r.put("black_min", v))
+    plan.rating.maxRatingDelta.foreach(v => r.put("max_rating_delta", v))
+    val ks = o.putArray("keywords")
+    plan.keywords.foreach { k => ks.add(k); () }
+    o
+  }
+
+  /** Execute one validated request -> the reference's response payload. */
+  def queryResponse(spark: SparkSession, tables: HybridExecutor.Tables,
+      embedder: DeterministicEmbedder, parsed: Parsed): ObjectNode = {
+    val plan = QueryIntent.analyse(
+      QueryIntent.Request(parsed.question, parsed.limit, parsed.offset))
+    val exec = HybridExecutor.execute(spark, tables, plan, embedder)
+    val rows = exec.results.collect().toSeq
+    val o = mapper.createObjectNode()
+    o.put("question", parsed.question)
+    o.set[ObjectNode]("plan", planJson(plan))
+    o.put("summary",
+      if (rows.isEmpty) "No games matched the requested filters."
+      else ResultFormatter.summarize(rows))
+    val rs: ArrayNode = o.putArray("results")
+    rows.foreach { row =>
+      val m = ResultFormatter.resultFields(row)
+      val n = mapper.createObjectNode()
+      m.foreach {
+        case (k, v: String) => n.put(k, v)
+        case (k, v: Double) => n.put(k, v)
+        case (k, Some(v: String)) => n.put(k, v)
+        case (k, Some(v: Int)) => n.put(k, v)
+        case (k, None) => n.putNull(k)
+        case (k, v) => n.put(k, String.valueOf(v))
+      }
+      rs.add(n); ()
+    }
+    o.put("offset", plan.offset)
+    o.put("limit", plan.limit)
+    o.put("total", exec.total)
+    o.put("has_more", exec.hasMore)
+    // the bundled deterministic evaluator is not an external agent; the
+    // reference's agent_status string for a no-agent deployment
+    o.put("agent_status", "disabled")
+    if (exec.warnings.nonEmpty) {
+      val ws = o.putArray("warnings")
+      exec.warnings.foreach { w => ws.add(w); () }
+    }
+    o
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def errorJson(msg: String): String = {
+    val o = mapper.createObjectNode()
+    o.put("error", Sanitizer.sanitize(msg))
+    o.toString
+  }
+
+  /** Start the server (port 0 = ephemeral; read it back via
+    * `server.getAddress.getPort`). Handlers run on a small pool --
+    * Spark actions are thread-safe per session.
+    */
+  def start(spark: SparkSession, tables: HybridExecutor.Tables,
+      embedder: DeterministicEmbedder, port: Int): HttpServer = {
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+    server.createContext("/health", (ex: HttpExchange) => {
+      try {
+        val t0 = System.nanoTime()
+        val games = tables.games.count()
+        val latencyMs = (System.nanoTime() - t0) / 1e6
+        val o = mapper.createObjectNode()
+        o.put("status", "ok")
+        o.put("games", games)
+        o.put("latency_ms", latencyMs)
+        respond(ex, 200, o.toString)
+      } catch {
+        case e: Throwable =>
+          respond(ex, 500, errorJson(e.getMessage))
+      }
+    })
+
+    server.createContext("/metrics", (ex: HttpExchange) => {
+      val o = mapper.createObjectNode()
+      graft.core.Metrics.default.snapshot.foreach { case (k, v) =>
+        o.put(k, v); ()
+      }
+      respond(ex, 200, o.toString)
+    })
+
+    server.createContext("/query", (ex: HttpExchange) => {
+      try {
+        val parsed: Either[String, Parsed] = ex.getRequestMethod match {
+          case "GET" => parseGet(ex.getRequestURI.getRawQuery)
+          case "POST" =>
+            val body = ex.getRequestBody.readNBytes(maxBodyBytes + 1)
+            if (body.length > maxBodyBytes) Left("__413__")
+            else parsePost(new String(body, "UTF-8"))
+          case _ => Left("unsupported method")
+        }
+        parsed match {
+          case Left("__413__") =>
+            respond(ex, 413, errorJson("request body too large"))
+          case Left(err) => respond(ex, 400, errorJson(err))
+          case Right(p) =>
+            val payload =
+              try Right(queryResponse(spark, tables, embedder, p))
+              catch { case e: Throwable => Left(e.getMessage) }
+            payload match {
+              case Right(o) => respond(ex, 200, o.toString)
+              case Left(err) => respond(ex, 500, errorJson(err))
+            }
+        }
+      } catch {
+        case e: Throwable =>
+          try respond(ex, 500, errorJson(e.getMessage))
+          catch { case _: Throwable => () }
+      }
+    })
+
+    server.start()
+    server
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ServeApp <tablesDir> [--port=8080]")
+    val dir = args(0)
+    val port = args.collectFirst { case s if s.startsWith("--port=") =>
+      s.stripPrefix("--port=").toInt }.getOrElse(8080)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-serve")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val games = spark.read.parquet(s"$dir/games").cache()
+    val players = spark.read.parquet(s"$dir/players").cache()
+    val vectors =
+      try Some(spark.read.parquet(s"$dir/vectors").cache())
+      catch { case _: Throwable => None }
+    val embedder = DeterministicEmbedder(dims = vectors.map(v =>
+      v.selectExpr("size(embedding)").head().getInt(0)).getOrElse(1536))
+    // pre-materialize the serving view (the reference serves from a
+    // warm, indexed game_summary -- same move here)
+    val summaries = HybridExecutor.summaries(games, players)
+    summaries.cache(); summaries.count()
+    vectors.foreach(_.count()); games.count(); players.count()
+    val tables = HybridExecutor.Tables(games, players, vectors,
+      summariesPrebuilt = Some(summaries))
+
+    val server = start(spark, tables, embedder, port)
+    println(s"[serve] listening on http://127.0.0.1:${server.getAddress.getPort}")
+    println("[serve] GET /query?q=...&limit=5  |  POST /query  |  /health  |  /metrics")
+    // block until SIGTERM/SIGINT; stop Spark on the way out
+    val done = new java.util.concurrent.CountDownLatch(1)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      server.stop(0)
+      spark.stop()
+      done.countDown()
+    }))
+    done.await()
+  }
+}

@@ -714,7 +714,14 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The pair generator feeding CC (minhash shingle->sign->band->verify)
+    // is usually the most expensive subtree in the whole job, and the
+    // symmetrize union below references it TWICE -- unpersisted, both
+    // union branches would re-execute the full generator DAG. Persist +
+    // materialize the projected pairs first so the generator runs once.
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .persist(MEMORY_AND_DISK)
+    half.count()
     // persisted PRE-PARTITIONED on dst, the relax join's key: the edge
     // list is read once per round, and InMemoryRelation keeps the
     // partitioning, so no round re-shuffles the edges -- only the small
@@ -753,6 +760,7 @@ object Dedup {
       labels = jumped
       iters += 1
     }
+    half.unpersist()
     edges.unpersist()
     ccRounds.set(iters.toDouble)
     if (changed > 0)

@@ -36,7 +36,13 @@ object Graphs {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     require(iters >= 1 && dampingMilli >= 0 && dampingMilli <= 1000)
     val spark = pairs.sparkSession
+    // materialize the projected pairs before the symmetrize union: both
+    // union branches reference them, and unpersisted that re-executes
+    // the (expensive) pair-generator DAG twice -- same fix as
+    // connectedComponents
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .persist(MEMORY_AND_DISK)
+    half.count()
     val edges = half.union(half.select(col("dst").as("src"),
         col("src").as("dst")))
       .repartition(col("src"))
@@ -69,6 +75,7 @@ object Graphs {
     }
     val out = graft.core.Caches.scoped(ranks)
     out.count() // one action fills the cache through all rounds
+    half.unpersist()
     edges.unpersist()
     deg.unpersist()
     out // scoped: harnesses release between queries; callers may earlier

@@ -1,0 +1,129 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.app.ServeApp
+import graft.embed.DeterministicEmbedder
+import graft.query.HybridExecutor
+
+/** P1 HTTP surface: validation parity with chessmate_api.ml and one real
+  * end-to-end round trip (server on an ephemeral localhost port, JDK
+  * HttpClient, fixture corpus).
+  */
+class ServeAppSpec extends SparkSpec {
+
+  private val om = new ObjectMapper()
+
+  test("GET param validation mirrors the reference error strings") {
+    assert(ServeApp.parseGet(null) === Left("question parameter missing"))
+    assert(ServeApp.parseGet("limit=5") === Left("question parameter missing"))
+    assert(ServeApp.parseGet("q=%20%20") === Left("question must not be empty"))
+    assert(ServeApp.parseGet("q=hi&limit=0") === Left("limit must be >= 1"))
+    assert(ServeApp.parseGet("q=hi&limit=501") === Left("limit must be <= 500"))
+    assert(ServeApp.parseGet("q=hi&limit=abc") ===
+      Left("limit must be an integer"))
+    assert(ServeApp.parseGet("q=hi&limit=") === Left("limit must not be empty"))
+    assert(ServeApp.parseGet("q=hi&offset=-1") === Left("offset must be >= 0"))
+    assert(ServeApp.parseGet("q=hi&offset=x") ===
+      Left("offset must be an integer"))
+    assert(ServeApp.parseGet("q=black%20wins&limit=5&offset=10") ===
+      Right(ServeApp.Parsed("black wins", Some(5), Some(10))))
+    // repeated params: first wins (reference Uri.get_query_param)
+    assert(ServeApp.parseGet("q=a&q=b") ===
+      Right(ServeApp.Parsed("a", None, None)))
+  }
+
+  test("POST body validation mirrors the reference error strings") {
+    assert(ServeApp.parsePost("not json") === Left("invalid JSON payload"))
+    assert(ServeApp.parsePost("[1,2]") === Left("invalid JSON payload"))
+    assert(ServeApp.parsePost("{}") === Left("question parameter missing"))
+    assert(ServeApp.parsePost("""{"question": null}""") ===
+      Left("question parameter missing"))
+    assert(ServeApp.parsePost("""{"question": 7}""") ===
+      Left("question must be a string"))
+    assert(ServeApp.parsePost("""{"question": "  "}""") ===
+      Left("question must not be empty"))
+    assert(ServeApp.parsePost("""{"question": "q", "limit": 0}""") ===
+      Left("limit must be >= 1"))
+    assert(ServeApp.parsePost("""{"question": "q", "limit": 1.5}""") ===
+      Left("limit must be an integer"))
+    // int-looking strings accepted, like parse_limit_json's `String case
+    assert(ServeApp.parsePost("""{"question": "q", "limit": "25"}""") ===
+      Right(ServeApp.Parsed("q", Some(25), None)))
+    assert(ServeApp.parsePost("""{"question": "q", "offset": -2}""") ===
+      Left("offset must be >= 0"))
+    assert(ServeApp.parsePost(
+      """{"question": "black wins", "limit": 5, "offset": 1}""") ===
+      Right(ServeApp.Parsed("black wins", Some(5), Some(1))))
+  }
+
+  test("end-to-end: /query GET+POST, /health, /metrics on a live server") {
+    val (t, v) = graft.gate.ChessQueries.data(spark)
+    val summaries = HybridExecutor.summaries(t.games, t.players)
+    val tables = HybridExecutor.Tables(t.games, t.players, Some(v),
+      summariesPrebuilt = Some(summaries))
+    val embedder = DeterministicEmbedder(graft.gate.ChessQueries.embedDims)
+    val server = ServeApp.start(spark, tables, embedder, port = 0)
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(base + path)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def post(path: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(base + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      // GET with results: reference payload fields all present
+      val ok = get("/query?q=show+black+wins&limit=3")
+      assert(ok.statusCode() === 200)
+      val j = om.readTree(ok.body())
+      assert(j.get("question").asText() === "show black wins")
+      assert(j.get("limit").asInt() === 3)
+      assert(j.get("offset").asInt() === 0)
+      assert(j.get("total").asLong() >= 1)
+      assert(j.get("results").size() >= 1)
+      assert(j.get("results").get(0).has("game_id"))
+      assert(j.get("results").get(0).has("total_score"))
+      assert(j.get("plan").get("cleaned_text").isTextual)
+      assert(j.get("agent_status").asText() === "disabled")
+      assert(j.get("summary").asText().nonEmpty)
+
+      // POST parity: same question gives the same first result
+      val pok = post("/query",
+        """{"question": "show black wins", "limit": 3}""")
+      assert(pok.statusCode() === 200)
+      val pj = om.readTree(pok.body())
+      assert(pj.get("results").get(0).get("game_id").asText() ===
+        j.get("results").get(0).get("game_id").asText())
+
+      // validation errors surface as 400 {"error": ...}
+      val bad = get("/query?q=hi&limit=501")
+      assert(bad.statusCode() === 400)
+      assert(om.readTree(bad.body()).get("error").asText() ===
+        "limit must be <= 500")
+      val badPost = post("/query", "{}")
+      assert(badPost.statusCode() === 400)
+      assert(om.readTree(badPost.body()).get("error").asText() ===
+        "question parameter missing")
+
+      // oversized body -> 413 (body-limit middleware parity)
+      val big = post("/query",
+        s"""{"question": "${"x" * (ServeApp.maxBodyBytes + 10)}"}""")
+      assert(big.statusCode() === 413)
+
+      // health + metrics
+      val h = get("/health")
+      assert(h.statusCode() === 200)
+      val hj = om.readTree(h.body())
+      assert(hj.get("status").asText() === "ok")
+      assert(hj.get("games").asLong() >= 1)
+      assert(hj.get("latency_ms").asDouble() >= 0.0)
+      assert(get("/metrics").statusCode() === 200)
+    } finally server.stop(0)
+  }
+}
