@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.embed.DeterministicEmbedder
 import graft.core.Sanitizer
-import graft.query.{HybridExecutor, QueryIntent, ResultFormatter}
+import graft.query.{HybridExecutor, QueryIntent, RateLimiter, ResultFormatter}
 
 /** P1 live HTTP surface (reference services/api/chessmate_api.ml:586-724,
   * routes :809-827): the same `/query` contract as the reference API --
@@ -26,7 +26,15 @@ import graft.query.{HybridExecutor, QueryIntent, ResultFormatter}
   * plan, summary, results, offset, limit, total, has_more, agent_status
   * (+ warnings when non-empty).
   *
+  * P3: `--rate-limit=RPM[:BURST]` enables the per-client token-bucket
+  * admission control ([[graft.query.RateLimiter]], mirroring
+  * lib/api/rate_limiter.ml); `--rate-limit-body=BPM[:BURST]` adds the
+  * optional per-client body-byte budget. Limited requests get the
+  * reference middleware's exact response: 429, `Retry-After:
+  * max(1, ceil(retry_after))`, text/plain body.
+  *
   *   runMain graft.app.ServeApp <tablesDir> [--port=8080]
+  *     [--rate-limit=RPM[:BURST]] [--rate-limit-body=BPM[:BURST]]
   */
 object ServeApp {
 
@@ -204,12 +212,45 @@ object ServeApp {
     * Spark actions are thread-safe per session.
     */
   def start(spark: SparkSession, tables: HybridExecutor.Tables,
-      embedder: DeterministicEmbedder, port: Int): HttpServer = {
+      embedder: DeterministicEmbedder, port: Int,
+      limiter: Option[RateLimiter] = None): HttpServer = {
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
 
+    // P3 admission control, applied APP-WIDE exactly like the reference
+    // (chessmate_api.ml:809-821 adds the middleware to the base app, so
+    // /health and /metrics are rate-limited too). Returns the Limited
+    // decision after writing the reference middleware's verbatim
+    // response (429, Retry-After = max(1, ceil(retry_after)),
+    // text/plain body); None = admitted.
+    def admit(ex: HttpExchange,
+        bodyLen: Option[Long]): Option[RateLimiter.Limited] = {
+      val limited = limiter.flatMap { l =>
+        val addr = ex.getRemoteAddress.getAddress.getHostAddress
+        l.check(addr, bodyLen) match {
+          case lim: RateLimiter.Limited => Some(lim)
+          case _ => None
+        }
+      }
+      limited.foreach { lim =>
+        val retry = math.max(1L, math.ceil(math.max(0.0,
+          lim.retryAfter)).toLong)
+        val body = s"Rate limit exceeded. Retry after $retry seconds."
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type",
+          "text/plain; charset=utf-8")
+        ex.getResponseHeaders.set("Retry-After", retry.toString)
+        ex.sendResponseHeaders(429, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+      limited
+    }
+
     server.createContext("/health", (ex: HttpExchange) => {
+      if (admit(ex, None).isDefined) ()
+      else
       try {
         val t0 = System.nanoTime()
         val games = tables.games.count()
@@ -226,34 +267,56 @@ object ServeApp {
     })
 
     server.createContext("/metrics", (ex: HttpExchange) => {
-      val o = mapper.createObjectNode()
-      graft.core.Metrics.default.snapshot.foreach { case (k, v) =>
-        o.put(k, v); ()
+      if (admit(ex, None).isDefined) ()
+      else {
+        val o = mapper.createObjectNode()
+        graft.core.Metrics.default.snapshot.foreach { case (k, v) =>
+          o.put(k, v); ()
+        }
+        // P3 limiter counters ride the same snapshot; the reference
+        // appends Rate_limiter.metrics lines to its /metrics body too
+        // (chessmate_api.ml:571). Lines are "name[{labels}] value".
+        limiter.foreach(_.metrics.foreach { line =>
+          val i = line.lastIndexOf(' ')
+          if (i > 0) o.put(line.take(i), line.drop(i + 1).toDouble)
+        })
+        respond(ex, 200, o.toString)
       }
-      respond(ex, 200, o.toString)
     })
 
     server.createContext("/query", (ex: HttpExchange) => {
       try {
-        val parsed: Either[String, Parsed] = ex.getRequestMethod match {
-          case "GET" => parseGet(ex.getRequestURI.getRawQuery)
-          case "POST" =>
-            val body = ex.getRequestBody.readNBytes(maxBodyBytes + 1)
-            if (body.length > maxBodyBytes) Left("__413__")
-            else parsePost(new String(body, "UTF-8"))
-          case _ => Left("unsupported method")
-        }
-        parsed match {
-          case Left("__413__") =>
-            respond(ex, 413, errorJson("request body too large"))
-          case Left(err) => respond(ex, 400, errorJson(err))
-          case Right(p) =>
-            val payload =
-              try Right(queryResponse(spark, tables, embedder, p))
-              catch { case e: Throwable => Left(e.getMessage) }
-            payload match {
-              case Right(o) => respond(ex, 200, o.toString)
-              case Left(err) => respond(ex, 500, errorJson(err))
+        // POST body is read up-front so the P3 body budget can be
+        // debited on the same check that admits the request (the
+        // reference's body-limit middleware stores the parsed size for
+        // the rate-limit middleware the same way, :270-300).
+        val bodyBytes: Option[Array[Byte]] =
+          if (ex.getRequestMethod == "POST")
+            Some(ex.getRequestBody.readNBytes(maxBodyBytes + 1))
+          else None
+        admit(ex, bodyBytes.map(_.length.toLong)) match {
+          case Some(_) => () // 429 already written by admit
+          case None =>
+            val parsed: Either[String, Parsed] = ex.getRequestMethod match {
+              case "GET" => parseGet(ex.getRequestURI.getRawQuery)
+              case "POST" =>
+                val body = bodyBytes.get
+                if (body.length > maxBodyBytes) Left("__413__")
+                else parsePost(new String(body, "UTF-8"))
+              case _ => Left("unsupported method")
+            }
+            parsed match {
+              case Left("__413__") =>
+                respond(ex, 413, errorJson("request body too large"))
+              case Left(err) => respond(ex, 400, errorJson(err))
+              case Right(p) =>
+                val payload =
+                  try Right(queryResponse(spark, tables, embedder, p))
+                  catch { case e: Throwable => Left(e.getMessage) }
+                payload match {
+                  case Right(o) => respond(ex, 200, o.toString)
+                  case Left(err) => respond(ex, 500, errorJson(err))
+                }
             }
         }
       } catch {
@@ -268,10 +331,32 @@ object ServeApp {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ServeApp <tablesDir> [--port=8080]")
+    require(args.nonEmpty, "usage: ServeApp <tablesDir> [--port=8080] " +
+      "[--rate-limit=RPM[:BURST]] [--rate-limit-body=BPM[:BURST]]")
     val dir = args(0)
     val port = args.collectFirst { case s if s.startsWith("--port=") =>
       s.stripPrefix("--port=").toInt }.getOrElse(8080)
+    // P3: --rate-limit=120 (burst defaults to the per-minute rate, as
+    // the reference does when bucket_size is absent, chessmate_api.ml:
+    // 260-263); optional body budget --rate-limit-body=1048576:2097152
+    def rateArg(flag: String): Option[(Long, Option[Long])] =
+      args.collectFirst { case s if s.startsWith(flag + "=") =>
+        s.stripPrefix(flag + "=").split(':') match {
+          case Array(r) => (r.toLong, None)
+          case Array(r, b) => (r.toLong, Some(b.toLong))
+          case _ => throw new IllegalArgumentException(
+            s"$flag expects RATE or RATE:BURST")
+        }
+      }
+    val limiter: Option[RateLimiter] = rateArg("--rate-limit").map {
+      case (rpm, burst) =>
+        val body = rateArg("--rate-limit-body")
+        new RateLimiter(
+          tokensPerMinute = rpm.toInt,
+          bucketSize = burst.getOrElse(rpm).toInt,
+          bodyBytesPerMinute = body.map(_._1),
+          bodyBucketSize = body.flatMap(_._2))
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-serve")
@@ -296,7 +381,9 @@ object ServeApp {
     val tables = HybridExecutor.Tables(games, players, vectors,
       summariesPrebuilt = Some(summaries))
 
-    val server = start(spark, tables, embedder, port)
+    val server = start(spark, tables, embedder, port, limiter)
+    limiter.foreach(_ => println(
+      "[serve] rate limiting enabled (429 + Retry-After on limit)"))
     println(s"[serve] listening on http://127.0.0.1:${server.getAddress.getPort}")
     println("[serve] GET /query?q=...&limit=5  |  POST /query  |  /health  |  /metrics")
     // block until SIGTERM/SIGINT; stop Spark on the way out

@@ -126,4 +126,38 @@ class ServeAppSpec extends SparkSpec {
       assert(get("/metrics").statusCode() === 200)
     } finally server.stop(0)
   }
+
+  test("P3 live: limited requests get 429 + Retry-After, reference body") {
+    val (t, v) = graft.gate.ChessQueries.data(spark)
+    val summaries = HybridExecutor.summaries(t.games, t.players)
+    val tables = HybridExecutor.Tables(t.games, t.players, Some(v),
+      summariesPrebuilt = Some(summaries))
+    val embedder = DeterministicEmbedder(graft.gate.ChessQueries.embedDims)
+    // 1-token bucket, slow refill: the second request in the burst is
+    // limited deterministically
+    val limiter = new graft.query.RateLimiter(
+      tokensPerMinute = 1, bucketSize = 1)
+    val server = ServeApp.start(spark, tables, embedder, port = 0,
+      limiter = Some(limiter))
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(base + path)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      assert(get("/query?q=show+black+wins&limit=1").statusCode() === 200)
+      val lim = get("/query?q=show+black+wins&limit=1")
+      assert(lim.statusCode() === 429)
+      val retry = lim.headers().firstValue("Retry-After")
+      assert(retry.isPresent && retry.get().toLong >= 1)
+      assert(lim.body() ===
+        s"Rate limit exceeded. Retry after ${retry.get()} seconds.")
+      // rate limiting is APP-WIDE like the reference middleware
+      // (chessmate_api.ml:809-821): /health throttles too
+      assert(get("/health").statusCode() === 429)
+      // limiter counters recorded in the reference metric format
+      assert(limiter.metrics.exists(l =>
+        l.startsWith("api_rate_limited_total ") && l.endsWith(" 2")))
+    } finally server.stop(0)
+  }
 }
