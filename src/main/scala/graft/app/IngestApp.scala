@@ -14,9 +14,11 @@ import graft.ingest.IngestJob
   */
 object IngestApp {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: IngestApp <pgnPath> <outDir> [dims]")
+    require(args.length >= 2,
+      "usage: IngestApp <pgnPath> <outDir> [dims] [--splittable]")
     val Array(in, out) = args.take(2)
-    val dims = if (args.length > 2) args(2).toInt else 64
+    val dims = args.drop(2).find(!_.startsWith("--")).map(_.toInt)
+      .getOrElse(64)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-ingest")
@@ -26,8 +28,12 @@ object IngestApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val t = IngestJob.tables(spark, IngestJob.readPgn(spark, in),
-      persistRecords = true)
+    // --splittable: record-boundary-splitting reader for single huge
+    // dump files (one file fans out across tasks; identical game_ids)
+    val records =
+      if (args.contains("--splittable")) IngestJob.readPgnSplittable(spark, in)
+      else IngestJob.readPgn(spark, in)
+    val t = IngestJob.tables(spark, records, persistRecords = true)
     IngestJob.write(t, out)
     val games = spark.read.parquet(s"$out/games")
     val players = spark.read.parquet(s"$out/players")

@@ -127,7 +127,8 @@ object IngestJob {
 
   /** Read a directory/glob of .pgn files. wholetext keeps one game dump per
     * record; at 100 TB the dumps are many files, so parallelism comes from
-    * file count (and games-per-file via the flatMap above).
+    * file count (and games-per-file via the flatMap above). A SINGLE huge
+    * dump file is one task here — use [[readPgnSplittable]] for that shape.
     */
   def readPgn(spark: SparkSession, path: String): Dataset[GameRecord] = {
     import spark.implicits._
@@ -135,6 +136,110 @@ object IngestJob {
       .select(input_file_name().as("path"), col("value"))
       .as[(String, String)]
     gamesFromText(spark, files)
+  }
+
+  /** Record-boundary-splitting PGN reader: one multi-GB dump file fans out
+    * across tasks instead of being a single `wholetext` record (S1 at the
+    * 100 TB shape the reference never faces — its queue feeds one file per
+    * job, twic_ingest.ml; a Spark cluster ingests the whole archive at
+    * once).
+    *
+    * Mechanics: Hadoop `TextInputFormat` with a custom record delimiter
+    * `"\n[Event "` — the input-format splits files at arbitrary byte
+    * offsets and `LineRecordReader` re-synchronizes each split to the next
+    * delimiter (first split keeps offset 0), so records NEVER tear across
+    * split boundaries. Each coarse record gets its stripped `"[Event "`
+    * prefix re-attached (except a file-head banner block) and then runs
+    * through the same [[PgnParser.splitGames]] kernel as the wholetext
+    * path, which re-applies the haveMoves guard for the rare in-record
+    * split cases (indented `[Event`) and keeps '%'/';' banner semantics
+    * identical.
+    *
+    * Game index (and hence `game_id = md5("game <file> <index> <raw>")`)
+    * is made IDENTICAL to the wholetext reader by a per-file
+    * `row_number()` over (byte offset, within-record slot) — one exchange
+    * of the raw game text. That parity costs a shuffle of the corpus;
+    * ingest is a one-pass job and the alternative (offset-based ids)
+    * would make `game_id` depend on which reader ingested the file,
+    * breaking cross-snapshot incremental anti-joins (E1).
+    *
+    * Parity caveat (documented, spec-asserted): a MOVELESS header-only
+    * block directly followed by another game merges into that game under
+    * `splitGames`' haveMoves guard; the coarse delimiter puts them in
+    * separate records, so such degenerate dumps can differ. Every game
+    * with at least one move-text line round-trips identically.
+    */
+  def readPgnSplittable(spark: SparkSession, path: String,
+      hadoopConf: Map[String, String] = Map.empty): Dataset[GameRecord] = {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\n[Event ")
+    hadoopConf.foreach { case (k, v) => conf.set(k, v) }
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+      path,
+      classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+      classOf[org.apache.hadoop.io.LongWritable],
+      classOf[org.apache.hadoop.io.Text],
+      conf)
+    val chunks = rdd
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[
+        org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text]]
+      .mapPartitionsWithInputSplit { (split, iter) =>
+        // render the path EXACTLY as input_file_name() does
+        // (scheme://authority/path, empty authority rendered as //, RFC
+        // 2396 percent-encoding), so source_file -- and with it game_id
+        // -- is byte-identical to the wholetext reader's (spec-asserted)
+        val u = split
+          .asInstanceOf[org.apache.hadoop.mapreduce.lib.input.FileSplit]
+          .getPath.toUri
+        val file = new java.net.URI(u.getScheme,
+          Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
+          .toString
+        iter.map { case (off, text) =>
+          // offset-0 record is the file head (banner or first game and
+          // its own "[Event" line); every later record lost the
+          // delimiter's "[Event " prefix. Joining the restored chunks
+          // of one file with "\n" reproduces the file's bytes EXACTLY.
+          val restored =
+            if (off.get() == 0L) text.toString
+            else "[Event " + text.toString
+          (file, off.get(), restored)
+        }
+      }
+    // Replicate splitGames' haveMoves rule across chunk boundaries: a
+    // chunk with no move text must merge into the next chunk (splitGames
+    // would not have split there). Group id = suffix count of movesful
+    // chunks, so each maximal [moveless..., movesful] run (and any
+    // all-moveless file tail, grp 0) is one group; re-joining the group
+    // with "\n" restores the original bytes of that span, and running
+    // the SAME splitGames kernel per group yields slots byte-identical
+    // to the wholetext path (including interior blank lines and '%'
+    // banner semantics).
+    val hasMoves = udf((raw: String) => PgnParser.hasMoveText(raw))
+    val splitSlots = udf((block: String) =>
+      PgnParser.splitGames(block).map(_.raw))
+    val wSuffix = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file")).orderBy(col("off"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file")).orderBy(col("min_off"), col("sub"))
+    chunks.toDF("file", "off", "raw")
+      .withColumn("grp", sum(hasMoves(col("raw")).cast("long"))
+        .over(wSuffix))
+      .groupBy(col("file"), col("grp"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("off"), col("raw")))),
+          x => x.getField("raw")), "\n").as("block"),
+        min(col("off")).as("min_off"))
+      .select(col("file"), col("min_off"),
+        posexplode(splitSlots(col("block"))).as(Seq("sub", "raw")))
+      .withColumn("idx", row_number().over(wIdx))
+      .select("file", "idx", "raw")
+      .as[(String, Int, String)]
+      .map { case (file, idx, raw) => processGame(file, idx, raw) }
   }
 
   final case class ChessTables(games: DataFrame, players: DataFrame,

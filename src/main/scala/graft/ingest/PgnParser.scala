@@ -139,6 +139,18 @@ object PgnParser {
     }
   }
 
+  /** True when any line is move text under [[splitGames]]' rule: nonempty
+    * after trim and not a header ('['), escape ('%'), or comment (';')
+    * line. The splittable reader uses this to replicate the haveMoves
+    * merge rule across coarse record boundaries.
+    */
+  def hasMoveText(raw: String): Boolean =
+    raw.linesIterator.exists { line =>
+      val t = line.trim
+      t.nonEmpty && !t.startsWith("[") && !t.startsWith("%") &&
+        !t.startsWith(";")
+    }
+
   /** Split a multi-game dump on `[Event` headers that follow a move section,
     * parsing each game independently. Never throws: each slot carries its
     * own parse result, so bad games become data-quality rows downstream.
