@@ -52,6 +52,20 @@ object ChessQueries {
   private lazy val allReplayRows: Seq[(String, Int, String, String)] =
     Fixtures.all.flatMap { case (n, t) => replayRows(n, t) }
 
+  /** One concatenated multi-game dump of the fixtures (name-sorted order)
+    * for the splittable-reader gate, written once per JVM. The '%' banner
+    * exercises the moveless-block merge rule across coarse records.
+    */
+  private lazy val splitDumpDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_split_gate").toString
+    val dump = "% banner line\n" +
+      Fixtures.all.sortBy(_._1).map(_._2).mkString("\n\n") + "\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/dump.pgn"), dump)
+    dir
+  }
+
   /** Pure-driver-side inputs for the agent-rerank oracle: per fixture
     * game, the raw PGN slice plus the header metadata the evaluator's
     * candidate block carries. Same precedent as [[allReplayRows]]: the
@@ -74,6 +88,24 @@ object ChessQueries {
       t.positions
         .join(t.games.select("game_id", "source_file"), Seq("game_id"))
         .select(col("source_file"), col("ply"), col("san"), col("fen"))
+    }),
+
+    // S1 at scale: the record-boundary-splitting reader over ONE
+    // concatenated dump file, with input splits FORCED to 2 KB so
+    // records tear mid-game and the reader must re-synchronize; the
+    // oracle is the same golden FEN replay keyed by the dump's
+    // sequential game index. The '%' banner block must merge into game
+    // 1 (haveMoves rule), not become a phantom slot.
+    "chess_split_ingest" -> ((s, _) => {
+      import s.implicits._
+      val records = graft.ingest.IngestJob.readPgnSplittable(s,
+        splitDumpDir, hadoopConf = Map(
+          "mapreduce.input.fileinputformat.split.maxsize" -> "2048",
+          "mapreduce.input.fileinputformat.split.minsize" -> "1"))
+      records.toDF()
+        .select(col("game_index"), explode(col("positions")).as("p"))
+        .select(col("game_index"), col("p.ply").as("ply"),
+          col("p.san").as("san"), col("p.fen").as("fen"))
     }),
 
     // I4: content addressing vector_id = md5(fen) (DuckDB recomputes md5).
@@ -376,6 +408,15 @@ object ChessQueries {
       "chess_agent_rerank" -> rerankOracle,
       "chess_fen_replay" ->
         s"SELECT * FROM (VALUES $fenValues) t(source_file, ply, san, fen)",
+      // splittable reader: same golden replay, keyed by the dump's
+      // name-sorted sequential game index (banner merges into game 1).
+      "chess_split_ingest" -> {
+        val idxOf = Fixtures.all.map(_._1).sorted.zipWithIndex.toMap
+        val rows = allReplayRows.map { case (f, ply, san, fen) =>
+          s"(${idxOf(f) + 1}, $ply, ${sq(san)}, ${sq(fen)})"
+        }.mkString(", ")
+        s"SELECT * FROM (VALUES $rows) t(game_index, ply, san, fen)"
+      },
       // DuckDB recomputes the content address from the golden FENs.
       "chess_vector_id" ->
         s"""SELECT source_file, ply, md5(fen) AS vector_id
