@@ -146,28 +146,37 @@ object IngestJob {
     *
     * Mechanics: Hadoop `TextInputFormat` with a custom record delimiter
     * `"\n[Event "` — the input-format splits files at arbitrary byte
-    * offsets and `LineRecordReader` re-synchronizes each split to the next
+    * offsets and the record reader re-synchronizes each split to the next
     * delimiter (first split keeps offset 0), so records NEVER tear across
-    * split boundaries. Each coarse record gets its stripped `"[Event "`
-    * prefix re-attached (except a file-head banner block) and then runs
-    * through the same [[PgnParser.splitGames]] kernel as the wholetext
-    * path, which re-applies the haveMoves guard for the rare in-record
-    * split cases (indented `[Event`) and keeps '%'/';' banner semantics
-    * identical.
+    * split boundaries. Joining a file's records (with the stripped
+    * `"[Event "` prefix re-attached) with "\n" reproduces the file's bytes
+    * EXACTLY, and running [[PgnParser.splitGames]] over each
+    * moveless*-then-movesful run of records reproduces the wholetext
+    * splitter exactly (the haveMoves merge rule — banners and header-only
+    * blocks merge forward into the next game).
     *
-    * Game index (and hence `game_id = md5("game <file> <index> <raw>")`)
-    * is made IDENTICAL to the wholetext reader by a per-file
-    * `row_number()` over (byte offset, within-record slot) — one exchange
-    * of the raw game text. That parity costs a shuffle of the corpus;
-    * ingest is a one-pass job and the alternative (offset-based ids)
-    * would make `game_id` depend on which reader ingested the file,
-    * breaking cross-snapshot incremental anti-joins (E1).
+    * SHUFFLE-FREE BY DESIGN — the whole read is two scans and zero
+    * exchanges of the text:
     *
-    * Parity caveat (documented, spec-asserted): a MOVELESS header-only
-    * block directly followed by another game merges into that game under
-    * `splitGames`' haveMoves guard; the coarse delimiter puts them in
-    * separate records, so such degenerate dumps can differ. Every game
-    * with at least one move-text line round-trips identically.
+    *  - Pass 1 walks each input split's records once ([[walkChunks]]) and
+    *    emits ONE tiny row per SPLIT: how many complete games close
+    *    inside it, plus the trailing moveless text (usually empty) that
+    *    must flow into the next split. Collected to the driver: O(#splits)
+    *    rows (~800k at 100 TB / 128 MB splits), independent of game
+    *    count.
+    *  - The driver walks the splits of each file in byte order computing
+    *    each split's game-index base and cross-split carry text, and
+    *    broadcasts that map.
+    *  - Pass 2 re-reads, and each split emits its parsed games directly
+    *    (same [[walkChunks]] kernel, so pass-1 counts and pass-2 slots
+    *    cannot disagree), with the sequential per-file index = base +
+    *    local position. Parse + SAN→FEN replay runs fully distributed.
+    *
+    * Game index — and hence `game_id = md5("game <file> <index> <raw>")`
+    * — is therefore byte-identical to [[readPgn]] (spec-asserted incl.
+    * forced 2 KB splits), so cross-snapshot incremental anti-joins (E1)
+    * are stable across reader choices. Driver memory holds only carry
+    * texts (moveless banners), not games.
     */
   def readPgnSplittable(spark: SparkSession, path: String,
       hadoopConf: Map[String, String] = Map.empty): Dataset[GameRecord] = {
@@ -176,70 +185,115 @@ object IngestJob {
       spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", "\n[Event ")
     hadoopConf.foreach { case (k, v) => conf.set(k, v) }
-    val rdd = spark.sparkContext.newAPIHadoopFile(
-      path,
-      classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
-      classOf[org.apache.hadoop.io.LongWritable],
-      classOf[org.apache.hadoop.io.Text],
-      conf)
-    val chunks = rdd
-      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[
-        org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text]]
-      .mapPartitionsWithInputSplit { (split, iter) =>
-        // render the path EXACTLY as input_file_name() does
-        // (scheme://authority/path, empty authority rendered as //, RFC
-        // 2396 percent-encoding), so source_file -- and with it game_id
-        // -- is byte-identical to the wholetext reader's (spec-asserted)
-        val u = split
-          .asInstanceOf[org.apache.hadoop.mapreduce.lib.input.FileSplit]
-          .getPath.toUri
-        val file = new java.net.URI(u.getScheme,
-          Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
-          .toString
-        iter.map { case (off, text) =>
-          // offset-0 record is the file head (banner or first game and
-          // its own "[Event" line); every later record lost the
-          // delimiter's "[Event " prefix. Joining the restored chunks
-          // of one file with "\n" reproduces the file's bytes EXACTLY.
-          val restored =
-            if (off.get() == 0L) text.toString
-            else "[Event " + text.toString
-          (file, off.get(), restored)
+
+    def scan[U: scala.reflect.ClassTag](
+        f: (String, Long, Iterator[(Long, String)]) => Iterator[U]) =
+      spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text],
+        conf)
+        .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[
+          org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text]]
+        .mapPartitionsWithInputSplit { (split, iter) =>
+          val fs = split
+            .asInstanceOf[org.apache.hadoop.mapreduce.lib.input.FileSplit]
+          // render the path EXACTLY as input_file_name() does
+          // (scheme://authority/path, empty authority rendered as //),
+          // so source_file -- and with it game_id -- matches readPgn's
+          val u = fs.getPath.toUri
+          val file = new java.net.URI(u.getScheme,
+            Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
+            .toString
+          f(file, fs.getStart, iter.map { case (off, text) =>
+            // offset-0 record is the file head (banner or first game
+            // with its own "[Event" line); every later record lost the
+            // delimiter's "[Event " prefix
+            val restored =
+              if (off.get() == 0L) text.toString
+              else "[Event " + text.toString
+            (off.get(), restored)
+          })
         }
+
+    // Pass 1: one row per split.
+    val reports = scan { (file, splitStart, iter) =>
+      val (slots, trailing) = walkChunks(iter.map(_._2), carryIn = "")
+      Iterator((file, splitStart, slots.size, trailing))
+    }.collect()
+
+    // Driver walk: per file in split order, index bases + carry routing.
+    // entry = (carryInText, indexBase, tailText) keyed by (file, start);
+    // tailText is the file-final all-moveless block (usually empty)
+    // emitted by the file's LAST split.
+    val entries = scala.collection.mutable.HashMap
+      .empty[(String, Long), (String, Int, String)]
+    reports.groupBy(_._1).foreach { case (file, rs) =>
+      val ordered = rs.sortBy(_._2)
+      var carry = ""
+      var base = 0
+      ordered.foreach { case (_, start, nSlots, trailing) =>
+        entries((file, start)) = (carry, base, "")
+        base += nSlots
+        // a split whose chunks are ALL moveless closes no game: its
+        // trailing text is carry + its whole body; walkChunks reports
+        // exactly that as `trailing` given empty carry, so chain it
+        carry = if (carry.isEmpty || nSlots > 0) trailing
+          else if (trailing.isEmpty) carry
+          else carry + "\n" + trailing
       }
-    // Replicate splitGames' haveMoves rule across chunk boundaries: a
-    // chunk with no move text must merge into the next chunk (splitGames
-    // would not have split there). Group id = suffix count of movesful
-    // chunks, so each maximal [moveless..., movesful] run (and any
-    // all-moveless file tail, grp 0) is one group; re-joining the group
-    // with "\n" restores the original bytes of that span, and running
-    // the SAME splitGames kernel per group yields slots byte-identical
-    // to the wholetext path (including interior blank lines and '%'
-    // banner semantics).
-    val hasMoves = udf((raw: String) => PgnParser.hasMoveText(raw))
-    val splitSlots = udf((block: String) =>
-      PgnParser.splitGames(block).map(_.raw))
-    val wSuffix = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("file")).orderBy(col("off"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val wIdx = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("file")).orderBy(col("min_off"), col("sub"))
-    chunks.toDF("file", "off", "raw")
-      .withColumn("grp", sum(hasMoves(col("raw")).cast("long"))
-        .over(wSuffix))
-      .groupBy(col("file"), col("grp"))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("off"), col("raw")))),
-          x => x.getField("raw")), "\n").as("block"),
-        min(col("off")).as("min_off"))
-      .select(col("file"), col("min_off"),
-        posexplode(splitSlots(col("block"))).as(Seq("sub", "raw")))
-      .withColumn("idx", row_number().over(wIdx))
-      .select("file", "idx", "raw")
-      .as[(String, Int, String)]
-      .map { case (file, idx, raw) => processGame(file, idx, raw) }
+      if (carry.nonEmpty) {
+        // file ends in a moveless block: it is its own slot (splitGames
+        // finalizes the trailing collected block); the last split emits
+        val (f, start, _, _) = ordered.last
+        val (c, b, _) = entries((f, start))
+        entries((f, start)) = (c, b, carry)
+      }
+    }
+    val bc = spark.sparkContext.broadcast(entries.toMap)
+
+    // Pass 2: emit parsed games with exact sequential indices.
+    val records = scan { (file, splitStart, iter) =>
+      val (carryIn, base, tailText) =
+        bc.value.getOrElse((file, splitStart), ("", 0, ""))
+      val (slots, trailing) = walkChunks(iter.map(_._2), carryIn)
+      val localTail =
+        if (tailText.nonEmpty) {
+          // sanity: the driver-computed file tail must equal this
+          // split's trailing text chained with its carry history; the
+          // driver's copy is authoritative (it chained across splits)
+          PgnParser.splitGames(tailText).map(_.raw)
+        } else Vector.empty[String]
+      (slots ++ localTail).iterator.zipWithIndex.map { case (raw, i) =>
+        processGame(file, base + i + 1, raw)
+      }
+    }
+    spark.createDataset(records)
+  }
+
+  /** Shared pass-1/pass-2 kernel for [[readPgnSplittable]]: walk one
+    * split's restored records in order, merging each run of moveless
+    * records into the next movesful one (splitGames' haveMoves rule) and
+    * emitting the slot raws of every block that CLOSES inside this split.
+    * Returns (closed slots in order, trailing moveless text not yet
+    * closed). Block text is rebuilt with "\n" joins — byte-identical to
+    * the original file span — and split via [[PgnParser.splitGames]], so
+    * slot boundaries and raws match the wholetext path exactly.
+    */
+  private[ingest] def walkChunks(chunks: Iterator[String],
+      carryIn: String): (Vector[String], String) = {
+    val out = Vector.newBuilder[String]
+    val buf = new StringBuilder(carryIn)
+    chunks.foreach { chunk =>
+      if (buf.nonEmpty) buf.append('\n')
+      buf.append(chunk)
+      if (PgnParser.hasMoveText(chunk)) {
+        out ++= PgnParser.splitGames(buf.toString).map(_.raw)
+        buf.clear()
+      }
+    }
+    (out.result(), buf.toString)
   }
 
   final case class ChessTables(games: DataFrame, players: DataFrame,
