@@ -187,7 +187,7 @@ object IngestJob {
     hadoopConf.foreach { case (k, v) => conf.set(k, v) }
 
     def scan[U: scala.reflect.ClassTag](
-        f: (String, Long, Iterator[(Long, String)]) => Iterator[U]) =
+        f: (String, Long, Iterator[String]) => Iterator[U]) =
       spark.sparkContext.newAPIHadoopFile(
         path,
         classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
@@ -206,20 +206,24 @@ object IngestJob {
           val file = new java.net.URI(u.getScheme,
             Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
             .toString
-          f(file, fs.getStart, iter.map { case (off, text) =>
-            // offset-0 record is the file head (banner or first game
-            // with its own "[Event" line); every later record lost the
-            // delimiter's "[Event " prefix
-            val restored =
-              if (off.get() == 0L) text.toString
-              else "[Event " + text.toString
-            (off.get(), restored)
+          // The FIRST record of the split that starts the file is the
+          // file head (banner or first game with its own "[Event"
+          // line); every later record lost the delimiter's "[Event "
+          // prefix. Head detection uses first-record-of-first-split,
+          // NOT record key == 0: with a splittable compressed codec
+          // (bzip2) the LongWritable key is the COMPRESSED block
+          // position, so every record in the first block reads key 0.
+          var first = true
+          f(file, fs.getStart, iter.map { case (_, text) =>
+            val head = first && fs.getStart == 0L
+            first = false
+            if (head) text.toString else "[Event " + text.toString
           })
         }
 
     // Pass 1: one row per split.
     val reports = scan { (file, splitStart, iter) =>
-      val (slots, trailing) = walkChunks(iter.map(_._2), carryIn = "")
+      val (slots, trailing) = walkChunks(iter, carryIn = "")
       Iterator((file, splitStart, slots.size, trailing))
     }.collect()
 
@@ -257,7 +261,7 @@ object IngestJob {
     val records = scan { (file, splitStart, iter) =>
       val (carryIn, base, tailText) =
         bc.value.getOrElse((file, splitStart), ("", 0, ""))
-      val (slots, trailing) = walkChunks(iter.map(_._2), carryIn)
+      val (slots, trailing) = walkChunks(iter, carryIn)
       val localTail =
         if (tailText.nonEmpty) {
           // sanity: the driver-computed file tail must equal this
