@@ -284,6 +284,23 @@ object ServeApp {
       }
     })
 
+    // route parity with chessmate_api.ml:825 (App.get "/openapi.yaml"):
+    // the machine-readable contract, bundled as a classpath resource
+    server.createContext("/openapi.yaml", (ex: HttpExchange) => {
+      if (admit(ex, None).isDefined) ()
+      else {
+        val in = getClass.getResourceAsStream("/openapi.yaml")
+        if (in == null) respond(ex, 500, errorJson("openapi spec missing"))
+        else {
+          val bytes = try in.readAllBytes() finally in.close()
+          ex.getResponseHeaders.set("Content-Type", "application/yaml")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(bytes) finally os.close()
+        }
+      }
+    })
+
     server.createContext("/query", (ex: HttpExchange) => {
       try {
         // POST body is read up-front so the P3 body budget can be

@@ -116,6 +116,14 @@ class ServeAppSpec extends SparkSpec {
         s"""{"question": "${"x" * (ServeApp.maxBodyBytes + 10)}"}""")
       assert(big.statusCode() === 413)
 
+      // openapi route parity (chessmate_api.ml:825)
+      val oa = get("/openapi.yaml")
+      assert(oa.statusCode() === 200)
+      assert(oa.headers().firstValue("Content-Type").orElse("")
+        .startsWith("application/yaml"))
+      assert(oa.body().startsWith("openapi: 3.1.0"))
+      assert(oa.body().contains("/query"))
+
       // health + metrics
       val h = get("/health")
       assert(h.statusCode() === 200)
