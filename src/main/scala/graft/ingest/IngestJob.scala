@@ -227,35 +227,7 @@ object IngestJob {
       Iterator((file, splitStart, slots.size, trailing))
     }.collect()
 
-    // Driver walk: per file in split order, index bases + carry routing.
-    // entry = (carryInText, indexBase, tailText) keyed by (file, start);
-    // tailText is the file-final all-moveless block (usually empty)
-    // emitted by the file's LAST split.
-    val entries = scala.collection.mutable.HashMap
-      .empty[(String, Long), (String, Int, String)]
-    reports.groupBy(_._1).foreach { case (file, rs) =>
-      val ordered = rs.sortBy(_._2)
-      var carry = ""
-      var base = 0
-      ordered.foreach { case (_, start, nSlots, trailing) =>
-        entries((file, start)) = (carry, base, "")
-        base += nSlots
-        // a split whose chunks are ALL moveless closes no game: its
-        // trailing text is carry + its whole body; walkChunks reports
-        // exactly that as `trailing` given empty carry, so chain it
-        carry = if (carry.isEmpty || nSlots > 0) trailing
-          else if (trailing.isEmpty) carry
-          else carry + "\n" + trailing
-      }
-      if (carry.nonEmpty) {
-        // file ends in a moveless block: it is its own slot (splitGames
-        // finalizes the trailing collected block); the last split emits
-        val (f, start, _, _) = ordered.last
-        val (c, b, _) = entries((f, start))
-        entries((f, start)) = (c, b, carry)
-      }
-    }
-    val bc = spark.sparkContext.broadcast(entries.toMap)
+    val bc = spark.sparkContext.broadcast(planSplits(reports.toSeq))
 
     // Pass 2: emit parsed games with exact sequential indices.
     val records = scan { (file, splitStart, iter) =>
@@ -285,6 +257,43 @@ object IngestJob {
     * the original file span — and split via [[PgnParser.splitGames]], so
     * slot boundaries and raws match the wholetext path exactly.
     */
+  /** Driver walk for [[readPgnSplittable]]: from pass-1 reports
+    * (file, splitStart, slotsClosed, trailingMovelessText) compute each
+    * split's entry (carryInText, indexBase, tailText). tailText is the
+    * file-final all-moveless block (usually empty), emitted by the
+    * file's LAST split. Pure -- property-tested against splitGames over
+    * random corpora and split points.
+    */
+  private[ingest] def planSplits(
+      reports: Seq[(String, Long, Int, String)])
+      : Map[(String, Long), (String, Int, String)] = {
+    val entries = scala.collection.mutable.HashMap
+      .empty[(String, Long), (String, Int, String)]
+    reports.groupBy(_._1).foreach { case (file, rs) =>
+      val ordered = rs.sortBy(_._2)
+      var carry = ""
+      var base = 0
+      ordered.foreach { case (_, start, nSlots, trailing) =>
+        entries((file, start)) = (carry, base, "")
+        base += nSlots
+        // a split whose chunks are ALL moveless closes no game: its
+        // trailing text is carry + its whole body; walkChunks reports
+        // exactly that as `trailing` given empty carry, so chain it
+        carry = if (carry.isEmpty || nSlots > 0) trailing
+          else if (trailing.isEmpty) carry
+          else carry + "\n" + trailing
+      }
+      if (carry.nonEmpty) {
+        // file ends in a moveless block: it is its own slot (splitGames
+        // finalizes the trailing collected block); the last split emits
+        val (f, start, _, _) = ordered.last
+        val (c, b, _) = entries((f, start))
+        entries((f, start)) = (c, b, carry)
+      }
+    }
+    entries.toMap
+  }
+
   private[ingest] def walkChunks(chunks: Iterator[String],
       carryIn: String): (Vector[String], String) = {
     val out = Vector.newBuilder[String]
