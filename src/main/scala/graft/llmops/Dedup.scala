@@ -150,13 +150,17 @@ object Dedup {
     candidates
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.functions.JaccardSimilarity(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
   /** Compiled set-Jaccard (same integer-count division as
     * TextFunctions.jaccard; HashSet instead of per-pair array HOFs).
+    * Kept as the independent parity reference for the codegen
+    * [[graft.functions.JaccardSimilarity]] expression the hot verify
+    * paths now use (LlmOpsSpec asserts equality on random inputs).
     */
   val jaccardUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((a: Seq[String], b: Seq[String]) => {
@@ -337,7 +341,8 @@ object Dedup {
       .join(orderedP.select(col("id").as("id_b"), col("o").as("sh_b")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccardUdf(col("sh_a"), col("sh_b")).as("jaccard"))
+        graft.functions.JaccardSimilarity(col("sh_a"), col("sh_b"))
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -880,7 +885,8 @@ object Dedup {
     val nearIds = candidates
       .join(shingleSide(newDf, "id"), Seq("id"))
       .join(shingleSide(refDf, "ref_id"), Seq("ref_id"))
-      .where(jaccardUdf(col("__sh_id"), col("__sh_ref_id")) >= threshold)
+      .where(graft.functions.JaccardSimilarity(col("__sh_id"),
+        col("__sh_ref_id")) >= threshold)
       .select(col("id")).distinct()
     newDf.select(col(idCol).as("id"))
       .join(exactIds.withColumn("__e", lit(true)), Seq("id"), "left")

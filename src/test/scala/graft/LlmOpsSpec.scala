@@ -22,6 +22,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(row.getSeq[String](1).length == 6)
   }
 
+  test("JaccardSimilarity codegen expression == jaccardUdf on random sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def arr(): Seq[String] =
+      Seq.fill(rnd.nextInt(12))(s"tok${rnd.nextInt(8)}") // dup-heavy
+    val rows = Seq.fill(200)((arr(), arr())) ++ Seq(
+      (Seq.empty[String], Seq.empty[String]),        // empty union -> 0.0
+      (Seq("a"), Seq.empty[String]),
+      (Seq("a", "a", "b"), Seq("b", "b", "a")),      // dup collapse
+      (Seq("ü", "héllo"), Seq("ü", "wörld")))        // non-ASCII
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.JaccardSimilarity(col("a"), col("b")).as("e"),
+      Dedup.jaccardUdf(col("a"), col("b")).as("u")).collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // interpreted path (eval, not codegen) agrees too
+    val e = graft.functions.JaccardSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("x", "y"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("y", "z"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+    assert(e.eval(null) === (1.0 / 3.0))
+    // null input -> null (BinaryExpression null-safety)
+    assert(df.limit(1).select(graft.functions.JaccardSimilarity(
+      lit(null).cast("array<string>"), col("b"))).head().isNullAt(0))
+  }
+
   test("exact dedup keeps canonical min id") {
     import spark.implicits._
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("id", "text")
