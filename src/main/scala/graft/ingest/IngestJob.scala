@@ -119,8 +119,10 @@ object IngestJob {
       files: Dataset[(String, String)]): Dataset[GameRecord] = {
     import spark.implicits._
     files.flatMap { case (path, text) =>
-      PgnParser.splitGames(text).map { slot =>
-        processGame(path, slot.index, slot.raw)
+      // splitRaws, not splitGames: processGame parses each game anyway,
+      // and the eager parse inside GameSlot would be thrown away
+      PgnParser.splitRaws(text).zipWithIndex.map { case (g, i) =>
+        processGame(path, i + 1, g)
       }
     }
   }
@@ -239,7 +241,7 @@ object IngestJob {
           // sanity: the driver-computed file tail must equal this
           // split's trailing text chained with its carry history; the
           // driver's copy is authoritative (it chained across splits)
-          PgnParser.splitGames(tailText).map(_.raw)
+          PgnParser.splitRaws(tailText)
         } else Vector.empty[String]
       (slots ++ localTail).iterator.zipWithIndex.map { case (raw, i) =>
         processGame(file, base + i + 1, raw)
@@ -302,7 +304,7 @@ object IngestJob {
       if (buf.nonEmpty) buf.append('\n')
       buf.append(chunk)
       if (PgnParser.hasMoveText(chunk)) {
-        out ++= PgnParser.splitGames(buf.toString).map(_.raw)
+        out ++= PgnParser.splitRaws(buf.toString)
         buf.clear()
       }
     }

@@ -155,18 +155,24 @@ object PgnParser {
     * parsing each game independently. Never throws: each slot carries its
     * own parse result, so bad games become data-quality rows downstream.
     */
-  def splitGames(raw: String): Vector[GameSlot] = {
-    val out = Vector.newBuilder[GameSlot]
+  def splitGames(raw: String): Vector[GameSlot] =
+    splitRaws(raw).zipWithIndex.map { case (g, i) =>
+      GameSlot(i + 1, g, parse(g))
+    }
+
+  /** The split state machine alone — raw per-game strings in order,
+    * NO parsing. The splittable reader's two passes use this (each game
+    * would otherwise be header/move-parsed three times: once per pass's
+    * split and once in processGame).
+    */
+  def splitRaws(raw: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
     var collected = List.empty[String] // reversed lines of current game
     var haveMoves = false
-    var count = 0
     def finalize(): Unit = {
       if (collected.nonEmpty) {
         val rawGame = collected.reverse.mkString("\n").trim
-        if (rawGame.nonEmpty) {
-          count += 1
-          out += GameSlot(count, rawGame, parse(rawGame))
-        }
+        if (rawGame.nonEmpty) out += rawGame
       }
     }
     raw.split("\n", -1).foreach { line =>

@@ -29,10 +29,12 @@ object StreamingIngest {
       .select(input_file_name().as("path"), col("value"))
       .as[(String, String)]
       .flatMap { case (path, text) =>
-        graft.ingest.PgnParser.splitGames(text).flatMap { slot =>
-          val rec = IngestJob.processGame(path, slot.index, slot.raw)
-          rec.positions.map(p => (rec.game_id, path, p.ply, p.move_number,
-            p.side_to_move, p.san, p.fen, p.fen_valid, p.vector_id))
+        graft.ingest.PgnParser.splitRaws(text).zipWithIndex.flatMap {
+          case (g, i) =>
+            val rec = IngestJob.processGame(path, i + 1, g)
+            rec.positions.map(p => (rec.game_id, path, p.ply,
+              p.move_number, p.side_to_move, p.san, p.fen, p.fen_valid,
+              p.vector_id))
         }
       }
       .toDF("game_id", "source_file", "ply", "move_number", "side_to_move",
