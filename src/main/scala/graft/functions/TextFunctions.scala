@@ -236,6 +236,35 @@ object TextFunctions {
         piiIpPattern, "<IP>"),
       piiNumPattern, "<NUM>")
 
+  /** Match count for one PII pattern (null text counts 0). */
+  def piiMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit(pattern),
+      lit(0))).cast("long")
+
+  /** Total matches across the three pattern classes, counted on the
+    * raw text independently (an email's digits are NOT double-counted
+    * by the digit-run rule only when they are under 7 digits; the
+    * counts are a density SIGNAL, not a disjoint partition — same
+    * counting the redaction gate reports).
+    */
+  def piiTotal(text: Column): Column =
+    piiMatches(text, piiEmailPattern) + piiMatches(text, piiIpPattern) +
+      piiMatches(text, piiNumPattern)
+
+  /** Density-based curation cut: keep documents with at most
+    * `maxPerKiloChars` PII matches per 1000 characters. Integer
+    * cross-multiply (`total * 1000 <= max * length`), so the cut is
+    * exact in any engine; zero-length texts have no matches and are
+    * kept. Redaction scrubs what it can match — the density cut drops
+    * documents so saturated with contact/account data that scrubbing
+    * would leave placeholder soup (the standard corpus-hygiene pair).
+    */
+  def dropPiiDense(df: org.apache.spark.sql.DataFrame, textCol: String,
+      maxPerKiloChars: Int): org.apache.spark.sql.DataFrame =
+    df.where(piiTotal(col(textCol)) * lit(1000L) <=
+      lit(maxPerKiloChars.toLong) * length(coalesce(col(textCol),
+        lit(""))).cast("long"))
+
   // --- feature-hashed linear classifier --------------------------------
   // The fastText-style quality/domain classifier shape: hash each token
   // into one of `dims` buckets, score = mean bucket weight. Weights here

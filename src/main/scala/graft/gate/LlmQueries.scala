@@ -475,6 +475,30 @@ object LlmQueries {
         md5(redactPii(aug)).as("redacted_md5"))
     }),
 
+    // PII DENSITY cut (dropPiiDense): every doc gets the 3-match
+    // suffix; every 7th doc gets it EIGHT more times (24+3 matches), so
+    // short dense docs cross the 40-matches-per-1000-chars line and
+    // drop. Survivors carry their total match count — the oracle
+    // recomputes counts, lengths, and the integer cross-multiply cut.
+    "llm_pii_filter" -> ((s, d) => {
+      val suffix = concat(
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0.0."),
+        (pmod(col("doc_id"), lit(250)) + 1).cast("string"),
+        lit(" acct 12345678901"))
+      val aug = concat(col("text"), suffix,
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          // repeat() needs a foldable count; suffix is deterministic
+          // per-doc so concat-8 is exact
+          concat(suffix, suffix, suffix, suffix, suffix, suffix,
+            suffix, suffix)).otherwise(lit("")))
+      graft.functions.TextFunctions.dropPiiDense(
+        Tables.documents(s, d).select(col("doc_id"), aug.as("aug")),
+        "aug", maxPerKiloChars = 40)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.piiTotal(col("aug")).as("n_pii"))
+    }),
+
     // CAPSTONE 3 (round-8 family composed): synthetic-PII augment ->
     // redaction -> LM fluency cut on the REDACTED text (model retrained
     // on the redacted en subset; keep docs ABOVE CORPUS-MEAN mean-bits,
@@ -2386,6 +2410,31 @@ object LlmQueries {
               '$piiIpPattern', '<IP>', 'g'),
               '$piiNumPattern', '<NUM>', 'g')) AS redacted_md5
           FROM a""",
+    // PII density cut: same augmented text with the every-7th 8x-dense
+    // suffix; DuckDB repeat() builds the dense block, counts and the
+    // integer cross-multiply reproduce dropPiiDense exactly.
+    "llm_pii_filter" ->
+      s"""WITH a AS (
+            SELECT doc_id,
+              text || sfx ||
+                CASE WHEN doc_id % 7 = 0 THEN repeat(sfx, 8)
+                     ELSE '' END AS aug
+            FROM (
+              SELECT doc_id, text,
+                ' contact user' || CAST(doc_id AS VARCHAR) ||
+                '@example.com or 10.0.0.' ||
+                CAST(doc_id % 250 + 1 AS VARCHAR) ||
+                ' acct 12345678901' AS sfx
+              FROM documents)),
+          c AS (
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(aug, '$piiEmailPattern'))
+                + len(regexp_extract_all(aug, '$piiIpPattern'))
+                + len(regexp_extract_all(aug, '$piiNumPattern'))
+                AS BIGINT) AS n_pii,
+              CAST(length(aug) AS BIGINT) AS n
+            FROM a)
+          SELECT doc_id, n_pii FROM c WHERE n_pii * 1000 <= 40 * n""",
     // Shared 12-token rolling-window fingerprints; Spark's
     // windowFingerprints emits md5 of the WHOLE doc when it is shorter
     // than the window, replicated by the CASE arm. Fingerprints shared

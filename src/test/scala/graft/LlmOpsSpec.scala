@@ -51,6 +51,27 @@ class LlmOpsSpec extends SparkSpec {
       lit(null).cast("array<string>"), col("b"))).head().isNullAt(0))
   }
 
+  test("dropPiiDense: density cut is exact; null/empty text kept") {
+    import spark.implicits._
+    val df = Seq(
+      ("clean", "a" * 1000),                                  // 0/1000 keep
+      ("edge", ("x" * 960) + " u@a.io 10.0.0.1 12345678"),    // 3 in ~985
+      ("dense", "u@a.io 10.0.0.1 12345678 u2@a.io"),          // 4 in ~35
+      ("empty", ""),
+      ("nul", null: String)).toDF("id", "t")
+    val kept = graft.functions.TextFunctions
+      .dropPiiDense(df, "t", maxPerKiloChars = 5)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(kept.contains("clean") && kept.contains("edge"))
+    assert(!kept.contains("dense"))
+    assert(kept.contains("empty") && kept.contains("nul"))
+    // counts: email local part with >=7 digits would ALSO match the
+    // digit-run rule only if word-bounded; '@' breaks \b, documented
+    val n = df.where(col("id") === "dense").select(
+      graft.functions.TextFunctions.piiTotal(col("t"))).head().getLong(0)
+    assert(n === 4L)
+  }
+
   test("exact dedup keeps canonical min id") {
     import spark.implicits._
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("id", "text")
