@@ -135,6 +135,44 @@ class ServeAppSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("concurrent load: parallel clients get consistent 200s") {
+    val (t, v) = graft.gate.ChessQueries.data(spark)
+    val summaries = HybridExecutor.summaries(t.games, t.players)
+    val tables = HybridExecutor.Tables(t.games, t.players, Some(v),
+      summariesPrebuilt = Some(summaries))
+    val embedder = DeterministicEmbedder(graft.gate.ChessQueries.embedDims)
+    val server = ServeApp.start(spark, tables, embedder, port = 0)
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val qs = Seq("show+black+wins", "best+games", "show+draws",
+        "games+with+smyslov")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // 8 threads x 4 questions; every response 200 and, per question,
+      // byte-identical across threads (Spark session thread-safety +
+      // deterministic ranking under concurrency)
+      val futs = (1 to 8).map { _ =>
+        Future {
+          val client = HttpClient.newHttpClient()
+          qs.map { q =>
+            val r = client.send(
+              HttpRequest.newBuilder(
+                URI.create(s"$base/query?q=$q&limit=3")).build(),
+              HttpResponse.BodyHandlers.ofString())
+            (q, r.statusCode(), r.body())
+          }
+        }
+      }
+      val all = futs.flatMap(f => Await.result(f, 120.seconds))
+      assert(all.forall(_._2 == 200))
+      qs.foreach { q =>
+        val bodies = all.filter(_._1 == q).map(_._3).distinct
+        assert(bodies.size === 1, s"divergent responses for $q")
+      }
+    } finally server.stop(0)
+  }
+
   test("P3 live: limited requests get 429 + Retry-After, reference body") {
     val (t, v) = graft.gate.ChessQueries.data(spark)
     val summaries = HybridExecutor.summaries(t.games, t.players)
