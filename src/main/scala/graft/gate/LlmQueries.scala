@@ -591,6 +591,20 @@ object LlmQueries {
           shingleN = 3, k = 8, bandRows = 4, threshold = 0.8),
         "id_a", "id_b")),
 
+    // Near-dup dedup KEEPING THE BEST cluster member by score
+    // (n_chars: keep the longest copy) instead of the arbitrary min-id
+    // canonical -- the curation-grade survivor policy. Oracle rebuilds
+    // the closure with the recursive CTE, then argmax-with-min-id-tie.
+    "llm_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleN = 3, k = 8, bandRows = 4, threshold = 0.8),
+        "id_a", "id_b")
+      Dedup.nearDupSurvivorsBy(docs, "doc_id", "n_chars", clusters)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // Integer PageRank (3 rounds, damping 0.85) over the verified
     // minhash near-dup graph: similarity-graph centrality for curation.
     // BENCH-COST NOTE: gates are self-contained, so this query
@@ -2720,6 +2734,35 @@ object LlmQueries {
             UNION
             SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
           SELECT u AS id, MIN(v) AS cluster_id FROM reach GROUP BY u""",
+    // Keep-best survivors: same closure, winner = max n_chars then min
+    // id per cluster; unclustered docs always survive.
+    "llm_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+          pairs AS (SELECT id_a, id_b FROM verified WHERE j >= 0.8),
+          edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          clus AS (SELECT u AS id, MIN(v) AS cluster_id FROM reach
+                   GROUP BY u),
+          scored AS (
+            SELECT c.id, c.cluster_id, d.n_chars
+            FROM clus c JOIN documents d ON d.doc_id = c.id),
+          best AS (SELECT cluster_id, MAX(n_chars) AS b FROM scored
+                   GROUP BY cluster_id),
+          winners AS (
+            SELECT MIN(s.id) AS id
+            FROM scored s JOIN best b
+              ON s.cluster_id = b.cluster_id AND s.n_chars = b.b
+            GROUP BY s.cluster_id),
+          losers AS (
+            SELECT id FROM clus
+            WHERE id NOT IN (SELECT id FROM winners))
+          SELECT doc_id, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM losers)""",
     // Integer PageRank: 3 unrolled iterations, all-integer arithmetic
     // (// division, exact long sums), so the ranks match bit-for-bit.
     "llm_graph_rank" -> {

@@ -785,6 +785,42 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup survivors keeping the BEST member of each cluster by
+    * `scoreCol` (quality score, length, recency — whatever the
+    * curation policy ranks by) instead of [[nearDupSurvivors]]'
+    * arbitrary min-id canonical: real dedup should keep the best copy,
+    * not a hash-ordering accident. Ties break on the id ascending, so
+    * the winner is total-ordered and engine-independent.
+    *
+    * Scale shape: clusters is (id, cluster_id) from
+    * [[connectedComponents]]; the winner per cluster comes from one
+    * max_by-shaped aggregation over (cluster_id) — rows per group =
+    * cluster size, no window over the corpus — then a semi-join keeps
+    * winners plus every unclustered document.
+    */
+  def nearDupSurvivorsBy(df: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame): DataFrame = {
+    val scored = clusters
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("__s")),
+        Seq("id"))
+    // winner = max (__s, then MIN id on ties): encode as max_by over a
+    // struct ordered (score, negated-id) is string-unfriendly, so use
+    // the argmax via struct ordering with the id DESCENDING trick
+    // replaced by a two-stage agg: max score per cluster, then min id
+    // among members AT that score.
+    val best = scored.groupBy("cluster_id")
+      .agg(max(col("__s")).as("__best"))
+    val winners = scored
+      .join(best, Seq("cluster_id"))
+      .where(col("__s") === col("__best"))
+      .groupBy("cluster_id")
+      .agg(min(col("id")).as(idCol))
+      .select(idCol)
+    val losers = clusters.select(col("id").as(idCol))
+      .join(winners, Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Line-level dedup with reassembly (the CCNet / RefinedWeb paragraph
     * filter): split each document into non-overlapping `window`-token
     * lines, drop every line whose exact content occurs in more than

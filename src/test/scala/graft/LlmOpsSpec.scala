@@ -145,6 +145,22 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("nearDupSurvivorsBy keeps the best-scored member, min-id on ties") {
+    import spark.implicits._
+    // clusters: {1,2,3} and {7,8}; 5 unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "cluster_id")
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 99L), // 2 and 3 tie at 99 -> keep 2
+      (7L, 5L), (8L, 50L),             // keep 8 (not min id!)
+      (5L, 1L)                         // unclustered always kept
+    ).toDF("doc_id", "score")
+    val kept = graft.llmops.Dedup
+      .nearDupSurvivorsBy(docs, "doc_id", "score", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 8L, 5L))
+  }
+
   test("near-dup survivors: one canonical member per cluster, singletons kept") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 7L).toDF("id")
