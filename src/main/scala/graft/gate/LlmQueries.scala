@@ -605,6 +605,18 @@ object LlmQueries {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // Dedup stage report: the one-row dashboard summary of the minhash
+    // clustering (corpus size, clustered docs, cluster count, largest
+    // cluster, removals, micro ratio).
+    "llm_dedup_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleN = 3, k = 8, bandRows = 4, threshold = 0.8),
+        "id_a", "id_b")
+      Dedup.dedupReport(docs, "doc_id", clusters)
+    }),
+
     // Integer PageRank (3 rounds, damping 0.85) over the verified
     // minhash near-dup graph: similarity-graph centrality for curation.
     // BENCH-COST NOTE: gates are self-contained, so this query
@@ -2763,6 +2775,35 @@ object LlmQueries {
             WHERE id NOT IN (SELECT id FROM winners))
           SELECT doc_id, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM losers)""",
+    // Dedup report: same closure, exact integer aggregates.
+    "llm_dedup_report" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+          pairs AS (SELECT id_a, id_b FROM verified WHERE j >= 0.8),
+          edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          clus AS (SELECT u AS id, MIN(v) AS cluster_id FROM reach
+                   GROUP BY u),
+          sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM clus
+                    GROUP BY cluster_id),
+          n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+          SELECT n.n_docs,
+            CAST(COALESCE((SELECT SUM(sz) FROM sizes), 0) AS BIGINT)
+              AS n_clustered,
+            CAST((SELECT COUNT(*) FROM sizes) AS BIGINT) AS n_clusters,
+            CAST(COALESCE((SELECT MAX(sz) FROM sizes), 0) AS BIGINT)
+              AS max_cluster,
+            CAST(COALESCE((SELECT SUM(sz - 1) FROM sizes), 0) AS BIGINT)
+              AS n_removed,
+            CAST(FLOOR(
+              CAST(COALESCE((SELECT SUM(sz - 1) FROM sizes), 0) AS DOUBLE)
+                * 1000000 / greatest(n.n_docs, 1)) AS BIGINT)
+              AS removed_ratio_micro
+          FROM n""",
     // Integer PageRank: 3 unrolled iterations, all-integer arithmetic
     // (// division, exact long sums), so the ranks match bit-for-bit.
     "llm_graph_rank" -> {

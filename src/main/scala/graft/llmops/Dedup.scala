@@ -821,6 +821,28 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Dedup observability report: one row summarizing a clustering —
+    * corpus size, how many docs sit in any cluster, cluster count,
+    * largest cluster, docs removed by min-id dedup, and the removal
+    * ratio in integer micros (what a pipeline dashboards after every
+    * dedup stage; the reference has no analog). All exact integer
+    * aggregates over the (id, cluster_id) frame — one pass, no window.
+    */
+  def dedupReport(df: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    sizes.agg(
+      lit(nDocs).as("n_docs"),
+      coalesce(sum(col("sz")), lit(0L)).as("n_clustered"),
+      count(lit(1)).as("n_clusters"),
+      coalesce(max(col("sz")), lit(0L)).as("max_cluster"),
+      coalesce(sum(col("sz") - 1), lit(0L)).as("n_removed"))
+      .withColumn("removed_ratio_micro",
+        floor(col("n_removed") * lit(1000000L) /
+          greatest(col("n_docs"), lit(1L))).cast("long"))
+  }
+
   /** Line-level dedup with reassembly (the CCNet / RefinedWeb paragraph
     * filter): split each document into non-overlapping `window`-token
     * lines, drop every line whose exact content occurs in more than

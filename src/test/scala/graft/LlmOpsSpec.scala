@@ -161,6 +161,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept === Set(2L, 8L, 5L))
   }
 
+  test("dedupReport: exact one-row summary incl. the empty clustering") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("id", "cluster_id") // sizes 3 and 1; 5 unclustered
+    val r = graft.llmops.Dedup.dedupReport(docs, "doc_id", clusters).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((5L, 4L, 2L, 3L, 2L)))
+    assert(r.getLong(5) === 400000L) // 2/5 removed
+    val empty = graft.llmops.Dedup.dedupReport(docs, "doc_id",
+      clusters.where(lit(false))).head()
+    assert((empty.getLong(1), empty.getLong(2), empty.getLong(4),
+      empty.getLong(5)) === ((0L, 0L, 0L, 0L)))
+  }
+
   test("near-dup survivors: one canonical member per cluster, singletons kept") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 7L).toDF("id")
