@@ -233,8 +233,15 @@ object IngestJob {
 
     // Pass 2: emit parsed games with exact sequential indices.
     val records = scan { (file, splitStart, iter) =>
+      // strict lookup: a split key absent from the pass-1 plan means the
+      // input changed between passes (or the lazy RDD recomputed over
+      // mutated files) — falling back to base 0 would silently mint
+      // duplicate game_index/game_id values, so fail loudly instead.
       val (carryIn, base, tailText) =
-        bc.value.getOrElse((file, splitStart), ("", 0, ""))
+        bc.value.getOrElse((file, splitStart),
+          throw new IllegalStateException(
+            s"splittable PGN plan has no entry for split $file@$splitStart" +
+              " — input changed between pass 1 and pass 2"))
       val (slots, trailing) = walkChunks(iter, carryIn)
       val localTail =
         if (tailText.nonEmpty) {
@@ -304,8 +311,17 @@ object IngestJob {
       if (buf.nonEmpty) buf.append('\n')
       buf.append(chunk)
       if (PgnParser.hasMoveText(chunk)) {
-        out ++= PgnParser.splitRaws(buf.toString)
-        buf.clear()
+        // splitRawsWithTail, NOT splitRaws: a movesful chunk can END in a
+        // moveless block (`[EventDate …]` after moves — starts a new block
+        // in the wholetext splitter but is not a "\n[Event " delimiter).
+        // That block must merge FORWARD into the next game, exactly as
+        // wholetext does, so it stays in buf as carry instead of being
+        // flushed as a phantom closed slot (which would shift every later
+        // game_index/game_id).
+        val (slots, tail) = PgnParser.splitRawsWithTail(buf.toString)
+        out ++= slots
+        buf.setLength(0)
+        buf.append(tail)
       }
     }
     (out.result(), buf.toString)

@@ -197,6 +197,54 @@ object PgnParser {
     out.result()
   }
 
+  /** [[splitRaws]] variant for the splittable reader: runs the same state
+    * machine but does NOT finalize a trailing moveless block — it is
+    * returned as the second element, UNTRIMMED (byte-exact suffix of the
+    * input), so the caller can carry it into the next chunk/split. Every
+    * slot in the first element is guaranteed to contain move text (the
+    * machine only closes a block on an `[Event` line seen after moves).
+    *
+    * Relationship (property-tested): `splitRaws(raw)` equals
+    * `closed :+ tail.trim` when the trimmed tail is nonempty, else
+    * `closed`.
+    *
+    * Why this exists: a line like `[EventDate "…"]` AFTER move text
+    * starts a new (moveless) block here — the wholetext splitter merges
+    * it FORWARD into the next game — but the Hadoop delimiter
+    * `"\n[Event "` (with the space) does not break on it, so the
+    * splittable reader sees it inside a movesful chunk. Flushing it as
+    * its own closed slot would shift every later game_index and break
+    * the byte-identical game_id contract.
+    */
+  def splitRawsWithTail(raw: String): (Vector[String], String) = {
+    val out = Vector.newBuilder[String]
+    var collected = List.empty[String]
+    var haveMoves = false
+    def finalizeSlot(): Unit = {
+      if (collected.nonEmpty) {
+        val rawGame = collected.reverse.mkString("\n").trim
+        if (rawGame.nonEmpty) out += rawGame
+      }
+    }
+    raw.split("\n", -1).foreach { line =>
+      val trimmed = line.trim
+      val isHeader = trimmed.startsWith("[")
+      val isEvent = trimmed.startsWith("[Event")
+      val hasMoveToken = !isHeader && trimmed.nonEmpty &&
+        !trimmed.startsWith("%") && !trimmed.startsWith(";")
+      if (isEvent && haveMoves && collected.nonEmpty) {
+        finalizeSlot()
+        collected = List(line)
+        haveMoves = false
+      } else {
+        collected = line :: collected
+        haveMoves = haveMoves || hasMoveToken
+      }
+    }
+    if (haveMoves) { finalizeSlot(); (out.result(), "") }
+    else (out.result(), collected.reverse.mkString("\n"))
+  }
+
   def parseGames(raw: String): Either[String, List[ParsedGame]] = {
     val slots = splitGames(raw)
     val out = List.newBuilder[ParsedGame]

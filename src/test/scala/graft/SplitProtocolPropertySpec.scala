@@ -27,7 +27,14 @@ object SplitProtocolPropertySpec extends Properties("split-protocol") {
 
   private val banner: Gen[String] =
     Gen.oneOf("% banner", "; comment line", "[Site \"header only\"]",
-      "% two\n% lines")
+      "% two\n% lines",
+      // starts with "[Event" but is NOT a "\n[Event " delimiter match:
+      // the wholetext splitter starts a new (moveless, merge-forward)
+      // block on it while the Hadoop chunker leaves it INSIDE the
+      // preceding movesful chunk — the exact shape that broke walkChunks
+      // before splitRawsWithTail (phantom closed slot, shifted game_ids)
+      "[EventDate \"2024.01.01\"]",
+      "[EventSponsor \"acme\"]\n[Site \"trailing tags\"]")
 
   // a file = nonempty mix of games and moveless blocks, blank-separated
   private val file: Gen[String] = for {
@@ -49,6 +56,19 @@ object SplitProtocolPropertySpec extends Properties("split-protocol") {
       k <- Gen.choose(1, n)
       rest <- partitions(n - k)
     } yield k :: rest
+
+  property("splitRawsWithTail == splitRaws with the trailing moveless " +
+    "block held back untrimmed") =
+    Prop.forAll(file) { text =>
+      val whole = PgnParser.splitRaws(text)
+      val (closed, tail) = PgnParser.splitRawsWithTail(text)
+      val rejoined =
+        if (tail.trim.nonEmpty) closed :+ tail.trim else closed
+      Prop(rejoined == whole &&
+        closed.forall(PgnParser.hasMoveText) &&
+        (tail.isEmpty || text.endsWith(tail))) :|
+        s"closed=$closed tail=${tail.take(80)}"
+    }
 
   property("two-pass protocol == splitGames for every split arrangement") =
     Prop.forAll(file) { text =>

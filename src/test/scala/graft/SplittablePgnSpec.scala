@@ -129,6 +129,33 @@ class SplittablePgnSpec extends SparkSpec {
     assert(split.size === 24)
   }
 
+  test("trailing [EventDate-style tags after move text keep game_ids " +
+    "byte-identical (regression: phantom closed slot)") {
+    // `[EventDate` starts with "[Event" (so the wholetext splitter opens
+    // a new moveless block that merges FORWARD into the next game) but
+    // does not match the "\n[Event " record delimiter (so the splittable
+    // reader sees it inside the movesful chunk). Before the
+    // splitRawsWithTail fix the splittable path emitted it as its own
+    // closed slot: 3 games instead of 2, and every later game_id shifted.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_split_eventdate").toString
+    val g = graft.core.Fixtures.all.map(_._2)
+    val dump = g(0) + "\n[EventDate \"2024.01.01\"]\n\n" + g(1) + "\n" +
+      "[EventSponsor \"acme\"]\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/dump.pgn"), dump)
+    val whole = canon(IngestJob.readPgn(spark, dir))
+    val split = canon(IngestJob.readPgnSplittable(spark, dir,
+      hadoopConf = Map(
+        "mapreduce.input.fileinputformat.split.maxsize" -> "512",
+        "mapreduce.input.fileinputformat.split.minsize" -> "1")))
+    assert(whole === split)
+    // wholetext semantics: [EventDate merges into game 2's raw; the
+    // file-final [EventSponsor block is its own (failed-parse) slot
+    assert(whole.size === 3)
+    assert(whole.count(_._3) === 2)
+  }
+
   test("tables built from the splittable reader match the wholetext path") {
     val (dir, _) = writeDump()
     val tw = IngestJob.tables(spark, IngestJob.readPgn(spark, dir))
