@@ -581,53 +581,49 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 1000000).cast("long").as("jaccard_micro"))),
 
+    // The staged pair artifact itself: parquet-roundtripped stage-1
+    // table, gated against the SAME oracle SQL as the self-contained
+    // llm_minhash_pairs — a hash match here proves the materialized
+    // stage ≡ the from-scratch recompute (see [[Stages]]).
+    "llm_dedup_staged" -> ((s, d) =>
+      Stages.minhashPairs(s, d)
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 1000000).cast("long").as("jaccard_micro"))),
+
     // Near-dup CLUSTERS: distributed connected components (min-label
-    // propagation + pointer jumping) over the verified minhash pairs.
-    // Near-duplication is not transitive, so dedup needs the closure;
-    // the oracle re-derives it with a recursive CTE.
-    "llm_dup_clusters" -> ((s, d) =>
-      Dedup.connectedComponents(
-        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-          shingleN = 3, k = 8, bandRows = 4, threshold = 0.8),
-        "id_a", "id_b")),
+    // propagation + pointer jumping) over the verified minhash pairs —
+    // consumed from the stage-2 artifact ([[Stages.dupClusters]]); the
+    // oracle re-derives the closure from raw documents with a recursive
+    // CTE, so every run re-proves staged ≡ self-contained.
+    "llm_dup_clusters" -> ((s, d) => Stages.dupClusters(s, d)),
 
     // Near-dup dedup KEEPING THE BEST cluster member by score
     // (n_chars: keep the longest copy) instead of the arbitrary min-id
-    // canonical -- the curation-grade survivor policy. Oracle rebuilds
-    // the closure with the recursive CTE, then argmax-with-min-id-tie.
+    // canonical -- the curation-grade survivor policy, over the staged
+    // clusters. Oracle rebuilds the closure with the recursive CTE,
+    // then argmax-with-min-id-tie.
     "llm_dedup_keep_best" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val clusters = Dedup.connectedComponents(
-        Dedup.minhashPairs(docs, "doc_id", "text",
-          shingleN = 3, k = 8, bandRows = 4, threshold = 0.8),
-        "id_a", "id_b")
-      Dedup.nearDupSurvivorsBy(docs, "doc_id", "n_chars", clusters)
+      Dedup.nearDupSurvivorsBy(docs, "doc_id", "n_chars",
+          Stages.dupClusters(s, d))
         .select(col("doc_id"), col("n_chars"))
     }),
 
     // Dedup stage report: the one-row dashboard summary of the minhash
     // clustering (corpus size, clustered docs, cluster count, largest
-    // cluster, removals, micro ratio).
-    "llm_dedup_report" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val clusters = Dedup.connectedComponents(
-        Dedup.minhashPairs(docs, "doc_id", "text",
-          shingleN = 3, k = 8, bandRows = 4, threshold = 0.8),
-        "id_a", "id_b")
-      Dedup.dedupReport(docs, "doc_id", clusters)
-    }),
+    // cluster, removals, micro ratio), over the staged clusters.
+    "llm_dedup_report" -> ((s, d) =>
+      Dedup.dedupReport(Tables.documents(s, d), "doc_id",
+        Stages.dupClusters(s, d))),
 
     // Integer PageRank (3 rounds, damping 0.85) over the verified
-    // minhash near-dup graph: similarity-graph centrality for curation.
-    // BENCH-COST NOTE: gates are self-contained, so this query
-    // REGENERATES the minhash pair list every run (~1s of its ~2.6s warm
-    // at sf0.1); in a real pipeline the pairs are a stage table and the
-    // PageRank itself is the remaining ~1.6s. llm_dup_clusters carries
-    // the same pair-gen share ahead of its connected components.
+    // minhash near-dup graph: similarity-graph centrality for curation,
+    // consumed from the stage-1 pair artifact (the per-gate regeneration
+    // this replaced cost ~1 s of its ~2.6 s warm at sf0.1; the
+    // self-contained pair DAG still gets an honest timing via
+    // llm_minhash_pairs, which stays off the stage by design).
     "llm_graph_rank" -> ((s, d) =>
-      graft.llmops.Graphs.pageRank(
-        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-          shingleN = 3, k = 8, bandRows = 4, threshold = 0.8),
+      graft.llmops.Graphs.pageRank(Stages.minhashPairs(s, d),
         "id_a", "id_b", iters = 3, dampingMilli = 850)
         .select(col("id").as("doc_id"), col("rank_micro"))),
 
@@ -2727,6 +2723,14 @@ object LlmQueries {
                 sig[CAST(b*4+4 AS INT)]) AS band_hash
           FROM sig, (VALUES (0), (1)) bands(b)""",
     "llm_minhash_pairs" ->
+      s"""WITH $minhashPairsCtes
+          SELECT id_a, id_b,
+            CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_micro
+          FROM verified WHERE j >= 0.8""",
+    // Same oracle as llm_minhash_pairs ON PURPOSE: the Spark side reads
+    // the materialized stage-1 parquet, so a hash match proves the
+    // staged artifact equals the self-contained recompute.
+    "llm_dedup_staged" ->
       s"""WITH $minhashPairsCtes
           SELECT id_a, id_b,
             CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_micro

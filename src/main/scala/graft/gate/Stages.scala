@@ -1,0 +1,74 @@
+package graft.gate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import graft.llmops.Dedup
+
+/** Materialized STAGE TABLES for the near-dup family.
+  *
+  * At 100 TB, minhash pair generation and connected-components clustering
+  * are pipeline STAGES whose outputs land in a table (parquet) consumed by
+  * every downstream job — not per-query recomputes. Before this object the
+  * gate suite paid the full shingle→sign→band→verify(→CC) DAG once per
+  * consuming gate (clusters, graph_rank, keep_best, report: ~8–10 s of the
+  * warm total re-spent on one subtree); now the first toucher materializes
+  * each stage once per (process, sf-dir) and the rest read the artifact.
+  *
+  * Honesty of the composition is machine-checked two ways:
+  *   - every consuming gate's DuckDB oracle still recomputes the WHOLE
+  *     chain from the raw `documents` table (recursive-CTE closure
+  *     included), so a staged Spark result that hash-matches its oracle
+  *     proves staged ≡ self-contained on every driver run;
+  *   - `llm_dedup_staged` gates the artifact itself: the parquet-roundtrip
+  *     pair table must hash-match the same oracle SQL as the
+  *     self-contained `llm_minhash_pairs` gate (which deliberately stays
+  *     OFF the stage so the from-scratch DAG keeps an honest timing).
+  *
+  * Stages are parquet files in a per-process temp directory — never a
+  * Spark `persist` — because (a) that is the real pipeline shape (the
+  * artifact survives executor loss and is readable by later jobs), and
+  * (b) the gate harness's cache barriers (`Caches.releaseScoped`) must not
+  * silently drop the stage between gates.
+  */
+object Stages {
+
+  private lazy val root: String =
+    java.nio.file.Files.createTempDirectory("graft_stages").toString
+  // key -> parquet path, built at most once per process; guarded by its
+  // own monitor (reentrant: the clusters build calls the pairs stage).
+  private val built = scala.collection.mutable.HashMap.empty[String, String]
+
+  private def stage(s: SparkSession, key: String)
+      (build: => DataFrame): DataFrame = {
+    val path = built.synchronized {
+      built.getOrElseUpdate(key, {
+        val p = s"$root/${java.util.UUID.nameUUIDFromBytes(key.getBytes("UTF-8"))}"
+        build.write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    s.read.parquet(path)
+  }
+
+  /** Stage 1 — verified MinHash/LSH near-dup pairs (id_a, id_b, jaccard),
+    * the gate-suite parameters (3-shingles, k=8, 2 bands of 4, J >= 0.8).
+    */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val abs = new java.io.File(d).getAbsolutePath
+    stage(s, s"minhash_pairs:$abs") {
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 8, bandRows = 4, threshold = 0.8)
+    }
+  }
+
+  /** Stage 2 — connected components (id, cluster_id) over stage 1, itself
+    * built FROM the stage-1 artifact (pipeline lineage: CC's iterative
+    * joins re-read a cheap parquet scan, not the generator DAG).
+    */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val abs = new java.io.File(d).getAbsolutePath
+    stage(s, s"dup_clusters:$abs") {
+      Dedup.connectedComponents(minhashPairs(s, d), "id_a", "id_b")
+    }
+  }
+}
