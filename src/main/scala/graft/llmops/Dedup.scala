@@ -803,18 +803,22 @@ object Dedup {
     val scored = clusters
       .join(df.select(col(idCol).as("id"), col(scoreCol).as("__s")),
         Seq("id"))
-    // winner = max (__s, then MIN id on ties): encode as max_by over a
-    // struct ordered (score, negated-id) is string-unfriendly, so use
-    // the argmax via struct ordering with the id DESCENDING trick
-    // replaced by a two-stage agg: max score per cluster, then min id
-    // among members AT that score.
-    val best = scored.groupBy("cluster_id")
-      .agg(max(col("__s")).as("__best"))
-    val winners = scored
-      .join(best, Seq("cluster_id"))
-      .where(col("__s") === col("__best"))
-      .groupBy("cluster_id")
-      .agg(min(col("id")).as(idCol))
+    // winner = max (__s, then MIN id on ties) in ONE aggregation:
+    // min_by over the orderable struct (-score, id) — the minimum is
+    // the largest score, ties resolved by the smallest id, for any
+    // orderable id type. (The previous two-stage max+min-at-max shape
+    // re-joined the scored frame against its own aggregate: one extra
+    // join + exchange per call, and a cluster whose every score was
+    // NULL got no winner at all — `__s === max(null)` is null — so the
+    // whole cluster was silently deleted.) Scores are compared as
+    // doubles (exact for |score| < 2^53); a NULL score coalesces to
+    // -infinity = "worst", so an all-null cluster still keeps its
+    // min-id member rather than vanishing.
+    val winners = scored.groupBy("cluster_id")
+      .agg(min_by(col("id"), struct(
+        (lit(0d) - coalesce(col("__s").cast("double"),
+          lit(Double.NegativeInfinity))).as("neg_score"),
+        col("id").as("id"))).as(idCol))
       .select(idCol)
     val losers = clusters.select(col("id").as(idCol))
       .join(winners, Seq(idCol), "left_anti")

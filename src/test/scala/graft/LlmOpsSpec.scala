@@ -161,6 +161,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept === Set(2L, 8L, 5L))
   }
 
+  test("nearDupSurvivorsBy: all-null-score clusters keep their min-id " +
+    "member (regression: whole cluster silently deleted)") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "cluster_id")
+    val docs = Seq[(Long, Option[Long])](
+      (1L, None), (2L, None),          // all-null cluster -> keep min id 1
+      (7L, None), (8L, Some(3L)),      // scored member beats null -> 8
+      (5L, None)                       // unclustered always kept
+    ).toDF("doc_id", "score")
+    val kept = graft.llmops.Dedup
+      .nearDupSurvivorsBy(docs, "doc_id", "score", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 8L, 5L))
+  }
+
+  test("nearDupSurvivorsBy is a one-pass argmax: exactly 3 joins in the " +
+    "optimized plan (scored attach + two anti-joins, no agg re-join)") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    val docs = Seq((1L, 10L), (2L, 99L)).toDF("doc_id", "score")
+    val plan = graft.llmops.Dedup
+      .nearDupSurvivorsBy(docs, "doc_id", "score", clusters)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.length === 3,
+      s"expected 3 joins, got ${joins.length}:\n$plan")
+  }
+
   test("dedupReport: exact one-row summary incl. the empty clustering") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
