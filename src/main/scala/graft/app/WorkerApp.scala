@@ -80,18 +80,23 @@ object WorkerApp {
   }
 
   /** One poll: claim up to batchSize jobs, embed, append vectors +
-    * failures. Returns (processed, failed, fenChars); (0,0,0) = empty
-    * poll.
+    * failures. Returns (claimedIds, failed, fenChars); an empty claim =
+    * empty poll. The claimed ids are returned (not just a count) so
+    * [[drain]] can detect a NO-PROGRESS poll: a claimed id that yields
+    * neither a vectors row nor a failures row (e.g. buildWithLedger's
+    * payload join drops positions whose game_id is absent from games)
+    * stays pending forever, and the deterministic vector_id-ordered
+    * claim would re-claim the identical batch every poll.
     */
   def pollOnce(spark: SparkSession, dir: String, batchSize: Int,
-      embedder: Embedder): (Long, Long, Long) = {
+      embedder: Embedder): (Seq[String], Long, Long) = {
     // the claim is bounded (<= batchSize small rows) and must be a
     // STABLE set across the embed + the two appends below, so collect
     // it once rather than re-deriving the anti-join per sink
     val claimed = pending(spark, dir)
       .orderBy("vector_id").limit(batchSize)
       .collect()
-    if (claimed.isEmpty) (0L, 0L, 0L)
+    if (claimed.isEmpty) (Nil, 0L, 0L)
     else {
       val ids = claimed.map(_.getString(0)).toSeq
       val chars = claimed.map(_.getString(1).length.toLong).sum
@@ -105,7 +110,7 @@ object WorkerApp {
       r.failures.write.mode("append").parquet(s"$dir/vector_failures")
       val failed = spark.read.parquet(s"$dir/vector_failures")
         .where(col("vector_id").isInCollection(ids)).count()
-      (ids.length.toLong, failed, chars)
+      (ids, failed, chars)
     }
   }
 
@@ -140,20 +145,33 @@ object WorkerApp {
     def summary() = Summary(polls, emptyPolls, processed, failed, fenChars,
       (System.nanoTime() - t0) / 1e9)
     var stop = false
+    // previous poll's claimed id set: the claim is deterministic
+    // (orderBy vector_id), so a batch whose every id produced neither a
+    // vectors row nor a failures row is re-claimed IDENTICALLY next
+    // poll — without this check the loop livelocks (p > 0 every poll,
+    // exitAfterEmpty never fires, processed inflates with no-op work).
+    var lastClaim: Set[String] = Set.empty
     while (!stop && polls < maxPolls) {
-      val (p, f, c) = pollOnce(spark, dir, batchSize, embedder)
+      val (ids, f, c) = pollOnce(spark, dir, batchSize, embedder)
       polls += 1
-      if (p == 0) {
+      val claim = ids.toSet
+      val noProgress = claim.nonEmpty && claim == lastClaim
+      if (noProgress)
+        System.err.println(s"[worker] no-progress poll: the ${ids.size} " +
+          "claimed job(s) produced no vectors or failure rows and would " +
+          "be re-claimed verbatim; counting as empty for the exit streak")
+      if (ids.isEmpty || noProgress) {
         emptyPolls += 1
         emptyStreak += 1
         if (exitAfterEmpty.exists(emptyStreak >= _)) stop = true
       } else {
         emptyStreak = 0
-        processed += p
+        processed += ids.size
         failed += f
         fenChars += c
         metricsPath.foreach(writeMetricsFile(_, summary()))
       }
+      lastClaim = claim
       if (!stop && sleepMs > 0) Thread.sleep(sleepMs)
     }
     val s = summary()

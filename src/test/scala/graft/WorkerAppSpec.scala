@@ -90,6 +90,41 @@ class WorkerAppSpec extends SparkSpec {
     assert(done + failures.select("vector_id").distinct().count() === nIds)
   }
 
+  test("a stuck claim (orphan positions, no games row) exits via the " +
+    "empty streak instead of livelocking") {
+    val dir = freshTables()
+    import spark.implicits._
+    // positions whose game_id has no games row: buildWithLedger's
+    // payload join drops them, so they yield neither a vectors row nor
+    // a failures row and stay pending forever — the re-claim is
+    // byte-identical every poll
+    val template = spark.read.parquet(s"$dir/positions").limit(1).collect()(0)
+    val orphan = Seq(("no_such_game", 1, 1, "white", "e4",
+      template.getString(template.fieldIndex("fen")) + " orphan",
+      false, "00_orphan_vector_id"))
+      .toDF("game_id", "ply", "move_number", "side_to_move", "san",
+        "fen", "fen_valid", "vector_id")
+    orphan.write.mode("append").parquet(s"$dir/positions")
+    val s = WorkerApp.drain(spark, dir, batchSize = 16,
+      embedder = DeterministicEmbedder(16), exitAfterEmpty = Some(2),
+      maxPolls = 200)
+    // terminated well before the maxPolls backstop: the identical
+    // re-claim was counted into the empty streak
+    assert(s.polls < 200)
+    assert(s.emptyPolls >= 2)
+    // the orphan id is still pending (honest: it was never embedded)
+    val left = WorkerApp.pending(spark, dir)
+      .select("vector_id").collect().map(_.getString(0)).toSeq
+    assert(left === Seq("00_orphan_vector_id"))
+    // processed stays bounded: every real position counted once, plus
+    // at most one orphan-claim slot per busy poll (the endless no-op
+    // re-claim polls no longer accumulate into it)
+    val nReal = spark.read.parquet(s"$dir/positions")
+      .where(col("game_id") =!= "no_such_game")
+      .select("vector_id").distinct().count()
+    assert(s.processed >= nReal && s.processed <= nReal + s.polls)
+  }
+
   test("metrics file rewritten in the reference worker's format") {
     val dir = freshTables()
     val mpath = java.nio.file.Files
