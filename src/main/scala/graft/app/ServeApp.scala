@@ -255,11 +255,41 @@ object ServeApp {
         val t0 = System.nanoTime()
         val games = tables.games.count()
         val latencyMs = (System.nanoTime() - t0) / 1e6
+        // per-dependency checks with per-check latency, the reference's
+        // health.ml response shape: {status, checks: [{name, status,
+        // required, latency_ms, detail}]}. These probe the LIVE serving
+        // frames (already-loaded tables), not a directory re-read.
+        val checks = Seq(
+          graft.core.Health.runProbe("tables", required = true) {
+            graft.core.Health.Ok(Some(
+              s"games=$games players=${tables.players.count()}"))
+          },
+          graft.core.Health.runProbe("vectors", required = false) {
+            tables.vectors match {
+              case Some(v) => graft.core.Health.Ok(Some(s"vectors=${v.count()}"))
+              case None => graft.core.Health.Skip(
+                "no vectors table (hybrid falls back to metadata ranking)")
+            }
+          })
+        val summary = graft.core.Health.summarize(checks)
         val o = mapper.createObjectNode()
-        o.put("status", "ok")
+        o.put("status", summary.status)
         o.put("games", games)
         o.put("latency_ms", latencyMs)
-        respond(ex, 200, o.toString)
+        val arr = o.putArray("checks")
+        summary.checks.foreach { c =>
+          val n = mapper.createObjectNode()
+          n.put("name", c.name)
+          n.put("status", c.status)
+          n.put("required", c.required)
+          n.put("latency_ms", c.latencyMs)
+          c.detail match {
+            case Some(d) => n.put("detail", d)
+            case None => n.putNull("detail")
+          }
+          arr.add(n); ()
+        }
+        respond(ex, if (summary.status == "error") 500 else 200, o.toString)
       } catch {
         case e: Throwable =>
           respond(ex, 500, errorJson(e.getMessage))
@@ -311,20 +341,23 @@ object ServeApp {
           if (ex.getRequestMethod == "POST")
             Some(ex.getRequestBody.readNBytes(maxBodyBytes + 1))
           else None
-        admit(ex, bodyBytes.map(_.length.toLong)) match {
+        // Body-limit middleware runs BEFORE the rate limiter, matching
+        // the reference's middleware order (chessmate_api.ml wires
+        // body_limit ahead of rate_limit): an oversize request gets its
+        // 413 WITHOUT debiting the client's request-token or body-byte
+        // budget — debiting first meant an oversize client burned quota
+        // on rejected requests and read 429 where the reference says 413.
+        if (bodyBytes.exists(_.length > maxBodyBytes))
+          respond(ex, 413, errorJson("request body too large"))
+        else admit(ex, bodyBytes.map(_.length.toLong)) match {
           case Some(_) => () // 429 already written by admit
           case None =>
             val parsed: Either[String, Parsed] = ex.getRequestMethod match {
               case "GET" => parseGet(ex.getRequestURI.getRawQuery)
-              case "POST" =>
-                val body = bodyBytes.get
-                if (body.length > maxBodyBytes) Left("__413__")
-                else parsePost(new String(body, "UTF-8"))
+              case "POST" => parsePost(new String(bodyBytes.get, "UTF-8"))
               case _ => Left("unsupported method")
             }
             parsed match {
-              case Left("__413__") =>
-                respond(ex, 413, errorJson("request body too large"))
               case Left(err) => respond(ex, 400, errorJson(err))
               case Right(p) =>
                 val payload =

@@ -124,13 +124,25 @@ class ServeAppSpec extends SparkSpec {
       assert(oa.body().startsWith("openapi: 3.1.0"))
       assert(oa.body().contains("/query"))
 
-      // health + metrics
+      // health + metrics; /health carries per-dependency checks with
+      // latency (reference health.ml response shape)
       val h = get("/health")
       assert(h.statusCode() === 200)
       val hj = om.readTree(h.body())
       assert(hj.get("status").asText() === "ok")
       assert(hj.get("games").asLong() >= 1)
       assert(hj.get("latency_ms").asDouble() >= 0.0)
+      val checks = hj.get("checks")
+      assert(checks.isArray && checks.size() === 2)
+      val names = (0 until checks.size()).map(checks.get(_).get("name").asText())
+      assert(names === Seq("tables", "vectors"))
+      (0 until checks.size()).foreach { i =>
+        val c = checks.get(i)
+        assert(c.get("status").asText() === "ok")
+        assert(c.get("latency_ms").asDouble() >= 0.0)
+        assert(c.has("required") && c.has("detail"))
+      }
+      assert(checks.get(0).get("detail").asText().startsWith("games="))
       assert(get("/metrics").statusCode() === 200)
     } finally server.stop(0)
   }
@@ -204,6 +216,45 @@ class ServeAppSpec extends SparkSpec {
       // limiter counters recorded in the reference metric format
       assert(limiter.metrics.exists(l =>
         l.startsWith("api_rate_limited_total ") && l.endsWith(" 2")))
+    } finally server.stop(0)
+  }
+
+  test("middleware order: oversize body 413s WITHOUT debiting the rate " +
+    "budget (body-limit before rate-limit, reference order)") {
+    val (t, v) = graft.gate.ChessQueries.data(spark)
+    val summaries = HybridExecutor.summaries(t.games, t.players)
+    val tables = HybridExecutor.Tables(t.games, t.players, Some(v),
+      summariesPrebuilt = Some(summaries))
+    val embedder = DeterministicEmbedder(graft.gate.ChessQueries.embedDims)
+    val limiter = new graft.query.RateLimiter(
+      tokensPerMinute = 1, bucketSize = 1)
+    val server = ServeApp.start(spark, tables, embedder, port = 0,
+      limiter = Some(limiter))
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = HttpClient.newHttpClient()
+      // oversize request first: 413 (not 429), and the bucket's single
+      // token must survive it — debiting before the cap check burned
+      // quota on rejected requests
+      val big = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"question": "${"x" * (ServeApp.maxBodyBytes + 10)}"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(big.statusCode() === 413)
+      // the untouched token admits the next valid request...
+      val ok = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"$base/query?q=show+black+wins&limit=1")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() === 200)
+      // ...and only then is the bucket empty
+      val lim = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"$base/query?q=show+black+wins&limit=1")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(lim.statusCode() === 429)
     } finally server.stop(0)
   }
 }
