@@ -777,6 +777,26 @@ object LlmQueries {
         .select(col("id").as("vec_id"), col("score_int"))
     }),
 
+    // IVF x SQ8 at rest: the 100 TB serving composition — codes table
+    // written cell-partitioned parquet ([[Stages.ivfSq8Codes]]), probe
+    // predicate prunes PARTITIONS (spec-asserted), candidates ranked by
+    // the asymmetric integer code score. Output is the pure-integer
+    // candidate stage (everything downstream of the probe is exact);
+    // oracle is DYNAMIC (ivfSq8OracleSql): centroid VALUES injection for
+    // assignment + probe selection, then the llm_sq8_ann static integer
+    // chain restricted to the probed cells.
+    "llm_ivf_sq8_atrest" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val cents = Ann.trainCentroids(emb, "embedding", nCells = 16)
+      val m = graft.llmops.Pq.sq8Train(emb, "embedding")
+      graft.llmops.Pq.ivfSq8CandidatesAtRest(s, Stages.ivfSq8Codes(s, d),
+        "vec_id", q, m, cents, probes = 4, k = 10)
+        .select(col("id").as("vec_id"), col("score_int"))
+    }),
+
     // Semantic dedup (SemDeDup shape): trained-centroid clusters, flag
     // docs with a smaller-id same-cluster (and same hot-cell sub-bucket)
     // neighbor at cosine >= 0.9. The hot-cell cap (maxCellPop = 32,
@@ -1599,6 +1619,104 @@ object LlmQueries {
     assignOk && pairsOk
   }
 
+  /** llm_ivf_sq8_atrest oracle: centroid VALUES injection for the two
+    * FP stages (assignment, probe selection — exactly annIvfOracleSql's
+    * CTEs), then the llm_sq8_ann STATIC integer chain (bounds over the
+    * whole table, exactly as sq8Train computes them) restricted to the
+    * probed cells' rows. Downstream of the probe everything is integer
+    * arithmetic, so no top-k/quantization margin machinery is needed —
+    * only the assignment/probe margins guard ([[ivfSq8FpSafe]]).
+    */
+  def ivfSq8OracleSql(cents: Array[Array[Double]]): String = {
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, CAST([${c.mkString(",")}] AS DOUBLE[]))"
+    }.mkString(", ")
+    def dotN(v: String, c: String): String =
+      s"""list_sum(list_transform(range(1, len($c) + 1), i ->
+            $v[CAST(i AS INT)] * $c[CAST(i AS INT)]))"""
+    def norm(e: String): String =
+      s"""list_transform($e, x -> CAST(x AS DOUBLE) /
+            sqrt(list_sum(list_transform($e, y ->
+              CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"""
+    s"""WITH cents(cell, cv) AS (VALUES $values),
+       e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       en AS (SELECT vec_id, v, ${norm("v")} AS ev FROM e),
+       qrow AS (SELECT ${norm("v")} AS qv FROM e WHERE vec_id = 7),
+       probe AS (
+         SELECT cell FROM cents, qrow
+         ORDER BY ${dotN("qv", "cv")} DESC, cell ASC LIMIT 4),
+       assigned AS (
+         SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY dd DESC, cell ASC) AS rn
+         FROM (SELECT en.vec_id, c.cell, ${dotN("en.ev", "c.cv")} AS dd
+               FROM en CROSS JOIN cents c)),
+       probed AS (
+         SELECT vec_id FROM assigned
+         WHERE rn = 1 AND cell IN (SELECT cell FROM probe)),
+       x AS (
+         SELECT vec_id, CAST(i AS INT) AS dim, v[CAST(i AS INT)] AS val
+         FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i)),
+       b AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx
+             FROM x GROUP BY dim),
+       c AS (
+         SELECT x.vec_id, x.dim,
+           CASE WHEN b.mx = b.mn THEN 0
+                ELSE CAST(GREATEST(LEAST(FLOOR(
+                  (x.val - b.mn) * 255.0 / (b.mx - b.mn)), 255.0), 0.0)
+                  AS INT) END AS code
+         FROM x JOIN b USING (dim)
+         WHERE x.vec_id IN (SELECT vec_id FROM probed)),
+       q AS (SELECT dim, val FROM x WHERE vec_id = 7),
+       w AS (
+         SELECT q.dim,
+           CAST(FLOOR(q.val * (b.mx - b.mn) * 1000000.0 / 255.0)
+             AS BIGINT) AS wq
+         FROM q JOIN b USING (dim)),
+       s AS (
+         SELECT c.vec_id,
+           CAST(SUM(CAST(c.code AS BIGINT) * w.wq) AS BIGINT)
+             AS score_int
+         FROM c JOIN w USING (dim) GROUP BY c.vec_id)
+       SELECT vec_id, score_int FROM s
+       ORDER BY score_int DESC, vec_id LIMIT 10"""
+  }
+
+  /** FP guard for llm_ivf_sq8_atrest: only the assignment and
+    * probe-selection decisions cross the FP boundary (the candidate
+    * chain is integer-exact, per the llm_sq8_ann precedent), so check
+    * (a) every vector's top-2 centroid-dot margin and (b) the query's
+    * probes-th vs probes+1-th cell-dot margin, both under JVM
+    * arithmetic. Verify-time only; collects the bounded embeddings
+    * table.
+    */
+  private[gate] def ivfSq8FpSafe(s: org.apache.spark.sql.SparkSession,
+      d: String, cents: Array[Array[Double]], probes: Int = 4): Boolean = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def norm(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(dot(a, a))
+      if (n == 0) a else a.map(_ / n)
+    }
+    val rows = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val assignOk = rows.forall { case (_, v) =>
+      val dots = cents.map(dot(norm(v), _)).sorted(Ordering[Double].reverse)
+      dots(0) - dots(1) >= annIvfEps
+    }
+    val qn = norm(rows.find(_._1 == 7L).get._2)
+    val qDots = cents.map(dot(qn, _)).sorted(Ordering[Double].reverse)
+    val probeOk = cents.length <= probes ||
+      qDots(probes - 1) - qDots(probes) >= annIvfEps
+    assignOk && probeOk
+  }
+
   /** llm_dsir oracle: the JVM-computed weight table injects as VALUES
     * (ln is libm -- last-bit engine-dependent -- so only floored integer
     * micros travel); DuckDB recomputes BOTH bucket-count columns from
@@ -1661,11 +1779,15 @@ object LlmQueries {
       if (semanticDedupFpSafe(s, d, cents, semanticDedupThresholdMicro))
         Map("llm_semantic_dedup" -> semanticDedupOracleSql(cents))
       else Map.empty[String, String]
+    val ivfSq8 =
+      if (ivfSq8FpSafe(s, d, cents))
+        Map("llm_ivf_sq8_atrest" -> ivfSq8OracleSql(cents))
+      else Map.empty[String, String]
     val docs = Tables.documents(s, d)
     val dsir = Map("llm_dsir" -> dsirOracleSql(
       Curation.dsirWeights(docs, docs.where(col("lang") === "en"), "text",
         shingleN = 2, buckets = 256)))
-    ivf ++ sem ++ dsir
+    ivf ++ sem ++ ivfSq8 ++ dsir
   }
 
   /** llm_bpe_merges oracle: `rounds` unrolled merge rounds. Each round

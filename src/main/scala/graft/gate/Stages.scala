@@ -38,17 +38,19 @@ object Stages {
   // own monitor (reentrant: the clusters build calls the pairs stage).
   private val built = scala.collection.mutable.HashMap.empty[String, String]
 
-  private def stage(s: SparkSession, key: String)
-      (build: => DataFrame): DataFrame = {
-    val path = built.synchronized {
+  private def stagePath(key: String)(write: String => Unit): String =
+    built.synchronized {
       built.getOrElseUpdate(key, {
         val p = s"$root/${java.util.UUID.nameUUIDFromBytes(key.getBytes("UTF-8"))}"
-        build.write.mode("overwrite").parquet(p)
+        write(p)
         p
       })
     }
-    s.read.parquet(path)
-  }
+
+  private def stage(s: SparkSession, key: String)
+      (build: => DataFrame): DataFrame =
+    s.read.parquet(stagePath(key)(p =>
+      build.write.mode("overwrite").parquet(p)))
 
   /** Stage 1 — verified MinHash/LSH near-dup pairs (id_a, id_b, jaccard),
     * the gate-suite parameters (3-shingles, k=8, 2 bands of 4, J >= 0.8).
@@ -69,6 +71,25 @@ object Stages {
     val abs = new java.io.File(d).getAbsolutePath
     stage(s, s"dup_clusters:$abs") {
       Dedup.connectedComponents(minhashPairs(s, d), "id_a", "id_b")
+    }
+  }
+
+  /** IVF x SQ8 at-rest codes table over the embeddings: (vec_id,
+    * sq_code) parquet, directory-partitioned by trained-centroid cell
+    * (16 cells; training is deterministic so every consumer re-derives
+    * the identical centroids/bounds). Returns the artifact PATH — the
+    * consumer reads it with a probe predicate so the cells prune as
+    * PARTITIONS, which is the whole point of the layout.
+    */
+  def ivfSq8Codes(s: SparkSession, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    stagePath(s"ivf_sq8_codes:$abs") { p =>
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.llmops.Ann.trainCentroids(emb, "embedding",
+        nCells = 16)
+      val m = graft.llmops.Pq.sq8Train(emb, "embedding")
+      graft.llmops.Pq.writeIvfSq8AtRest(emb, "vec_id", "embedding",
+        cents, m, p)
     }
   }
 }

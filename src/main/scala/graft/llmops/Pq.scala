@@ -226,4 +226,64 @@ object Pq {
       .orderBy(desc("score"), col("id"))
       .limit(k)
   }
+
+  // --- IVF x SQ8 at rest ----------------------------------------------
+  // The serving layout you'd actually run at 100 TB: the CODES table
+  // (1 byte/dim + an id) written cell-partitioned parquet via the
+  // trained-centroid IVF, so a query (a) PRUNES PARTITIONS down to its
+  // `probes` cells -- Spark lists only the probed directories -- then
+  // (b) scans 8x-compressed integer codes for candidates, and (c) reads
+  // full float vectors for just the `rerank` survivors (a semi-join back
+  // to the vectors table). The two pruning axes multiply: row pruning
+  // from IVF (~probes/nCells of the table) times byte pruning from SQ8
+  // (1/8 of the float bytes) before any exact math runs.
+
+  /** Write the at-rest IVF x SQ8 codes table: (idCol, sq_code) parquet,
+    * directory-partitioned by trained-centroid cell. Full vectors are
+    * deliberately NOT stored here — the rerank joins back to the vectors
+    * table, keeping the hot artifact 8x smaller than the corpus.
+    */
+  def writeIvfSq8AtRest(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], model: Sq8Model,
+      path: String): Unit =
+    Ann.withIvfCentroidCell(df, vecCol, centroids)
+      .select(col(idCol), col("cell"),
+        sq8CodeCol(col(vecCol), model).as("sq_code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** The integer candidate stage over the at-rest codes table: probe the
+    * `probes` cells nearest the query (partition pruning, not row
+    * filtering), rank by the asymmetric integer code score, return the
+    * top `k` (id, score_int). Pure integers downstream of the probe —
+    * the gate oracle reproduces it bit-for-bit.
+    */
+  def ivfSq8CandidatesAtRest(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, query: Seq[Double], model: Sq8Model,
+      centroids: Array[Array[Double]], probes: Int, k: Int): DataFrame = {
+    val order = Ann.probeCells(query, centroids, probes)
+    sq8IntTopK(
+      spark.read.parquet(path).where(col("cell").isin(order: _*)),
+      idCol, query, model, k)
+  }
+
+  /** Full at-rest serving path: probe-pruned integer candidates
+    * over-fetched to `rerank`, then exact cosine rerank against the full
+    * `vectors` table (joined on id — only `rerank` float vectors are
+    * ever read). Returns (id, score) like [[sq8TopK]].
+    */
+  def ivfSq8TopKAtRest(spark: org.apache.spark.sql.SparkSession,
+      path: String, vectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], model: Sq8Model,
+      centroids: Array[Array[Double]], k: Int, probes: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k)
+    val ids = ivfSq8CandidatesAtRest(spark, path, idCol, query, model,
+      centroids, probes, rerank)
+    ids.join(vectors.select(col(idCol).as("id"), col(vecCol)), Seq("id"))
+      .select(col("id"),
+        graft.functions.CosineSimilarity(col(vecCol),
+          org.apache.spark.sql.functions.typedLit(query)).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
 }

@@ -133,6 +133,53 @@ object AnnRecall {
       normed.unpersist()
     }
 
+    // IVF x SQ8 AT REST (the 100 TB serving composition): codes written
+    // cell-partitioned parquet, probe PRUNES partitions, integer
+    // candidate scan over 1-byte/dim codes, exact rerank joins back to
+    // the float vectors. "scanned" reports probed CODE rows (the float
+    // reads are only the rerank candidates). raw = the oracle-gated
+    // configuration (llm_ivf_sq8_atrest); normalized = the recommended
+    // quality configuration (quantize L2-normalized vectors).
+    {
+      val dir = java.nio.file.Files
+        .createTempDirectory("annrecall_ivf_sq8").toString
+      val cents = Ann.trainCentroids(emb, "embedding", 16)
+      val mRaw = graft.llmops.Pq.sq8Train(emb, "embedding")
+      graft.llmops.Pq.writeIvfSq8AtRest(emb, "vec_id", "embedding",
+        cents, mRaw, s"$dir/raw")
+      def scannedCodes(q: Seq[Double]): Long =
+        spark.read.parquet(s"$dir/raw")
+          .where(col("cell").isin(Ann.probeCells(q, cents, 4): _*)).count()
+      Seq(100, 200).foreach { rerank =>
+        recall(s"ivf(16c,4p) x sq8(raw)+rr $rerank",
+          q => graft.llmops.Pq.ivfSq8TopKAtRest(spark, s"$dir/raw", emb,
+            "vec_id", "embedding", q, mRaw, cents, k, probes = 4, rerank),
+          scannedCodes)
+      }
+      val vNorm2 = transform(col("embedding").cast("array<double>"), x =>
+        x / sqrt(aggregate(
+          transform(col("embedding").cast("array<double>"), y => y * y),
+          lit(0.0), (a, b) => a + b)))
+      val normed2 = emb.select(col("vec_id"), vNorm2.as("emb_n")).cache()
+      normed2.count()
+      val mN = graft.llmops.Pq.sq8Train(normed2, "emb_n")
+      graft.llmops.Pq.writeIvfSq8AtRest(normed2, "vec_id", "emb_n",
+        cents, mN, s"$dir/norm")
+      Seq(100, 200).foreach { rerank =>
+        recall(s"ivf(16c,4p) x sq8(norm)+rr $rerank",
+          q => {
+            val qa = q.toArray
+            var s = 0.0; var i = 0
+            while (i < qa.length) { s += qa(i) * qa(i); i += 1 }
+            val qn = if (s == 0) q else qa.map(_ / math.sqrt(s)).toSeq
+            graft.llmops.Pq.ivfSq8TopKAtRest(spark, s"$dir/norm", normed2,
+              "vec_id", "emb_n", qn, mN, cents, k, probes = 4, rerank)
+          },
+          scannedCodes)
+      }
+      normed2.unpersist()
+    }
+
     // RP filter-and-refine: full scan of the PROJECTED vectors (planes
     // mults/row instead of dims -- the compression path, like PQ);
     // "scanned" reports the exact-rerank candidate count.

@@ -90,6 +90,58 @@ class PqSpec extends SparkSpec {
     assert(all === exact)
   }
 
+  test("IVF x SQ8 at rest: probe PRUNES partitions; candidates and " +
+    "rerank match the in-memory composition") {
+    val cents = Ann.trainCentroids(clustered, "embedding", 4)
+    val model = Pq.sq8Train(clustered, "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_sq8_at_rest").toString + "/codes"
+    Pq.writeIvfSq8AtRest(clustered, "vec_id", "embedding", cents, model, dir)
+    // the artifact holds codes + id only (8x-smaller hot tier), never
+    // the float vectors
+    val stored = spark.read.parquet(dir)
+    assert(stored.columns.sorted.toSeq === Seq("cell", "sq_code", "vec_id"))
+    val q = clustered.where(col("vec_id") === 205L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    // integer candidate stage at rest == in-memory probe-filtered stage
+    val atRest = Pq.ivfSq8CandidatesAtRest(spark, dir, "vec_id", q, model,
+      cents, probes = 1, k = 10)
+    val probeSet = Ann.probeCells(q, cents, 1)
+    val inMem = Pq.sq8IntTopK(
+      Pq.withSq8(Ann.withIvfCentroidCell(clustered, "embedding", cents)
+        .where(col("cell").isin(probeSet: _*)), "embedding", model),
+      "vec_id", q, model, 10)
+    assert(atRest.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      inMem.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // the probe predicate must reach the codes scan as a PARTITION
+    // filter: 1 of 4 cell directories listed, 3 never opened
+    val scans = atRest.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+      "probe predicate did not become a partition filter")
+    assert(scans.head.selectedPartitions.partitionCount === 1)
+    // full serving path (exact rerank joined back to the vectors table):
+    // with rerank >= cell population the probed cell's rows are ALL
+    // candidates, so the exact rerank returns the cell-restricted exact
+    // top-10 — which IS the global top-10 on this data (AnnCentroidSpec
+    // shows the query's cluster cell holds every true neighbor). The
+    // integer stage's raw-dot magnitude bias therefore cannot cost
+    // recall here; its ordering quality is the BASELINE.md recall row's
+    // job, not this equivalence spec's.
+    val exact = Ann.bruteForceTopK(clustered, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val served = Pq.ivfSq8TopKAtRest(spark, dir, clustered, "vec_id",
+      "embedding", q, model, cents, k = 10, probes = 1, rerank = 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(served === exact)
+    // probing ALL cells with full rerank degenerates to exact
+    val all = Pq.ivfSq8TopKAtRest(spark, dir, clustered, "vec_id",
+      "embedding", q, model, cents, k = 10, probes = 4, rerank = 160)
+      .collect().map(_.getLong(0)).toSet
+    assert(all === exact)
+  }
+
   test("SQ8: codes bounded, reconstruction within a bin, rerank recalls") {
     val model = Pq.sq8Train(clustered, "embedding")
     assert(model.mins.length == 8)
