@@ -25,14 +25,29 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingGate {
 
-  /** @param srcParquet parquet file/dir to stream (schema inferred from
+  /** @param srcParquet parquet/dir to stream (schema inferred from
     *                   a batch read of the same path)
     * @param sinkName   per-gate sink namespace under /tmp; sink and
     *                   checkpoint are wiped first so every run is a
     *                   clean deterministic replay
+    * @param statePartitions shuffle/state-store partition count for the
+    *                   streaming query, sized to the STATE volume (a few
+    *                   hundred open windows here), not the batch
+    *                   default: every micro-batch — including the
+    *                   zero-row watermark-advance batch AvailableNow
+    *                   always appends — pays a per-state-partition
+    *                   cycle (provider load, delta write, sink commit),
+    *                   which r13 forensics (tools/StreamProbe) measured
+    *                   at ~1.3 s/run of pure overhead at 32 partitions
+    *                   vs 8 for identical output. A production stream
+    *                   sizes this to throughput; a backfill gate sizes
+    *                   it to state. Applied via the session conf around
+    *                   query start (the only hook Spark offers) and
+    *                   restored after.
     */
   def availableNow(spark: SparkSession, srcParquet: String,
-      sinkName: String)(transform: DataFrame => DataFrame): DataFrame = {
+      sinkName: String, statePartitions: Int = 8)
+      (transform: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Paths.get(
       s"/tmp/graft_stream_gate/$sinkName")
     if (java.nio.file.Files.exists(dir)) {
@@ -48,14 +63,19 @@ object StreamingGate {
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve(java.nio.file.Paths.get(srcParquet).getFileName),
       java.nio.file.Paths.get(srcParquet).toAbsolutePath)
-    val in = spark.readStream.schema(schema).parquet(srcDir.toString)
-    val q = transform(in).writeStream.format("parquet")
-      .option("path", s"$dir/out")
-      .option("checkpointLocation", s"$dir/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      statePartitions.toString)
+    try {
+      val in = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val q = transform(in).writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.read.parquet(s"$dir/out")
   }
 }
