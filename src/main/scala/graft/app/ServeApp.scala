@@ -152,13 +152,31 @@ object ServeApp {
     o
   }
 
-  /** Execute one validated request -> the reference's response payload. */
+  /** Execute one validated request -> the reference's response payload.
+    * With a reranker, the A1-A3 agent tier runs over the page and
+    * `agent_status` reports the reference's states: "enabled" on a
+    * successful evaluation, "circuit_open" when the breaker rejected it
+    * (the degraded path keeps the heuristic ranking + a warning, like
+    * hybrid_executor.ml's evaluate_agent error paths), "disabled"
+    * without a reranker.
+    */
   def queryResponse(spark: SparkSession, tables: HybridExecutor.Tables,
-      embedder: DeterministicEmbedder, parsed: Parsed): ObjectNode = {
+      embedder: DeterministicEmbedder, parsed: Parsed,
+      reranker: Option[graft.query.Reranker] = None): ObjectNode = {
     val plan = QueryIntent.analyse(
       QueryIntent.Request(parsed.question, parsed.limit, parsed.offset))
     val exec = HybridExecutor.execute(spark, tables, plan, embedder)
-    val rows = exec.results.collect().toSeq
+    val (ranked, agentWarnings) = reranker match {
+      case Some(r) => graft.query.Reranker.applyOrFallback(exec.results, plan, r)
+      case None => (exec.results, Seq.empty[String])
+    }
+    val agentStatus = reranker match {
+      case None => "disabled"
+      case Some(_) if agentWarnings.exists(_.toLowerCase.contains("circuit")) =>
+        "circuit_open"
+      case Some(_) => "enabled"
+    }
+    val rows = ranked.collect().toSeq
     val o = mapper.createObjectNode()
     o.put("question", parsed.question)
     o.set[ObjectNode]("plan", planJson(plan))
@@ -177,18 +195,29 @@ object ServeApp {
         case (k, None) => n.putNull(k)
         case (k, v) => n.put(k, String.valueOf(v))
       }
+      // agent-tier columns ride the response only when the tier ran
+      if (reranker.isDefined && row.schema.fieldNames.contains("agent_score")) {
+        Option(row.getAs[java.lang.Double]("agent_score")) match {
+          case Some(s) => n.put("agent_score", s.doubleValue())
+          case None => n.putNull("agent_score")
+        }
+        Option(row.getAs[String]("explanation")) match {
+          case Some(e) => n.put("explanation", e)
+          case None => n.putNull("explanation")
+        }
+        ()
+      }
       rs.add(n); ()
     }
     o.put("offset", plan.offset)
     o.put("limit", plan.limit)
     o.put("total", exec.total)
     o.put("has_more", exec.hasMore)
-    // the bundled deterministic evaluator is not an external agent; the
-    // reference's agent_status string for a no-agent deployment
-    o.put("agent_status", "disabled")
-    if (exec.warnings.nonEmpty) {
+    o.put("agent_status", agentStatus)
+    val allWarnings = exec.warnings ++ agentWarnings
+    if (allWarnings.nonEmpty) {
       val ws = o.putArray("warnings")
-      exec.warnings.foreach { w => ws.add(w); () }
+      allWarnings.foreach { w => ws.add(w); () }
     }
     o
   }
@@ -213,7 +242,8 @@ object ServeApp {
     */
   def start(spark: SparkSession, tables: HybridExecutor.Tables,
       embedder: DeterministicEmbedder, port: Int,
-      limiter: Option[RateLimiter] = None): HttpServer = {
+      limiter: Option[RateLimiter] = None,
+      reranker: Option[graft.query.Reranker] = None): HttpServer = {
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
@@ -361,7 +391,8 @@ object ServeApp {
               case Left(err) => respond(ex, 400, errorJson(err))
               case Right(p) =>
                 val payload =
-                  try Right(queryResponse(spark, tables, embedder, p))
+                  try Right(queryResponse(spark, tables, embedder, p,
+                    reranker))
                   catch { case e: Throwable => Left(e.getMessage) }
                 payload match {
                   case Right(o) => respond(ex, 200, o.toString)
@@ -382,7 +413,8 @@ object ServeApp {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ServeApp <tablesDir> [--port=8080] " +
-      "[--rate-limit=RPM[:BURST]] [--rate-limit-body=BPM[:BURST]]")
+      "[--rate-limit=RPM[:BURST]] [--rate-limit-body=BPM[:BURST]] " +
+      "[--agent]")
     val dir = args(0)
     val port = args.collectFirst { case s if s.startsWith("--port=") =>
       s.stripPrefix("--port=").toInt }.getOrElse(8080)
@@ -431,7 +463,16 @@ object ServeApp {
     val tables = HybridExecutor.Tables(games, players, vectors,
       summariesPrebuilt = Some(summaries))
 
-    val server = start(spark, tables, embedder, port, limiter)
+    // --agent: the A1-A3 rerank tier over every query, through the A4
+    // cache (persistent when GRAFT_EVAL_CACHE_DIR is set)
+    val reranker =
+      if (args.contains("--agent"))
+        Some(graft.query.EvalCache.cached(
+          new graft.query.AgentEvaluator.AgentReranker(games),
+          graft.query.EvalCache.backendFromEnv()))
+      else None
+    val server = start(spark, tables, embedder, port, limiter, reranker)
+    reranker.foreach(_ => println("[serve] agent rerank tier enabled"))
     limiter.foreach(_ => println(
       "[serve] rate limiting enabled (429 + Retry-After on limit)"))
     println(s"[serve] listening on http://127.0.0.1:${server.getAddress.getPort}")

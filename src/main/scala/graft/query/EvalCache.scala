@@ -152,6 +152,17 @@ object EvalCache {
     }
   }
 
+  /** Backend selection shared by the CLI and HTTP apps: persistent
+    * JSONL-backed when GRAFT_EVAL_CACHE_DIR is set (the reference's
+    * Redis agent cache without the network service — survives across
+    * processes; the same knob ConfigApp prints and /health probes),
+    * in-memory LRU otherwise.
+    */
+  def backendFromEnv(env: String => Option[String] = sys.env.get): Backend =
+    env("GRAFT_EVAL_CACHE_DIR")
+      .map(d => new PersistentBackend(java.nio.file.Paths.get(d)): Backend)
+      .getOrElse(new LruBackend())
+
   /** Candidate columns (beyond opening_slug/result/pgn) that the bundled
     * evaluator's prompt block renders -- all fold into the cache key so a
     * cached score can never go stale against a block change.
@@ -206,14 +217,24 @@ object EvalCache {
       import spark.implicits._
       // candidate metadata columns are part of the key when present
       // (candidate frames from Reranker.apply carry them; bare test
-      // frames may not).
+      // frames may not). `pgn` is likewise optional: serving-page
+      // candidate frames carry no pgn column (the inner AgentReranker
+      // batch-fetches PGNs itself, R5) — keying without the text stays
+      // SOUND here because game_id (always in the key via blockColumns)
+      // is md5(source_file, index, raw_pgn): any pgn change changes the
+      // game_id and therefore the key.
+      // cast BEFORE coalescing: coalesce(int_col, "") resolves to the
+      // numeric type under ANSI and fails casting "" at runtime — real
+      // candidate frames carry int rating columns (the gate/spec frames
+      // that existed before the serving wiring happened not to).
       def optCol(n: String): Column =
-        if (candidates.columns.contains(n)) coalesce(col(n), lit(""))
+        if (candidates.columns.contains(n))
+          coalesce(col(n).cast("string"), lit(""))
         else lit("")
       val rows = candidates.select(col("game_id"),
-          coalesce(col("pgn"), lit("")).as("pgn"),
+          optCol("pgn").as("pgn"),
           optCol("opening_slug").as("slug"), optCol("result").as("res"),
-          array(blockColumns.map(n => optCol(n).cast("string")): _*).as("blk"))
+          array(blockColumns.map(optCol): _*).as("blk"))
         .as[(String, String, String, String, Seq[String])].collect()
       val keyed = rows.map { case (gid, pgn, slug, res, blk) =>
         (gid, key(plan, pgn, slug, res, blk))

@@ -219,6 +219,61 @@ class ServeAppSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("agent tier live: --agent serving reranks with agent_status " +
+    "'enabled' and per-result agent fields; default stays 'disabled'") {
+    val (t, v) = graft.gate.ChessQueries.data(spark)
+    val summaries = HybridExecutor.summaries(t.games, t.players)
+    val tables = HybridExecutor.Tables(t.games, t.players, Some(v),
+      summariesPrebuilt = Some(summaries))
+    val embedder = DeterministicEmbedder(graft.gate.ChessQueries.embedDims)
+    val reranker = graft.query.EvalCache.cached(
+      new graft.query.AgentEvaluator.AgentReranker(t.games),
+      new graft.query.EvalCache.LruBackend())
+    val server = ServeApp.start(spark, tables, embedder, port = 0,
+      reranker = Some(reranker))
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = HttpClient.newHttpClient()
+      val r = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"$base/query?q=best+games&limit=3")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val j = om.readTree(r.body())
+      assert(j.get("agent_status").asText() === "enabled")
+      // the tier must have RUN, not degraded: the fallback path also
+      // reports enabled + null agent columns, but it adds a warning —
+      // this is the assertion that caught the missing-pgn-column bug
+      assert(j.get("warnings") == null,
+        s"agent tier degraded: ${j.get("warnings")}")
+      val res = j.get("results")
+      assert(res.size() >= 1)
+      // candidates carry the deterministic evaluator's score +
+      // explanation; blend keeps total_score in [0,1]
+      val first = res.get(0)
+      assert(first.has("agent_score") && first.has("explanation"))
+      assert(!first.get("agent_score").isNull,
+        "agent_score null: evaluator never scored the candidates")
+      assert(first.get("agent_score").asDouble() >= 0.0 &&
+        first.get("agent_score").asDouble() <= 1.0)
+      assert(first.get("explanation").asText().nonEmpty)
+      assert(first.get("total_score").asDouble() <= 1.0)
+      // the same question WITHOUT the tier: disabled, no agent fields
+      val server2 = ServeApp.start(spark, tables, embedder, port = 0)
+      try {
+        val r2 = client.send(
+          HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:${server2.getAddress.getPort}" +
+              "/query?q=best+games&limit=3")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        val j2 = om.readTree(r2.body())
+        assert(j2.get("agent_status").asText() === "disabled")
+        assert(!j2.get("results").get(0).has("agent_score"))
+      } finally server2.stop(0)
+    } finally server.stop(0)
+  }
+
   test("middleware order: oversize body 413s WITHOUT debiting the rate " +
     "budget (body-limit before rate-limit, reference order)") {
     val (t, v) = graft.gate.ChessQueries.data(spark)
