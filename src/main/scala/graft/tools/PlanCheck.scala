@@ -392,6 +392,50 @@ object PlanCheck {
         s"hash exchanges=${occ(webStr, "Exchange hashpartitioning")} " +
         "(quota window only)")
     }
+    // 11. Round-13 stage tables: downstream dedup-family consumers must
+    // read the materialized parquet ARTIFACT, not re-plan the
+    // shingle->sign->band->verify generator DAG — the consumer plan's
+    // only leaves are parquet scans (of the stage + optionally the
+    // documents table), with the generator's signature UDF absent.
+    {
+      def occ(hay: String, needle: String): Int =
+        hay.sliding(needle.length).count(_ == needle)
+      val clusters = graft.gate.Stages.dupClusters(spark, sf)
+      val cStr = clusters.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      require(occ(cStr, "BatchScan") + occ(cStr, "FileScan") >= 1 &&
+        occ(cStr, "Generate") == 0,
+        "staged clusters must be a parquet scan, not the generator DAG")
+      println("\nstaged dup clusters: plan leaves = parquet scan only " +
+        s"(joins=${occ(cStr, "Join")}, generators=${occ(cStr, "Generate")})")
+      val kb = graft.llmops.Dedup.nearDupSurvivorsBy(
+        graft.core.Tables.documents(spark, sf), "doc_id", "n_chars",
+        clusters)
+      val kbStr = kb.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      println("keep-best over staged clusters: " +
+        s"joins=${occ(kbStr, "Join")} (one-pass argmax: scored attach + " +
+        s"2 anti-joins), generators=${occ(kbStr, "Generate")}")
+      // IVF x SQ8 at rest: probe predicate must prune partitions of the
+      // codes artifact (section 6's discipline, SQ8 tier).
+      val emb3 = graft.core.Tables.embeddings(spark, sf)
+      val q3 = emb3.where(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val cents3 = graft.llmops.Ann.trainCentroids(emb3, "embedding", 16)
+      val m3 = graft.llmops.Pq.sq8Train(emb3, "embedding")
+      val cand = graft.llmops.Pq.ivfSq8CandidatesAtRest(spark,
+        graft.gate.Stages.ivfSq8Codes(spark, sf), "vec_id", q3, m3,
+        cents3, probes = 4, k = 10)
+      val scan3 = cand.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      require(scan3.partitionFilters.nonEmpty,
+        "ivf x sq8 probe must be a partition filter")
+      println("ivf x sq8 at rest: " +
+        s"${scan3.selectedPartitions.partitionCount} of 16 cell " +
+        "partitions listed (codes artifact, 1 B/dim)")
+    }
     spark.stop()
   }
 }

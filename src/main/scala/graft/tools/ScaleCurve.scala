@@ -234,7 +234,20 @@ object ScaleCurve {
         graft.llmops.Pq.withSq8(se, "embedding", sq8m), "vec_id", annQ,
         sq8m, 10).collect().length
       val sqSec = (System.nanoTime() - sqT0) / 1e9
-      require(ivfN == 10 && sqN == 10, s"ANN top-k short at scale $s")
+      // IVF x SQ8 at rest (r13): codes written cell-partitioned, probe
+      // prunes to the same 4/16 cells as the float at-rest tier, but the
+      // candidate scan reads 1 B/dim integer codes — scan fraction
+      // stays the IVF constant while scanned BYTES divide by 8.
+      val sqArPath = s"/tmp/scalecurve_ivfsq8_$s"
+      graft.llmops.Pq.writeIvfSq8AtRest(
+        se.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        cents, sq8m, sqArPath)
+      val sqArT0 = System.nanoTime()
+      val sqArN = graft.llmops.Pq.ivfSq8CandidatesAtRest(spark, sqArPath,
+        "vec_id", annQ, sq8m, cents, probes = 4, k = 10).collect().length
+      val sqArSec = (System.nanoTime() - sqArT0) / 1e9
+      require(ivfN == 10 && sqN == 10 && sqArN == 10,
+        s"ANN top-k short at scale $s")
       println(f"""{"scale":$s,"rows":$rows,""" +
         f""""minhash_pairs":$mh,"minhash_cross":$mhX,""" +
         f""""minhash_sec":$mhSec%.2f,""" +
@@ -262,7 +275,9 @@ object ScaleCurve {
         f""""ivf_scan_frac":${probedRows.toDouble / semRows}%.4f,""" +
         f""""ivf_atrest_sec":$ivfSec%.2f,""" +
         f""""sq8_rows":$semRows,"sq8_sec":$sqSec%.2f,""" +
-        f""""sq8_rows_per_sec":${semRows / sqSec}%.0f}""")
+        f""""sq8_rows_per_sec":${semRows / sqSec}%.0f,""" +
+        f""""ivfsq8_atrest_probed":$probedRows,""" +
+        f""""ivfsq8_atrest_sec":$sqArSec%.2f}""")
       c.unpersist()
     }
     spark.stop()
