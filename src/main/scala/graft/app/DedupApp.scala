@@ -1,0 +1,108 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.llmops.Dedup
+
+/** Operational runner for the near-dup STAGE PIPELINE over a documents
+  * table: materialize each stage as a parquet artifact under `outDir`,
+  * exactly the layout a 100 TB curation run would leave behind —
+  *
+  *   pairs/      verified MinHash/LSH near-dup pairs (id_a, id_b,
+  *               jaccard_micro) — stage 1
+  *   clusters/   connected components (id, cluster_id) over stage 1
+  *   survivors/  the corpus minus non-best cluster members (keep-best
+  *               by --score-col, min-id ties; all columns preserved)
+  *   report/     the one-row observability summary (corpus size,
+  *               clustered docs, clusters, largest, removals, ratio)
+  *
+  * Downstream jobs consume the artifacts instead of re-running the
+  * shingle->sign->band->verify DAG; each stage reads the PREVIOUS
+  * stage's parquet, so a failed run resumes at the failed stage by
+  * re-pointing at the same outDir (earlier artifacts are reused as-is
+  * with --resume).
+  *
+  *   runMain graft.app.DedupApp <documentsParquet> <outDir>
+  *     [--id-col=doc_id] [--text-col=text] [--score-col=n_chars]
+  *     [--threshold=0.8] [--shingle=3] [--hashes=8] [--band-rows=4]
+  *     [--resume]
+  */
+object DedupApp {
+
+  final case class Config(docs: String, outDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      scoreCol: String = "n_chars", threshold: Double = 0.8,
+      shingleN: Int = 3, k: Int = 8, bandRows: Int = 4,
+      resume: Boolean = false)
+
+  def parse(args: Array[String]): Config = {
+    require(args.length >= 2, "usage: DedupApp <documentsParquet> <outDir>" +
+      " [--id-col=] [--text-col=] [--score-col=] [--threshold=]" +
+      " [--shingle=] [--hashes=] [--band-rows=] [--resume]")
+    def flag(name: String): Option[String] =
+      args.collectFirst { case s if s.startsWith(s"--$name=") =>
+        s.stripPrefix(s"--$name=") }
+    Config(args(0), args(1),
+      idCol = flag("id-col").getOrElse("doc_id"),
+      textCol = flag("text-col").getOrElse("text"),
+      scoreCol = flag("score-col").getOrElse("n_chars"),
+      threshold = flag("threshold").map(_.toDouble).getOrElse(0.8),
+      shingleN = flag("shingle").map(_.toInt).getOrElse(3),
+      k = flag("hashes").map(_.toInt).getOrElse(8),
+      bandRows = flag("band-rows").map(_.toInt).getOrElse(4),
+      resume = args.contains("--resume"))
+  }
+
+  /** Run the pipeline; returns the report row as (name -> value) for
+    * callers/tests. Pure function of (spark, cfg) — main only prints.
+    */
+  def run(spark: SparkSession, cfg: Config): Seq[(String, Long)] = {
+    val docs = spark.read.parquet(cfg.docs)
+    def stage(name: String)(build: => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val path = s"${cfg.outDir}/$name"
+      val exists = cfg.resume &&
+        (try { spark.read.parquet(path).schema; true }
+        catch { case _: Throwable => false })
+      if (!exists) build.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+    val pairs = stage("pairs") {
+      Dedup.minhashPairs(docs, cfg.idCol, cfg.textCol,
+        shingleN = cfg.shingleN, k = cfg.k, bandRows = cfg.bandRows,
+        threshold = cfg.threshold)
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 1000000).cast("long").as("jaccard_micro"))
+    }
+    val clusters = stage("clusters") {
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }
+    stage("survivors") {
+      Dedup.nearDupSurvivorsBy(docs, cfg.idCol, cfg.scoreCol, clusters)
+    }
+    val report = stage("report") {
+      Dedup.dedupReport(docs, cfg.idCol, clusters)
+    }
+    val r = report.head()
+    report.schema.fieldNames.toSeq.map(n => n -> r.getAs[Long](n))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parse(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-dedup")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val report = run(spark, cfg)
+    println("[dedup] stage artifacts under " + cfg.outDir +
+      ": pairs/ clusters/ survivors/ report/")
+    report.foreach { case (k, v) => println(f"[dedup] $k%-20s $v") }
+    spark.stop()
+  }
+}
