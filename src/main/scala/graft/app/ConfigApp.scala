@@ -31,6 +31,7 @@ object ConfigApp {
       "max_body_bytes" -> ServeApp.maxBodyBytes.toString,
       "max_limit" -> graft.query.QueryIntent.maxLimit.toString,
       "rate_limit" -> opt("GRAFT_RATE_LIMIT"),
+      "rate_limit_body" -> opt("GRAFT_RATE_LIMIT_BODY"),
       "eval_cache_dir" -> opt("GRAFT_EVAL_CACHE_DIR"),
       "worker_metrics_path" -> opt("GRAFT_WORKER_METRICS_PATH")
     ).map { case (k, v) => k -> Sanitizer.sanitize(v) }

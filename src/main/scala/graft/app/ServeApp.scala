@@ -421,15 +421,21 @@ object ServeApp {
     // P3: --rate-limit=120 (burst defaults to the per-minute rate, as
     // the reference does when bucket_size is absent, chessmate_api.ml:
     // 260-263); optional body budget --rate-limit-body=1048576:2097152
-    def rateArg(flag: String): Option[(Long, Option[Long])] =
+    // env fallback: GRAFT_RATE_LIMIT / GRAFT_RATE_LIMIT_BODY hold the
+    // same RATE[:BURST] syntax (the knob ConfigApp prints); an explicit
+    // flag wins over the env.
+    def rateArg(flag: String): Option[(Long, Option[Long])] = {
+      val env = "GRAFT_" + flag.stripPrefix("--").toUpperCase.replace('-', '_')
       args.collectFirst { case s if s.startsWith(flag + "=") =>
-        s.stripPrefix(flag + "=").split(':') match {
+        s.stripPrefix(flag + "=") }
+        .orElse(sys.env.get(env))
+        .map(_.split(':') match {
           case Array(r) => (r.toLong, None)
           case Array(r, b) => (r.toLong, Some(b.toLong))
           case _ => throw new IllegalArgumentException(
-            s"$flag expects RATE or RATE:BURST")
-        }
-      }
+            s"$flag (or $env) expects RATE or RATE:BURST")
+        })
+    }
     val limiter: Option[RateLimiter] = rateArg("--rate-limit").map {
       case (rpm, burst) =>
         val body = rateArg("--rate-limit-body")
