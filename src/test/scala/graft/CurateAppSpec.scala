@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.app.CurateApp
+
+/** Operational curation stage runner: artifacts consistent across
+  * stages, the quality cut reproducible from the scored artifact, the
+  * shard plan conserving the kept set.
+  */
+class CurateAppSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stages are written and mutually consistent; shard plan " +
+    "conserves the kept set") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curate_app").toString
+    val cfg = CurateApp.Config(s"$sf/documents.parquet", out,
+      minQuality = 0.5, rate = 0.5, shardTokens = 8192L)
+    val report = CurateApp.run(spark, cfg).toMap
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = spark.read.parquet(s"$out/scored")
+    val kept = spark.read.parquet(s"$out/kept")
+    val shards = spark.read.parquet(s"$out/shards")
+
+    assert(report("n_docs") === docs.count())
+    assert(report("n_scored") === scored.count())
+    assert(report("n_kept") === kept.count())
+    assert(report("n_kept") > 0 && report("n_kept") < report("n_docs"))
+    // the cut is reproducible from the scored artifact: every kept doc
+    // clears the integer-micro threshold, every scored-but-dropped one
+    // either fails it or fell to the sample
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    scored.select("doc_id", "quality_micro").collect().foreach { r =>
+      if (keptIds(r.getLong(0)))
+        assert(r.getLong(1) >= 500000L)
+    }
+    // shard plan covers exactly the kept set, shard ids are dense
+    assert(shards.count() === kept.count())
+    assert(shards.select("doc_id").distinct().count() === kept.count())
+    val ids = shards.select("shard_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until report("n_shards")).toSeq)
+    // concat-and-cut invariants: every doc STARTS inside its shard
+    // (offset in [0, target)), and the shard count equals
+    // ceil(total_tokens / target) — docs crossing a boundary belong to
+    // the shard where they start, so per-shard full-doc sums may exceed
+    // the target by design
+    val offs = shards.select("shard_offset").collect().map(_.getLong(0))
+    assert(offs.forall(o => o >= 0L && o < 8192L))
+    val total = kept.agg(sum("n_chars")).head().getLong(0)
+    assert(report("n_shards") === (total + 8191L) / 8192L)
+  }
+
+  test("rate=1.0 skips sampling; benchmark decontamination drops " +
+    "contaminated docs") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curate_bench").toString
+    // benchmark = the texts of 5 high-quality docs -> those docs (at
+    // least) must disappear from kept
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scoredAll = graft.llmops.TextAnalysis.withQuality(docs, "text")
+      .where(floor(col("quality_score") * 1000000) >= 500000L)
+    val benchIds = scoredAll.select("doc_id").limit(5)
+      .collect().map(_.getLong(0)).toSet
+    val benchPath = s"$out/benchmark.parquet"
+    docs.where(col("doc_id").isin(benchIds.toSeq: _*))
+      .select("text").write.parquet(benchPath)
+    val cfg = CurateApp.Config(s"$sf/documents.parquet", out,
+      benchmark = Some(benchPath), minQuality = 0.5, rate = 1.0)
+    CurateApp.run(spark, cfg)
+    val keptIds = spark.read.parquet(s"$out/kept").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(benchIds.intersect(keptIds).isEmpty,
+      s"contaminated docs survived: ${benchIds.intersect(keptIds)}")
+  }
+}
