@@ -177,6 +177,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept === Set(1L, 8L, 5L))
   }
 
+  test("nearDupSurvivorsBy matches a brute-force argmax on randomized " +
+    "clusterings (incl. null scores and docs outside any cluster)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { trial =>
+      val n = 40
+      val docs = (0L until n).map(id =>
+        (id, if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(5).toLong)))
+      val clusters = (0L until n).filter(_ => rnd.nextInt(3) > 0)
+        .map(id => (id, id % 7)) // 7 clusters by residue
+      val expected = {
+        val byCluster = clusters.groupBy(_._2)
+        val score = docs.toMap
+        val losers = byCluster.values.flatMap { members =>
+          val ids = members.map(_._1)
+          // worst-for-null, then min id — the documented policy
+          val win = ids.minBy(id =>
+            (score(id).map(s => -s.toDouble)
+              .getOrElse(Double.PositiveInfinity), id))
+          ids.filterNot(_ == win)
+        }.toSet
+        (0L until n).filterNot(losers).toSet
+      }
+      val got = graft.llmops.Dedup.nearDupSurvivorsBy(
+        docs.toDF("doc_id", "score"),
+        "doc_id", "score", clusters.toDF("id", "cluster_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("nearDupSurvivorsBy is a one-pass argmax: exactly 3 joins in the " +
     "optimized plan (scored attach + two anti-joins, no agg re-join)") {
     import spark.implicits._

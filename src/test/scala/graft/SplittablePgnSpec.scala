@@ -156,6 +156,43 @@ class SplittablePgnSpec extends SparkSpec {
     assert(whole.count(_._3) === 2)
   }
 
+  test("multi-file dirs: per-file index bases and carries stay isolated " +
+    "(mixed plain + bz2 in one directory)") {
+    // one directory holding TWO dumps — a plain multi-game file with a
+    // banner and a bz2-compressed one — read in a single splittable
+    // pass: planSplits must chain carries/bases PER FILE, never across
+    // files, and game_ids must match reading each file alone.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_split_multi").toString
+    val g = graft.core.Fixtures.all.map(_._2)
+    val dumpA = "% banner A\n" + g(0) + "\n\n" + g(1) + "\n"
+    val dumpB = g(2) + "\n[EventDate \"2024.02.02\"]\n\n" + g(0)
+      .replaceFirst("\\[Event \"([^\"]*)\"\\]", "[Event \"$1 B\"]") + "\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.pgn"), dumpA)
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(new org.apache.hadoop.conf.Configuration())
+    val out = codec.createOutputStream(
+      new java.io.FileOutputStream(s"$dir/b.pgn.bz2"))
+    out.write(dumpB.getBytes("UTF-8")); out.close()
+    val together = IngestJob.readPgnSplittable(spark, dir, hadoopConf =
+      Map("mapreduce.input.fileinputformat.split.maxsize" -> "512",
+        "mapreduce.input.fileinputformat.split.minsize" -> "1"))
+      .collect().toSeq
+      .map(r => (r.source_file, r.game_index, r.pgn))
+      .sortBy(x => (x._1, x._2))
+    val whole = IngestJob.readPgn(spark, dir).collect().toSeq
+      .map(r => (r.source_file, r.game_index, r.pgn))
+      .sortBy(x => (x._1, x._2))
+    assert(together === whole)
+    // both files contribute, indices restart per file at 1
+    val byFile = together.groupBy(_._1)
+    assert(byFile.size === 2)
+    byFile.values.foreach { gs =>
+      assert(gs.map(_._2) === (1 to gs.size))
+    }
+  }
+
   test("tables built from the splittable reader match the wholetext path") {
     val (dir, _) = writeDump()
     val tw = IngestJob.tables(spark, IngestJob.readPgn(spark, dir))
