@@ -61,7 +61,7 @@ object LlmQueries {
   // shingles -> 8 seeded md5-min signatures -> 2 bands of 4 -> band-key
   // candidates -> set Jaccard. llm_minhash_pairs selects the >= 0.8
   // pairs; llm_dup_clusters builds its transitive closure on top.
-  private lazy val minhashPairsCtes =
+  private lazy val minhashBandedCtes =
     s"""toks AS (
             SELECT doc_id, $duckToks AS ws FROM documents),
           sh AS (
@@ -82,19 +82,51 @@ object LlmQueries {
               md5(sig[CAST(b*4+1 AS INT)] || ',' || sig[CAST(b*4+2 AS INT)] ||
                   ',' || sig[CAST(b*4+3 AS INT)] || ',' ||
                   sig[CAST(b*4+4 AS INT)]) AS band_hash
-            FROM sig, (VALUES (0), (1)) bands(b)),
-          cand AS (
-            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
-              l.sh AS sh_a, r.sh AS sh_b
-            FROM banded l JOIN banded r
-              ON l.band = r.band AND l.band_hash = r.band_hash
-             AND l.doc_id < r.doc_id),
+            FROM sig, (VALUES (0), (1)) bands(b))"""
+
+  private def minhashVerifyCtes(candSql: String) =
+    s"""$candSql,
           verified AS (
             SELECT id_a, id_b,
               CAST(len(list_intersect(list_distinct(sh_a),
                                       list_distinct(sh_b))) AS DOUBLE) /
               CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) AS j
             FROM cand)"""
+
+  private lazy val minhashPairsCtes =
+    s"""$minhashBandedCtes,
+          ${minhashVerifyCtes(
+      s"""cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+              l.sh AS sh_a, r.sh AS sh_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id)""")}"""
+
+  // The hot-band-capped chain: pop count per (band, band_hash), hot
+  // buckets (pop > cap) sub-split via md5(id)-mod-ceil(pop/cap) — the
+  // identical integer/md5 arithmetic the engine runs.
+  private lazy val minhashCappedCtes =
+    s"""$minhashBandedCtes,
+          pops AS (
+            SELECT band, band_hash, COUNT(*) AS n
+            FROM banded GROUP BY 1, 2),
+          bsub AS (
+            SELECT b.doc_id, b.sh, b.band, b.band_hash,
+              CASE WHEN p.n > $minhashMaxBandPop THEN
+                CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT)
+                % CAST(CEIL(CAST(p.n AS DOUBLE)
+                    / $minhashMaxBandPop) AS BIGINT)
+              ELSE 0 END AS sub
+            FROM banded b JOIN pops p USING (band, band_hash)),
+          ${minhashVerifyCtes(
+      s"""cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+              l.sh AS sh_a, r.sh AS sh_b
+            FROM bsub l JOIN bsub r
+              ON l.band = r.band AND l.band_hash = r.band_hash
+             AND l.sub = r.sub AND l.doc_id < r.doc_id)""")}"""
 
   // DuckDB: parse `nchars` hex chars of an EXISTING hex string `e`
   // starting at 1-based `start` into a non-negative integer.
@@ -578,6 +610,18 @@ object LlmQueries {
     "llm_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         shingleN = 3, k = 8, bandRows = 4, threshold = 0.8)
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 1000000).cast("long").as("jaccard_micro"))),
+
+    // Hot-band-capped variant (r13): maxBandPop = 2 vs max observed
+    // bucket populations of 3-4 at every SF, so SOME buckets sub-split
+    // (md5-mod-k) and most stay whole — both branches live. The oracle
+    // re-makes the pop -> ceil(pop/cap) -> md5(id) mod k split in SQL
+    // (the simhash/semantic oracle protocol applied to minhash).
+    "llm_minhash_capped" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 8, bandRows = 4, threshold = 0.8,
+        maxBandPop = minhashMaxBandPop)
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 1000000).cast("long").as("jaccard_micro"))),
 
@@ -1494,6 +1538,14 @@ object LlmQueries {
     * small SFs keep uncapped cells, sf0.1 sub-splits every cell.
     */
   private[gate] val knnGraphMaxCellPop = 150
+
+  /** llm_minhash_capped's hot-band population cap
+    * ([[Dedup.minhashPairs]] maxBandPop): 2 vs max observed
+    * (band, band_hash) populations of 3-4 across sf0.001-0.1, so the
+    * md5 sub-split engages on the hot buckets while most buckets stay
+    * whole.
+    */
+  private[gate] val minhashMaxBandPop = 2
 
   /** llm_simhash_pairs' hot-bucket population cap
     * ([[Dedup.simhashPairs]] maxBucketPop): 48 vs ~31 average (band,
@@ -2846,6 +2898,11 @@ object LlmQueries {
           FROM sig, (VALUES (0), (1)) bands(b)""",
     "llm_minhash_pairs" ->
       s"""WITH $minhashPairsCtes
+          SELECT id_a, id_b,
+            CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_micro
+          FROM verified WHERE j >= 0.8""",
+    "llm_minhash_capped" ->
+      s"""WITH $minhashCappedCtes
           SELECT id_a, id_b,
             CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_micro
           FROM verified WHERE j >= 0.8""",

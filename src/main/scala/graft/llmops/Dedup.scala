@@ -125,10 +125,25 @@ object Dedup {
     * shingle(n-gram) -> k-minhash signature -> bands -> bucket join ->
     * exact Jaccard verification >= threshold. Returns (id_a, id_b,
     * jaccard) with id_a < id_b.
+    *
+    * `maxBandPop` closes the same quadratic hole the simhash/knn/
+    * semantic caps close (r13): N near-identical documents (web-scale
+    * boilerplate) share EVERY band hash, so the within-bucket self-join
+    * goes O(N^2) regardless of banding. A (band, band_hash) bucket
+    * whose population exceeds the cap sub-splits into ceil(pop/cap)
+    * deterministic md5(id)-mod-k sub-buckets (the semanticKeyed
+    * protocol), bounding pair volume by pop*cap. Only the HOT buckets
+    * (pop > cap) ride the broadcast — tiny by definition at any corpus
+    * size, unlike the full bucket histogram, whose key space here is
+    * unbounded (md5 band hashes, not fixed-width chunks). Recall trade
+    * is one-sided: capped candidates are a subset, and hot buckets are
+    * exactly the near-duplicate piles where any retained pair collapses
+    * the same cluster.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bandRows: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBandPop: Int = Int.MaxValue): DataFrame = {
+    require(maxBandPop > 0, "maxBandPop must be positive")
     // persisted: consumed by BOTH verification attach joins on different
     // keys (id_a / id_b), which exchange reuse can't cover (round-7
     // measurement, same rationale as ngramJaccardPairs.ordered).
@@ -139,11 +154,13 @@ object Dedup {
     // candidate ids first (narrow self-join on the band keys), shingle
     // arrays attached once per side AFTER pair dedup -- the wide arrays
     // never ride through the LSH shuffle.
-    val banded = minhashBandKeys(df, idCol, textCol, shingleN, k, bandRows)
+    val banded = minhashKeyed(df, idCol, textCol, shingleN, k, bandRows,
+      maxBandPop)
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") &&
           col("l.band_hash") === col("r.band_hash") &&
+          col("l.__sub") === col("r.__sub") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -154,6 +171,33 @@ object Dedup {
         graft.functions.JaccardSimilarity(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The LSH join keying as [[minhashPairs]] applies it: (id, band,
+    * band_hash, __sub) with the hot-band md5 sub-split — exposed so the
+    * ScaleCurve harness derives capped candidate volume from exactly
+    * the keys the join uses (the [[Ann.knnKeyed]] pattern).
+    */
+  private[graft] def minhashKeyed(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int, bandRows: Int,
+      maxBandPop: Int): DataFrame = {
+    val banded0 = minhashBandKeys(df, idCol, textCol, shingleN, k, bandRows)
+    if (maxBandPop == Int.MaxValue) banded0.withColumn("__sub", lit(0L))
+    else {
+      val hot = banded0.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("__pop"))
+        .where(col("__pop") > maxBandPop)
+        .select(col("band"), col("band_hash"),
+          ceil(col("__pop").cast("double") / maxBandPop).cast("long")
+            .as("__k"))
+      banded0.join(broadcast(hot), Seq("band", "band_hash"), "left")
+        .withColumn("__sub",
+          when(col("__k").isNull, lit(0L))
+            .otherwise(pmod(
+              conv(substring(md5(col("id").cast("string")), 1, 14),
+                16, 10).cast("long"), col("__k"))))
+        .drop("__k")
+    }
   }
 
   /** Compiled set-Jaccard (same integer-count division as

@@ -91,6 +91,29 @@ object ScaleCurve {
       val rows = c.count() // materialize outside the timed sections
       val (mh, mhX, mhSec) = timed(Dedup.minhashPairs(c, "doc_id", "text",
         shingleN = 3, k = 8, bandRows = 4, threshold = 0.8))
+      // ADVERSARIAL minhash (r13): IDENTICAL-text replicas — every copy
+      // of a doc shares every band hash, the web-boilerplate
+      // mega-cluster case the disjoint-vocabulary corpus above cannot
+      // produce. Candidate volume from the join keys themselves (the
+      // knnKeyed protocol): uncapped must grow ~quadratically with the
+      // replica factor, maxBandPop=4 must hold it ~linear.
+      val ident = (0 until s).map { j =>
+        if (j == 0) docs
+        else docs.select((col("doc_id") + lit(j * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ union _)
+      def candVolume(cap: Int): Long = {
+        val keyed = Dedup.minhashKeyed(ident, "doc_id", "text",
+          shingleN = 3, k = 8, bandRows = 4, maxBandPop = cap)
+        keyed.groupBy("band", "band_hash", "__sub")
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * (col("n") - 1))).head().getLong(0) / 2
+      }
+      val mhIdentUncapped = candVolume(Int.MaxValue)
+      val mhIdentCapped = candVolume(4)
+      val (mhCapPairs, _, mhCapSec) = timed(
+        Dedup.minhashPairs(ident, "doc_id", "text", shingleN = 3, k = 8,
+          bandRows = 4, threshold = 0.8, maxBandPop = 4))
       val (sh, shX, shSec) = timed(Dedup.simhashPairs(c, "doc_id", "text",
         bits = 64, bandBits = 16, maxHamming = 3))
       val (sub, subX, subSec) = timed(Dedup.substringDupPairs(c, "doc_id",
@@ -252,6 +275,10 @@ object ScaleCurve {
         f""""minhash_pairs":$mh,"minhash_cross":$mhX,""" +
         f""""minhash_sec":$mhSec%.2f,""" +
         f""""minhash_rows_per_sec":${rows / mhSec}%.0f,""" +
+        f""""minhash_ident_uncapped_cand":$mhIdentUncapped,""" +
+        f""""minhash_ident_capped_cand":$mhIdentCapped,""" +
+        f""""minhash_ident_capped_pairs":$mhCapPairs,""" +
+        f""""minhash_ident_capped_sec":$mhCapSec%.2f,""" +
         f""""simhash_pairs":$sh,"simhash_cross":$shX,""" +
         f""""simhash_sec":$shSec%.2f,""" +
         f""""simhash_rows_per_sec":${rows / shSec}%.0f,""" +
