@@ -111,6 +111,12 @@ object ScaleCurve {
       }
       val mhIdentUncapped = candVolume(Int.MaxValue)
       val mhIdentCapped = candVolume(4)
+      // the n*cap bound, machine-checked like the simhash/knn caps:
+      // per bucket the sub-split bounds pair volume by ~pop*cap/2, so
+      // globally <= (banded rows) * cap / 2 = rows * nBands * cap / 2
+      // (+ sub-bucket rounding slack)
+      require(mhIdentCapped <= rows * 2 * 4 / 2 + rows,
+        s"minhash cap bound violated at scale $s: $mhIdentCapped")
       val (mhCapPairs, _, mhCapSec) = timed(
         Dedup.minhashPairs(ident, "doc_id", "text", shingleN = 3, k = 8,
           bandRows = 4, threshold = 0.8, maxBandPop = 4))
