@@ -310,14 +310,22 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hammingUdf(col("sh_a"), col("sh_b")))
+      // codegen HammingDistance Expression, not the UDF: the verify
+      // loop stays inside whole-stage codegen and compares UTF8String
+      // bytes directly (bit-identical for the '0'/'1' simhash alphabet;
+      // parity spec-asserted against hammingUdf, kept as reference)
+      .withColumn("hamming",
+        graft.functions.HammingDistance(col("sh_a"), col("sh_b")))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
 
   /** Compiled bit-string hamming distance (same values as
     * TextFunctions.hammingBits; candidate sets can reach millions of
-    * pairs, where the per-position HOF is ~60x slower).
+    * pairs, where the per-position HOF is ~60x slower). Kept as the
+    * independent parity reference for the codegen
+    * [[graft.functions.HammingDistance]] expression the verify path
+    * now uses.
     */
   val hammingUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((a: String, b: String) => {

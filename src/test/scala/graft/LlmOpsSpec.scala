@@ -22,6 +22,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(row.getSeq[String](1).length == 6)
   }
 
+  test("HammingDistance codegen expression == hammingUdf on random " +
+    "bit strings (incl. unequal lengths and the empty string)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def bits(n: Int): String = Seq.fill(n)(rnd.nextInt(2)).mkString
+    val rows = Seq.fill(200)((bits(16), bits(16))) ++ Seq.fill(50)(
+      (bits(rnd.nextInt(20)), bits(rnd.nextInt(20)))) ++ Seq(
+      ("", ""), ("1", ""), ("0101", "0101"), ("1111", "0000"))
+    val got = rows.toDF("a", "b").select(
+      graft.functions.HammingDistance(col("a"), col("b")).as("e"),
+      Dedup.hammingUdf(col("a"), col("b")).as("u")).collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // interpreted path agrees too
+    val e = graft.functions.HammingDistance(
+      org.apache.spark.sql.catalyst.expressions.Literal("1010"),
+      org.apache.spark.sql.catalyst.expressions.Literal("1001"))
+    assert(e.eval(null) === 2)
+  }
+
   test("JaccardSimilarity codegen expression == jaccardUdf on random sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
