@@ -1196,6 +1196,28 @@ object LlmQueries {
         .select("doc_id", "url_scheme", "url_host", "url_path", "domain")
     }),
 
+    // URL-level dedup (the crawl pipeline's FIRST dedup stage: the same
+    // page refetched under tracking params / www / default-port /
+    // fragment / case variants is one document): even doc_ids carry the
+    // clean https form of a page, odd ids a maximally-messy variant of
+    // the SAME page (uppercase scheme+host, www., :443, reordered
+    // params + utm/fbclid tracking, trailing slash, fragment) — the
+    // canonicalizer must collapse each odd id onto its even partner.
+    "llm_url_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 400)
+      val h = md5(expr("doc_id div 2").cast("string"))
+      val url = when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("https://site"), substring(h, 1, 2), lit(".com/p/"),
+            substring(h, 3, 3), lit("?a=1&b=2")))
+        .otherwise(
+          concat(lit("HTTPS://WWW.site"), upper(substring(h, 1, 2)),
+            lit(".COM:443/p/"), substring(h, 3, 3),
+            lit("/?b=2&utm_source=x&a=1&fbclid=zz#frag")))
+      Web.urlDedupFlags(docs.select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+        .select("doc_id", "url_canon", "url_is_dup")
+    }),
+
     // Domain blocklist + per-domain counts over the same synthetic
     // hosts: registered domains s0.com..s7.com are blocklisted (the
     // broadcast anti-join policy filter), survivors aggregate per
@@ -3353,6 +3375,23 @@ object LlmQueries {
            '/p/' || substr(h, 5, 3) AS url_path,
            's' || substr(h, 4, 1) || '.' || tld AS domain
          FROM m""",
+    // The canonicalizer must INVERT the messy construction: both the
+    // clean even form and the odd variant (case, www., :443, reordered
+    // + tracking params, trailing slash, fragment) canonicalize to the
+    // SAME expected string, which the oracle computes directly from the
+    // encoding — independent of the canonicalizer's implementation.
+    "llm_url_dedup" ->
+      """WITH m AS (
+           SELECT doc_id, md5(CAST(doc_id // 2 AS VARCHAR)) AS h
+           FROM documents WHERE doc_id < 400),
+         c AS (
+           SELECT doc_id,
+             'https://site' || substr(h, 1, 2) || '.com/p/' ||
+               substr(h, 3, 3) || '?a=1&b=2' AS url_canon
+           FROM m),
+         f AS (SELECT url_canon, MIN(doc_id) AS fid FROM c GROUP BY 1)
+         SELECT c.doc_id, c.url_canon, c.doc_id > f.fid AS url_is_dup
+         FROM c JOIN f USING (url_canon)""",
     "llm_domain_filter" ->
       """WITH m AS (
            SELECT doc_id,

@@ -58,6 +58,71 @@ object Web {
   def withRegisteredDomain(df: DataFrame, hostCol: String): DataFrame =
     df.withColumn("domain", registeredDomainCol(col(hostCol)))
 
+  /** Tracking query params stripped by [[urlCanonCol]] (the C4/CCNet
+    * URL-dedup convention: utm_* campaign tags and the common click
+    * ids). Anchored key match — `ref=x` drops, `prefix_ref=x` stays.
+    */
+  val trackingParamRe = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+
+  /** Canonical form of a URL column — the key the crawl-dedup stage
+    * groups on, as pure column expressions (codegen'd; SQL oracle
+    * recomputes verbatim):
+    *
+    *   - scheme and host lowercased; fragment dropped
+    *   - default port stripped (http :80 / https :443)
+    *   - leading "www." dropped from the host
+    *   - single trailing slash stripped from the path ("/a/" == "/a",
+    *     "/" == "")
+    *   - query params: tracking params ([[trackingParamRe]]) removed,
+    *     the rest SORTED (param order is presentation, not identity)
+    *     and rejoined; an emptied query drops its "?"
+    *
+    * Non-URL garbage (no scheme://host) canonicalizes to the empty
+    * string — callers treat it as "no URL", never an error.
+    */
+  def urlCanonCol(url: Column): Column = {
+    val scheme = lower(regexp_extract(url,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host0 = when(scheme === "http",
+        regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val host = regexp_replace(host0, "^www\\.", "")
+    val path0 = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = regexp_replace(path0, "/$", "")
+    val query0 = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query0, "&"), p =>
+      p =!= "" && !p.rlike(trackingParamRe)))
+    val query = array_join(params, "&")
+    when(scheme === "" || host === "", lit(""))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
+  /** URL-level dedup flags (the first dedup stage of a crawl pipeline:
+    * the same page refetched under tracking params / www / default-port
+    * / fragment variants is ONE document): canonicalize, keep-first by
+    * id within each canonical key. Returns the input plus `url_canon`
+    * and `url_is_dup` (true for every row whose canonical key has a
+    * smaller id). Scale shape: one groupBy(canon) for the min id + one
+    * join back on canon — two key-partitioned exchanges, AQE-splittable,
+    * no window over the corpus. Rows with no parseable URL (canon '')
+    * are never marked dups.
+    */
+  def urlDedupFlags(df: DataFrame, idCol: String,
+      urlCol: String): DataFrame = {
+    val canon = df.withColumn("url_canon", urlCanonCol(col(urlCol)))
+    val firsts = canon.where(col("url_canon") =!= "")
+      .groupBy("url_canon").agg(min(col(idCol)).as("__first"))
+    canon.join(firsts, Seq("url_canon"), "left")
+      .withColumn("url_is_dup",
+        col("url_canon") =!= "" && col(idCol) > col("__first"))
+      .drop("__first")
+  }
+
   /** Drop rows whose registered domain is blocklisted. The blocklist is
     * a driver-side Seq (policy-sized, not data-sized) broadcast as a
     * left_anti join -- at 100 TB the corpus side never shuffles.

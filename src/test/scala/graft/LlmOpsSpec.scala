@@ -22,6 +22,51 @@ class LlmOpsSpec extends SparkSpec {
     assert(row.getSeq[String](1).length == 6)
   }
 
+  test("urlCanonCol: variants of one page collapse; identity-bearing " +
+    "differences survive") {
+    import spark.implicits._
+    def canon(u: String): String =
+      Seq(u).toDF("u")
+        .select(graft.llmops.Web.urlCanonCol(col("u"))).head().getString(0)
+    val base = canon("https://site.com/p/x?a=1&b=2")
+    // case, www., default port, param order, tracking params, trailing
+    // slash, fragment: all presentation, not identity
+    assert(canon("HTTPS://WWW.Site.COM:443/p/x/?b=2&utm_source=t&a=1#f")
+      === base)
+    assert(canon("https://site.com/p/x?fbclid=zz&a=1&b=2") === base)
+    assert(base === "https://site.com/p/x?a=1&b=2")
+    // identity-bearing differences survive
+    assert(canon("https://site.com/p/x?a=1&b=3") !== base)      // value
+    assert(canon("https://site.com/p/X?a=1&b=2") !== base)      // path case
+    assert(canon("https://site.com:8443/p/x?a=1&b=2") !== base) // real port
+    assert(canon("http://site.com/p/x?a=1&b=2") !== base)       // scheme
+    // ref= is tracking; prefix_ref= is not (anchored key match)
+    assert(canon("https://s.com/?ref=tw") === canon("https://s.com/"))
+    assert(canon("https://s.com/?xref=tw") !== canon("https://s.com/"))
+    // http default port strips; "/" path == ""
+    assert(canon("http://s.com:80/") === canon("http://s.com"))
+    // garbage never throws, canonicalizes to ""
+    assert(canon("not a url") === "")
+    assert(canon("") === "")
+  }
+
+  test("urlDedupFlags: variants mark dups against the smallest id; " +
+    "unparseable URLs never do") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://site.com/p/x?a=1"),
+      (2L, "HTTPS://WWW.site.com/p/x/?a=1&utm_source=t"), // dup of 1
+      (3L, "https://site.com/p/y?a=1"),                   // different page
+      (4L, "garbage"),
+      (5L, "garbage")                                     // both unparseable
+    ).toDF("doc_id", "url")
+    val got = graft.llmops.Web.urlDedupFlags(df, "doc_id", "url")
+      .select("doc_id", "url_is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> false, 5L -> false))
+  }
+
   test("HammingDistance codegen expression == hammingUdf on random " +
     "bit strings (incl. unequal lengths and the empty string)") {
     import spark.implicits._
