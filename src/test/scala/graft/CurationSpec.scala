@@ -338,4 +338,52 @@ class CurationSpec extends SparkSpec {
     val total = big.agg(sum("n_chars")).as[Long].head()
     assert(total == e1.map(_._1).map(id => id % 97 + 10).sum)
   }
+
+  test("exactSample: exact count, deterministic, nested in n") {
+    import spark.implicits._
+    val docs = (0L until 500L).toDF("doc_id")
+    val s100 = graft.llmops.Curation.exactSample(docs, "doc_id", 100, "x")
+      .collect().map(_.getLong(0)).toSet
+    assert(s100.size === 100)
+    // deterministic across layouts
+    val s100b = graft.llmops.Curation
+      .exactSample(docs.repartition(13), "doc_id", 100, "x")
+      .collect().map(_.getLong(0)).toSet
+    assert(s100b === s100)
+    // nested: exact-50 is a subset of exact-100 (same salt)
+    val s50 = graft.llmops.Curation.exactSample(docs, "doc_id", 50, "x")
+      .collect().map(_.getLong(0)).toSet
+    assert(s50.subsetOf(s100) && s50.size === 50)
+    // different salt samples differently
+    val sy = graft.llmops.Curation.exactSample(docs, "doc_id", 100, "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(sy !== s100)
+  }
+
+  test("withSplit: total partition, ~weights, and growth stability " +
+    "(existing rows never move between splits)") {
+    import spark.implicits._
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val small = (0L until 1000L).toDF("doc_id")
+    val a = graft.llmops.Curation.withSplit(small, "doc_id", splits, "s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.size === 1000) // every row assigned exactly once
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 800) < 60)
+    assert(math.abs(counts("val") - 100) < 40)
+    assert(math.abs(counts("test") - 100) < 40)
+    // growing the corpus never reassigns an existing row
+    val big = (0L until 5000L).toDF("doc_id")
+    val b = graft.llmops.Curation.withSplit(big, "doc_id", splits, "s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.foreach { case (id, sp) => assert(b(id) === sp) }
+    // single split takes everything; bad weights rejected
+    val one = graft.llmops.Curation.withSplit(small, "doc_id",
+      Seq(("all", 1.0)), "s").select("split").distinct().collect()
+    assert(one.map(_.getString(0)).toSeq === Seq("all"))
+    intercept[IllegalArgumentException] {
+      graft.llmops.Curation.withSplit(small, "doc_id",
+        Seq(("a", 0.8), ("b", 0.3)), "s")
+    }
+  }
 }
