@@ -749,15 +749,6 @@ object LlmQueries {
       Curation.exactSample(Tables.documents(s, d), "doc_id", 100, "es")
         .select("doc_id", "lang", "n_chars")),
 
-    // Train/val/test assignment: hash-bucket ranges at 0.8/0.1/0.1 —
-    // map-side, reproducible, a grown corpus never moves an existing
-    // row between splits. Row-level output: every doc's label is part
-    // of the hash-match, not just the split sizes.
-    "llm_split" -> ((s, d) =>
-      Curation.withSplit(Tables.documents(s, d), "doc_id",
-        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "sp")
-        .select("doc_id", "split")),
-
     // Shard-export plan: epoch-1 shuffled order cut into 16384-char
     // shards via the distributed prefix sum; placement is a pure
     // function of (doc_id, epoch).
@@ -2441,18 +2432,6 @@ object LlmQueries {
       """SELECT doc_id, lang, n_chars FROM documents
          ORDER BY md5('es:' || CAST(doc_id AS VARCHAR)), doc_id
          LIMIT 100""",
-    // Same hex8(md5)%10000 bucket as the rate sampler; consecutive
-    // ranges [0,8000) / [8000,9000) / remainder.
-    "llm_split" ->
-      """SELECT doc_id,
-           CASE WHEN CAST(('0x' || substr(
-                 md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-               % 10000 < 8000 THEN 'train'
-             WHEN CAST(('0x' || substr(
-                 md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-               % 10000 < 9000 THEN 'val'
-             ELSE 'test' END AS split
-         FROM documents""",
     // Epoch shuffle: md5 key + ROW_NUMBER over (key, id).
     "llm_epoch_shuffle" ->
       """SELECT doc_id,

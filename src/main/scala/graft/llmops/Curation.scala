@@ -58,31 +58,6 @@ object Curation {
       .drop("__sk")
   }
 
-  /** Deterministic train/val/test (or any weighted) split assignment:
-    * bucket = hex8(md5(salt:id)) % 10000 lands in consecutive
-    * [0, w1*10000), [w1*10000, (w1+w2)*10000), ... ranges — a pure
-    * map-side projection (no shuffle, layout/RNG independent), every
-    * row assigned to exactly one split, and REPRODUCIBLE: re-running
-    * over a grown corpus never moves an existing row between splits
-    * (its bucket is a function of the id alone). Weights are taken in
-    * the given order and must sum to <= 1.0; any remainder falls to
-    * the LAST split (so 0.9/0.05/0.05 is exact).
-    */
-  def withSplit(df: DataFrame, idCol: String,
-      splits: Seq[(String, Double)], salt: String): DataFrame = {
-    require(splits.nonEmpty, "at least one split")
-    require(splits.map(_._2).sum <= 1.0 + 1e-9, "weights must sum <= 1")
-    val bucket = conv(substring(
-      md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8),
-      16, 10).cast("long") % 10000L
-    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-      .map(w => math.round(w * 10000.0))
-    val expr0 = splits.init.zip(bounds.init).reverse
-      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), hi)) =>
-        when(bucket < hi, lit(name)).otherwise(acc)
-      }
-    df.withColumn("split", expr0)
-  }
 
   /** Per-stratum deterministic sampling -- the data-mixing primitive
     * ("keep 10% of en, 100% of low-resource langs"). Same hash-of-id

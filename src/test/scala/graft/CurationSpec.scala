@@ -360,30 +360,17 @@ class CurationSpec extends SparkSpec {
     assert(sy !== s100)
   }
 
-  test("withSplit: total partition, ~weights, and growth stability " +
-    "(existing rows never move between splits)") {
+  test("hashSplit growth stability: growing the corpus never moves an " +
+    "existing row between splits") {
     import spark.implicits._
     val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
     val small = (0L until 1000L).toDF("doc_id")
-    val a = graft.llmops.Curation.withSplit(small, "doc_id", splits, "s")
+    val a = graft.llmops.Curation.hashSplit(small, "doc_id", "s", splits)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(a.size === 1000) // every row assigned exactly once
-    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
-    assert(math.abs(counts("train") - 800) < 60)
-    assert(math.abs(counts("val") - 100) < 40)
-    assert(math.abs(counts("test") - 100) < 40)
-    // growing the corpus never reassigns an existing row
     val big = (0L until 5000L).toDF("doc_id")
-    val b = graft.llmops.Curation.withSplit(big, "doc_id", splits, "s")
+    val b = graft.llmops.Curation.hashSplit(big, "doc_id", "s", splits)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     a.foreach { case (id, sp) => assert(b(id) === sp) }
-    // single split takes everything; bad weights rejected
-    val one = graft.llmops.Curation.withSplit(small, "doc_id",
-      Seq(("all", 1.0)), "s").select("split").distinct().collect()
-    assert(one.map(_.getString(0)).toSeq === Seq("all"))
-    intercept[IllegalArgumentException] {
-      graft.llmops.Curation.withSplit(small, "doc_id",
-        Seq(("a", 0.8), ("b", 0.3)), "s")
-    }
   }
 }
