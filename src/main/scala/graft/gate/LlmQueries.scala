@@ -634,6 +634,28 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 1000000).cast("long").as("jaccard_micro"))),
 
+    // Cross-source near-dup overlap matrix: verified minhash pairs
+    // rolled up to unordered (source, source) cells — the forensics
+    // view a curation run reads before setting per-source dedup policy.
+    "llm_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlapMatrix(Tables.documents(s, d), "doc_id",
+        "source", "text", shingleN = 3, k = 8, bandRows = 4,
+        threshold = 0.8)),
+
+    // Trainable Naive-Bayes classifier: train "en vs rest" on the
+    // hash-chosen labeled third of the corpus (doc_id % 3 = 0 stands in
+    // for "the rows a human labeled"), then score EVERY document with
+    // the broadcast token-llr model. The oracle retrains from scratch
+    // in SQL — counts, smoothing, micro-floored llr, prior — so a hash
+    // match proves training and scoring end-to-end.
+    "llm_nb_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.nbClassify(docs,
+        docs.where(col("doc_id") % 3 === 0)
+          .withColumn("is_en", col("lang") === "en"),
+        "doc_id", "text", "is_en")
+    }),
+
     // Near-dup CLUSTERS: distributed connected components (min-label
     // propagation + pointer jumping) over the verified minhash pairs —
     // consumed from the stage-2 artifact ([[Stages.dupClusters]]); the
@@ -2944,6 +2966,62 @@ object LlmQueries {
           SELECT id_a, id_b,
             CAST(FLOOR(j * 1000000) AS BIGINT) AS jaccard_micro
           FROM verified WHERE j >= 0.8""",
+    // Same verified-pair chain rolled up to unordered source cells.
+    "llm_source_overlap" ->
+      s"""WITH $minhashPairsCtes,
+          good AS (
+            SELECT id_a, id_b, CAST(FLOOR(j * 1000000) AS BIGINT) AS jm
+            FROM verified WHERE j >= 0.8),
+          m AS (
+            SELECT least(sa.source, sb.source) AS src_lo,
+                   greatest(sa.source, sb.source) AS src_hi, jm
+            FROM good g
+            JOIN documents sa ON g.id_a = sa.doc_id
+            JOIN documents sb ON g.id_b = sb.doc_id)
+          SELECT src_lo, src_hi, COUNT(*) AS pair_count,
+            CAST(SUM(jm) AS BIGINT) AS jaccard_micro_sum
+          FROM m GROUP BY 1, 2""",
+    // Naive-Bayes retrained from scratch: per-class token counts over
+    // the labeled third, add-one smoothing, ONE ln of an exact rational
+    // floored to micros per token (the BM25 protocol), plus the doc-count
+    // prior; OOV tokens contribute 0 via the inner model join.
+    "llm_nb_classifier" ->
+      s"""WITH lab AS (
+            SELECT (lang = 'en') AS pos, $duckToks AS ws
+            FROM documents WHERE doc_id % 3 = 0),
+          ltok AS (SELECT pos, unnest(ws) AS token FROM lab),
+          counts AS (
+            SELECT token,
+              CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+              CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+                AS nc
+            FROM ltok GROUP BY token),
+          tot AS (
+            SELECT CAST(SUM(pc) AS BIGINT) AS tp,
+              CAST(SUM(nc) AS BIGINT) AS tn, COUNT(*) AS v FROM counts),
+          prior AS (
+            SELECT CAST(FLOOR(ln(
+                (CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+                  + 1.0) /
+                (CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE)
+                  + 1.0)) * 1000000.0) AS BIGINT) AS prior_micro
+            FROM lab),
+          model AS (
+            SELECT token, CAST(FLOOR(ln(
+                ((CAST(pc AS DOUBLE) + 1.0) * CAST(tn + v AS DOUBLE)) /
+                ((CAST(nc AS DOUBLE) + 1.0) * CAST(tp + v AS DOUBLE)))
+              * 1000000.0) AS BIGINT) AS llr_micro
+            FROM counts, tot),
+          dtok AS (
+            SELECT doc_id, unnest(ws) AS token FROM
+              (SELECT doc_id, $duckToks AS ws FROM documents)),
+          sums AS (
+            SELECT d.doc_id, CAST(SUM(m.llr_micro) AS BIGINT) AS s
+            FROM dtok d JOIN model m USING (token) GROUP BY d.doc_id)
+          SELECT doc_id,
+            CAST(COALESCE(s, 0) + prior_micro AS BIGINT) AS nb_llr_micro,
+            (COALESCE(s, 0) + prior_micro) > 0 AS nb_pred
+          FROM documents LEFT JOIN sums USING (doc_id), prior""",
     // Transitive closure over the SAME verified minhash pairs: min
     // reachable doc_id per node via a recursive CTE -- an independent
     // (if quadratic) re-derivation of the distributed min-label

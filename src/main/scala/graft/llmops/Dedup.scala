@@ -200,6 +200,40 @@ object Dedup {
     }
   }
 
+  /** Cross-source near-duplicate overlap matrix: for each unordered
+    * source pair, how many verified near-dup pairs connect them (plus
+    * the within-source diagonal) and the summed Jaccard in micros. The
+    * dataset-forensics view a curation run reads before setting dedup
+    * policy ("how much of source A is a copy of source B" -- e.g.
+    * CommonCrawl vs a curated mirror).
+    *
+    * Built ON TOP of the capped minhash chain ([[minhashPairs]]), so the
+    * only added cost is attaching each pair end's source: two joins of
+    * the (tiny) verified-pair frame against the (id, source) projection
+    * -- AQE broadcasts the pair side when it is small, and at 100 TB the
+    * pair frame is still orders of magnitude smaller than the corpus.
+    * The final matrix aggregate is at most |sources|^2 rows.
+    */
+  def sourceOverlapMatrix(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, shingleN: Int = 3, k: Int = 32, bandRows: Int = 4,
+      threshold: Double = 0.7,
+      maxBandPop: Int = Int.MaxValue): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleN, k, bandRows,
+      threshold, maxBandPop)
+      .withColumn("jaccard_micro",
+        floor(col("jaccard") * 1000000).cast("long"))
+    val src = df.select(col(idCol).as("__sid"), col(srcCol).as("__src"))
+    pairs
+      .join(src.select(col("__sid").as("id_a"), col("__src").as("src_a")),
+        Seq("id_a"))
+      .join(src.select(col("__sid").as("id_b"), col("__src").as("src_b")),
+        Seq("id_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"))
+      .agg(count(lit(1)).as("pair_count"),
+        sum("jaccard_micro").as("jaccard_micro_sum"))
+  }
+
   /** Compiled set-Jaccard (same integer-count division as
     * TextFunctions.jaccard; HashSet instead of per-pair array HOFs).
     * Kept as the independent parity reference for the codegen

@@ -515,6 +515,73 @@ object TextAnalysis {
         coalesce(col("__nt"), lit(0L)).as("bpe_tokens"))
   }
 
+  /** Trainable Naive-Bayes text classifier -- the "quality / domain
+    * classifier trained on labeled seed data" stage of a curation
+    * pipeline (Brown et al. 2020 appendix A's LR filter, DCLM's fastText
+    * filter; public literature). Multinomial NB, add-one smoothing,
+    * binary label. Unlike [[withClassifier]] (fixed hashed weights,
+    * pure inference) this TRAINS the model from `labeled` and then
+    * scores `docs` with it.
+    *
+    * Training is pure aggregation: one explode+groupBy(token) over the
+    * labeled seed yields per-class occurrence counts; class totals and
+    * the vocabulary size ride a broadcast one-row frame. Each token's
+    * log-likelihood ratio ln(P(t|+)/P(t|-)) is ONE ln of an exactly
+    * representable rational -- the integer products stay far below 2^53
+    * and the division is a single correctly-rounded IEEE op -- floored
+    * to integer MICROS before any summation (the BM25 determinism
+    * pattern), so a SQL oracle reproduces every score bit-exactly.
+    *
+    * Scoring is the 100 TB shape: the model is bounded by the SEED
+    * vocabulary (labeled data is small by definition -- it was labeled
+    * by hand or by an expensive teacher), so it broadcasts; the corpus
+    * side is one tokenize+explode+broadcast-join+groupBy(id) -- a single
+    * shuffle keyed on the document id, no corpus-sized join ever. OOV
+    * tokens contribute 0 (dropping them keeps the model join INNER and
+    * broadcastable; with add-one smoothing their true contribution is a
+    * class-constant that the decision threshold absorbs).
+    *
+    * Output: one row per `docs` row: (idCol, nb_llr_micro, nb_pred)
+    * where nb_llr_micro = prior_micro + sum of per-OCCURRENCE token
+    * llr_micro (multinomial: repeated tokens count each time) and
+    * nb_pred = nb_llr_micro > 0.
+    */
+  def nbClassify(docs: DataFrame, labeled: DataFrame, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
+    val t = graft.functions.TextFunctions
+    val seedToks = labeled.select(col(labelCol).as("pos"),
+      explode(t.tokens(col(textCol))).as("token"))
+    // persisted: consumed by both the totals aggregate and the llr
+    // projection -- without the pin the seed explode runs twice.
+    val counts = graft.core.Caches.scoped(
+      seedToks.groupBy("token").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("pc"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nc")))
+    val tot = counts.agg(sum("pc").as("tp"), sum("nc").as("tn"),
+      count(lit(1)).as("v"))
+    val prior = labeled.agg(
+      floor(log((sum(when(col(labelCol), 1L).otherwise(0L)) + lit(1.0)) /
+        (sum(when(!col(labelCol), 1L).otherwise(0L)) + lit(1.0)))
+        * 1000000.0).cast("long").as("prior_micro"))
+    val model = counts.crossJoin(broadcast(tot))
+      .select(col("token"),
+        floor(log(((col("pc") + lit(1.0)) * (col("tn") + col("v"))) /
+          ((col("nc") + lit(1.0)) * (col("tp") + col("v")))) * 1000000.0)
+          .cast("long").as("llr_micro"))
+    val docToks = docs.select(col(idCol).as("id"),
+      explode(t.tokens(col(textCol))).as("token"))
+    val sums = docToks.join(broadcast(model), Seq("token"))
+      .groupBy("id").agg(sum("llr_micro").as("__s"))
+    docs.select(col(idCol).as("id"))
+      .join(sums, Seq("id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("id").as(idCol),
+        (coalesce(col("__s"), lit(0L)) + col("prior_micro"))
+          .as("nb_llr_micro"),
+        ((coalesce(col("__s"), lit(0L)) + col("prior_micro")) > 0)
+          .as("nb_pred"))
+  }
+
   def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val t = graft.functions.TextFunctions
     val wc = df

@@ -1411,4 +1411,55 @@ class LlmOpsSpec extends SparkSpec {
         sum(col("n_kgrams")).as("kg")).head()
     assert(fp.getLong(0) < fp.getLong(1))
   }
+
+  test("nbClassify: learns token-class association from the seed; " +
+    "OOV-only docs fall back to the prior; one row per input doc") {
+    import spark.implicits._
+    val labeled = Seq(
+      (true, "good clean prose with clear sentences"),
+      (true, "good writing and clear good structure"),
+      (false, "spam spam click buy now spam"),
+      (false, "buy click spam offer now")).toDF("lab", "text")
+    val docs = Seq(
+      (1L, "good clear prose"),          // positive-class tokens
+      (2L, "spam click buy"),            // negative-class tokens
+      (3L, "zzz qqq unseen"),            // pure OOV -> prior only
+      (4L, "")                           // no tokens at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.nbClassify(docs, labeled, "doc_id", "text",
+      "lab").collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 4)
+    assert(out(1L)._2 && !out(2L)._2)
+    // prior = floor(ln((2+1)/(2+1)) * 1e6) = 0: balanced seed
+    assert(out(3L)._1 == 0L && out(4L)._1 == 0L)
+    // multinomial: a repeated positive token raises the score
+    val rep = TextAnalysis.nbClassify(
+      Seq((9L, "good good")).toDF("doc_id", "text"), labeled,
+      "doc_id", "text", "lab").head().getLong(1)
+    assert(rep == 2 * TextAnalysis.nbClassify(
+      Seq((9L, "good")).toDF("doc_id", "text"), labeled,
+      "doc_id", "text", "lab").head().getLong(1))
+  }
+
+  test("sourceOverlapMatrix: near-dup pairs roll up to unordered " +
+    "source cells; unrelated sources never meet") {
+    import spark.implicits._
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, "crawl", txt),
+      (2L, "mirror", txt),                     // cross-source dup
+      (3L, "crawl", txt + " word"),            // near-dup of 1 (same src)
+      (4L, "books", "entirely different content with no shared shingles " +
+        "anywhere in this document body at all")).toDF(
+      "doc_id", "source", "text")
+    val m = Dedup.sourceOverlapMatrix(df, "doc_id", "source", "text",
+      shingleN = 3, k = 8, bandRows = 4, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(m.keySet.forall { case (lo, hi) => lo <= hi })
+    assert(m.contains(("crawl", "mirror")))
+    assert(m.keySet.forall { case (lo, hi) =>
+      lo != "books" && hi != "books" })
+  }
 }
