@@ -637,10 +637,13 @@ object LlmQueries {
     // Cross-source near-dup overlap matrix: verified minhash pairs
     // rolled up to unordered (source, source) cells — the forensics
     // view a curation run reads before setting per-source dedup policy.
+    // Consumes the STAGE-1 pair artifact (the pipeline shape); the
+    // oracle recomputes the whole chain from raw documents, so a hash
+    // match keeps proving staged ≡ self-contained.
     "llm_source_overlap" -> ((s, d) =>
-      Dedup.sourceOverlapMatrix(Tables.documents(s, d), "doc_id",
-        "source", "text", shingleN = 3, k = 8, bandRows = 4,
-        threshold = 0.8)),
+      Dedup.sourceOverlapMatrixFrom(Stages.minhashPairs(s, d),
+        Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("source")))),
 
     // Trainable Naive-Bayes classifier: train "en vs rest" on the
     // hash-chosen labeled third of the corpus (doc_id % 3 = 0 stands in

@@ -217,16 +217,24 @@ object Dedup {
   def sourceOverlapMatrix(df: DataFrame, idCol: String, srcCol: String,
       textCol: String, shingleN: Int = 3, k: Int = 32, bandRows: Int = 4,
       threshold: Double = 0.7,
-      maxBandPop: Int = Int.MaxValue): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, shingleN, k, bandRows,
-      threshold, maxBandPop)
+      maxBandPop: Int = Int.MaxValue): DataFrame =
+    sourceOverlapMatrixFrom(
+      minhashPairs(df, idCol, textCol, shingleN, k, bandRows, threshold,
+        maxBandPop),
+      df.select(col(idCol).as("id"), col(srcCol).as("source")))
+
+  /** Matrix core over an EXISTING verified-pair frame (id_a, id_b,
+    * jaccard) -- the pipeline shape, where pairs are a materialized
+    * stage table, not a per-query recompute.
+    */
+  def sourceOverlapMatrixFrom(pairs: DataFrame, src: DataFrame)
+      : DataFrame = {
+    pairs
       .withColumn("jaccard_micro",
         floor(col("jaccard") * 1000000).cast("long"))
-    val src = df.select(col(idCol).as("__sid"), col(srcCol).as("__src"))
-    pairs
-      .join(src.select(col("__sid").as("id_a"), col("__src").as("src_a")),
+      .join(src.select(col("id").as("id_a"), col("source").as("src_a")),
         Seq("id_a"))
-      .join(src.select(col("__sid").as("id_b"), col("__src").as("src_b")),
+      .join(src.select(col("id").as("id_b"), col("source").as("src_b")),
         Seq("id_b"))
       .groupBy(least(col("src_a"), col("src_b")).as("src_lo"),
         greatest(col("src_a"), col("src_b")).as("src_hi"))

@@ -436,6 +436,36 @@ object PlanCheck {
         s"${scan3.selectedPartitions.partitionCount} of 16 cell " +
         "partitions listed (codes artifact, 1 B/dim)")
     }
+    // 12. Naive-Bayes classifier: the trained model join must BROADCAST
+    // (the model is bounded by the seed vocabulary) — the corpus-side
+    // token explode must never shuffle on the token key. The only
+    // token-keyed exchange allowed is the SEED training aggregation.
+    {
+      def occ(hay: String, needle: String): Int =
+        hay.sliding(needle.length).count(_ == needle)
+      val docs12 = graft.core.Tables.documents(spark, sf)
+      val nb = graft.llmops.TextAnalysis.nbClassify(docs12,
+        docs12.where(col("doc_id") % 3 === 0)
+          .withColumn("is_en", col("lang") === "en"),
+        "doc_id", "text", "is_en")
+      val nbStr = nb.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      // the persisted seed-count subtree prints under BOTH its consumers
+      // (totals + model), so count DISTINCT exchange nodes by plan_id.
+      val tokenExch = nbStr.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("token"))
+        .map(l => l.substring(l.indexOf("plan_id"))).toSet.size
+      require(tokenExch <= 1,
+        s"nb scoring must not shuffle the corpus on token (seed training" +
+          s" aggregation is the only allowed token exchange); got " +
+          s"$tokenExch")
+      require(occ(nbStr, "BroadcastHashJoin") >= 1,
+        "nb model join must broadcast")
+      println("\nnb classifier: token-keyed exchanges=" + tokenExch +
+        " (seed train only), broadcast joins=" +
+        occ(nbStr, "BroadcastHashJoin") + " (model + final attach)")
+      graft.core.Caches.releaseScoped()
+    }
     spark.stop()
   }
 }
