@@ -312,8 +312,14 @@ object Dedup {
       bits: Int = 64, bandBits: Int = 16, maxHamming: Int = 3,
       maxBucketPop: Int = Int.MaxValue): DataFrame = {
     require(maxBucketPop > 0, "maxBucketPop must be positive")
-    val base = df.select(col(idCol).as("id"),
-      simhashUdfFor(bits)(tokens(col(textCol))).as("sh"))
+    // scoped-persisted: the simhash-UDF corpus scan (one md5 per token)
+    // has multiple consumers -- both self-join sides plus the capped
+    // path's bucket-population aggregate -- and exchange reuse cannot
+    // cover the pops branch. (id, 16-char hash) is the narrowest frame
+    // in the operator; same rationale as minhashPairs' base pin.
+    val base = graft.core.Caches.scoped(
+      df.select(col(idCol).as("id"),
+        simhashUdfFor(bits)(tokens(col(textCol))).as("sh")))
     val nBands = bits / bandBits
     val banded0 = base.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
