@@ -277,6 +277,19 @@ object ScaleCurve {
       val sqArSec = (System.nanoTime() - sqArT0) / 1e9
       require(ivfN == 10 && sqN == 10 && sqArN == 10,
         s"ANN top-k short at scale $s")
+      // Trained-NB scoring (r13): the model trains on the FIXED
+      // base-corpus seed while the scored corpus replicates — the
+      // model stays seed-bounded (broadcast) by construction, every
+      // corpus row must come back scored exactly once, and wall tracks
+      // the corpus-side explode + one id-keyed shuffle only.
+      val nbT0 = System.nanoTime()
+      val nbSeed = docs.where(col("doc_id") % 3 === 0)
+        .withColumn("is_en", col("doc_id") % 2 === 0)
+      val nbRows = graft.llmops.TextAnalysis.nbClassify(c, nbSeed,
+        "doc_id", "text", "is_en").count()
+      val nbSec = (System.nanoTime() - nbT0) / 1e9
+      require(nbRows == rows,
+        s"nb scored $nbRows of $rows rows at scale $s")
       println(f"""{"scale":$s,"rows":$rows,""" +
         f""""minhash_pairs":$mh,"minhash_cross":$mhX,""" +
         f""""minhash_sec":$mhSec%.2f,""" +
@@ -310,7 +323,9 @@ object ScaleCurve {
         f""""sq8_rows":$semRows,"sq8_sec":$sqSec%.2f,""" +
         f""""sq8_rows_per_sec":${semRows / sqSec}%.0f,""" +
         f""""ivfsq8_atrest_probed":$probedRows,""" +
-        f""""ivfsq8_atrest_sec":$sqArSec%.2f}""")
+        f""""ivfsq8_atrest_sec":$sqArSec%.2f,""" +
+        f""""nb_rows":$nbRows,"nb_sec":$nbSec%.2f,""" +
+        f""""nb_rows_per_sec":${rows / nbSec}%.0f}""")
       c.unpersist()
     }
     spark.stop()
