@@ -205,9 +205,14 @@ object Curation {
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
     val t = graft.functions.TextFunctions
-    val docSh = df.select(col(idCol).as("id"),
-      explode(array_distinct(
-        t.shingles(t.tokens(col(textCol)), shingleN))).as("sh"))
+    // scoped-persisted: the tokenize+shingle+explode corpus scan has two
+    // consumers (the corpus-frequency aggregate and the per-doc join)
+    // that exchange reuse cannot cover -- same rationale as the
+    // minhash/simhash base pins.
+    val docSh = graft.core.Caches.scoped(
+      df.select(col(idCol).as("id"),
+        explode(array_distinct(
+          t.shingles(t.tokens(col(textCol)), shingleN))).as("sh")))
     val corpus = docSh.groupBy("sh").agg(count(lit(1)).as("cnt"))
     val perDoc = docSh.join(corpus, Seq("sh"))
       .groupBy("id")
