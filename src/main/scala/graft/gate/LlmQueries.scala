@@ -1209,6 +1209,37 @@ object LlmQueries {
     // column expressions, and the oracle recomputes the encoded parts
     // directly: a hash-match proves scheme/host/path extraction and the
     // suffix-aware registered-domain slice invert the construction.
+    // C4 line+doc cleaning (Raffel et al. 2020 §2.2) over SYNTHESIZED
+    // multi-line docs (the raw corpus is single-line): tokens chunked
+    // into 8-word lines, 2 of every 3 lines get terminal punctuation;
+    // every 5th doc gets a well-formed "javascript ..." line (only the
+    // javascript rule can drop it), every 11th a "lorem ipsum" tail
+    // line and every 13th a curly-brace tail (the DOC-level rules).
+    // The oracle re-makes the same synthesis + filter in SQL.
+    "llm_c4_clean" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = tokens(col("text"))
+      val nLines = greatest(floor((size(toks) + lit(7)) / lit(8)), lit(1L))
+      val lines = transform(sequence(lit(0L), nLines - 1), j =>
+        concat(array_join(slice(toks, (j * 8 + 1).cast("int"), lit(8)), " "),
+          when(pmod(j, lit(3)) < 2, lit(".")).otherwise(lit(""))))
+      val withJs = when(col("doc_id") % 5 === 0,
+        concat(array(lit("javascript boilerplate nav menu footer link.")),
+          lines)).otherwise(lines)
+      val withTail = when(col("doc_id") % 11 === 0,
+        concat(withJs,
+          array(lit("lorem ipsum dolor sit amet consectetur adipiscing."))))
+        .otherwise(when(col("doc_id") % 13 === 0,
+          concat(withJs, array(lit("function demo { return nothing }."))))
+          .otherwise(withJs))
+      Web.c4LineClean(
+        docs.select(col("doc_id"),
+          array_join(withTail, "\n").as("text")),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("kept_lines"),
+          col("c4_keep"), md5(col("clean_text")).as("clean_md5"))
+    }),
+
     "llm_url_parse" -> ((s, d) => {
       val docs = Tables.documents(s, d).where(col("doc_id") < 300)
       val h = md5(col("doc_id").cast("string"))
@@ -3452,6 +3483,49 @@ object LlmQueries {
              ELSE 'bmp' END AS img_format,
            w AS img_width, h AS img_height
          FROM m""",
+    // Same deterministic line synthesis (8-token lines, j%3<2 get '.',
+    // the %5 javascript / %11 lorem-ipsum / %13 curly-brace injections),
+    // then the C4 rules replayed with list_filter: terminal punctuation,
+    // >= 5 words, no "javascript"; doc keep = >= 3 survivors and no
+    // lorem ipsum / brace in the synthesized text.
+    "llm_c4_clean" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          base AS (
+            SELECT doc_id, list_transform(
+              range(0, greatest(CAST(floor((len(ws) + 7) / 8) AS BIGINT),
+                1)), j ->
+              array_to_string(list_slice(ws, CAST(j*8+1 AS INT),
+                CAST(j*8+8 AS INT)), ' ') ||
+              CASE WHEN j % 3 < 2 THEN '.' ELSE '' END) AS lines
+            FROM t),
+          withjs AS (
+            SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN
+              list_prepend('javascript boilerplate nav menu footer link.',
+                lines) ELSE lines END AS lines
+            FROM base),
+          synth AS (
+            SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN
+                list_append(lines,
+                  'lorem ipsum dolor sit amet consectetur adipiscing.')
+              WHEN doc_id % 13 = 0 THEN
+                list_append(lines, 'function demo { return nothing }.')
+              ELSE lines END AS lines
+            FROM withjs),
+          kept AS (
+            SELECT doc_id, array_to_string(lines, chr(10)) AS text,
+              len(lines) AS n_lines,
+              list_filter(lines, l ->
+                substr(trim(l), -1, 1) IN ('.', '!', '?', '"')
+                AND len(list_filter(
+                  string_split_regex(trim(l), '\\s+'), x -> x <> '')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kl
+            FROM synth)
+          SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+            CAST(len(kl) AS BIGINT) AS kept_lines,
+            (len(kl) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{')) AS c4_keep,
+            md5(array_to_string(kl, chr(10))) AS clean_md5
+          FROM kept""",
     "llm_url_parse" ->
       """WITH m AS (
            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,

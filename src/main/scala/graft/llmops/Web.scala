@@ -211,6 +211,42 @@ object Web {
     * (domain)-partitioned rows; at crawl scale the per-domain frames
     * are what AQE skew-splits.
     */
+  /** C4-style line + document cleaning (Raffel et al. 2020, "Exploring
+    * the Limits of Transfer Learning", section 2.2 -- public
+    * literature; the most-cited web-curation recipe). Line rules: keep
+    * a line iff it ends in terminal punctuation (. ! ? "), has at
+    * least `minLineWords` whitespace words, and does not mention
+    * "javascript" (case-insensitive). Document rules: keep iff at
+    * least `minKeptLines` lines survive AND the original text contains
+    * neither "lorem ipsum" (case-insensitive) nor a curly brace.
+    *
+    * Pure column expressions (split + filter HOF + array_join): one
+    * map-side codegen'd projection, 0 shuffles -- the shape that runs
+    * as a scan-stage filter at crawl scale. Adds n_lines, kept_lines
+    * (longs), clean_text (kept lines re-joined), and the doc-level
+    * c4_keep flag; never drops rows (the noveltyScore completeness
+    * rule -- selection is the caller's where(col("c4_keep"))).
+    */
+  def c4LineClean(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def lineKeep(l: Column): Column = {
+      val t = trim(l)
+      val words = size(filter(split(t, "\\s+"), w => w =!= ""))
+      t.substr(lit(-1), lit(1)).isin(".", "!", "?", "\"") &&
+        words >= minLineWords &&
+        !contains(lower(t), lit("javascript"))
+    }
+    val kept = filter(lines, lineKeep _)
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("kept_lines", size(kept).cast("long"))
+      .withColumn("clean_text", array_join(kept, "\n"))
+      .withColumn("c4_keep",
+        size(kept) >= minKeptLines &&
+          !contains(lower(col(textCol)), lit("lorem ipsum")) &&
+          !contains(col(textCol), lit("{")))
+  }
+
   def domainQuota(df: DataFrame, hostCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n >= 1)

@@ -1442,6 +1442,41 @@ class LlmOpsSpec extends SparkSpec {
       "doc_id", "text", "lab").head().getLong(1))
   }
 
+  test("c4LineClean: per-rule line drops and doc-level flags") {
+    import spark.implicits._
+    val good = "this line has enough words to survive easily."
+    val df = Seq(
+      // every line rule, one line each
+      (1L, Seq(good,
+        "no terminal punctuation here at all words",  // punctuation rule
+        "short line.",                                // word-count rule
+        "a javascript heavy boilerplate navigation line.", // js rule
+        good.replace('.', '!')).mkString("\n")),
+      // doc rules: enough good lines but poisoned text
+      (2L, Seq(good, good, good, "lorem ipsum dolor sit amet.")
+        .mkString("\n")),
+      (3L, Seq(good, good, good, "code { block } here today ok.")
+        .mkString("\n")),
+      (4L, Seq(good, good).mkString("\n"))   // < 3 kept lines
+    ).toDF("doc_id", "text")
+    val out = graft.llmops.Web.c4LineClean(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("kept_lines"),
+          r.getAs[Boolean]("c4_keep"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(out(1L)._1 == 5 && out(1L)._2 == 2)     // good + good! survive
+    assert(!out(1L)._3)                            // only 2 kept < 3
+    assert(out(1L)._4 == good + "\n" + good.replace('.', '!'))
+    assert(out(2L)._2 == 4 && !out(2L)._3)         // lorem ipsum doc rule
+    assert(out(3L)._2 == 4 && !out(3L)._3)         // curly-brace doc rule
+    assert(out(4L)._2 == 2 && !out(4L)._3)
+    // a clean 3-good-line doc keeps
+    val ok = graft.llmops.Web.c4LineClean(
+      Seq((9L, Seq(good, good, good).mkString("\n"))).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    assert(ok.getAs[Boolean]("c4_keep"))
+  }
+
   test("sourceOverlapMatrix: near-dup pairs roll up to unordered " +
     "source cells; unrelated sources never meet") {
     import spark.implicits._
