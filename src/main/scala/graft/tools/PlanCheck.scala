@@ -465,6 +465,15 @@ object PlanCheck {
         " (seed train only), broadcast joins=" +
         occ(nbStr, "BroadcastHashJoin") + " (model + final attach)")
       graft.core.Caches.releaseScoped()
+      // C4 cleaning must stay a single map-side codegen'd projection:
+      // no exchange, no join, no generator in the plan.
+      val c4 = graft.llmops.Web.c4LineClean(docs12, "doc_id", "text")
+      val c4Str = c4.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      require(occ(c4Str, "Exchange") == 0 && occ(c4Str, "Join") == 0 &&
+        occ(c4Str, "Generate") == 0,
+        "c4LineClean must be a pure map-side projection")
+      println("c4 clean: exchanges=0, joins=0 (scan-stage filter shape)")
     }
     spark.stop()
   }
