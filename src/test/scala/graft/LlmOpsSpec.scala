@@ -1477,6 +1477,61 @@ class LlmOpsSpec extends SparkSpec {
     assert(ok.getAs[Boolean]("c4_keep"))
   }
 
+  test("nbClassify: scores are exactly additive over concatenation " +
+    "(micro-floored llr sums are integers, so no FP drift)") {
+    import spark.implicits._
+    val labeled = docs.where(col("doc_id") % 3 === 0)
+      .withColumn("lab", col("lang") === "en")
+    val sample = docs.where(col("doc_id") % 3 =!= 0).limit(20)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pairs = sample.grouped(2).collect { case Array(a, b) => (a, b) }
+      .toSeq
+    val parts = pairs.zipWithIndex.flatMap { case (((ia, ta), (ib, tb)), i) =>
+      Seq((i * 10L, ta), (i * 10L + 1, tb), (i * 10L + 2, ta + " " + tb))
+    }.toDF("doc_id", "text")
+    val scored = graft.llmops.TextAnalysis.nbClassify(parts, labeled,
+      "doc_id", "text", "lab")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // prior enters once per doc: score(a++b) - prior = (score(a) - prior)
+    // + (score(b) - prior), exactly, because the per-token llr micros
+    // are LONGS summed in any order.
+    val prior = {
+      // score of an all-OOV doc is exactly the prior
+      val oov = graft.llmops.TextAnalysis.nbClassify(
+        Seq((0L, "zzzqqq")).toDF("doc_id", "text"), labeled,
+        "doc_id", "text", "lab").head().getLong(1)
+      oov
+    }
+    pairs.indices.foreach { i =>
+      assert(scored(i * 10L + 2) - prior ==
+        (scored(i * 10L) - prior) + (scored(i * 10L + 1) - prior),
+        s"additivity broke for pair $i")
+    }
+  }
+
+  test("c4LineClean: the line filter is idempotent over the full " +
+    "fixture corpus (every kept line stays kept on re-clean)") {
+    import spark.implicits._
+    // synthesize multi-line docs exactly like the llm_c4_clean gate
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val nLines = greatest(floor((size(toks) + lit(7)) / lit(8)), lit(1L))
+    val lines = transform(sequence(lit(0L), nLines - 1), j =>
+      concat(array_join(slice(toks, (j * 8 + 1).cast("int"), lit(8)), " "),
+        when(pmod(j, lit(3)) < 2, lit(".")).otherwise(lit(""))))
+    val synth = docs.select(col("doc_id"),
+      array_join(lines, "\n").as("text"))
+    val once = graft.llmops.Web.c4LineClean(synth, "doc_id", "text")
+      .select(col("doc_id"), col("kept_lines"),
+        col("clean_text").as("text"))
+    val twice = graft.llmops.Web.c4LineClean(
+      once.where(col("kept_lines") > 0), "doc_id", "text")
+    val bad = twice.where(col("kept_lines") =!= col("n_lines") ||
+      col("clean_text") =!= col("text")).count()
+    assert(bad == 0)
+    assert(twice.count() > 0)
+  }
+
   test("sourceOverlapMatrix: near-dup pairs roll up to unordered " +
     "source cells; unrelated sources never meet") {
     import spark.implicits._
