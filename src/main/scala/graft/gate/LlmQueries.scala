@@ -19,6 +19,103 @@ object LlmQueries {
   private val duckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  // Shared multi-line synthesis for the C4 gates: 8-token lines, 2 of
+  // every 3 get terminal punctuation, %5 javascript / %11 lorem-ipsum /
+  // %13 curly-brace injections (see llm_c4_clean). Carries lang for the
+  // downstream classifier capstone.
+  private def c4Synth(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nLines = greatest(floor((size(toks) + lit(7)) / lit(8)), lit(1L))
+    val lines = transform(sequence(lit(0L), nLines - 1), j =>
+      concat(array_join(slice(toks, (j * 8 + 1).cast("int"), lit(8)), " "),
+        when(pmod(j, lit(3)) < 2, lit(".")).otherwise(lit(""))))
+    val withJs = when(col("doc_id") % 5 === 0,
+      concat(array(lit("javascript boilerplate nav menu footer link.")),
+        lines)).otherwise(lines)
+    val withTail = when(col("doc_id") % 11 === 0,
+      concat(withJs,
+        array(lit("lorem ipsum dolor sit amet consectetur adipiscing."))))
+      .otherwise(when(col("doc_id") % 13 === 0,
+        concat(withJs, array(lit("function demo { return nothing }."))))
+        .otherwise(withJs))
+    docs.select(col("doc_id"), col("lang"),
+      array_join(withTail, "\n").as("text"))
+  }
+
+  // Shared C4 synthesis + line-filter CTE chain, ending at
+  // kept(doc_id, text, n_lines, kl) — the SQL twin of c4Synth +
+  // Web.c4LineClean's line rules (doc rules stay in the consumers).
+  private lazy val c4KeptCtes =
+    s"""t AS (SELECT doc_id, $duckToks AS ws FROM documents),
+          base AS (
+            SELECT doc_id, list_transform(
+              range(0, greatest(CAST(floor((len(ws) + 7) / 8) AS BIGINT),
+                1)), j ->
+              array_to_string(list_slice(ws, CAST(j*8+1 AS INT),
+                CAST(j*8+8 AS INT)), ' ') ||
+              CASE WHEN j % 3 < 2 THEN '.' ELSE '' END) AS lines
+            FROM t),
+          withjs AS (
+            SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN
+              list_prepend('javascript boilerplate nav menu footer link.',
+                lines) ELSE lines END AS lines
+            FROM base),
+          synth AS (
+            SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN
+                list_append(lines,
+                  'lorem ipsum dolor sit amet consectetur adipiscing.')
+              WHEN doc_id % 13 = 0 THEN
+                list_append(lines, 'function demo { return nothing }.')
+              ELSE lines END AS lines
+            FROM withjs),
+          kept AS (
+            SELECT doc_id, array_to_string(lines, chr(10)) AS text,
+              len(lines) AS n_lines,
+              list_filter(lines, l ->
+                substr(trim(l), -1, 1) IN ('.', '!', '?', '"')
+                AND len(list_filter(
+                  string_split_regex(trim(l), '\\s+'), x -> x <> '')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kl
+            FROM synth)"""
+
+  // NB retraining + scoring chain over relation `src` (must expose
+  // doc_id, lang, text): per-class token counts on the labeled third,
+  // add-one smoothing, micro-floored llr, ending at sums(doc_id, s) +
+  // prior(prior_micro). Consumers attach their own final SELECT.
+  private def nbScoreCtes(src: String): String =
+    s"""lab AS (
+            SELECT (lang = 'en') AS pos, $duckToks AS ws
+            FROM $src WHERE doc_id % 3 = 0),
+          ltok AS (SELECT pos, unnest(ws) AS token FROM lab),
+          counts AS (
+            SELECT token,
+              CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+              CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+                AS nc
+            FROM ltok GROUP BY token),
+          tot AS (
+            SELECT CAST(SUM(pc) AS BIGINT) AS tp,
+              CAST(SUM(nc) AS BIGINT) AS tn, COUNT(*) AS v FROM counts),
+          prior AS (
+            SELECT CAST(FLOOR(ln(
+                (CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+                  + 1.0) /
+                (CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE)
+                  + 1.0)) * 1000000.0) AS BIGINT) AS prior_micro
+            FROM lab),
+          model AS (
+            SELECT token, CAST(FLOOR(ln(
+                ((CAST(pc AS DOUBLE) + 1.0) * CAST(tn + v AS DOUBLE)) /
+                ((CAST(nc AS DOUBLE) + 1.0) * CAST(tp + v AS DOUBLE)))
+              * 1000000.0) AS BIGINT) AS llr_micro
+            FROM counts, tot),
+          dtok AS (
+            SELECT doc_id, unnest(ws) AS token FROM
+              (SELECT doc_id, $duckToks AS ws FROM $src)),
+          sums AS (
+            SELECT d.doc_id, CAST(SUM(m.llr_micro) AS BIGINT) AS s
+            FROM dtok d JOIN model m USING (token) GROUP BY d.doc_id)"""
+
   // Shared CTE chain recomputing the winnowing selection (8-gram md5s,
   // window 4, rightmost-min per window, distinct): ends at
   // `seld(doc_id, p, h)` with `hp` exposing (doc_id, nh, p, h). Used by
@@ -1216,28 +1313,32 @@ object LlmQueries {
     // javascript rule can drop it), every 11th a "lorem ipsum" tail
     // line and every 13th a curly-brace tail (the DOC-level rules).
     // The oracle re-makes the same synthesis + filter in SQL.
-    "llm_c4_clean" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = tokens(col("text"))
-      val nLines = greatest(floor((size(toks) + lit(7)) / lit(8)), lit(1L))
-      val lines = transform(sequence(lit(0L), nLines - 1), j =>
-        concat(array_join(slice(toks, (j * 8 + 1).cast("int"), lit(8)), " "),
-          when(pmod(j, lit(3)) < 2, lit(".")).otherwise(lit(""))))
-      val withJs = when(col("doc_id") % 5 === 0,
-        concat(array(lit("javascript boilerplate nav menu footer link.")),
-          lines)).otherwise(lines)
-      val withTail = when(col("doc_id") % 11 === 0,
-        concat(withJs,
-          array(lit("lorem ipsum dolor sit amet consectetur adipiscing."))))
-        .otherwise(when(col("doc_id") % 13 === 0,
-          concat(withJs, array(lit("function demo { return nothing }."))))
-          .otherwise(withJs))
-      Web.c4LineClean(
-        docs.select(col("doc_id"),
-          array_join(withTail, "\n").as("text")),
-        "doc_id", "text")
+    "llm_c4_clean" -> ((s, d) =>
+      Web.c4LineClean(c4Synth(Tables.documents(s, d)), "doc_id", "text")
         .select(col("doc_id"), col("n_lines"), col("kept_lines"),
-          col("c4_keep"), md5(col("clean_text")).as("clean_md5"))
+          col("c4_keep"), md5(col("clean_text")).as("clean_md5"))),
+
+    // Capstone 7: the continuation's operators composed in ONE DAG —
+    // C4 clean (keep c4_keep docs, work on the CLEANED text) -> train
+    // the NB classifier on the cleaned labeled third -> keep predicted-
+    // positive docs -> hash-ranked exact sample. The static oracle
+    // re-makes synthesis, line filter, NB retraining, scoring AND the
+    // sample ranking from the raw table — zero injected constants.
+    "llm_pipeline7" -> ((s, d) => {
+      val cleaned = Web.c4LineClean(c4Synth(Tables.documents(s, d)),
+        "doc_id", "text")
+        .where(col("c4_keep"))
+        .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+      val nb = TextAnalysis.nbClassify(cleaned,
+        cleaned.where(col("doc_id") % 3 === 0)
+          .withColumn("is_en", col("lang") === "en"),
+        "doc_id", "text", "is_en")
+      val kept = cleaned.join(
+        nb.where(col("nb_pred")).select("doc_id", "nb_llr_micro"),
+        Seq("doc_id"))
+      Curation.exactSample(kept, "doc_id", n = 64, salt = "p7")
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+          col("nb_llr_micro"))
     }),
 
     "llm_url_parse" -> ((s, d) => {
@@ -3020,38 +3121,7 @@ object LlmQueries {
     // floored to micros per token (the BM25 protocol), plus the doc-count
     // prior; OOV tokens contribute 0 via the inner model join.
     "llm_nb_classifier" ->
-      s"""WITH lab AS (
-            SELECT (lang = 'en') AS pos, $duckToks AS ws
-            FROM documents WHERE doc_id % 3 = 0),
-          ltok AS (SELECT pos, unnest(ws) AS token FROM lab),
-          counts AS (
-            SELECT token,
-              CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc,
-              CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
-                AS nc
-            FROM ltok GROUP BY token),
-          tot AS (
-            SELECT CAST(SUM(pc) AS BIGINT) AS tp,
-              CAST(SUM(nc) AS BIGINT) AS tn, COUNT(*) AS v FROM counts),
-          prior AS (
-            SELECT CAST(FLOOR(ln(
-                (CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
-                  + 1.0) /
-                (CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE)
-                  + 1.0)) * 1000000.0) AS BIGINT) AS prior_micro
-            FROM lab),
-          model AS (
-            SELECT token, CAST(FLOOR(ln(
-                ((CAST(pc AS DOUBLE) + 1.0) * CAST(tn + v AS DOUBLE)) /
-                ((CAST(nc AS DOUBLE) + 1.0) * CAST(tp + v AS DOUBLE)))
-              * 1000000.0) AS BIGINT) AS llr_micro
-            FROM counts, tot),
-          dtok AS (
-            SELECT doc_id, unnest(ws) AS token FROM
-              (SELECT doc_id, $duckToks AS ws FROM documents)),
-          sums AS (
-            SELECT d.doc_id, CAST(SUM(m.llr_micro) AS BIGINT) AS s
-            FROM dtok d JOIN model m USING (token) GROUP BY d.doc_id)
+      s"""WITH ${nbScoreCtes("documents")}
           SELECT doc_id,
             CAST(COALESCE(s, 0) + prior_micro AS BIGINT) AS nb_llr_micro,
             (COALESCE(s, 0) + prior_micro) > 0 AS nb_pred
@@ -3489,43 +3559,31 @@ object LlmQueries {
     // >= 5 words, no "javascript"; doc keep = >= 3 survivors and no
     // lorem ipsum / brace in the synthesized text.
     "llm_c4_clean" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS ws FROM documents),
-          base AS (
-            SELECT doc_id, list_transform(
-              range(0, greatest(CAST(floor((len(ws) + 7) / 8) AS BIGINT),
-                1)), j ->
-              array_to_string(list_slice(ws, CAST(j*8+1 AS INT),
-                CAST(j*8+8 AS INT)), ' ') ||
-              CASE WHEN j % 3 < 2 THEN '.' ELSE '' END) AS lines
-            FROM t),
-          withjs AS (
-            SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN
-              list_prepend('javascript boilerplate nav menu footer link.',
-                lines) ELSE lines END AS lines
-            FROM base),
-          synth AS (
-            SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN
-                list_append(lines,
-                  'lorem ipsum dolor sit amet consectetur adipiscing.')
-              WHEN doc_id % 13 = 0 THEN
-                list_append(lines, 'function demo { return nothing }.')
-              ELSE lines END AS lines
-            FROM withjs),
-          kept AS (
-            SELECT doc_id, array_to_string(lines, chr(10)) AS text,
-              len(lines) AS n_lines,
-              list_filter(lines, l ->
-                substr(trim(l), -1, 1) IN ('.', '!', '?', '"')
-                AND len(list_filter(
-                  string_split_regex(trim(l), '\\s+'), x -> x <> '')) >= 5
-                AND NOT contains(lower(l), 'javascript')) AS kl
-            FROM synth)
+      s"""WITH $c4KeptCtes
           SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
             CAST(len(kl) AS BIGINT) AS kept_lines,
             (len(kl) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
               AND NOT contains(text, '{')) AS c4_keep,
             md5(array_to_string(kl, chr(10))) AS clean_md5
           FROM kept""",
+    // Capstone 7: synthesis -> line filter -> doc filter -> NB retrain
+    // on the CLEANED labeled third -> score -> keep positives ->
+    // hash-ranked 64-sample, all from the raw table in one statement.
+    "llm_pipeline7" ->
+      s"""WITH $c4KeptCtes,
+          cleaned AS (
+            SELECT k.doc_id, d.lang, array_to_string(kl, chr(10)) AS text
+            FROM kept k JOIN documents d USING (doc_id)
+            WHERE len(kl) >= 3
+              AND NOT contains(lower(k.text), 'lorem ipsum')
+              AND NOT contains(k.text, '{')),
+          ${nbScoreCtes("cleaned")}
+          SELECT doc_id, md5(text) AS clean_md5,
+            CAST(COALESCE(s, 0) + prior_micro AS BIGINT) AS nb_llr_micro
+          FROM cleaned LEFT JOIN sums USING (doc_id), prior
+          WHERE (COALESCE(s, 0) + prior_micro) > 0
+          ORDER BY md5('p7:' || CAST(doc_id AS VARCHAR)), doc_id
+          LIMIT 64""",
     "llm_url_parse" ->
       """WITH m AS (
            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
