@@ -16,6 +16,9 @@ import graft.llmops.Dedup
   *               by --score-col, min-id ties; all columns preserved)
   *   report/     the one-row observability summary (corpus size,
   *               clustered docs, clusters, largest, removals, ratio)
+  *   overlap/    (with --source-col=) cross-source near-dup overlap
+  *               matrix over the pairs/ artifact — dedup-policy
+  *               forensics
   *
   * Downstream jobs consume the artifacts instead of re-running the
   * shingle->sign->band->verify DAG; each stage reads the PREVIOUS
@@ -34,12 +37,13 @@ object DedupApp {
       idCol: String = "doc_id", textCol: String = "text",
       scoreCol: String = "n_chars", threshold: Double = 0.8,
       shingleN: Int = 3, k: Int = 8, bandRows: Int = 4,
-      resume: Boolean = false)
+      resume: Boolean = false, sourceCol: Option[String] = None)
 
   def parse(args: Array[String]): Config = {
     require(args.length >= 2, "usage: DedupApp <documentsParquet> <outDir>" +
       " [--id-col=] [--text-col=] [--score-col=] [--threshold=]" +
-      " [--shingle=] [--hashes=] [--band-rows=] [--resume]")
+      " [--shingle=] [--hashes=] [--band-rows=] [--resume]" +
+      " [--source-col=]")
     def flag(name: String): Option[String] =
       args.collectFirst { case s if s.startsWith(s"--$name=") =>
         s.stripPrefix(s"--$name=") }
@@ -51,7 +55,8 @@ object DedupApp {
       shingleN = flag("shingle").map(_.toInt).getOrElse(3),
       k = flag("hashes").map(_.toInt).getOrElse(8),
       bandRows = flag("band-rows").map(_.toInt).getOrElse(4),
-      resume = args.contains("--resume"))
+      resume = args.contains("--resume"),
+      sourceCol = flag("source-col"))
   }
 
   /** Run the pipeline; returns the report row as (name -> value) for
@@ -81,6 +86,14 @@ object DedupApp {
     }
     stage("survivors") {
       Dedup.nearDupSurvivorsBy(docs, cfg.idCol, cfg.scoreCol, clusters)
+    }
+    // optional forensics artifact: the cross-source overlap matrix over
+    // the SAME pairs/ stage (only when the corpus has a source column)
+    cfg.sourceCol.foreach { sc =>
+      stage("overlap") {
+        Dedup.sourceOverlapMatrixFrom(pairs,
+          docs.select(col(cfg.idCol).as("id"), col(sc).as("source")))
+      }
     }
     val report = stage("report") {
       Dedup.dedupReport(docs, cfg.idCol, clusters)

@@ -223,15 +223,18 @@ object Dedup {
         maxBandPop),
       df.select(col(idCol).as("id"), col(srcCol).as("source")))
 
-  /** Matrix core over an EXISTING verified-pair frame (id_a, id_b,
-    * jaccard) -- the pipeline shape, where pairs are a materialized
-    * stage table, not a per-query recompute.
+  /** Matrix core over an EXISTING verified-pair frame (id_a, id_b and
+    * either jaccard or an already-floored jaccard_micro -- the DedupApp
+    * pairs/ artifact stores micros) -- the pipeline shape, where pairs
+    * are a materialized stage table, not a per-query recompute.
     */
   def sourceOverlapMatrixFrom(pairs: DataFrame, src: DataFrame)
       : DataFrame = {
-    pairs
-      .withColumn("jaccard_micro",
+    val withMicro =
+      if (pairs.columns.contains("jaccard_micro")) pairs
+      else pairs.withColumn("jaccard_micro",
         floor(col("jaccard") * 1000000).cast("long"))
+    withMicro
       .join(src.select(col("id").as("id_a"), col("source").as("src_a")),
         Seq("id_a"))
       .join(src.select(col("id").as("id_b"), col("source").as("src_b")),

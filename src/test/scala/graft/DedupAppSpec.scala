@@ -72,8 +72,32 @@ class DedupAppSpec extends SparkSpec {
     val c = DedupApp.parse(Array("in.parquet", "/tmp/o",
       "--id-col=id", "--text-col=body", "--score-col=quality",
       "--threshold=0.7", "--shingle=2", "--hashes=16",
-      "--band-rows=8", "--resume"))
+      "--band-rows=8", "--resume", "--source-col=src"))
     assert(c === DedupApp.Config("in.parquet", "/tmp/o", "id", "body",
-      "quality", 0.7, 2, 16, 8, resume = true))
+      "quality", 0.7, 2, 16, 8, resume = true, sourceCol = Some("src")))
+  }
+
+  test("--source-col lands the overlap/ artifact consistent with " +
+    "pairs/ (cell totals reconcile; absent without the flag)") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_dedup_overlap").toString
+    DedupApp.run(spark, DedupApp.Config(s"$sf/documents.parquet", out,
+      sourceCol = Some("source")))
+    val pairs = spark.read.parquet(s"$out/pairs")
+    val overlap = spark.read.parquet(s"$out/overlap")
+    assert(overlap.columns.toSeq ===
+      Seq("src_lo", "src_hi", "pair_count", "jaccard_micro_sum"))
+    // cells partition the pair set: totals reconcile exactly
+    val tot = overlap.agg(sum("pair_count"), sum("jaccard_micro_sum"))
+      .head()
+    val ptot = pairs.agg(count(lit(1)), sum("jaccard_micro")).head()
+    assert(tot.getLong(0) === ptot.getLong(0))
+    assert(tot.getLong(1) === ptot.getLong(1))
+    // no flag -> no artifact
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_dedup_nooverlap").toString
+    DedupApp.run(spark, DedupApp.Config(s"$sf/documents.parquet", out2))
+    assert(!new java.io.File(s"$out2/overlap").exists())
   }
 }
