@@ -96,11 +96,24 @@ object AnnIndexApp {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: AnnIndexApp build <emb.parquet> " +
-      "<indexDir> [--cells=16] | query <emb.parquet> <indexDir> " +
-      "<queryId> [--k=10] [--probes=4] [--rerank=100]")
-    def flag(name: String, dflt: Int): Int =
+      "<indexDir> [--cells=16] [--id-col=vec_id] [--vec-col=embedding] " +
+      "| query <emb.parquet> <indexDir> <queryId> [--k=10] [--probes=4] " +
+      "[--rerank=100] [--id-col=vec_id] [--vec-col=embedding]")
+    def sflag(name: String, dflt: String): String =
       args.collectFirst { case s if s.startsWith(s"--$name=") =>
-        s.stripPrefix(s"--$name=").toInt }.getOrElse(dflt)
+        s.stripPrefix(s"--$name=") }.getOrElse(dflt)
+    def flag(name: String, dflt: Int): Int = sflag(name, dflt.toString).toInt
+    // Reject unrecognized --flags instead of silently dropping them
+    // (QueryApp protocol): a typo'd flag must fail fast, not surface as
+    // a confusing AnalysisException on a missing default column later.
+    val known = Set("cells", "k", "probes", "rerank", "id-col", "vec-col")
+    args.filter(_.startsWith("--")).foreach { f =>
+      val name = f.stripPrefix("--").takeWhile(_ != '=')
+      require(known.contains(name), s"unknown flag --$name (known: " +
+        known.toSeq.sorted.map("--" + _).mkString(", ") + ")")
+    }
+    val idCol = sflag("id-col", "vec_id")
+    val vecCol = sflag("vec-col", "embedding")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-ann-index")
@@ -111,12 +124,13 @@ object AnnIndexApp {
     args(0) match {
       case "build" =>
         val m = build(spark, args(1), args(2), flag("cells", 16),
-          "vec_id", "embedding")
+          idCol, vecCol)
         println(s"[ann] index built: ${args(2)} (cells=${m.cells} " +
           s"dims=${m.dims}; codes/ partitioned by cell + model.json)")
       case "query" =>
         val hits = query(spark, args(1), args(2), args(3).toLong,
-          flag("k", 10), flag("probes", 4), flag("rerank", 100))
+          flag("k", 10), flag("probes", 4), flag("rerank", 100),
+          idCol, vecCol)
         hits.foreach { case (id, score) =>
           println(f"[ann] $id%8d  cosine=$score%.6f")
         }

@@ -8,9 +8,12 @@ import graft.core.{Health, Sanitizer}
   * EFFECTIVE engine configuration with secrets redacted, run the
   * dependency health checks ([[Health.engineChecks]], each with latency),
   * print `[health] name status (detail)` lines, and exit with the
-  * reference's code protocol — 0 all ok, 1 a required check failed
-  * (with a hint line per recognized failure, config_command.ml's
-  * suggestions_for), 2 optional-dependency warnings.
+  * reference's code protocol (config_command.ml run()) — 1 when ANY
+  * configured check fails (the reference marks every Unavailable check
+  * fatal, even "optional" deps like redis once they are configured; with
+  * a hint line per recognized failure, suggestions_for), 2 when checks
+  * pass but some were skipped because an optional dependency is unset
+  * (the warnings path), 0 all ok.
   *
   *   runMain graft.app.ConfigApp <tablesDir>
   */
@@ -65,18 +68,19 @@ object ConfigApp {
     }
     val summary = Health.summarize(Health.engineChecks(spark, dir, env))
     val lines = summary.checks.map(Health.statusLine)
-    val tail = summary.status match {
-      case "ok" => Seq("All configuration checks passed.")
-      case "degraded" =>
+    // Tail mirrors the exit protocol, not the HTTP summary status: any
+    // errored check is fatal (prints the failure + hints), skipped-only
+    // is the warnings path, otherwise all green.
+    val tail =
+      if (summary.checks.exists(_.status == "error"))
+        summary.checks.filter(_.status == "error").flatMap { c =>
+          val detail = c.detail.getOrElse("")
+          s"Configuration check failed: ${c.name} unavailable: $detail" +:
+            suggestionsFor(s"${c.name} $detail").map(h => s"  hint: $h")
+        }
+      else if (summary.checks.exists(_.status == "skipped"))
         Seq("Configuration checks completed with warnings (optional dependencies).")
-      case _ =>
-        summary.checks.filter(c => c.required && c.status == "error")
-          .flatMap { c =>
-            val detail = c.detail.getOrElse("")
-            s"Configuration check failed: ${c.name} unavailable: $detail" +:
-              suggestionsFor(s"${c.name} $detail").map(h => s"  hint: $h")
-          }
-    }
+      else Seq("All configuration checks passed.")
     (cfg ++ lines ++ tail, summary.exitCode)
   }
 

@@ -50,14 +50,9 @@ object CurateApp {
   def run(spark: SparkSession, cfg: Config): Seq[(String, Long)] = {
     val docs = spark.read.parquet(cfg.docs)
     def stage(name: String)(build: => org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame = {
-      val path = s"${cfg.outDir}/$name"
-      val exists = cfg.resume &&
-        (try { spark.read.parquet(path).schema; true }
-        catch { case _: Throwable => false })
-      if (!exists) build.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
+        : org.apache.spark.sql.DataFrame =
+      graft.core.StageIo.stage(spark, s"${cfg.outDir}/$name", cfg.resume)(
+        build)
 
     val scored = stage("scored") {
       // quality cut compares INTEGER micros (floor(score*1e6)) so the
@@ -87,8 +82,12 @@ object CurateApp {
     }
     stage("report") {
       import spark.implicits._
+      // coalesce: max(shard_id) is NULL over an empty kept set (strict
+      // --min-quality / aggressive decontamination) — report 0 shards
+      // instead of dying with an NPE at the final stage.
       Seq((docs.count(), scored.count(), kept.count(),
-        shards.select(max(col("shard_id"))).head().getLong(0) + 1L))
+        shards.select(coalesce(max(col("shard_id")) + 1L, lit(0L)))
+          .head().getLong(0)))
         .toDF("n_docs", "n_scored", "n_kept", "n_shards")
     }.head() match { case r =>
       r.schema.fieldNames.toSeq.map(n => n -> r.getAs[Long](n))

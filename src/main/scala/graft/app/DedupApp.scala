@@ -65,14 +65,9 @@ object DedupApp {
   def run(spark: SparkSession, cfg: Config): Seq[(String, Long)] = {
     val docs = spark.read.parquet(cfg.docs)
     def stage(name: String)(build: => org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame = {
-      val path = s"${cfg.outDir}/$name"
-      val exists = cfg.resume &&
-        (try { spark.read.parquet(path).schema; true }
-        catch { case _: Throwable => false })
-      if (!exists) build.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
+        : org.apache.spark.sql.DataFrame =
+      graft.core.StageIo.stage(spark, s"${cfg.outDir}/$name", cfg.resume)(
+        build)
 
     val pairs = stage("pairs") {
       Dedup.minhashPairs(docs, cfg.idCol, cfg.textCol,

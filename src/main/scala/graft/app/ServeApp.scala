@@ -319,10 +319,13 @@ object ServeApp {
           }
           arr.add(n); ()
         }
-        respond(ex, if (summary.status == "error") 500 else 200, o.toString)
+        // health.ml http_status_of: Ok -> 200, Degraded | Error -> 503
+        // (a degraded instance must stop receiving load-balancer traffic).
+        respond(ex, if (summary.status == "ok") 200 else 503, o.toString)
       } catch {
         case e: Throwable =>
-          respond(ex, 500, errorJson(e.getMessage))
+          // An exception while probing IS an outage: 503, per http_status_of.
+          respond(ex, 503, errorJson(e.getMessage))
       }
     })
 

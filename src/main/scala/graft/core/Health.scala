@@ -19,15 +19,18 @@ object Health {
       latencyMs: Double, status: String, detail: Option[String])
 
   final case class Summary(status: String, checks: Seq[Check]) {
-    /** Reference config_command exit protocol: 0 ok, 1 fatal (required
-      * check failed), 2 warnings (optional check failed or skipped
-      * because unset dependencies are fine -> skipped does NOT warn).
+    /** Reference config_command exit protocol (config_command.ml run():
+      * fatal -> exit 1, warnings non-empty -> exit 2, else 0). In the
+      * reference a dependency that is CONFIGURED but broken is fatal
+      * regardless of being "optional" (service_health.ml marks every
+      * Unavailable check fatal=true), while an UNSET optional dependency
+      * is Skipped and only produces the exit-2 warning path. So: any
+      * errored check -> 1; else any skipped check -> 2; else 0.
       */
-    def exitCode: Int = status match {
-      case "ok" => 0
-      case "degraded" => 2
-      case _ => 1
-    }
+    def exitCode: Int =
+      if (checks.exists(_.status == "error")) 1
+      else if (checks.exists(_.status == "skipped")) 2
+      else 0
   }
 
   sealed trait Probe

@@ -48,21 +48,24 @@ class ConfigAppSpec extends SparkSpec {
     assert(lines.last === "All configuration checks passed.")
   }
 
-  test("missing optional vectors: skipped check still exits 0; a probe " +
-    "failure in an optional check degrades to exit 2") {
+  test("unset optional deps skip -> warnings exit 2; a CONFIGURED " +
+    "optional dep that fails is fatal exit 1 (config_command.ml run())") {
     val dir = freshTables(withVectors = false)
+    // reference: Skipped statuses are the warnings path -> exit 2
     val (lines, code) = ConfigApp.report(spark, dir, _ => None)
-    assert(code === 0) // skipped (unset/absent optional deps) is NOT a warning
+    assert(code === 2)
     assert(lines.exists(l => l.contains("vectors") && l.contains("skipped")))
     assert(lines.exists(l =>
       l.contains("eval_cache") && l.contains("skipped")))
-    // point the eval cache at an unwritable path -> optional error ->
-    // degraded, exit 2
+    assert(lines.last.startsWith("Configuration checks completed with warnings"))
+    // reference: a configured-but-broken dep (redis with a bad URL) is
+    // marked fatal=true even though it's optional -> exit 1 with hints
     val (l2, code2) = ConfigApp.report(spark, dir,
       Map("GRAFT_EVAL_CACHE_DIR" -> "/proc/graft_not_writable").get)
-    assert(code2 === 2)
+    assert(code2 === 1)
     assert(l2.exists(l => l.contains("eval_cache") && l.contains("error")))
-    assert(l2.last.startsWith("Configuration checks completed with warnings"))
+    assert(l2.exists(_.startsWith("Configuration check failed: eval_cache")))
+    assert(l2.exists(_.startsWith("  hint: ")))
   }
 
   test("unreadable tables dir: fatal exit 1 with hint lines") {

@@ -66,6 +66,17 @@ class DedupAppSpec extends SparkSpec {
     val r2 = DedupApp.run(spark, cfg.copy(resume = true)).toMap
     assert(mtime(s"$out/pairs") === before) // not rewritten
     assert(r2("n_docs") > 0)
+
+    // a stage whose job never committed (no _SUCCESS marker — e.g. the
+    // run was killed mid-write) must be REBUILT on resume, not reused:
+    // a partial parquet dir can still expose a readable schema.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$out/pairs/_SUCCESS"))
+    assert(!graft.core.StageIo.committed(spark, s"$out/pairs"))
+    Thread.sleep(1100)
+    DedupApp.run(spark, cfg.copy(resume = true))
+    assert(mtime(s"$out/pairs") > before) // rebuilt
+    assert(graft.core.StageIo.committed(spark, s"$out/pairs"))
   }
 
   test("flag parsing covers every knob") {
