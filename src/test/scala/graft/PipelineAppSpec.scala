@@ -1,0 +1,122 @@
+package graft
+
+import graft.app.PipelineApp
+
+/** One-command pipeline composition: manifest-gated two-level resume,
+  * kill-between-stages and kill-mid-stage recovery with artifact reuse,
+  * and parameter-change invalidation.
+  */
+class PipelineAppSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cfg(out: String) = PipelineApp.parse(Array(
+    s"$sf/documents.parquet", out, "--min-quality=0.2", "--rate=0.9"))
+
+  private def mtime(p: String): Long = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      .iterator().asScala
+      .map(f => java.nio.file.Files.getLastModifiedTime(f).toMillis)
+      .max
+  }
+
+  private def rows(p: String): Seq[String] =
+    spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+
+  test("full run: both stages land, manifest records them, curate " +
+    "consumed the dedup survivors") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_pipe").toString
+    val report = PipelineApp.run(spark, cfg(out)).toMap
+    for (a <- Seq("dedup/pairs", "dedup/clusters", "dedup/survivors",
+        "curate/scored", "curate/kept", "curate/shards"))
+      assert(graft.core.StageIo.committed(spark, s"$out/$a"), a)
+    val m = PipelineApp.readManifest(out)
+    assert(m.keySet === Set("dedup", "curate"))
+    // curate's corpus IS the survivor set
+    val survivors = spark.read.parquet(s"$out/dedup/survivors").count()
+    assert(report("curate_n_docs") === survivors)
+    assert(report("dedup_n_docs") ===
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(report("curate_n_shards") > 0)
+  }
+
+  test("kill between stages: missing curate stage reruns on --resume; " +
+    "dedup artifacts untouched; content identical to a fresh run") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_pipe_kill").toString
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_pipe_ref").toString
+    PipelineApp.run(spark, cfg(out))
+    PipelineApp.run(spark, cfg(fresh))
+    // simulate a kill after dedup committed but before curate finished:
+    // drop curate's manifest line + artifacts
+    val keep = PipelineApp.readManifest(out)("dedup")
+    java.nio.file.Files.deleteIfExists(PipelineApp.manifestPath(out))
+    PipelineApp.record(out, "dedup", keep._1, keep._2, s"$out/dedup", "done")
+    def rmrf(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    rmrf(s"$out/curate")
+    Thread.sleep(1100)
+    val before = mtime(s"$out/dedup/pairs")
+    PipelineApp.run(spark, cfg(out).copy(resume = true))
+    assert(mtime(s"$out/dedup/pairs") === before) // dedup stage reused
+    assert(PipelineApp.readManifest(out).keySet === Set("dedup", "curate"))
+    // rebuilt curate artifacts carry the same content as a fresh run
+    assert(rows(s"$out/curate/kept") === rows(s"$fresh/curate/kept"))
+    assert(rows(s"$out/curate/shards") === rows(s"$fresh/curate/shards"))
+  }
+
+  test("kill mid-stage: an uncommitted sub-artifact reruns, committed " +
+    "sub-artifacts of the same stage are reused") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_pipe_mid").toString
+    PipelineApp.run(spark, cfg(out))
+    // simulate a kill while curate was writing kept/: manifest has no
+    // curate line yet, scored/ committed, kept/ partially written
+    val keep = PipelineApp.readManifest(out)("dedup")
+    val curStarted = PipelineApp.readManifest(out)("curate")
+    java.nio.file.Files.deleteIfExists(PipelineApp.manifestPath(out))
+    PipelineApp.record(out, "dedup", keep._1, keep._2, s"$out/dedup", "done")
+    // the app had recorded curate "started" before the kill
+    PipelineApp.record(out, "curate", curStarted._1, curStarted._2,
+      s"$out/curate", "started")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$out/curate/kept/_SUCCESS"))
+    val keptBefore = rows(s"$out/curate/kept")
+    Thread.sleep(1100)
+    val scoredM = mtime(s"$out/curate/scored")
+    PipelineApp.run(spark, cfg(out).copy(resume = true))
+    assert(mtime(s"$out/curate/scored") === scoredM) // committed: reused
+    assert(graft.core.StageIo.committed(spark, s"$out/curate/kept"))
+    assert(rows(s"$out/curate/kept") === keptBefore) // deterministic
+  }
+
+  test("parameter change invalidates the manifest entry: dedup reruns " +
+    "and downstream curate reruns too (input identity)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_pipe_par").toString
+    val base = cfg(out)
+    PipelineApp.run(spark, base)
+    Thread.sleep(1100)
+    val pairsM = mtime(s"$out/dedup/pairs")
+    val keptM = mtime(s"$out/curate/kept")
+    // same resume call, different dedup threshold -> both stages rerun
+    val changed = base.copy(resume = true,
+      dedup = base.dedup.copy(threshold = 0.7))
+    PipelineApp.run(spark, changed)
+    assert(mtime(s"$out/dedup/pairs") > pairsM)
+    assert(mtime(s"$out/curate/kept") > keptM)
+    // and a second resume with the SAME changed params now skips both
+    Thread.sleep(1100)
+    val pairs2 = mtime(s"$out/dedup/pairs")
+    PipelineApp.run(spark, changed)
+    assert(mtime(s"$out/dedup/pairs") === pairs2)
+  }
+}
