@@ -37,13 +37,14 @@ object DedupApp {
       idCol: String = "doc_id", textCol: String = "text",
       scoreCol: String = "n_chars", threshold: Double = 0.8,
       shingleN: Int = 3, k: Int = 8, bandRows: Int = 4,
-      resume: Boolean = false, sourceCol: Option[String] = None)
+      resume: Boolean = false, sourceCol: Option[String] = None,
+      incremental: Option[String] = None)
 
   def parse(args: Array[String]): Config = {
     require(args.length >= 2, "usage: DedupApp <documentsParquet> <outDir>" +
       " [--id-col=] [--text-col=] [--score-col=] [--threshold=]" +
       " [--shingle=] [--hashes=] [--band-rows=] [--resume]" +
-      " [--source-col=]")
+      " [--source-col=] [--incremental=<priorRunDir>]")
     def flag(name: String): Option[String] =
       args.collectFirst { case s if s.startsWith(s"--$name=") =>
         s.stripPrefix(s"--$name=") }
@@ -56,13 +57,73 @@ object DedupApp {
       k = flag("hashes").map(_.toInt).getOrElse(8),
       bandRows = flag("band-rows").map(_.toInt).getOrElse(4),
       resume = args.contains("--resume"),
-      sourceCol = flag("source-col"))
+      sourceCol = flag("source-col"),
+      incremental = flag("incremental"))
+  }
+
+  /** Incremental mode (`--incremental=<priorRunDir>`): instead of a
+    * full-corpus pair/cluster rebuild, the NEW snapshot is checked
+    * against the prior run's retained corpus (its survivors/ artifact)
+    * with the exact-hash semi-join + banded-candidate verify of
+    * [[Dedup.incrementalDedupFlags]]. Artifacts under the new outDir:
+    *
+    *   flags/      (id, dup_exact, dup_near) for every NEW doc
+    *   additions/  the new docs that are NOT duplicates of the prior
+    *               retained corpus (full schema)
+    *   survivors/  the UPDATED retained corpus: prior survivors +
+    *               additions — the stage the next incremental run
+    *               points at
+    *   report/     n_new / n_dup_exact / n_dup_near / n_added /
+    *               n_prior_retained / n_retained
+    *
+    * Monotonicity contract (spec-enforced): a prior run's removals can
+    * never be undone — survivors here is prior-survivors UNION
+    * additions, so adding documents only ever grows the retained set
+    * with genuinely novel content.
+    */
+  def runIncremental(spark: SparkSession, cfg: Config, priorDir: String)
+      : Seq[(String, Long)] = {
+    val docs = spark.read.parquet(cfg.docs)
+    val prior = spark.read.parquet(s"$priorDir/survivors")
+    def stage(name: String)(build: => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      graft.core.StageIo.stage(spark, s"${cfg.outDir}/$name", cfg.resume)(
+        build)
+    val flags = stage("flags") {
+      Dedup.incrementalDedupFlags(docs, prior, cfg.idCol, cfg.textCol,
+        shingleN = cfg.shingleN, k = cfg.k, bandRows = cfg.bandRows,
+        threshold = cfg.threshold)
+    }
+    val additions = stage("additions") {
+      docs.join(flags.where(!col("dup_exact") && !col("dup_near"))
+        .select(cfg.idCol), Seq(cfg.idCol), "left_semi")
+    }
+    val survivors = stage("survivors") {
+      // prior survivors keep their exact rows; additions append. Column
+      // order aligned by name so the union is schema-safe.
+      prior.unionByName(additions.select(prior.columns.map(col).toSeq: _*))
+    }
+    val report = stage("report") {
+      import spark.implicits._
+      Seq((docs.count(),
+        flags.where(col("dup_exact")).count(),
+        flags.where(col("dup_near")).count(),
+        additions.count(), prior.count(), survivors.count()))
+        .toDF("n_new", "n_dup_exact", "n_dup_near", "n_added",
+          "n_prior_retained", "n_retained")
+    }
+    val r = report.head()
+    report.schema.fieldNames.toSeq.map(n => n -> r.getAs[Long](n))
   }
 
   /** Run the pipeline; returns the report row as (name -> value) for
     * callers/tests. Pure function of (spark, cfg) — main only prints.
     */
   def run(spark: SparkSession, cfg: Config): Seq[(String, Long)] = {
+    cfg.incremental match {
+      case Some(priorDir) => return runIncremental(spark, cfg, priorDir)
+      case None => ()
+    }
     val docs = spark.read.parquet(cfg.docs)
     def stage(name: String)(build: => org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame =
@@ -109,7 +170,10 @@ object DedupApp {
     spark.sparkContext.setLogLevel("WARN")
     val report = run(spark, cfg)
     println("[dedup] stage artifacts under " + cfg.outDir +
-      ": pairs/ clusters/ survivors/ report/")
+      (if (cfg.incremental.isDefined)
+        ": flags/ additions/ survivors/ report/ (incremental vs " +
+          cfg.incremental.get + ")"
+      else ": pairs/ clusters/ survivors/ report/"))
     report.foreach { case (k, v) => println(f"[dedup] $k%-20s $v") }
     spark.stop()
   }

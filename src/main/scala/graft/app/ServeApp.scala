@@ -243,10 +243,12 @@ object ServeApp {
   def start(spark: SparkSession, tables: HybridExecutor.Tables,
       embedder: DeterministicEmbedder, port: Int,
       limiter: Option[RateLimiter] = None,
-      reranker: Option[graft.query.Reranker] = None): HttpServer = {
+      reranker: Option[graft.query.Reranker] = None,
+      serverThreads: Int = 4): HttpServer = {
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.setExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(serverThreads))
 
     // P3 admission control, applied APP-WIDE exactly like the reference
     // (chessmate_api.ml:809-821 adds the middleware to the base app, so

@@ -422,7 +422,8 @@ object TextAnalysis {
     * from the unbounded pair table.
     */
   def bpeTrainBatched(df: DataFrame, textCol: String, rounds: Int,
-      perRound: Int): DataFrame = {
+      perRound: Int, requireFull: Boolean = true,
+      targetMerges: Int = Int.MaxValue): DataFrame = {
     require(rounds > 0 && perRound > 0, "rounds and perRound must be > 0")
     val spark = df.sparkSession
     val t = graft.functions.TextFunctions
@@ -433,7 +434,9 @@ object TextAnalysis {
         .as("s"), col("wc")))
     val merges =
       scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long)]()
-    (1 to rounds).foreach { r =>
+    var r = 0
+    while (r < rounds && merges.length < targetMerges) {
+      r += 1
       val pool = state
         .select(filter(split(col("s"), "\\.\\."), x => x =!= "").as("sy"),
           col("wc"))
@@ -446,8 +449,9 @@ object TextAnalysis {
         .limit(512).collect()
       val used = scala.collection.mutable.Set[String]()
       var rank = 0
+      val want = math.min(perRound, targetMerges - merges.length)
       val it = pool.iterator
-      while (rank < perRound && it.hasNext) {
+      while (rank < want && it.hasNext) {
         val row = it.next()
         val pair = row.getString(0)
         val Array(a, b) = pair.split(" ", 2)
@@ -458,17 +462,40 @@ object TextAnalysis {
           used += b
         }
       }
-      require(rank == perRound,
-        s"round $r: only $rank of $perRound disjoint pairs in the " +
+      // strict mode (gates/small batches): under-filling throws rather
+      // than silently diverging from an oracle. Relaxed mode
+      // (requireFull=false, the 1k-merge production shape): early
+      // rounds are ALPHABET-BOUNDED -- n distinct symbols admit at most
+      // n/2 disjoint pairs, so a 16-symbol hex stream caps round 1 at 8
+      // merges no matter how large perRound is; the batch simply takes
+      // every disjoint pair available and the inventory grows with each
+      // round. An empty round means the corpus is exhausted.
+      require(!requireFull || rank == want,
+        s"round $r: only $rank of $want disjoint pairs in the " +
           "512-pair pool -- corpus exhausted or pool too small")
-      // one map-side literal-replace chain for the whole batch, applied
-      // in selection order (symbols are [a-z0-9]+ -- no quoting hazard)
-      val exprStr = merges.takeRight(perRound)
-        .foldLeft("s") { case (e, (_, _, pair, _)) =>
-          val Array(a, b) = pair.split(" ", 2)
-          s"replace($e, '.$a..$b.', '.$a$b.')"
+      if (rank == 0) r = rounds // exhausted: stop
+      else {
+        // one map-side literal-replace chain for the whole batch, applied
+        // in selection order (symbols are [a-z0-9]+ -- no quoting hazard)
+        val exprStr = merges.takeRight(rank)
+          .foldLeft("s") { case (e, (_, _, pair, _)) =>
+            val Array(a, b) = pair.split(" ", 2)
+            s"replace($e, '.$a..$b.', '.$a$b.')"
+          }
+        state = state.withColumn("s", expr(exprStr))
+        // Deep-vocabulary lineage control: without a checkpoint the
+        // round-k pool query replays k*perRound nested replace calls
+        // from the persisted base -- O(rounds*merges) recompute and, past
+        // ~1e3 nested calls, a Catalyst tree too deep to analyze/codegen.
+        // Persisting the REPLACED state every 8 rounds bounds every
+        // plan's replace depth to <= 8*perRound regardless of total
+        // merges -- the property that makes 10^4-merge vocabularies
+        // plan-stable, not just action-count-stable.
+        if (r % 8 == 0) {
+          state = graft.core.Caches.scoped(state)
+          state.count()
         }
-      state = state.withColumn("s", expr(exprStr))
+      }
     }
     import spark.implicits._
     merges.toSeq.toDF("round", "rank", "pair", "cnt")

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.app.DedupApp
 
 /** Operational dedup stage runner: every stage lands as a parquet
@@ -110,5 +112,55 @@ class DedupAppSpec extends SparkSpec {
       .createTempDirectory("graft_dedup_nooverlap").toString
     DedupApp.run(spark, DedupApp.Config(s"$sf/documents.parquet", out2))
     assert(!new java.io.File(s"$out2/overlap").exists())
+  }
+
+  test("--incremental: new snapshot vs prior run artifacts; adding " +
+    "docs never un-flags a prior duplicate") {
+    import spark.implicits._
+    val priorOut = java.nio.file.Files
+      .createTempDirectory("graft_dedup_inc_prior").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // full run over the base corpus establishes the retained set
+    DedupApp.run(spark, DedupApp.Config(s"$sf/documents.parquet", priorOut))
+    val priorSurv = spark.read.parquet(s"$priorOut/survivors")
+    val priorIds = priorSurv.select("doc_id").as[Long].collect().toSet
+    val removedIds = docs.select("doc_id").as[Long].collect().toSet -- priorIds
+    assert(removedIds.nonEmpty) // the base corpus has near-dups
+
+    // new snapshot: one EXACT copy of a retained doc (new id), one
+    // NEAR copy (one appended token), and one genuinely novel doc
+    val keepOne = priorSurv.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("text")).head()
+    val newDocs = Seq(
+      (9000001L, keepOne.getString(1), "en", "web"),
+      (9000002L, keepOne.getString(1) + " zyx", "en", "web"),
+      (9000003L, "a completely novel document about spark incremental " +
+        "dedup with plenty of distinct shingles to call its own", "en",
+        "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val newPath = java.nio.file.Files
+      .createTempDirectory("graft_dedup_inc_new").toString + "/docs"
+    newDocs.write.parquet(newPath)
+
+    val incOut = java.nio.file.Files
+      .createTempDirectory("graft_dedup_inc_out").toString
+    val report = DedupApp.run(spark, DedupApp.Config(newPath, incOut,
+      incremental = Some(priorOut))).toMap
+    val flags = spark.read.parquet(s"$incOut/flags")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(flags(9000001L)._1) // exact copy flagged dup_exact
+    assert(flags(9000002L)._2) // near copy flagged dup_near
+    assert(flags(9000003L) === ((false, false))) // novel doc clean
+    assert(report("n_new") === 3L && report("n_added") === 1L)
+
+    // monotonicity: the updated survivors = prior retained + the novel
+    // doc; NO doc the prior run removed reappears
+    val updated = spark.read.parquet(s"$incOut/survivors")
+      .select("doc_id").as[Long].collect().toSet
+    assert(updated === priorIds + 9000003L)
+    assert(updated.intersect(removedIds).isEmpty)
+    assert(report("n_retained") === report("n_prior_retained") + 1L)
   }
 }

@@ -1248,6 +1248,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(raw.toSeq == Seq((1L, 3L, 19L), (2L, 2L, 9L)))
   }
 
+  test("bpe batched deep-vocabulary mode: perRound=1 batched IS " +
+    "sequential; relaxed fill is alphabet-bounded then converges") {
+    import spark.implicits._
+    // hash-word sample: the Bpe1k production stream at spec size (the
+    // sf corpus's 31-word vocabulary can't exercise deep training)
+    val df = spark.range(40).toDF("doc_id")
+      .select(col("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(3)),
+          i => md5(concat(col("doc_id").cast("string"), lit(":"),
+            i.cast("string"))))).as("text"))
+    // (a) the exact identity behind the 1k run: with perRound=1 the
+    // batched trainer takes sequential BPE's argmax every round, so the
+    // merge tables agree pair-for-pair, count-for-count — including
+    // across the every-8-rounds lineage checkpoint boundary
+    val seq = TextAnalysis.bpeTrain(df, "text", rounds = 24)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val bat1 = TextAnalysis.bpeTrainBatched(df, "text", rounds = 24,
+      perRound = 1).as[(Long, Long, String, Long)].collect()
+      .sortBy(_._1).map(t => (t._1, t._3, t._4)).toSeq
+    assert(bat1 == seq)
+    // (b) relaxed mode on the 16-symbol alphabet: round 1 can select at
+    // most 8 disjoint pairs however large perRound is; later rounds grow
+    // with the symbol inventory; targetMerges stops the run exactly
+    val deep = TextAnalysis.bpeTrainBatched(df, "text", rounds = 64,
+      perRound = 32, requireFull = false, targetMerges = 100)
+      .as[(Long, Long, String, Long)].collect()
+    assert(deep.length == 100)
+    val r1 = deep.filter(_._1 == 1L)
+    assert(r1.length <= 8, s"round 1 fill ${r1.length} > alphabet bound 8")
+    // every round's batch is symbol-disjoint ACROSS pairs (the
+    // exactness condition; a self-pair "a a" legitimately uses its own
+    // symbol twice, so dedupe within each pair first)
+    deep.groupBy(_._1).foreach { case (_, rows) =>
+      val syms = rows.flatMap(_._3.split(" ").distinct)
+      assert(syms.distinct.length == syms.length)
+    }
+    // and relaxed rank-1 of round 1 is still sequential's first argmax
+    assert(deep.minBy(t => (t._1, t._2))._3 == seq.head._2)
+  }
+
   test("bpe batched training: disjoint batch equals sequential prefix") {
     import spark.implicits._
     val df = Seq((1L, "banana banana bananas cherry cherry"),
