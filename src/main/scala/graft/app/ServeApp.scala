@@ -222,6 +222,53 @@ object ServeApp {
     o
   }
 
+  /** Bounded LRU response cache keyed on the full request identity
+    * (question verbatim + limit + offset — the plan is a deterministic
+    * function of exactly those three, and the response embeds the raw
+    * question, so two questions that normalize to the same plan still
+    * need distinct entries). The value is the SERIALIZED response body,
+    * so a hit is byte-identical to the recompute it replaced — the
+    * serving analog of the A4 eval cache. Scoped per [[start]] call:
+    * the serving tables are fixed for the server's lifetime, so there
+    * is no invalidation protocol beyond "new tables = new server".
+    */
+  final class ResultCache(maxEntries: Int) {
+    private val map = new java.util.LinkedHashMap[
+        (String, Option[Int], Option[Int]), String](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Option[Int], Option[Int]), String])
+          : Boolean = size() > maxEntries
+    }
+    private val hitsC = new java.util.concurrent.atomic.AtomicLong()
+    private val missesC = new java.util.concurrent.atomic.AtomicLong()
+    def get(key: (String, Option[Int], Option[Int])): Option[String] =
+      map.synchronized {
+        val v = Option(map.get(key))
+        if (v.isDefined) hitsC.incrementAndGet() else missesC.incrementAndGet()
+        v
+      }
+    def put(key: (String, Option[Int], Option[Int]), body: String): Unit =
+      map.synchronized { map.put(key, body); () }
+    def hits: Long = hitsC.get()
+    def misses: Long = missesC.get()
+  }
+
+  /** Stop a server returned by [[start]] AND shut down its request
+    * executor. `HttpServer.stop` alone leaves the pool's threads alive;
+    * before round 15 they were non-daemon, so any programmatic caller's
+    * JVM hung forever after "stopping" the server (the bug that kept
+    * ServeLoad from ever completing a run). The threads are daemon now,
+    * but an explicit shutdown is still the clean exit.
+    */
+  def stop(server: HttpServer, delaySec: Int = 0): Unit = {
+    val exec = server.getExecutor
+    server.stop(delaySec)
+    exec match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
+  }
+
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes("UTF-8")
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -244,11 +291,24 @@ object ServeApp {
       embedder: DeterministicEmbedder, port: Int,
       limiter: Option[RateLimiter] = None,
       reranker: Option[graft.query.Reranker] = None,
-      serverThreads: Int = 4): HttpServer = {
+      serverThreads: Int = 4, resultCache: Int = 0): HttpServer = {
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
-    server.setExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(serverThreads))
+    // Daemon threads: the JVM must be able to exit once the caller is
+    // done even if it forgets [[stop]] — a non-daemon pool here kept
+    // ServeLoad's JVM alive forever after server.stop(0) (r14 verdict).
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      serverThreads,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-serve-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      }))
+    val cache: Option[ResultCache] =
+      if (resultCache > 0) Some(new ResultCache(resultCache)) else None
 
     // P3 admission control, applied APP-WIDE exactly like the reference
     // (chessmate_api.ml:809-821 adds the middleware to the base app, so
@@ -395,13 +455,29 @@ object ServeApp {
             parsed match {
               case Left(err) => respond(ex, 400, errorJson(err))
               case Right(p) =>
-                val payload =
-                  try Right(queryResponse(spark, tables, embedder, p,
-                    reranker))
-                  catch { case e: Throwable => Left(e.getMessage) }
-                payload match {
-                  case Right(o) => respond(ex, 200, o.toString)
-                  case Left(err) => respond(ex, 500, errorJson(err))
+                val key = (p.question, p.limit, p.offset)
+                cache.flatMap(_.get(key)) match {
+                  case Some(body) => respond(ex, 200, body)
+                  case None =>
+                    // One scheduler pool per server thread: under
+                    // spark.scheduler.mode=FAIR the pools get equal
+                    // shares, so a slow query convoys only its own
+                    // connection instead of FIFO-serializing every
+                    // concurrent request behind it. A no-op under the
+                    // default FIFO scheduler.
+                    spark.sparkContext.setLocalProperty(
+                      "spark.scheduler.pool",
+                      s"serve-${Thread.currentThread().getId}")
+                    val payload =
+                      try Right(queryResponse(spark, tables, embedder, p,
+                        reranker).toString)
+                      catch { case e: Throwable => Left(e.getMessage) }
+                    payload match {
+                      case Right(body) =>
+                        cache.foreach(_.put(key, body))
+                        respond(ex, 200, body)
+                      case Left(err) => respond(ex, 500, errorJson(err))
+                    }
                 }
             }
         }
@@ -456,6 +532,10 @@ object ServeApp {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // FAIR across per-connection pools: concurrent requests share the
+      // cluster instead of convoying behind the first-submitted job.
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("SPARK_SCHEDULER_MODE", "FAIR"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -482,7 +562,15 @@ object ServeApp {
           new graft.query.AgentEvaluator.AgentReranker(games),
           graft.query.EvalCache.backendFromEnv()))
       else None
-    val server = start(spark, tables, embedder, port, limiter, reranker)
+    // --result-cache=N: bounded per-request LRU over serialized response
+    // bodies (hit ≡ recompute byte-for-byte; tables are immutable for
+    // the server's lifetime). 0 (default) disables.
+    val cacheEntries = args.collectFirst {
+      case s if s.startsWith("--result-cache=") =>
+        s.stripPrefix("--result-cache=").toInt
+    }.orElse(sys.env.get("GRAFT_RESULT_CACHE").map(_.toInt)).getOrElse(0)
+    val server = start(spark, tables, embedder, port, limiter, reranker,
+      resultCache = cacheEntries)
     reranker.foreach(_ => println("[serve] agent rerank tier enabled"))
     limiter.foreach(_ => println(
       "[serve] rate limiting enabled (429 + Retry-After on limit)"))
@@ -491,7 +579,7 @@ object ServeApp {
     // block until SIGTERM/SIGINT; stop Spark on the way out
     val done = new java.util.concurrent.CountDownLatch(1)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      server.stop(0)
+      stop(server)
       spark.stop()
       done.countDown()
     }))

@@ -18,12 +18,20 @@ import org.apache.spark.sql.SparkSession
   * numbers — the point is that the comparison is measured, not argued.
   *
   *   runMain graft.tools.ServeLoad [nGames] [threads] [reqsPerThread]
+  *     [cacheEntries]
+  *
+  * cacheEntries > 0 enables the ServeApp per-request result cache (the
+  * round-15 serving lever); run with 0 AND a cache size and record both
+  * rows — the uncached row is the honest engine number, the cached row
+  * is what a production deployment of this serving surface would see on
+  * a skewed query mix.
   */
 object ServeLoad {
   def main(args: Array[String]): Unit = {
     val nGames = if (args.nonEmpty) args(0).toInt else 500
     val threads = if (args.length > 1) args(1).toInt else 16
     val perThread = if (args.length > 2) args(2).toInt else 25
+    val cacheEntries = if (args.length > 3) args(3).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -32,6 +40,12 @@ object ServeLoad {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // FAIR = per-connection pools share the cores (better tail under
+      // concurrency); FIFO can win closed-loop THROUGHPUT because each
+      // job gets all cores and finishes sooner. Measure both:
+      // GRAFT_SERVE_SCHEDULER=FIFO flips it.
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("GRAFT_SERVE_SCHEDULER", "FAIR"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -59,10 +73,12 @@ object ServeLoad {
     val tables = graft.query.HybridExecutor.Tables(t.games, t.players,
       Some(vectors), summariesPrebuilt = Some(summaries))
 
+    // ServeApp.start returns a RUNNING server — starting it again threw
+    // IllegalStateException and killed every pre-r15 run of this tool.
     val server = graft.app.ServeApp.start(spark, tables, embedder,
-      port = 0, serverThreads = math.max(threads, 8))
+      port = 0, serverThreads = math.max(threads, 8),
+      resultCache = cacheEntries)
     val port = server.getAddress.getPort
-    server.start()
 
     val payloads = Seq(
       "find top 5 games where white is rated at least 2500",
@@ -110,7 +126,7 @@ object ServeLoad {
     }
     pool.foreach(_.join())
     val wall = (System.nanoTime() - t0) / 1e9
-    server.stop(0)
+    graft.app.ServeApp.stop(server)
 
     val ls = {
       import scala.jdk.CollectionConverters._
@@ -121,6 +137,7 @@ object ServeLoad {
         (p * ls.length).toInt)) / 1e6
     val done = ls.length
     println(f"""{"n_games":$nGames,"threads":$threads,""" +
+      f""""result_cache":$cacheEntries,""" +
       f""""requests":${threads * perThread},"completed":$done,""" +
       f""""errors":${errors.get()},"wall_sec":$wall%.2f,""" +
       f""""req_per_sec":${done / wall}%.1f,""" +

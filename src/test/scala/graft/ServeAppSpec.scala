@@ -274,6 +274,80 @@ class ServeAppSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("lifecycle: start -> query -> stop shuts the request executor " +
+    "down and its threads are daemon (a caller's JVM can exit)") {
+    val (t, v) = graft.gate.ChessQueries.data(spark)
+    val summaries = HybridExecutor.summaries(t.games, t.players)
+    val tables = HybridExecutor.Tables(t.games, t.players, Some(v),
+      summariesPrebuilt = Some(summaries))
+    val embedder = DeterministicEmbedder(graft.gate.ChessQueries.embedDims)
+    val server = ServeApp.start(spark, tables, embedder, port = 0)
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val client = HttpClient.newHttpClient()
+    val r = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"$base/query?q=show+black+wins&limit=1")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() === 200)
+    // the pool threads must be daemon: pre-r15 they were not, so any
+    // programmatic caller (ServeLoad) hung forever after server.stop(0)
+    val threads = {
+      val arr = new Array[Thread](Thread.activeCount() * 2 + 8)
+      Thread.enumerate(arr)
+      arr.filter(th => th != null && th.getName.startsWith("graft-serve-"))
+    }
+    assert(threads.nonEmpty, "no graft-serve-* pool threads found")
+    assert(threads.forall(_.isDaemon), "serve pool threads must be daemon")
+    val exec = server.getExecutor
+      .asInstanceOf[java.util.concurrent.ExecutorService]
+    ServeApp.stop(server)
+    assert(exec.isShutdown, "ServeApp.stop must shut the executor down")
+    assert(exec.awaitTermination(30,
+      java.util.concurrent.TimeUnit.SECONDS),
+      "executor did not terminate after stop")
+  }
+
+  test("result cache: a hit runs zero Spark jobs and is byte-identical " +
+    "to the uncached recompute") {
+    val (t, v) = graft.gate.ChessQueries.data(spark)
+    val summaries = HybridExecutor.summaries(t.games, t.players)
+    val tables = HybridExecutor.Tables(t.games, t.players, Some(v),
+      summariesPrebuilt = Some(summaries))
+    val embedder = DeterministicEmbedder(graft.gate.ChessQueries.embedDims)
+    val cached = ServeApp.start(spark, tables, embedder, port = 0,
+      resultCache = 8)
+    val plain = ServeApp.start(spark, tables, embedder, port = 0)
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(server: com.sun.net.httpserver.HttpServer,
+          path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${server.getAddress.getPort}" + path)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val q = "/query?q=show+black+wins&limit=3"
+      val first = get(cached, q)
+      assert(first.statusCode() === 200)
+      // second identical request: byte-identical AND no new Spark job
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+        .length
+      val second = get(cached, q)
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+        .length
+      assert(second.statusCode() === 200)
+      assert(second.body() === first.body(), "cache hit diverged")
+      assert(jobsAfter === jobsBefore,
+        s"cache hit ran Spark jobs ($jobsBefore -> $jobsAfter)")
+      // hit ≡ recompute: an uncached server answers the same bytes
+      val recompute = get(plain, q)
+      assert(recompute.body() === first.body(),
+        "cached body diverges from uncached recompute")
+      // distinct limit = distinct key: not served from the limit=3 entry
+      val other = get(cached, "/query?q=show+black+wins&limit=1")
+      assert(other.statusCode() === 200)
+      assert(om.readTree(other.body()).get("limit").asInt() === 1)
+    } finally { ServeApp.stop(cached); ServeApp.stop(plain) }
+  }
+
   test("middleware order: oversize body 413s WITHOUT debiting the rate " +
     "budget (body-limit before rate-limit, reference order)") {
     val (t, v) = graft.gate.ChessQueries.data(spark)
