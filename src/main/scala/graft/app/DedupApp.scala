@@ -67,14 +67,17 @@ object DedupApp {
     * with the exact-hash semi-join + banded-candidate verify of
     * [[Dedup.incrementalDedupFlags]]. Artifacts under the new outDir:
     *
-    *   flags/      (id, dup_exact, dup_near) for every NEW doc
+    *   flags/      (id, dup_exact, dup_near) for every NEW doc — vs
+    *               the PRIOR retained corpus only
     *   additions/  the new docs that are NOT duplicates of the prior
-    *               retained corpus (full schema)
+    *               retained corpus, SELF-DEDUPED within the batch
+    *               (exact reps + minhash keep-best — without this, two
+    *               identical novel docs both survived forever)
     *   survivors/  the UPDATED retained corpus: prior survivors +
     *               additions — the stage the next incremental run
     *               points at
-    *   report/     n_new / n_dup_exact / n_dup_near / n_added /
-    *               n_prior_retained / n_retained
+    *   report/     n_new / n_dup_exact / n_dup_near / n_batch_dup /
+    *               n_added / n_prior_retained / n_retained
     *
     * Monotonicity contract (spec-enforced): a prior run's removals can
     * never be undone — survivors here is prior-survivors UNION
@@ -95,8 +98,24 @@ object DedupApp {
         threshold = cfg.threshold)
     }
     val additions = stage("additions") {
-      docs.join(flags.where(!col("dup_exact") && !col("dup_near"))
+      val novel = docs.join(flags.where(!col("dup_exact") && !col("dup_near"))
         .select(cfg.idCol), Seq(cfg.idCol), "left_semi")
+      // WITHIN-BATCH self-dedup before the union (r14 ADVICE): the
+      // flags above compare new docs only against the PRIOR retained
+      // corpus, so two identical novel docs in the same snapshot were
+      // both unflagged and retained forever — later incremental runs
+      // never re-examine survivors against each other. Exact reps
+      // first (keep-best by scoreCol, min-id ties — the full-mode
+      // protocol), then the same capped minhash → CC → keep-best chain
+      // restricted to the novel batch.
+      val exactReps = Dedup.exactRepresentatives(novel, cfg.idCol,
+        cfg.textCol, cfg.scoreCol).where(col("is_rep"))
+        .drop("content_hash", "cluster_size", "is_rep")
+      val pairs = Dedup.minhashPairs(exactReps, cfg.idCol, cfg.textCol,
+        shingleN = cfg.shingleN, k = cfg.k, bandRows = cfg.bandRows,
+        threshold = cfg.threshold)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Dedup.nearDupSurvivorsBy(exactReps, cfg.idCol, cfg.scoreCol, clusters)
     }
     val survivors = stage("survivors") {
       // prior survivors keep their exact rows; additions append. Column
@@ -105,12 +124,15 @@ object DedupApp {
     }
     val report = stage("report") {
       import spark.implicits._
+      val nNovel = flags.where(!col("dup_exact") && !col("dup_near")).count()
+      val nAdded = additions.count()
       Seq((docs.count(),
         flags.where(col("dup_exact")).count(),
         flags.where(col("dup_near")).count(),
-        additions.count(), prior.count(), survivors.count()))
-        .toDF("n_new", "n_dup_exact", "n_dup_near", "n_added",
-          "n_prior_retained", "n_retained")
+        nNovel - nAdded, // within-batch dups removed by the self-dedup
+        nAdded, prior.count(), survivors.count()))
+        .toDF("n_new", "n_dup_exact", "n_dup_near", "n_batch_dup",
+          "n_added", "n_prior_retained", "n_retained")
     }
     val r = report.head()
     report.schema.fieldNames.toSeq.map(n => n -> r.getAs[Long](n))

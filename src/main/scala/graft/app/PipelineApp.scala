@@ -37,17 +37,37 @@ object PipelineApp {
       dedup: DedupApp.Config, curate: CurateApp.Config,
       resume: Boolean)
 
+  private val dedupFlags = Seq("--id-col=", "--text-col=", "--score-col=",
+    "--threshold=", "--shingle=", "--hashes=", "--band-rows=",
+    "--source-col=")
+  private val curateFlags = Seq("--benchmark=", "--min-quality=", "--rate=",
+    "--shard-tokens=", "--epoch=")
+
   def parse(args: Array[String]): Config = {
     require(args.length >= 2,
       "usage: PipelineApp <documentsParquet> <outDir> [stage flags] [--resume]")
     val docs = args(0); val outDir = args(1)
+    // Fail fast on anything outside the known dedup+curate flag union
+    // (AnnIndexApp protocol): silently forwarding unknown flags let
+    // --incremental= flip the inner dedup into a mode whose artifacts
+    // (flags/additions) never match the manifest's expected layout, and
+    // dropped typo'd flags without a word. Incremental chaining is a
+    // DedupApp-level composition (point its --incremental= at
+    // <priorPipeline>/dedup), not a pipeline mode.
+    args.drop(2).foreach { a =>
+      require(a == "--resume" ||
+        (dedupFlags ++ curateFlags).exists(a.startsWith),
+        if (a.startsWith("--incremental="))
+          "PipelineApp does not take --incremental=; run DedupApp " +
+            "--incremental=<priorPipelineOut>/dedup and CurateApp over " +
+            "its survivors instead"
+        else s"unknown flag: $a")
+    }
     val d = DedupApp.parse(Array(docs, s"$outDir/dedup") ++
-      args.drop(2).filterNot(f => Seq("--benchmark=", "--min-quality=",
-        "--rate=", "--shard-tokens=", "--epoch=").exists(f.startsWith)))
+      args.drop(2).filterNot(f => curateFlags.exists(f.startsWith)))
     val c = CurateApp.parse(Array(s"$outDir/dedup/survivors",
       s"$outDir/curate") ++ args.drop(2).filter(f =>
-      Seq("--benchmark=", "--min-quality=", "--rate=", "--shard-tokens=",
-        "--epoch=", "--resume").exists(f.startsWith)))
+      (curateFlags :+ "--resume").exists(f.startsWith)))
     Config(docs, outDir, d, c, resume = args.contains("--resume"))
   }
 
@@ -70,19 +90,38 @@ object PipelineApp {
     * extraction (zero-dependency rule, same approach as
     * AnnIndexApp.parseModel).
     */
+  /** JSON string escape/unescape for manifest values: params and paths
+    * are user-controlled (a column name or path with a `"` or `\` used
+    * to corrupt the line and silently defeat resume/invalidation).
+    * Only the two structural characters need handling — values are
+    * produced by this process, never arbitrary JSON.
+    */
+  private def jesc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Escape-aware field extraction: scans from after `"name":"` to the
+    * first UNESCAPED quote, un-escaping as it goes.
+    */
+  private[app] def field(line: String, name: String): Option[String] = {
+    val k = s""""$name":""""
+    val i = line.indexOf(k)
+    if (i < 0) return None
+    val sb = new StringBuilder
+    var j = i + k.length
+    while (j < line.length) {
+      line.charAt(j) match {
+        case '\\' if j + 1 < line.length =>
+          sb.append(line.charAt(j + 1)); j += 2
+        case '"' => return Some(sb.toString)
+        case c => sb.append(c); j += 1
+      }
+    }
+    None // unterminated value = torn line, skip it
+  }
+
   def readManifest(outDir: String): Map[String, (String, String, String)] = {
     val p = manifestPath(outDir)
     if (!java.nio.file.Files.exists(p)) return Map.empty
-    def field(line: String, name: String): Option[String] = {
-      val k = s""""$name":""""
-      val i = line.indexOf(k)
-      if (i < 0) None
-      else {
-        val start = i + k.length
-        val end = line.indexOf('"', start)
-        if (end < 0) None else Some(line.substring(start, end))
-      }
-    }
     scala.jdk.CollectionConverters.ListHasAsScala(
       java.nio.file.Files.readAllLines(p)).asScala
       .flatMap { line =>
@@ -103,14 +142,18 @@ object PipelineApp {
       input: String, out: String, status: String): Unit = {
     val p = manifestPath(outDir)
     java.nio.file.Files.createDirectories(p.getParent)
+    // dedupe by the PARSED stage field, not raw substring containment —
+    // a params value that happened to contain `"stage":"curate"` used to
+    // evict the other stage's line
     val existing =
       if (java.nio.file.Files.exists(p))
         scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(p)).asScala.toSeq
-          .filterNot(_.contains(s""""stage":"$stage""""))
+          .filterNot(l => field(l, "stage").contains(stage))
       else Seq.empty
-    val line = s"""{"stage":"$stage","params":"$params","input":"$input",""" +
-      s""""out":"$out","status":"$status"}"""
+    val line = s"""{"stage":"${jesc(stage)}","params":"${jesc(params)}",""" +
+      s""""input":"${jesc(input)}","out":"${jesc(out)}",""" +
+      s""""status":"${jesc(status)}"}"""
     val tmp = p.resolveSibling(s".manifest.${System.nanoTime()}.tmp")
     java.nio.file.Files.write(tmp,
       scala.jdk.CollectionConverters.SeqHasAsJava(existing :+ line).asJava)

@@ -314,10 +314,18 @@ object Multimodal {
     val rawH = leI32(22)
     val h = math.abs(rawH)
     if (hdrSize < 40 || leU16(26) != 1 || leU16(28) != 24 ||
-      leI32(30) != 0 || w <= 0 || h == 0) return None
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > bytes.length)
+      leI32(30) != 0 || w <= 0 || h <= 0) return None
+    // Long math BEFORE any allocation: a header claiming w ~ 2^30 made
+    // `w * 3` overflow to a negative stride, which defeated the bounds
+    // check below and let the pixel-buffer alloc throw inside a
+    // mapPartitions batch — garbage must yield None, never a throw.
+    // (h <= 0 above also rejects rawH == Int.MinValue, whose abs is
+    // itself.) BMP is uncompressed, so dataOff + stride*h <= file size
+    // bounds w*h*3 too.
+    val strideL = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + strideL * h > bytes.length)
       return None
+    val stride = strideL.toInt
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -447,8 +455,20 @@ object Multimodal {
       i += 12 + len
     }
     if (w <= 0 || h <= 0 || channels < 0 || idat.size() == 0) return None
-    val stride = w * channels
-    val raw = new Array[Byte]((stride + 1) * h)
+    // Long math + a plausibility cap BEFORE allocating: header-claimed
+    // dimensions are attacker/garbage-controlled, and (stride+1)*h in
+    // int arithmetic overflowed for w ~ 2^30, throwing
+    // NegativeArraySizeException (or OOM-allocating gigabytes) inside
+    // the decode batch. zlib's maximum expansion is 1032:1, so a raw
+    // scanline buffer beyond idat*1032 (+64 slack for tiny streams)
+    // cannot be satisfied by ANY valid stream — reject without touching
+    // the allocator.
+    val strideL = w.toLong * channels
+    val rawLenL = (strideL + 1L) * h
+    if (rawLenL > Int.MaxValue ||
+      rawLenL > idat.size().toLong * 1032L + 64L) return None
+    val stride = strideL.toInt
+    val raw = new Array[Byte](rawLenL.toInt)
     try {
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
@@ -461,7 +481,7 @@ object Multimodal {
       inf.end()
       if (off != raw.length) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
-    val pix = new Array[Byte](w * h * channels)
+    val pix = new Array[Byte]((strideL * h).toInt) // <= rawLenL, int-safe
     var y = 0
     while (y < h) {
       val f = raw(y * (stride + 1)) & 0xff

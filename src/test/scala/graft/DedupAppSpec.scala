@@ -131,12 +131,18 @@ class DedupAppSpec extends SparkSpec {
     // NEAR copy (one appended token), and one genuinely novel doc
     val keepOne = priorSurv.orderBy("doc_id").limit(1)
       .select(col("doc_id"), col("text")).head()
+    val novelText = "a completely novel document about spark incremental " +
+      "dedup with plenty of distinct shingles to call its own"
     val newDocs = Seq(
       (9000001L, keepOne.getString(1), "en", "web"),
       (9000002L, keepOne.getString(1) + " zyx", "en", "web"),
-      (9000003L, "a completely novel document about spark incremental " +
-        "dedup with plenty of distinct shingles to call its own", "en",
-        "web"))
+      (9000003L, novelText, "en", "web"),
+      // WITHIN-BATCH duplicates of the novel doc: an exact copy and a
+      // near copy. Neither is a dup of the PRIOR corpus, so both pass
+      // the flags stage clean — the batch self-dedup must catch them
+      // (r14 ADVICE: pre-fix, both landed in additions/ forever)
+      (9000004L, novelText, "en", "web"),
+      (9000005L, novelText + " qqq", "en", "web"))
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
     val newPath = java.nio.file.Files
@@ -152,14 +158,23 @@ class DedupAppSpec extends SparkSpec {
         ((r.getBoolean(1), r.getBoolean(2)))).toMap
     assert(flags(9000001L)._1) // exact copy flagged dup_exact
     assert(flags(9000002L)._2) // near copy flagged dup_near
-    assert(flags(9000003L) === ((false, false))) // novel doc clean
-    assert(report("n_new") === 3L && report("n_added") === 1L)
+    // the three novel-content docs are all clean VS THE PRIOR CORPUS —
+    // the within-batch redundancy is invisible to the flags stage
+    assert(flags(9000003L) === ((false, false)))
+    assert(flags(9000004L) === ((false, false)))
+    assert(flags(9000005L) === ((false, false)))
+    // ...but the batch self-dedup keeps exactly ONE representative:
+    // exact reps collapse {3,4} to 9000003 (equal score, min id), then
+    // the near chain collapses {9000003, 9000005} keep-best by n_chars
+    // — 9000005 (" qqq" appended) is longer and wins
+    assert(report("n_new") === 5L && report("n_added") === 1L)
+    assert(report("n_batch_dup") === 2L)
 
-    // monotonicity: the updated survivors = prior retained + the novel
-    // doc; NO doc the prior run removed reappears
+    // monotonicity: the updated survivors = prior retained + the one
+    // novel representative; NO doc the prior run removed reappears
     val updated = spark.read.parquet(s"$incOut/survivors")
       .select("doc_id").as[Long].collect().toSet
-    assert(updated === priorIds + 9000003L)
+    assert(updated === priorIds + 9000005L)
     assert(updated.intersect(removedIds).isEmpty)
     assert(report("n_retained") === report("n_prior_retained") + 1L)
   }

@@ -52,6 +52,44 @@ class MultimodalContentSpec extends AnyFunSuite {
     assert(Multimodal.pngDecode(png.take(png.length - 20)).isEmpty)
   }
 
+  test("overflow-crafted headers yield None, never a throw or a " +
+    "gigabyte allocation (r14 ADVICE: int arithmetic on claimed dims)") {
+    // PNG claiming w = h = 2^30 over a 4x4 image's tiny IDAT: the raw
+    // buffer length (w*3+1)*h overflows int; pre-fix this threw
+    // NegativeArraySizeException from inside the decode batch
+    val small = Multimodal.pngEncode(4, 4, 3, pix(4, 4, 3)((x, y, c) =>
+      x + y + c))
+    def putBeU32(a: Array[Byte], off: Int, v: Long): Unit = {
+      a(off) = ((v >> 24) & 0xff).toByte; a(off + 1) = ((v >> 16) & 0xff).toByte
+      a(off + 2) = ((v >> 8) & 0xff).toByte; a(off + 3) = (v & 0xff).toByte
+    }
+    val hugeWh = small.clone()
+    putBeU32(hugeWh, 16, 1L << 30) // IHDR width  (8 sig + 8 len/type)
+    putBeU32(hugeWh, 20, 1L << 30) // IHDR height
+    assert(Multimodal.pngDecode(hugeWh).isEmpty)
+    // width alone huge (raw length positive but >> 1032x the IDAT):
+    // must be rejected by the zlib max-expansion plausibility cap
+    val hugeW = small.clone()
+    putBeU32(hugeW, 16, 1L << 20)
+    assert(Multimodal.pngDecode(hugeW).isEmpty)
+    // BMP claiming w = 2^30: stride = w*3 overflowed int to a negative,
+    // defeating the bounds check before the pixel alloc
+    val bmpHdr = new Array[Byte](64)
+    bmpHdr(0) = 'B'; bmpHdr(1) = 'M'
+    bmpHdr(10) = 54 // dataOff
+    bmpHdr(14) = 40 // hdrSize
+    bmpHdr(21) = 0x40 // width le32 = 0x40000000 = 2^30
+    bmpHdr(22) = 2 // height = 2
+    bmpHdr(26) = 1 // planes
+    bmpHdr(28) = 24 // bpp
+    assert(Multimodal.bmpPixels(bmpHdr).isEmpty)
+    // BMP height = Int.MinValue (abs(x) == x < 0) must be rejected too
+    val bmpMinH = bmpHdr.clone()
+    bmpMinH(21) = 0; bmpMinH(18) = 2 // width = 2
+    bmpMinH(22) = 0; bmpMinH(25) = 0x80.toByte // height le32 = 0x80000000
+    assert(Multimodal.bmpPixels(bmpMinH).isEmpty)
+  }
+
   test("bmp pixels: hand-built 2x2 24-bit bottom-up with row padding") {
     // rows are 2*3=6 bytes -> padded to 8; bottom-up: file row 0 is
     // image row 1. Image (RGB): (0,0)=(1,2,3) (1,0)=(4,5,6)

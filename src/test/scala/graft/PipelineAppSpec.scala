@@ -98,6 +98,86 @@ class PipelineAppSpec extends SparkSpec {
     assert(rows(s"$out/curate/kept") === keptBefore) // deterministic
   }
 
+  test("parse rejects unknown flags and --incremental with a pointer " +
+    "to the DedupApp composition (fail-fast, AnnIndexApp protocol)") {
+    val ok = PipelineApp.parse(Array("d", "o", "--threshold=0.7",
+      "--rate=0.5", "--resume"))
+    assert(ok.dedup.threshold === 0.7 && ok.curate.rate === 0.5 && ok.resume)
+    val inc = intercept[IllegalArgumentException] {
+      PipelineApp.parse(Array("d", "o", "--incremental=/prior/dedup"))
+    }
+    assert(inc.getMessage.contains("DedupApp --incremental"))
+    val typo = intercept[IllegalArgumentException] {
+      PipelineApp.parse(Array("d", "o", "--treshold=0.7"))
+    }
+    assert(typo.getMessage.contains("unknown flag: --treshold=0.7"))
+  }
+
+  test("manifest round-trips quotes/backslashes in values and dedupes " +
+    "by the parsed stage field, not substring containment") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_pipe_esc").toString
+    // a params value that CONTAINS the other stage's key used to evict
+    // that stage's line via substring-based dedupe
+    val trap = """bench=see "stage":"curate" docs\path"""
+    PipelineApp.record(out, "dedup", trap, "in\"put", s"$out/dedup", "done")
+    PipelineApp.record(out, "curate", "p2", "i2", s"$out/curate", "done")
+    // upserting dedup again must replace ONLY the dedup line
+    PipelineApp.record(out, "dedup", trap, "in\"put", s"$out/dedup", "done")
+    val m = PipelineApp.readManifest(out)
+    assert(m.keySet === Set("dedup", "curate"))
+    assert(m("dedup") === ((trap, "in\"put", "done")))
+    assert(m("curate") === (("p2", "i2", "done")))
+    // two lines on disk, both valid
+    assert(java.nio.file.Files.readAllLines(
+      PipelineApp.manifestPath(out)).size() === 2)
+  }
+
+  test("chained snapshots: full pipeline run N, then DedupApp " +
+    "--incremental=<runN>/dedup for snapshot N+1, curate over the " +
+    "updated survivors — monotone end-to-end") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val runN = java.nio.file.Files
+      .createTempDirectory("graft_pipe_chainN").toString
+    PipelineApp.run(spark, cfg(runN))
+    val priorIds = spark.read.parquet(s"$runN/dedup/survivors")
+      .select("doc_id").as[Long].collect().toSet
+
+    // snapshot N+1: an exact copy of a retained doc + a novel doc
+    val keepOne = spark.read.parquet(s"$runN/dedup/survivors")
+      .orderBy("doc_id").limit(1).select("text").head().getString(0)
+    val snapshot = Seq(
+      (8000001L, keepOne, "en", "web"),
+      (8000002L, "a chained-snapshot novel document with enough unique " +
+        "shingles to stand on its own in the retained corpus", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val snapPath = java.nio.file.Files
+      .createTempDirectory("graft_pipe_chain_snap").toString + "/docs"
+    snapshot.write.parquet(snapPath)
+
+    // incremental dedup points at the PIPELINE's dedup stage dir
+    val incOut = java.nio.file.Files
+      .createTempDirectory("graft_pipe_chain_inc").toString
+    val report = graft.app.DedupApp.run(spark, graft.app.DedupApp.Config(
+      snapPath, incOut, incremental = Some(s"$runN/dedup"))).toMap
+    assert(report("n_dup_exact") === 1L && report("n_added") === 1L)
+    val updated = spark.read.parquet(s"$incOut/survivors")
+      .select("doc_id").as[Long].collect().toSet
+    assert(updated === priorIds + 8000002L) // monotone: nothing undone
+
+    // curate consumes the UPDATED survivors — the composition the
+    // PipelineApp error message points at
+    val curOut = java.nio.file.Files
+      .createTempDirectory("graft_pipe_chain_cur").toString
+    val curReport = graft.app.CurateApp.run(spark, graft.app.CurateApp
+      .parse(Array(s"$incOut/survivors", curOut, "--min-quality=0.2",
+        "--rate=0.9"))).toMap
+    assert(curReport("n_docs") === updated.size.toLong)
+    assert(graft.core.StageIo.committed(spark, s"$curOut/shards"))
+  }
+
   test("parameter change invalidates the manifest entry: dedup reruns " +
     "and downstream curate reruns too (input identity)") {
     val out = java.nio.file.Files
