@@ -8,20 +8,71 @@ import graft.llmops.Ann
   * cell-probe variants trade recall for scan reduction; this prints the
   * actual numbers (recorded in BASELINE.md).
   *
-  *   runMain graft.tools.AnnRecall [sfDir] [k] [nQueries]
+  *   runMain graft.tools.AnnRecall [sfDir] [k] [nQueries] [corpus]
+  *
+  * corpus selects the vector distribution:
+  *   table           (default) the sfDir embeddings.parquet — ISOTROPIC
+  *                   synthetic vectors, the WORST CASE for every
+  *                   cell-probe method (no density structure to find)
+  *   clustered[:C]   deterministic mixture of C centroids (default 32)
+  *                   at the same scale/dims as the sf0.1 table — the
+  *                   shape real text/image embeddings have, where
+  *                   trained-centroid IVF recovers the generating
+  *                   clusters and nearest neighbors co-locate
   */
 object AnnRecall {
+
+  /** Deterministic mixture-of-centroids corpus: cluster c's centroid is
+    * a fixed-seed Gaussian direction; members add N(0, sigma^2) noise
+    * per dim (sigma=0.15 vs unit-ish centroids keeps intra-cluster
+    * cosine well above inter-cluster). Same (vec_id, embedding) schema
+    * as the parquet table; fully reproducible (seeded by id), no
+    * wall-clock or global RNG state.
+    */
+  def clusteredCorpus(spark: SparkSession, n: Int, dims: Int,
+      clusters: Int): org.apache.spark.sql.DataFrame = {
+    val cents = Array.tabulate(clusters) { c =>
+      val r = new scala.util.Random(1000L + c)
+      Array.fill(dims)(r.nextGaussian())
+    }
+    val rows = (0 until n).map { id =>
+      val c = id % clusters
+      val r = new scala.util.Random(7000L + id)
+      val v = Array.tabulate(dims)(d =>
+        (cents(c)(d) + 0.15 * r.nextGaussian()).toFloat)
+      (id.toLong, v.toSeq)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val k = if (args.length > 1) args(1).toInt else 10
     val nQ = if (args.length > 2) args(2).toInt else 20
+    val corpus = if (args.length > 3) args(3) else "table"
     val spark = SparkSession.builder().master("local[*]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+    val emb = (corpus match {
+      case "table" => spark.read.parquet(s"$sf/embeddings.parquet")
+      case s if s.startsWith("clustered") =>
+        val c = s.split(':') match {
+          case Array(_, cc) => cc.toInt
+          case _ => 32
+        }
+        // match the sf0.1 table's scale and dims so rows are comparable
+        val ref = spark.read.parquet(s"$sf/embeddings.parquet")
+        val dims = ref.selectExpr("size(embedding)").head().getInt(0)
+        val nRows = ref.count().toInt
+        println(s"[recall] corpus = clustered mixture: $nRows x $dims-d, " +
+          s"$c centroids, sigma=0.15")
+        clusteredCorpus(spark, nRows, dims, c)
+      case other => sys.error(s"unknown corpus mode: $other")
+    }).cache()
     val n = emb.count()
     val queries = emb.orderBy("vec_id").limit(nQ)
       .select(col("vec_id"), col("embedding").cast("array<double>"))

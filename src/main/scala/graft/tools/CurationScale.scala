@@ -183,9 +183,16 @@ object CurationScale {
     }
     val nClean = stageSecs.head._3
 
+    // the sampled-set size is captured INSIDE the stage (r14 ADVICE:
+    // comparing the shard plan's own row count against its own distinct
+    // ids only proved no-double-assignment — a plan that dropped docs
+    // shrank both counts equally and still passed; the "no doc dropped"
+    // half needs the pre-plan cardinality)
+    var nSampledIn = -1L
     val shards = stage("sample_shard") {
       val sampled = graft.llmops.Curation.exactSample(clean, "doc_id",
-        n = (nClean * 4 / 5).toInt, salt = "scale")
+        n = (nClean * 4 / 5).toInt, salt = "scale").cache()
+      nSampledIn = sampled.count()
       graft.llmops.Curation.shardPlan(
         graft.llmops.Curation.withEpochShuffle(sampled, "doc_id",
           epoch = 1),
@@ -193,11 +200,16 @@ object CurationScale {
     }
     val nShards = shards.agg(countDistinct("shard_id")).head().getLong(0)
     // INVARIANT (machine-checked): the shard plan covers each sampled
-    // doc exactly once — no doc dropped, none double-assigned.
-    val nSampled = stageSecs.head._3
+    // doc exactly once — no doc dropped (plan rows == docs sampled
+    // BEFORE the plan ran), none double-assigned (distinct == rows).
+    val nPlanRows = stageSecs.head._3
     val distinctDocs = shards.agg(countDistinct("doc_id")).head().getLong(0)
-    require(distinctDocs == nSampled,
-      s"shard-coverage invariant: $distinctDocs distinct vs $nSampled rows")
+    require(nPlanRows == nSampledIn,
+      s"shard-coverage invariant (dropped): $nPlanRows plan rows vs " +
+        s"$nSampledIn sampled docs")
+    require(distinctDocs == nPlanRows,
+      s"shard-coverage invariant (double-assigned): $distinctDocs " +
+        s"distinct vs $nPlanRows rows")
 
     val total = stageSecs.map(_._2).sum
     val work = total - stageSecs.find(_._1 == "land").get._2
