@@ -9,16 +9,20 @@ import org.apache.spark.sql.functions._
   * Three tiers, from real to stubbed:
   *  1. REAL container-header parsers (PNG/GIF/BMP/JPEG/TIFF/WAV) — pure
   *     public byte layouts, no codec needed.
-  *  2. REAL content kernels for the JDK-decodable formats: uncompressed
-  *     24-bit BMP pixels, PNG grayscale/RGB8 via `java.util.zip.Inflater`
-  *     + scanline unfiltering, WAV linear-PCM amplitude stats. These
-  *     produce exact integer statistics (sums/extrema), so gates can
-  *     hash-match a SQL oracle that knows the pixel/sample formula.
-  *  3. STUBS only where a real model/codec genuinely isn't in a JDK
-  *     (JPEG entropy decode, learned embeddings): `decodeStub` /
-  *     `withMediaFeatures` keep the schema, partition-level batching,
-  *     column pruning, and UDF seam real — swapping in an actual codec
-  *     (or a `mapInPandas`-style vectorized bridge) changes no plumbing.
+  *  2. REAL content kernels: uncompressed 24-bit BMP pixels, PNG
+  *     grayscale/RGB8 via `java.util.zip.Inflater` + scanline
+  *     unfiltering, WAV linear-PCM amplitude stats, and (r15) baseline
+  *     JPEG entropy decode from the byte layout up ([[Jpeg]]: T.81
+  *     Huffman + IDCT + chroma upsampling, spec-verified against the
+  *     JDK's own ImageIO codec). PNG/BMP/WAV produce exact integer
+  *     statistics (sums/extrema), so gates hash-match a SQL oracle that
+  *     knows the pixel/sample formula; JPEG is lossy, so its kernel is
+  *     spec-level.
+  *  3. STUBS only where a real model genuinely isn't in a JDK (learned
+  *     embeddings): `decodeStub` / `withMediaFeatures` keep the schema,
+  *     partition-level batching, column pruning, and UDF seam real —
+  *     swapping in an actual model (or a `mapInPandas`-style vectorized
+  *     bridge) changes no plumbing.
   */
 object Multimodal {
 
@@ -509,12 +513,14 @@ object Multimodal {
   }
 
   /** Decode a binary image column (PNG via [[pngDecode]], BMP via
-    * [[bmpPixels]]) and emit integer per-channel pixel statistics —
-    * exact sums/extrema, no floats, so a SQL oracle that knows the
-    * pixel-generating formula matches hash-for-hash. Undecodable
-    * payloads keep the row with nulls. Columns: px_format, px_width,
-    * px_height, px_channels, px_sum array<long>, px_min/px_max
-    * array<int> (channel-indexed, RGB order for color).
+    * [[bmpPixels]], baseline JPEG via [[Jpeg.decode]]) and emit integer
+    * per-channel pixel statistics — exact sums/extrema, no floats, so a
+    * SQL oracle that knows the pixel-generating formula matches
+    * hash-for-hash (PNG/BMP; JPEG is lossy, so its stats are
+    * spec-verified against the JDK codec instead of SQL-oracled).
+    * Undecodable payloads keep the row with nulls. Columns: px_format,
+    * px_width, px_height, px_channels, px_sum array<long>,
+    * px_min/px_max array<int> (channel-indexed, RGB order for color).
     */
   def withImagePixelStats(df: DataFrame, binCol: String): DataFrame = {
     val idx = df.schema.fieldIndex(binCol)
@@ -540,6 +546,8 @@ object Multimodal {
           pngDecode(bytes).map { case (w, h, c, p) => ("png", w, h, c, p) }
             .orElse(bmpPixels(bytes).map { case (w, h, c, p) =>
               ("bmp", w, h, c, p) })
+            .orElse(Jpeg.decode(bytes).map { case (w, h, c, p) =>
+              ("jpeg", w, h, c, p) })
         decoded match {
           case Some((fmt, w, h, ch, pix)) =>
             val sums = new Array[Long](ch)

@@ -1,15 +1,14 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 import graft.llmops.Multimodal
 
 /** Content-kernel correctness: PNG encode/decode round-trip across all
   * five scanline filters, BMP pixel extraction against a hand-built
-  * known-answer file, WAV PCM amplitude stats, and the
+  * known-answer file, baseline JPEG decode cross-checked against the
+  * JDK's own ImageIO codec, WAV PCM amplitude stats, and the
   * garbage-never-throws contract shared by every media kernel.
   */
-class MultimodalContentSpec extends AnyFunSuite {
+class MultimodalContentSpec extends SparkSpec {
 
   private def pix(w: Int, h: Int, ch: Int)(f: (Int, Int, Int) => Int)
       : Array[Byte] = {
@@ -115,6 +114,130 @@ class MultimodalContentSpec extends AnyFunSuite {
     assert(p2.toSeq === p.toSeq)
     assert(Multimodal.bmpPixels(null).isEmpty)
     assert(Multimodal.bmpPixels(bmp.take(53)).isEmpty)
+  }
+
+  private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    baos.toByteArray
+  }
+
+  test("jpeg decode: grayscale matches the JDK's own codec within the " +
+    "spec-permitted IDCT slop") {
+    // deterministic non-trivial pattern: gradients + a block edge
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val v = (x * 3 + y * 2 + (if ((x / 16 + y / 16) % 2 == 0) 40 else 0)) % 256
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val bytes = jpegBytes(img)
+    val Some((w, h, ch, pix)) = graft.llmops.Jpeg.decode(bytes)
+    assert((w, h, ch) === ((64, 48, 1)))
+    // reference: the JDK codec decoding the SAME file
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    var sumDiff = 0L
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val ours = pix(y * 64 + x) & 0xff
+      val theirs = ref.getRaster.getSample(x, y, 0)
+      val d = math.abs(ours - theirs)
+      maxDiff = math.max(maxDiff, d); sumDiff += d
+    }
+    // both are conformant IDCTs of the same coefficients: tiny rounding
+    // differences only (T.81 annex A allows ~1 LSB per sample)
+    assert(maxDiff <= 2, s"max gray diff $maxDiff")
+    assert(sumDiff.toDouble / (64 * 48) <= 0.5,
+      s"mean gray diff ${sumDiff.toDouble / (64 * 48)}")
+  }
+
+  test("jpeg decode: rgb (chroma-subsampled) tracks the JDK codec; " +
+    "replication vs fancy upsampling bounded on a smooth gradient") {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val r = (x * 2 + 30) % 256
+      val g = (y * 2 + 60) % 256
+      val b = (x + y + 90) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bytes = jpegBytes(img)
+    val Some((w, h, ch, pix)) = graft.llmops.Jpeg.decode(bytes)
+    assert((w, h, ch) === ((64, 64, 3)))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    var sumDiff = 0L
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val rgb = ref.getRGB(x, y)
+      val theirs = Seq((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      for (c <- 0 until 3) {
+        val d = math.abs((pix((y * 64 + x) * 3 + c) & 0xff) - theirs(c))
+        maxDiff = math.max(maxDiff, d); sumDiff += d
+      }
+    }
+    // the JDK reader uses triangle chroma upsampling; ours replicates.
+    // On a smooth gradient the divergence is bounded by the per-pixel
+    // chroma step; IDCT slop adds ~1
+    assert(maxDiff <= 8, s"max rgb diff $maxDiff")
+    assert(sumDiff.toDouble / (64 * 64 * 3) <= 2.0,
+      s"mean rgb diff ${sumDiff.toDouble / (64 * 64 * 3)}")
+  }
+
+  test("jpeg decode: deterministic, and garbage/truncated/overflow " +
+    "inputs yield None, never a throw") {
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 5) % 256)
+    val bytes = jpegBytes(img)
+    val a = graft.llmops.Jpeg.decode(bytes)
+    val b = graft.llmops.Jpeg.decode(bytes)
+    assert(a.isDefined && a.get._4.toSeq === b.get._4.toSeq)
+    assert(graft.llmops.Jpeg.decode(null).isEmpty)
+    assert(graft.llmops.Jpeg.decode(Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array.fill[Byte](64)(0x55)).isEmpty)
+    // truncated mid-entropy: must bail on exhausted bits, not throw
+    assert(graft.llmops.Jpeg.decode(bytes.take(bytes.length - 10)).isEmpty)
+    // SOF dimensions crafted far beyond what the entropy data could
+    // back (w=h=0xFFF0, 3 comps over a ~1KB stream): plausibility cap
+    val huge = bytes.clone()
+    val sof = {
+      var i = 2; var at = -1
+      while (at < 0 && i + 4 < huge.length) {
+        if ((huge(i) & 0xff) == 0xff && (huge(i + 1) & 0xff) == 0xc0) at = i
+        else i += 1
+      }
+      at
+    }
+    assert(sof > 0)
+    huge(sof + 5) = 0xff.toByte; huge(sof + 6) = 0xf0.toByte // height
+    huge(sof + 7) = 0xff.toByte; huge(sof + 8) = 0xf0.toByte // width
+    assert(graft.llmops.Jpeg.decode(huge).isEmpty)
+  }
+
+  test("jpeg rides withImagePixelStats as px_format=jpeg with stats " +
+    "consistent with the direct decode") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(40, 24,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 24; x <- 0 until 40)
+      img.setRGB(x, y, ((x * 5 % 256) << 16) | ((y * 9 % 256) << 8) |
+        ((x + y) % 256))
+    val bytes = jpegBytes(img)
+    val Some((_, _, _, pix)) = graft.llmops.Jpeg.decode(bytes)
+    val expSums = Array.fill(3)(0L)
+    for (i <- pix.indices) expSums(i % 3) += pix(i) & 0xff
+    val df = Seq((1L, bytes), (2L, Array.fill[Byte](16)(7)))
+      .toDF("id", "media")
+    val out = Multimodal.withImagePixelStats(df, "media")
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("px_format") === "jpeg")
+    assert(out(0).getAs[Int]("px_width") === 40)
+    assert(out(0).getAs[Int]("px_channels") === 3)
+    assert(out(0).getAs[Seq[Long]]("px_sum") === expSums.toSeq)
+    assert(out(1).isNullAt(out(1).fieldIndex("px_format")))
   }
 
   test("wav pcm stats: 16-bit two's complement, peak/clip/sum_sq exact") {
