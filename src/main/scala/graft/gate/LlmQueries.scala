@@ -239,6 +239,54 @@ object LlmQueries {
         (strpos('0123456789abcdef', substr(md5($e), CAST(i AS INT), 1)) - 1)
           * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT)"""
 
+  /** Shared CTE chain replaying LearnedEmbeddings' training pipeline
+    * (vocab 50, window 3, dims 4, seed "emb") up to `e`(token, dim,
+    * e_micro): skip-gram pairs mirroring the Spark flatten/transform
+    * construction, vocab cut with token tie-break, PPMI cells floored
+    * to micros BEFORE the signed integer projection sums.
+    */
+  private lazy val learnedEmbCtes: String = {
+    val signHex = duckHex8("'emb:' || c || ':' || CAST(dim AS VARCHAR)")
+    s"""t AS (SELECT doc_id, $duckToks AS ws FROM documents),
+       pr AS (
+         SELECT unnest(flatten(list_transform(range(1, len(ws) + 1), i ->
+           list_transform(list_filter(
+               range(GREATEST(i - 3, 1), LEAST(i + 3, len(ws)) + 1),
+               j -> j <> i),
+             j -> {'t': ws[CAST(i AS INT)],
+                   'c': ws[CAST(j AS INT)]})))) AS p
+         FROM t WHERE len(ws) > 0),
+       vocab AS (
+         SELECT token FROM (SELECT unnest(ws) AS token FROM t)
+         GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 50),
+       vp AS (
+         SELECT p.t AS t, p.c AS c FROM pr
+         WHERE p.t IN (SELECT token FROM vocab)
+           AND p.c IN (SELECT token FROM vocab)),
+       cooc AS (SELECT t, c, COUNT(*) AS cnt FROM vp GROUP BY t, c),
+       marg AS (SELECT t, CAST(SUM(cnt) AS BIGINT) AS m
+                FROM cooc GROUP BY t),
+       tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM cooc),
+       pcells AS (
+         SELECT * FROM (
+           SELECT co.t, co.c,
+             CAST(FLOOR(ln((CAST(co.cnt AS DOUBLE) * tot.tt) /
+               (CAST(mt.m AS DOUBLE) * mc.m)) * 1000000.0) AS BIGINT)
+               AS pm
+           FROM cooc co
+           JOIN marg mt ON mt.t = co.t
+           JOIN marg mc ON mc.t = co.c
+           CROSS JOIN tot)
+         WHERE pm > 0),
+       dims AS (SELECT CAST(d AS INT) AS dim
+                FROM (VALUES (0), (1), (2), (3)) v(d)),
+       e AS (
+         SELECT t AS token, dim,
+           CAST(SUM(pm * (CASE WHEN $signHex % 2 = 0
+             THEN 1 ELSE -1 END)) AS BIGINT) AS e_micro
+         FROM pcells, dims GROUP BY t, dim)"""
+  }
+
   /** DuckDB replica of TextAnalysis's composite quality score, as a
     * scalar over a relation exposing `text` + `ws` (tokenized) columns.
     * Shared by llm_quality (micro-quantized output) and llm_pipeline
@@ -1007,6 +1055,41 @@ object LlmQueries {
         posexplode(e.embedCol(col("text"))).as(Seq("dim", "v")))
         .select(col("doc_id"), col("dim"),
           floor(col("v") * 1000000).cast("long").as("v_micro"))
+    }),
+
+    // Corpus-TRAINED PPMI embeddings (Levy & Goldberg 2014's implicit
+    // skip-gram matrix, sign-projected): vocab-50 / window-3 pair
+    // counts -> floor-micro PPMI cells -> hash-sign projection to 4
+    // dims. The oracle replays the ENTIRE training pipeline in SQL --
+    // pair generation, vocab cut, marginals, ln-micro quantization,
+    // signed integer sums -- so a hash-match proves the vectors are the
+    // documented function of the CORPUS (they move when the data
+    // moves), not of the token string alone.
+    "llm_learned_embed" -> ((s, d) =>
+      graft.llmops.LearnedEmbeddings.termEmbeddings(
+        Tables.documents(s, d), "text", vocabSize = 50, window = 3,
+        dims = 4)),
+
+    // Learned-embedding composition: train term vectors on the FULL
+    // corpus, embed the first 200 documents (exact integer vector
+    // sums), rank document pairs by cosine. Doubles appear only inside
+    // a single row's dot/norm fold -- the llm_emb_pairs protocol.
+    "llm_learned_doc_sim" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = graft.llmops.LearnedEmbeddings.docEmbeddings(
+        docs.where(col("doc_id") < 200), "doc_id", "text",
+        graft.llmops.LearnedEmbeddings.termEmbeddings(docs, "text",
+          vocabSize = 50, window = 3, dims = 4))
+      val a = emb.select(col("doc_id").as("id_a"),
+        col("embedding").cast("array<double>").as("ea"))
+      val b = emb.select(col("doc_id").as("id_b"),
+        col("embedding").cast("array<double>").as("eb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          floor(VectorFunctions.cosine(col("ea"), col("eb")) * 1000000)
+            .cast("long").as("cosine_micro"))
+        .orderBy(desc("cosine_micro"), col("id_a"), col("id_b"))
+        .limit(20)
     }),
 
     // KNN graph: top-3 neighbors per vector within hyperplane LSH cells,
@@ -3642,6 +3725,36 @@ object LlmQueries {
             CAST(FLOOR(v * 1000000) AS BIGINT) AS v_micro
           FROM vals"""
     },
+    "llm_learned_embed" ->
+      s"""WITH $learnedEmbCtes
+          SELECT token, dim, e_micro FROM e""",
+    // Document embeddings = exact integer sums of trained term vectors;
+    // cosine doubles live only inside one row's fold (list order), so
+    // the dot/norm/ratio sequence matches Spark bit-for-bit.
+    "llm_learned_doc_sim" ->
+      s"""WITH $learnedEmbCtes,
+          dtok AS (
+            SELECT doc_id, unnest(ws) AS token FROM t
+            WHERE doc_id < 200),
+          dv AS (
+            SELECT doc_id, dim, CAST(SUM(e_micro) AS BIGINT) AS v
+            FROM dtok JOIN e USING (token) GROUP BY doc_id, dim),
+          emb AS (
+            SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY dim) AS ev
+            FROM dv GROUP BY doc_id),
+          prs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              list_sum(list_transform(range(1, len(a.ev) + 1), i ->
+                a.ev[CAST(i AS INT)] * b.ev[CAST(i AS INT)])) AS dt,
+              sqrt(list_sum(list_transform(a.ev, x -> x * x))) AS na,
+              sqrt(list_sum(list_transform(b.ev, x -> x * x))) AS nb
+            FROM emb a JOIN emb b ON a.doc_id < b.doc_id)
+          SELECT id_a, id_b,
+            CAST(FLOOR((CASE WHEN na = 0 OR nb = 0 THEN 0.0
+              ELSE dt / (na * nb) END) * 1000000) AS BIGINT)
+              AS cosine_micro
+          FROM prs
+          ORDER BY cosine_micro DESC, id_a, id_b LIMIT 20""",
     "llm_stream_dedup" ->
       """SELECT DISTINCT user_id FROM events""",
     // Append-mode watermark semantics in SQL: only windows whose end

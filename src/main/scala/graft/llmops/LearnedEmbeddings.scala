@@ -1,0 +1,141 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus-TRAINED distributional embeddings: vocab-restricted PPMI
+  * co-occurrence statistics projected to `dims` dimensions with a
+  * deterministic hash-sign matrix.
+  *
+  * Why this counts as "learned": the vectors are a pure function of the
+  * CORPUS (co-occurrence counts within a skip-gram window), not of the
+  * token string alone -- Levy & Goldberg (NeurIPS 2014) showed word2vec
+  * skip-gram-negative-sampling implicitly factorizes exactly this
+  * shifted-PPMI matrix, and sign-random-projection of the PPMI rows is
+  * the classic "random indexing" approximation of that factorization.
+  * It replaces the former `withMediaFeatures`-style hash-only stub with
+  * a model whose output moves when the data moves.
+  *
+  * Determinism across engines and partitionings (the gate contract):
+  *  - co-occurrence counts, marginals, and totals are exact integers;
+  *  - PPMI is floored to integer micros per (t,c) CELL (one double
+  *    ratio + one ln, the same `ln -> floor-micro` protocol as the
+  *    Naive-Bayes gate), BEFORE any cross-row sum;
+  *  - the projection sums `ppmi_micro * (+/-1)` -- integer arithmetic,
+  *    so reduction order cannot change a single bit.
+  *
+  * Scale shape: pair generation is a pure codegen'd column pipeline
+  * (flatten/transform over the token array -- ~2*window rows per token,
+  * no join); the only shuffles are the vocab count, the (t,c) count
+  * (map-side combined), and the final (token,dim) integer sum whose
+  * cardinality is bounded by vocabSize * dims. Vocab and marginals are
+  * broadcast. At 100 TB the pair stream is the corpus scanned once.
+  */
+object LearnedEmbeddings {
+
+  /** Skip-gram (center, context) pairs within a symmetric window:
+    * for token position i, every j != i with |i-j| <= window emits
+    * (toks[i], toks[j]). Pure narrow projection + explode.
+    */
+  def skipGramPairs(df: DataFrame, textCol: String,
+      window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val prs = bind(tokens(col(textCol))) { toks =>
+      val n = size(toks)
+      when(n === 0, array().cast("array<struct<t:string,c:string>>"))
+        .otherwise(flatten(transform(sequence(lit(1), n), i =>
+          transform(
+            filter(sequence(greatest(lit(1), i - window),
+              least(n, i + window)), j => j =!= i),
+            j => struct(element_at(toks, i).as("t"),
+              element_at(toks, j).as("c"))))))
+    }
+    df.select(explode(prs).as("p"))
+      .select(col("p.t").as("t"), col("p.c").as("c"))
+  }
+
+  /** Top-`vocabSize` tokens by corpus count (ties break on the token,
+    * so the cut is a total order and engines agree at the boundary).
+    */
+  def topVocab(df: DataFrame, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token")).limit(vocabSize)
+      .select("token")
+  }
+
+  /** Positive-PMI cells over the vocab-restricted skip-gram pair
+    * distribution: (t, c, cnt, ppmi_micro) with ppmi_micro =
+    * floor(ln(cnt*T / (m_t*m_c)) * 1e6) > 0 (non-positive cells are
+    * dropped -- standard PPMI sparsification, and it keeps the matrix
+    * O(observed pairs), never vocab^2).
+    *
+    * Marginals are computed AFTER the vocab restriction, i.e. PPMI of
+    * the conditional pair distribution the model actually sees.
+    */
+  def ppmiCells(df: DataFrame, textCol: String, vocabSize: Int,
+      window: Int): DataFrame = {
+    val vocab = broadcast(topVocab(df, textCol, vocabSize))
+    val vp = skipGramPairs(df, textCol, window)
+      .join(vocab.select(col("token").as("t")), "t")
+      .join(vocab.select(col("token").as("c")), "c")
+    val cooc = vp.groupBy("t", "c").agg(count(lit(1)).as("cnt"))
+    val marg = cooc.groupBy("t").agg(sum("cnt").cast("long").as("m"))
+    val tot = cooc.agg(sum("cnt").cast("long").as("tt"))
+    cooc
+      .join(broadcast(marg.select(col("t"), col("m").as("mt"))), "t")
+      .join(broadcast(marg.select(col("t").as("c"), col("m").as("mc"))),
+        "c")
+      .crossJoin(broadcast(tot))
+      .withColumn("ppmi_micro",
+        floor(log((col("cnt").cast("double") * col("tt")) /
+          (col("mt").cast("double") * col("mc"))) * 1000000.0)
+          .cast("long"))
+      .where(col("ppmi_micro") > 0)
+      .select("t", "c", "cnt", "ppmi_micro")
+  }
+
+  /** Sign of the (context, dim) projection cell: +1 when
+    * md5(seed:c:dim)'s leading 8 hex digits are even, else -1.
+    */
+  private def projSign(c: Column, dim: Column, seed: String): Column =
+    when(hex8(concat(lit(seed + ":"), c, lit(":"), dim.cast("string")))
+      % 2 === 0, lit(1L)).otherwise(lit(-1L))
+
+  /** Trained term embeddings: e(token, dim) = sum over context c of
+    * ppmi_micro(token, c) * sign(c, dim). Rows (token, dim, e_micro);
+    * exact integers, so any reduction order and any partitioning
+    * produce the identical table.
+    */
+  def termEmbeddings(df: DataFrame, textCol: String, vocabSize: Int,
+      window: Int, dims: Int, seed: String = "emb"): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    ppmiCells(df, textCol, vocabSize, window)
+      .select(col("t").as("token"), col("c"), col("ppmi_micro"),
+        explode(sequence(lit(0), lit(dims - 1))).as("dim"))
+      .groupBy("token", "dim")
+      .agg(sum(col("ppmi_micro") * projSign(col("c"), col("dim"), seed))
+        .as("e_micro"))
+  }
+
+  /** Document embeddings from trained term embeddings: the (exact,
+    * integer) sum of the document's vocab-token vectors, as
+    * `embedding: array<long>` ordered by dim. Documents with no vocab
+    * token (or only tokens whose PPMI rows are empty) produce no row.
+    * Cosine is scale-invariant, so the unnormalized integer sum is the
+    * right at-rest form -- bit-exact, and any consumer can normalize.
+    */
+  def docEmbeddings(df: DataFrame, idCol: String, textCol: String,
+      termEmb: DataFrame): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(termEmb), "token")
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum("e_micro").as("v"))
+      .groupBy(idCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("v")))),
+        s => s.getField("v")).as("embedding"))
+}

@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   *     statistics (sums/extrema), so gates hash-match a SQL oracle that
   *     knows the pixel/sample formula; JPEG is lossy, so its kernel is
   *     spec-level.
-  *  3. STUBS only where a real model genuinely isn't in a JDK (learned
-  *     embeddings): `decodeStub` / `withMediaFeatures` keep the schema,
+  *  3. STUBS only where an external NEURAL model would be required:
+  *     `decodeStub` / `withMediaFeatures` keep the schema,
   *     partition-level batching, column pruning, and UDF seam real —
   *     swapping in an actual model (or a `mapInPandas`-style vectorized
-  *     bridge) changes no plumbing.
+  *     bridge) changes no plumbing. For TEXT, a genuinely corpus-TRAINED
+  *     embedding exists since r15 — [[LearnedEmbeddings]] (gated PPMI +
+  *     sign projection); this seam remains only for image/audio nets.
   */
 object Multimodal {
 
