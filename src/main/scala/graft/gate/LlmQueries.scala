@@ -321,6 +321,66 @@ object LlmQueries {
               / 1000.0 - 1.0))) >= 0 THEN '1' ELSE '0' END)"""
     }.mkString(" || ")
 
+  /** Synthetic image payloads for the real-decode gates (doc_id < 300):
+    * md5-derived dims (w in 1..12, h in 1..10), pixel formula
+    * pv(x,y,c) = (doc_id*31 + y*7 + x*3 + c*11) % 256, encoded as a
+    * real bottom-up padded 24-bit BMP (doc_id%3==2), grayscale PNG
+    * (%3==1) or RGB PNG (else, via the real zlib encoder). Returns
+    * (doc_id, payload).
+    */
+  private def syntheticImageDocs(docs0: DataFrame): DataFrame = {
+    val docs = docs0.where(col("doc_id") < 300)
+    def hx(off: Int, len: Int) = expr(
+      s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), $off, $len)," +
+        " 16, 10) AS BIGINT)")
+    val w = (lit(1) + pmod(hx(1, 2), lit(12))).cast("int")
+    val h = (lit(1) + pmod(hx(3, 2), lit(10))).cast("int")
+    def le32(c: org.apache.spark.sql.Column) = {
+      val h8 = format_string("%08X", c)
+      concat(substring(h8, 7, 2), substring(h8, 5, 2),
+        substring(h8, 3, 2), substring(h8, 1, 2))
+    }
+    def pv(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+        c: Int) =
+      pmod(col("doc_id") * 31 + y * 7 + x * 3 + lit(c * 11), lit(256))
+    val padBytes = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
+    val padHex = element_at(array(lit(""), lit("00"), lit("0000"),
+      lit("000000")), padBytes.cast("int") + 1)
+    val stride = w * 3 + padBytes
+    // bottom-up: file row 0 carries image row h-1
+    val bmpRows = concat_ws("", transform(sequence(h - 1, lit(0), lit(-1)),
+      y => concat(concat_ws("", transform(sequence(lit(0), w - 1), x =>
+        format_string("%02X%02X%02X", pv(x, y, 2), pv(x, y, 1),
+          pv(x, y, 0)))), padHex)))
+    val bmpHex = concat(
+      lit("424D"), le32(lit(54) + stride * h), lit("00000000"),
+      lit("36000000"), lit("28000000"), le32(w), le32(h),
+      lit("0100"), lit("1800"), lit("00000000"), le32(stride * h),
+      lit("00000000" * 4), bmpRows)
+    val pngUdf = udf { (docId: Long, pw: Int, ph: Int, ch: Int) =>
+      val pix = new Array[Byte](pw * ph * ch)
+      var i = 0
+      var y = 0
+      while (y < ph) {
+        var x = 0
+        while (x < pw) {
+          var c = 0
+          while (c < ch) {
+            pix(i) = ((docId * 31 + y * 7 + x * 3 + c * 11) % 256).toByte
+            i += 1; c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Multimodal.pngEncode(pw, ph, ch, pix)
+    }
+    val payload = when(pmod(col("doc_id"), lit(3)) === 2, unhex(bmpHex))
+      .otherwise(pngUdf(col("doc_id"), w, h,
+        when(pmod(col("doc_id"), lit(3)) === 1, lit(1)).otherwise(lit(3))))
+    docs.select(col("doc_id"), payload.as("payload"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup groups (hash-groupBy).
     "llm_exact_dedup" -> ((s, d) =>
@@ -1613,58 +1673,9 @@ object LlmQueries {
     // unfilter / stride walk) and emits exact integer per-channel
     // sums/extrema; the oracle recomputes them straight from the
     // formula — a hash-match proves decode inverts real encodings.
-    "llm_image_stats" -> ((s, d) => {
-      val docs = Tables.documents(s, d).where(col("doc_id") < 300)
-      def hx(off: Int, len: Int) = expr(
-        s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), $off, $len)," +
-          " 16, 10) AS BIGINT)")
-      val w = (lit(1) + pmod(hx(1, 2), lit(12))).cast("int")
-      val h = (lit(1) + pmod(hx(3, 2), lit(10))).cast("int")
-      def le32(c: org.apache.spark.sql.Column) = {
-        val h8 = format_string("%08X", c)
-        concat(substring(h8, 7, 2), substring(h8, 5, 2),
-          substring(h8, 3, 2), substring(h8, 1, 2))
-      }
-      def pv(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
-          c: Int) =
-        pmod(col("doc_id") * 31 + y * 7 + x * 3 + lit(c * 11), lit(256))
-      val padBytes = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
-      val padHex = element_at(array(lit(""), lit("00"), lit("0000"),
-        lit("000000")), padBytes.cast("int") + 1)
-      val stride = w * 3 + padBytes
-      // bottom-up: file row 0 carries image row h-1
-      val bmpRows = concat_ws("", transform(sequence(h - 1, lit(0), lit(-1)),
-        y => concat(concat_ws("", transform(sequence(lit(0), w - 1), x =>
-          format_string("%02X%02X%02X", pv(x, y, 2), pv(x, y, 1),
-            pv(x, y, 0)))), padHex)))
-      val bmpHex = concat(
-        lit("424D"), le32(lit(54) + stride * h), lit("00000000"),
-        lit("36000000"), lit("28000000"), le32(w), le32(h),
-        lit("0100"), lit("1800"), lit("00000000"), le32(stride * h),
-        lit("00000000" * 4), bmpRows)
-      val pngUdf = udf { (docId: Long, pw: Int, ph: Int, ch: Int) =>
-        val pix = new Array[Byte](pw * ph * ch)
-        var i = 0
-        var y = 0
-        while (y < ph) {
-          var x = 0
-          while (x < pw) {
-            var c = 0
-            while (c < ch) {
-              pix(i) = ((docId * 31 + y * 7 + x * 3 + c * 11) % 256).toByte
-              i += 1; c += 1
-            }
-            x += 1
-          }
-          y += 1
-        }
-        Multimodal.pngEncode(pw, ph, ch, pix)
-      }
-      val payload = when(pmod(col("doc_id"), lit(3)) === 2, unhex(bmpHex))
-        .otherwise(pngUdf(col("doc_id"), w, h,
-          when(pmod(col("doc_id"), lit(3)) === 1, lit(1)).otherwise(lit(3))))
+    "llm_image_stats" -> ((s, d) =>
       Multimodal.withImagePixelStats(
-        docs.select(col("doc_id"), payload.as("payload")), "payload")
+        syntheticImageDocs(Tables.documents(s, d)), "payload")
         .select(col("doc_id"), col("px_format"), col("px_width"),
           col("px_height"),
           posexplode(arrays_zip(col("px_sum"), col("px_min"),
@@ -1672,8 +1683,20 @@ object LlmQueries {
         .select(col("doc_id"), col("px_format"), col("px_width"),
           col("px_height"), col("channel"),
           col("z.px_sum").as("ch_sum"), col("z.px_min").as("ch_min"),
-          col("z.px_max").as("ch_max"))
-    }),
+          col("z.px_max").as("ch_max"))),
+
+    // REAL content-derived media features (same synthetic-payload
+    // protocol): 2x2 grid mean-pool per channel over the DECODED
+    // pixels — floor(cellSum*1e6/cellCount), one integer division, so
+    // the vector is exact. Unlike px_sum, the grid separates images
+    // with identical global statistics but different spatial layout;
+    // widths/heights below the grid exercise the empty-cell -> 0 path.
+    "llm_media_features" -> ((s, d) =>
+      Multimodal.withMediaContentFeatures(
+        syntheticImageDocs(Tables.documents(s, d)), "payload", grid = 2)
+        .select(col("doc_id"), col("mf_format"), col("mf_width"),
+          col("mf_height"),
+          posexplode(col("media_feat")).as(Seq("fi", "f")))),
 
     // REAL PCM-CONTENT gate (same protocol): a full 16-bit mono WAV is
     // built in column exprs — sample codes from
@@ -3961,6 +3984,48 @@ object LlmQueries {
            CAST(MIN(p) AS INT) AS ch_min,
            CAST(MAX(p) AS INT) AS ch_max
          FROM px GROUP BY doc_id, fmt, w, h, c""",
+    // 2x2 grid mean-pool straight from the pixel formula: pixel
+    // (x = (k%(w*nch))//nch, y = k//(w*nch)) falls in cell
+    // (y*2//h)*2 + (x*2//w); feature fi = cell*nch + c, value =
+    // SUM(p)*1e6 // COUNT — the identical single integer division the
+    // Spark kernel performs after the real decode. Cells with no
+    // pixels (w or h < 2) fill with 0 via the left join.
+    "llm_media_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+             1 + CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 2)) AS BIGINT) % 12 AS INT) AS w,
+             1 + CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               3, 2)) AS BIGINT) % 10 AS INT) AS h,
+             CASE WHEN doc_id % 3 = 2 THEN 'bmp' ELSE 'png' END AS fmt,
+             CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS nch
+           FROM documents WHERE doc_id < 300),
+         k AS (
+           SELECT doc_id, fmt, w, h, nch,
+             unnest(range(0, w * h * nch)) AS k
+           FROM m),
+         px AS (
+           SELECT doc_id, w, h, nch,
+             ((k // (w * nch)) * 2 // h) * 2 +
+               (((k % (w * nch)) // nch) * 2 // w) AS cell,
+             (k % nch) AS c,
+             (doc_id * 31 + (k // (w * nch)) * 7 +
+              ((k % (w * nch)) // nch) * 3 + (k % nch) * 11) % 256 AS p
+           FROM k),
+         agg AS (
+           SELECT doc_id, cell * nch + c AS fi,
+             CAST(CAST(SUM(p) AS BIGINT) * 1000000 // COUNT(*) AS BIGINT)
+               AS f
+           FROM px GROUP BY doc_id, cell, nch, c),
+         allfi AS (
+           SELECT doc_id, fmt, w, h, nch,
+             unnest(range(0, 4 * nch)) AS fi
+           FROM m)
+         SELECT a.doc_id, a.fmt AS mf_format, a.w AS mf_width,
+           a.h AS mf_height, CAST(a.fi AS INT) AS fi,
+           CAST(COALESCE(g.f, 0) AS BIGINT) AS f
+         FROM allfi a LEFT JOIN agg g
+           ON g.doc_id = a.doc_id AND g.fi = a.fi""",
     "llm_audio_stats" ->
       """WITH m AS (
            SELECT doc_id,

@@ -240,6 +240,63 @@ class MultimodalContentSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("px_format")))
   }
 
+  test("media content features: known-answer 2x2 pooling, spatial " +
+    "discrimination px_sum cannot provide, empty cells, null path") {
+    import spark.implicits._
+    // 4x2 grayscale: left half all 10, right half all 200. Mirror has
+    // identical global sum/min/max but opposite layout.
+    val left = pix(4, 2, 1)((x, _, _) => if (x < 2) 10 else 200)
+    val mirror = pix(4, 2, 1)((x, _, _) => if (x < 2) 200 else 10)
+    // 1x1: with grid=2 only cell (0,0) is populated; 3 cells empty -> 0
+    val tiny = pix(1, 1, 1)((_, _, _) => 77)
+    val df = Seq(
+      (1L, Multimodal.pngEncode(4, 2, 1, left)),
+      (2L, Multimodal.pngEncode(4, 2, 1, mirror)),
+      (3L, Multimodal.pngEncode(1, 1, 1, tiny)),
+      (4L, Array.fill[Byte](10)(3))).toDF("id", "media")
+    val out = Multimodal.withMediaContentFeatures(df, "media", grid = 2)
+      .orderBy("id").collect()
+    // y in {0,1} -> rows split across gy=0/gy=1; x 0..3 -> gx split 0/1
+    assert(out(0).getSeq[Long](out(0).fieldIndex("media_feat")) ===
+      Seq(10000000L, 200000000L, 10000000L, 200000000L))
+    assert(out(1).getSeq[Long](out(0).fieldIndex("media_feat")) ===
+      Seq(200000000L, 10000000L, 200000000L, 10000000L))
+    // identical global stats, different vectors: the point of pooling
+    val st = Multimodal.withImagePixelStats(
+      df.where($"id" < 3), "media").orderBy("id").collect()
+    assert(st(0).getSeq[Long](st(0).fieldIndex("px_sum")) ===
+      st(1).getSeq[Long](st(0).fieldIndex("px_sum")))
+    assert(out(0).getSeq[Long](out(0).fieldIndex("media_feat")) !==
+      out(1).getSeq[Long](out(0).fieldIndex("media_feat")))
+    assert(out(2).getSeq[Long](out(0).fieldIndex("media_feat")) ===
+      Seq(77000000L, 0L, 0L, 0L))
+    assert(out(3).isNullAt(out(3).fieldIndex("media_feat")))
+  }
+
+  test("media content features: rgb interleave + jpeg decode ride the " +
+    "same kernel; exact integer division semantics") {
+    import spark.implicits._
+    // 2x2 RGB: per-channel constant ramps -> every cell has 1 pixel,
+    // feature = value * 1e6 exactly; 3x1 exercises truncating division
+    // (cells of 1 or 2 pixels)
+    val rgb = pix(2, 2, 3)((x, y, c) => 50 * c + 10 * x + y)
+    val wide = pix(3, 1, 1)((x, _, _) => Seq(5, 8, 9)(x))
+    val df = Seq(
+      (1L, Multimodal.pngEncode(2, 2, 3, rgb)),
+      (2L, Multimodal.pngEncode(3, 1, 1, wide))).toDF("id", "media")
+    val out = Multimodal.withMediaContentFeatures(df, "media", grid = 2)
+      .orderBy("id").collect()
+    val f1 = out(0).getSeq[Long](out(0).fieldIndex("media_feat"))
+    assert(f1.length === 12)
+    for (cell <- 0 until 4; c <- 0 until 3) {
+      val (gx, gy) = (cell % 2, cell / 2)
+      assert(f1(cell * 3 + c) === (50 * c + 10 * gx + gy) * 1000000L)
+    }
+    // gx = x*2//3: x in {0,1} -> 0 (mean floor((5+8)*1e6/2)), x=2 -> 1
+    assert(out(1).getSeq[Long](out(0).fieldIndex("media_feat")) ===
+      Seq((5L + 8L) * 1000000L / 2L, 9000000L, 0L, 0L))
+  }
+
   test("wav pcm stats: 16-bit two's complement, peak/clip/sum_sq exact") {
     val samples = Seq(0, 100, -100, 32767, -32768, -1)
     val data = samples.flatMap { s =>
