@@ -1698,6 +1698,43 @@ object LlmQueries {
           col("mf_height"),
           posexplode(col("media_feat")).as(Seq("fi", "f")))),
 
+    // WARC (ISO 28500 / Common Crawl) record extraction: a two-record
+    // archive (request + HTTP response wrapping the document text) is
+    // synthesized per doc in column exprs; the REAL parser splits
+    // records, parses named fields, validates Content-Length against
+    // the payload, and cracks the HTTP response. The oracle recomputes
+    // every field (incl. the exact byte lengths and payload md5s) from
+    // the same construction.
+    "llm_warc_extract" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 300)
+      val crlf = "\r\n"
+      val url = concat(lit("https://ex"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".com/p/"),
+        col("doc_id").cast("string"))
+      val html = concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
+          crlf + crlf), html)
+      val reqHttp = "GET / HTTP/1.1" + crlf + "Host: h" + crlf + crlf
+      val arc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: request" + crlf +
+          "WARC-Target-URI: "), url,
+        lit(crlf + s"Content-Length: ${reqHttp.getBytes("UTF-8").length}" +
+          crlf + crlf + reqHttp + crlf + crlf),
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: "), url,
+        lit(crlf + "WARC-Date: 2024-01-01T00:00:00Z" + crlf +
+          "Content-Length: "), octet_length(http).cast("string"),
+        lit(crlf + crlf), http, lit(crlf + crlf))
+      graft.llmops.Warc.withWarcRecords(
+        docs.select(col("doc_id"), arc.as("arc")), "arc")
+        .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+          col("warc_url"), col("warc_date"), col("content_length"),
+          col("declared_len_ok"), col("http_status"),
+          col("http_content_type"), md5(col("warc_body")).as("body_md5"))
+    }),
+
     // REAL PCM-CONTENT gate (same protocol): a full 16-bit mono WAV is
     // built in column exprs — sample codes from
     //   i%17==0 -> 32767 (positive clip), i%23==5 -> 32768 (negative
@@ -4026,6 +4063,39 @@ object LlmQueries {
            CAST(COALESCE(g.f, 0) AS BIGINT) AS f
          FROM allfi a LEFT JOIN agg g
            ON g.doc_id = a.doc_id AND g.fi = a.fi""",
+    // Every parsed WARC field recomputed from the synthesis formula:
+    // fixed request lengths/md5, response Content-Length = 44 HTTP
+    // header bytes + 33 html wrapper bytes + the text's UTF-8 bytes.
+    "llm_warc_extract" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+             'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+               || CAST(doc_id AS VARCHAR) AS u
+           FROM documents WHERE doc_id < 300),
+         r0 AS (
+           SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+             'request' AS warc_type, u AS warc_url,
+             CAST(NULL AS VARCHAR) AS warc_date,
+             CAST(27 AS BIGINT) AS content_length,
+             TRUE AS declared_len_ok,
+             CAST(NULL AS INT) AS http_status,
+             CAST(NULL AS VARCHAR) AS http_content_type,
+             md5('GET / HTTP/1.1' || chr(13) || chr(10) || 'Host: h'
+               || chr(13) || chr(10) || chr(13) || chr(10)) AS body_md5
+           FROM d),
+         r1 AS (
+           SELECT doc_id, CAST(1 AS INT) AS rec_idx,
+             'response' AS warc_type, u AS warc_url,
+             '2024-01-01T00:00:00Z' AS warc_date,
+             CAST(77 + octet_length(encode(text)) AS BIGINT)
+               AS content_length,
+             TRUE AS declared_len_ok,
+             CAST(200 AS INT) AS http_status,
+             'text/html' AS http_content_type,
+             md5('<html><body><p>' || text || '</p></body></html>')
+               AS body_md5
+           FROM d)
+         SELECT * FROM r0 UNION ALL SELECT * FROM r1""",
     "llm_audio_stats" ->
       """WITH m AS (
            SELECT doc_id,

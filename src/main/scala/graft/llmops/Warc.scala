@@ -1,0 +1,377 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500, the Common Crawl container) ingestion — the front
+  * door of every web-scale LLM training pipeline. Three surfaces over
+  * one shared validating parser kernel:
+  *
+  *  - [[parseArchive]]: archive text -> records. Splits on WARC version
+  *    lines and REJOINS false splits (a payload that itself contains
+  *    "WARC/1.0\r\n" does not tear the record — a chunk whose head does
+  *    not parse as a WARC named-field block is a payload continuation).
+  *  - [[withWarcRecords]]: explode an archive-per-row string column
+  *    into typed record rows (map-side, codegen boundary only at the
+  *    kernel — the per-partition batch shape shared by the media
+  *    kernels).
+  *  - [[readWarc]] / [[readWarcGz]]: files. Plain `.warc` reads
+  *    SPLITTABLE via the custom-record-delimiter technique proven by
+  *    the PGN reader (ingest/IngestJob.readPgnSplittable): Hadoop
+  *    re-synchronizes each split at the next version line, a false
+  *    split at a split boundary is healed by a cross-split carry plan
+  *    (pass 1 emits one tiny row per split; the driver chains leading
+  *    continuation text backward; pass 2 re-reads and appends). The
+  *    gzip form (`.warc.gz`, per-record gzip members concatenated —
+  *    how Common Crawl actually ships) is NOT splittable by the codec,
+  *    so parallelism is across files — the production shape, where a
+  *    crawl segment is thousands of ~1 GB members.
+  *
+  * Text fidelity: payload bytes pass through UTF-8 decoding with
+  * replacement (the reader targets textual response payloads for LLM
+  * curation; archives of binary media belong to the binary-column
+  * multimodal path). Content-Length is parsed and VALIDATED against
+  * the observed payload (declared_len_ok), never trusted for walking —
+  * records are bounded by version-line re-sync, so a lying length
+  * cannot desynchronize the stream (the crawl-garbage contract: parse
+  * what is parseable, flag the rest, never throw).
+  */
+object Warc {
+
+  final case class WarcRecord(
+      warc_type: String,
+      warc_url: String,
+      warc_date: String,
+      warc_record_id: String,
+      content_length: Long,
+      declared_len_ok: Boolean,
+      http_status: Integer,
+      http_content_type: String,
+      warc_body: String)
+
+  private val versionRe =
+    java.util.regex.Pattern.compile("(?m)^WARC/1\\.[01]\r?\n")
+  private val fieldRe =
+    java.util.regex.Pattern.compile("^[A-Za-z][A-Za-z0-9_-]*:.*")
+
+  /** True iff the text after a version line starts with a plausible
+    * WARC named-field block (first line is `Name: value`). Payload
+    * bytes that merely contain a version line almost never satisfy
+    * this; when they do AND the fake block contains a WARC-Type field,
+    * the split is accepted — the same fundamental ambiguity every
+    * delimiter-resync reader has, absent in length-walked single-file
+    * readers and excluded by the WARC spec's recommendation to encode
+    * payloads (gzip members) at rest.
+    */
+  private def validStart(chunk: String): Boolean = {
+    val eol = {
+      val i = chunk.indexOf('\n')
+      if (i < 0) chunk.length else i
+    }
+    val first = chunk.substring(0, eol).stripSuffix("\r")
+    fieldRe.matcher(first).matches() && {
+      val headEnd = headerBlockEnd(chunk)
+      val head = chunk.substring(0, headEnd._1)
+      head.toLowerCase(java.util.Locale.ROOT).contains("warc-type:")
+    }
+  }
+
+  /** (end-of-headers offset, start-of-payload offset). */
+  private def headerBlockEnd(s: String): (Int, Int) = {
+    val rr = s.indexOf("\r\n\r\n")
+    val nn = s.indexOf("\n\n")
+    if (rr >= 0 && (nn < 0 || rr <= nn)) (rr, rr + 4)
+    else if (nn >= 0) (nn, nn + 2)
+    else (s.length, s.length)
+  }
+
+  private def headerMap(head: String): Map[String, String] =
+    head.split("\r?\n").iterator
+      .filter(l => l.contains(":"))
+      .map { l =>
+        val i = l.indexOf(':')
+        l.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT) ->
+          l.substring(i + 1).trim
+      }.toMap
+
+  private def parseOne(chunk: String): WarcRecord = {
+    val (hEnd, pStart) = headerBlockEnd(chunk)
+    val fields = headerMap(chunk.substring(0, hEnd))
+    // the content block is followed by EXACTLY ONE \r\n\r\n record
+    // separator (ISO 28500 §4), which delimiter splitting leaves on the
+    // chunk tail -- strip one separator only, so payloads that
+    // legitimately end in CRLFs (an HTTP request's final blank line)
+    // survive byte-exact and their Content-Length validates
+    val payload = {
+      val p = chunk.substring(math.min(pStart, chunk.length))
+      if (p.endsWith("\r\n\r\n")) p.dropRight(4)
+      else if (p.endsWith("\n\n")) p.dropRight(2)
+      else if (p.endsWith("\r\n")) p.dropRight(2) // partial sep at EOF
+      else if (p.endsWith("\n")) p.dropRight(1)
+      else p
+    }
+    val declared = fields.get("content-length")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(-1L)
+    val declaredOk = declared >= 0 &&
+      declared == payload.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8).length
+    val (status, ctype, body) =
+      if (payload.startsWith("HTTP/")) {
+        val (he, ps) = headerBlockEnd(payload)
+        val statusLine = payload.substring(0,
+          math.min(he, payload.length))
+        val st = statusLine.split("\\s+") match {
+          case arr if arr.length >= 2 =>
+            scala.util.Try(arr(1).toInt).toOption
+          case _ => None
+        }
+        val hh = headerMap(payload.substring(0, he))
+        (st.map(Integer.valueOf).orNull,
+          hh.get("content-type").orNull,
+          payload.substring(math.min(ps, payload.length)))
+      } else (null: Integer, null: String, payload)
+    WarcRecord(
+      fields.getOrElse("warc-type", ""),
+      fields.getOrElse("warc-target-uri", null),
+      fields.getOrElse("warc-date", null),
+      fields.getOrElse("warc-record-id", null),
+      declared, declaredOk, status, ctype, body)
+  }
+
+  /** Split archive text into per-record chunks (version line stripped),
+    * healing false splits. Leading bytes before the first version line
+    * are dropped (mid-stream entry — the splittable reader's carry
+    * machinery hands them to the owner of the record they belong to).
+    * Returns (leadingContinuationText, records-as-chunks).
+    */
+  private[llmops] def chunkArchive(
+      text: String): (String, Vector[String]) = {
+    val m = versionRe.matcher(text)
+    val starts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (m.find()) starts += ((m.start(), m.end()))
+    if (starts.isEmpty) return (text, Vector.empty)
+    val leading = text.substring(0, starts.head._1)
+    val raw = starts.indices.map { i =>
+      val from = starts(i)._2
+      val until =
+        if (i + 1 < starts.length) starts(i + 1)._1 else text.length
+      (text.substring(starts(i)._1, starts(i)._2),
+        text.substring(from, until))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var leadAcc = leading
+    raw.foreach { case (ver, chunk) =>
+      if (validStart(chunk)) out += chunk
+      else if (out.nonEmpty) out(out.length - 1) += ver + chunk
+      else leadAcc += ver + chunk // continuation before any record
+    }
+    (leadAcc, out.toVector)
+  }
+
+  /** Parse a full archive string into records (false splits healed,
+    * leading garbage dropped). Never throws on crawl garbage.
+    */
+  def parseArchive(text: String): Seq[WarcRecord] =
+    if (text == null) Seq.empty
+    else chunkArchive(text)._2.map(parseOne)
+
+  /** Explode an archive-per-row string/binary column into WARC record
+    * rows: input columns + rec_idx + the [[WarcRecord]] fields.
+    * Map-side batch kernel, no shuffle.
+    */
+  def withWarcRecords(df: DataFrame, archiveCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(archiveCol)
+    import org.apache.spark.sql.types._
+    val recFields = Seq(
+      StructField("rec_idx", IntegerType, nullable = false),
+      StructField("warc_type", StringType),
+      StructField("warc_url", StringType),
+      StructField("warc_date", StringType),
+      StructField("warc_record_id", StringType),
+      StructField("content_length", LongType, nullable = false),
+      StructField("declared_len_ok", BooleanType, nullable = false),
+      StructField("http_status", IntegerType),
+      StructField("http_content_type", StringType),
+      StructField("warc_body", StringType))
+    val clash = recFields.map(_.name).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withWarcRecords output columns already present: ${clash.mkString(", ")}")
+    val outSchema = StructType(df.schema.fields ++ recFields)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val raw = row.get(idx) match {
+          case null => null
+          case b: Array[Byte] =>
+            new String(b, java.nio.charset.StandardCharsets.UTF_8)
+          case s: String => s
+          case other => other.toString
+        }
+        parseArchive(raw).zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq[Any](i,
+            r.warc_type, r.warc_url, r.warc_date, r.warc_record_id,
+            r.content_length, r.declared_len_ok, r.http_status,
+            r.http_content_type, r.warc_body))
+        }
+      }
+    }(rowEnc).toDF()
+  }
+
+  private val recordSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("source_file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("rec_idx",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("warc_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("warc_url",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("warc_date",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("warc_record_id",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("content_length",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("declared_len_ok",
+      org.apache.spark.sql.types.BooleanType, nullable = false),
+    org.apache.spark.sql.types.StructField("http_status",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("http_content_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("warc_body",
+      org.apache.spark.sql.types.StringType)))
+
+  private def recordRow(file: String, idx: Long,
+      r: WarcRecord): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(file, idx, r.warc_type, r.warc_url,
+      r.warc_date, r.warc_record_id, r.content_length,
+      r.declared_len_ok, r.http_status, r.http_content_type,
+      r.warc_body)
+
+  /** Splittable plain-`.warc` reader. Hadoop TextInputFormat with the
+    * record delimiter "WARC/1.0\r\n": splits re-synchronize at version
+    * lines; a FALSE split (payload containing the delimiter) that
+    * lands inside one split is healed locally by [[chunkArchive]], and
+    * one that lands at a split boundary is healed by the two-pass
+    * carry plan (pass 1: one row per split with its leading
+    * continuation text and record count; driver: chain continuations
+    * backward to the split owning the torn record, assign global
+    * per-file record indices; pass 2: re-read, append carry, emit).
+    * Both passes share the same kernel, so counts and slots cannot
+    * disagree — the readPgnSplittable design, citation there.
+    */
+  def readWarc(spark: SparkSession, path: String,
+      hadoopConf: Map[String, String] = Map.empty): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "WARC/1.0\r\n")
+    hadoopConf.foreach { case (k, v) => conf.set(k, v) }
+
+    def scan[U: scala.reflect.ClassTag](
+        f: (String, Long, Boolean, Iterator[String]) => Iterator[U]) =
+      spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text],
+        conf)
+        .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[
+          org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text]]
+        .mapPartitionsWithInputSplit { (split, iter) =>
+          val fs = split
+            .asInstanceOf[org.apache.hadoop.mapreduce.lib.input.FileSplit]
+          val u = fs.getPath.toUri
+          val file = new java.net.URI(u.getScheme,
+            Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
+            .toString
+          f(file, fs.getStart, fs.getStart == 0L, iter.map(_._2.toString))
+        }
+
+    // Reassemble the split's text: the delimiter is stripped between
+    // records; only the file head keeps (or lacks) its own version
+    // line. Re-attaching "WARC/1.0\r\n" before every non-head chunk
+    // reproduces the split's bytes, and chunkArchive re-validates.
+    def splitText(isFileHead: Boolean, chunks: Iterator[String]): String = {
+      val sb = new StringBuilder
+      var first = true
+      chunks.foreach { c =>
+        if (!(first && isFileHead)) sb ++= "WARC/1.0\r\n"
+        first = false
+        sb ++= c
+      }
+      sb.toString
+    }
+
+    // Pass 1: per split — leading continuation text (payload tail of a
+    // record owned by an earlier split) and the number of records
+    // STARTING here.
+    val reports = scan { (file, start, head, iter) =>
+      val (lead, recs) = chunkArchive(splitText(head, iter))
+      Iterator((file, start, lead, recs.size))
+    }.collect()
+
+    // Driver plan: for each split, the carry text to APPEND to its
+    // last record = concatenation of following splits' leading
+    // continuations while those splits contain the continuation chain
+    // (a split that is ALL continuation contributes and forwards), and
+    // the global base index = sum of record counts of earlier splits.
+    val byFile = reports.groupBy(_._1)
+    val plan: Map[(String, Long), (Long, String)] = byFile.flatMap {
+      case (file, rs) =>
+        val sorted = rs.sortBy(_._2)
+        var base = 0L
+        sorted.indices.map { i =>
+          val (f, start, _, n) = sorted(i)
+          val myBase = base
+          base += n
+          // carry: chain of subsequent splits' leading texts, stopping
+          // after the first split that has records of its own
+          val carry = new StringBuilder
+          var j = i + 1
+          var open = true
+          while (open && j < sorted.length) {
+            carry ++= sorted(j)._3
+            if (sorted(j)._4 > 0) open = false
+            j += 1
+          }
+          (f, start) -> ((myBase, carry.toString))
+        }
+    }
+    val bc = spark.sparkContext.broadcast(plan)
+
+    val rows = scan { (file, start, head, iter) =>
+      val (base, carry) = bc.value((file, start))
+      val (_, recs) = chunkArchive(splitText(head, iter) + carry)
+      recs.iterator.zipWithIndex.map { case (chunk, i) =>
+        recordRow(file, base + i, parseOne(chunk))
+      }
+    }
+    spark.createDataFrame(rows, recordSchema)
+  }
+
+  /** `.warc.gz` reader: concatenated per-record gzip members (the
+    * Common Crawl at-rest format). The gzip codec is not splittable,
+    * so each FILE decodes in one task (JDK GZIPInputStream reads
+    * concatenated members natively) and parallelism comes from the
+    * file set — the production sharding, where a crawl segment is many
+    * ~1 GB files. minPartitions spreads small file sets across tasks.
+    */
+  def readWarcGz(spark: SparkSession, path: String,
+      minPartitions: Int = 0): DataFrame = {
+    val mp = if (minPartitions > 0) minPartitions
+      else spark.sparkContext.defaultParallelism
+    val rows = spark.sparkContext
+      .binaryFiles(path, mp)
+      .flatMap { case (file, pds) =>
+        val in = new java.util.zip.GZIPInputStream(pds.open())
+        val text = try {
+          new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        parseArchive(text).iterator.zipWithIndex.map { case (r, i) =>
+          recordRow(file, i.toLong, r)
+        }
+      }
+    spark.createDataFrame(rows, recordSchema)
+  }
+}

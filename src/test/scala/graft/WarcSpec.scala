@@ -1,0 +1,159 @@
+package graft
+
+import graft.llmops.Warc
+
+class WarcSpec extends SparkSpec {
+
+  private def resp(url: String, html: String,
+      extra: String = ""): String = {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    val len = http.getBytes("UTF-8").length
+    s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$url>\r\n" +
+      extra +
+      s"Content-Length: $len\r\n\r\n" + http + "\r\n\r\n"
+  }
+
+  private def req(url: String): String = {
+    val http = s"GET / HTTP/1.1\r\nHost: h\r\n\r\n"
+    s"WARC/1.0\r\nWARC-Type: request\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+      http + "\r\n\r\n"
+  }
+
+  test("parseArchive: typed fields, HTTP split, length validation") {
+    val arc = req("http://a.com/") +
+      resp("http://a.com/", "<html><body>hello world</body></html>") +
+      "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 999\r\n\r\n" +
+      "via: crawler\r\n\r\n"
+    val rs = Warc.parseArchive(arc)
+    assert(rs.map(_.warc_type) === Seq("request", "response", "metadata"))
+    val r = rs(1)
+    assert(r.warc_url === "http://a.com/")
+    assert(r.http_status === 200)
+    assert(r.http_content_type === "text/html")
+    assert(r.warc_body === "<html><body>hello world</body></html>")
+    assert(r.declared_len_ok)
+    // metadata record lies about its length -> flagged, still parsed
+    assert(!rs(2).declared_len_ok)
+    assert(rs(2).warc_body === "via: crawler")
+    assert(rs(2).http_status === null)
+    // request records carry no HTTP *response* status, and a payload
+    // that legitimately ENDS in CRLFs (the request's blank line)
+    // survives byte-exact so its declared length validates
+    assert(rs(0).http_status === null)
+    assert(rs(0).warc_body === "GET / HTTP/1.1\r\nHost: h\r\n\r\n")
+    assert(rs(0).declared_len_ok)
+  }
+
+  test("false split healed: payload containing the version line stays " +
+    "one record") {
+    val evil = "leading text\r\nWARC/1.0\r\nnot a header block\r\nmore"
+    val arc = resp("http://e.com/", s"<p>$evil</p>") +
+      resp("http://f.com/", "<p>clean</p>")
+    val rs = Warc.parseArchive(arc)
+    assert(rs.length === 2)
+    assert(rs(0).warc_body === s"<p>$evil</p>")
+    assert(rs(0).declared_len_ok)
+    assert(rs(1).warc_url === "http://f.com/")
+  }
+
+  test("crawl garbage never throws: empty, null, no records, " +
+    "truncated header") {
+    assert(Warc.parseArchive(null) === Seq.empty)
+    assert(Warc.parseArchive("") === Seq.empty)
+    assert(Warc.parseArchive("no warc here at all") === Seq.empty)
+    val t = Warc.parseArchive("WARC/1.0\r\nWARC-Type: response")
+    assert(t.length === 1 && t.head.warc_type === "response")
+  }
+
+  test("withWarcRecords: archive-per-row column explodes to typed rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, req("http://a/") + resp("http://a/", "<b>A</b>")),
+      (2L, resp("http://b/", "<i>B</i>")),
+      (3L, "not an archive"),
+      (4L, null: String)).toDF("id", "arc")
+    val out = Warc.withWarcRecords(df, "arc")
+      .select("id", "rec_idx", "warc_type", "warc_url", "warc_body")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq.sorted === Seq((1L, 0, "request"),
+      (1L, 1, "response"), (2L, 0, "response")))
+  }
+
+  test("readWarc splittable: forced 512-byte splits reproduce the " +
+    "single-split read; boundary false split healed by the carry plan") {
+    val dir = java.nio.file.Files.createTempDirectory("warc").toString
+    // ~40 records so 512-byte splits cut many boundaries; record 17's
+    // payload embeds the delimiter to force a torn record somewhere
+    val arc = (0 until 40).map { i =>
+      val evil = if (i == 17)
+        "X\r\nWARC/1.0\r\nfake continuation bytes\r\nY" else s"body $i"
+      resp(s"http://site.com/p$i", s"<html><p>$evil</p></html>")
+    }.mkString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.warc"),
+      arc.getBytes("UTF-8"))
+    val whole = Warc.readWarc(spark, dir)
+      .orderBy("rec_idx")
+      .select("rec_idx", "warc_url", "warc_body", "declared_len_ok")
+      .collect()
+    val split = Warc.readWarc(spark, dir, hadoopConf = Map(
+      "mapreduce.input.fileinputformat.split.maxsize" -> "512",
+      "mapreduce.input.fileinputformat.split.minsize" -> "512"))
+      .orderBy("rec_idx")
+      .select("rec_idx", "warc_url", "warc_body", "declared_len_ok")
+      .collect()
+    assert(whole.length === 40)
+    assert(split.length === 40)
+    assert(split.map(_.toSeq).toSeq === whole.map(_.toSeq).toSeq)
+    assert(whole(17).getString(2).contains("WARC/1.0\r\nfake"))
+    assert(whole.forall(_.getBoolean(3)))
+  }
+
+  test("readWarcGz: concatenated gzip members, parallel across files") {
+    val dir = java.nio.file.Files.createTempDirectory("warcgz").toString
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bo.toByteArray
+    }
+    // member-per-record concatenation, two files
+    val f1 = gz(resp("http://g1/", "<p>one</p>")) ++
+      gz(resp("http://g2/", "<p>two</p>"))
+    val f2 = gz(resp("http://g3/", "<p>three</p>"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "s1.warc.gz"), f1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "s2.warc.gz"), f2)
+    val out = Warc.readWarcGz(spark, dir)
+      .select("warc_url", "warc_body").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(out.toSeq === Seq(
+      ("http://g1/", "<p>one</p>"), ("http://g2/", "<p>two</p>"),
+      ("http://g3/", "<p>three</p>")))
+  }
+
+  test("crawl front-end composition: warc -> response filter -> html " +
+    "text -> url canon") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L,
+      req("http://a.com/x?utm_source=t&q=1") +
+        resp("HTTP://WWW.A.com:80/x/?utm_source=t&q=1",
+          "<html><script>var x=1;</script><body>Real &amp; prose" +
+            "</body></html>"))).toDF("id", "arc")
+    val out = Warc.withWarcRecords(df, "arc")
+      .where(col("warc_type") === "response" && col("http_status") === 200)
+      .select(graft.llmops.Web.urlCanonCol(col("warc_url")).as("url"),
+        graft.llmops.Web.htmlTextUdf(col("warc_body")).as("text"))
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "http://a.com/x?q=1")
+    assert(out(0).getString(1) === "Real & prose")
+  }
+}
