@@ -1,0 +1,143 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.llmops.Warc
+
+/** WARC reader throughput at GB scale: synthesize sharded `.warc`
+  * files in parallel (one file per task — the crawl-segment shape),
+  * then measure [[Warc.readWarc]] (splittable) and [[Warc.readWarcGz]]
+  * (gzip members) end-to-end with field extraction. Invariants:
+  * record count exact, every Content-Length validates, per-file
+  * rec_idx contiguous from 0, and a 1%% deterministic sample of
+  * response bodies matches the generator formula.
+  *
+  * Every ~97th record embeds "WARC/1.0\r\n" inside its payload, so the
+  * splittable read exercises the false-split healing path at volume,
+  * not just in the unit spec.
+  *
+  * Usage: runMain graft.tools.WarcScale [records] [payloadBytes]
+  *   [shards] [--dir=<path>] (default 2,000,000 x ~1 KB x 32 ~= 2 GB;
+  *   --dir reuses an already-generated segment directory so repeated
+  *   benches don't pay the one-off generation)
+  */
+object WarcScale {
+
+  def payloadText(i: Long, payloadBytes: Int): String = {
+    val unit = s"record $i lorem ipsum dolor sit amet consectetur "
+    val sb = new StringBuilder
+    while (sb.length < payloadBytes) sb ++= unit
+    if (i % 97 == 0) sb ++= "\r\nWARC/1.0\r\nnot a real record header\r\n"
+    sb.toString
+  }
+
+  def record(i: Long, payloadBytes: Int): String = {
+    val crlf = "\r\n"
+    val html = s"<html><body><p>${payloadText(i, payloadBytes)}</p></body></html>"
+    val http = s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf$html"
+    s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+      s"WARC-Target-URI: https://ex${i % 1000}.com/p/$i$crlf" +
+      s"WARC-Date: 2024-01-01T00:00:00Z$crlf" +
+      s"Content-Length: ${http.getBytes("UTF-8").length}$crlf$crlf" +
+      http + crlf + crlf
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    val reuseDir = flags.collectFirst {
+      case f if f.startsWith("--dir=") => f.substring(6)
+    }
+    val nRecords = if (pos.nonEmpty) pos(0).toLong else 2000000L
+    val payloadBytes = if (pos.length > 1) pos(1).toInt else 1024
+    val shards = if (pos.length > 2) pos(2).toInt else 32
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = reuseDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("warc_scale").toString)
+
+    // parallel shard generation: each task streams its records straight
+    // to one .warc file (and its .warc.gz twin)
+    val t0 = System.nanoTime()
+    val written = if (reuseDir.isDefined) {
+      val sz = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .filter(_.toString.endsWith(".warc"))
+        .mapToLong(java.nio.file.Files.size).sum()
+      println(f"[warc] reusing $dir ($sz%,d raw bytes)")
+      sz
+    } else spark.range(0, shards, 1, shards).map { s =>
+      val path = java.nio.file.Paths.get(dir, f"seg-$s%05d.warc")
+      val gzPath = java.nio.file.Paths.get(dir, f"seg-$s%05d.warc.gz")
+      val out = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(path), 1 << 20)
+      val gz = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(gzPath), 1 << 20)
+      var bytes = 0L
+      val per = nRecords / shards
+      var i = s * per
+      while (i < (s + 1) * per) {
+        val rec = record(i, payloadBytes).getBytes("UTF-8")
+        out.write(rec)
+        val g = new java.util.zip.GZIPOutputStream(gz)
+        g.write(rec); g.finish() // member per record, Common Crawl style
+        bytes += rec.length
+        i += 1
+      }
+      out.close(); gz.close()
+      bytes
+    }.collect().sum
+    val genSecs = (System.nanoTime() - t0) / 1e9
+    val gb = written / 1e9
+    println(f"[warc] generated ${nRecords}%,d records / $gb%.2f GB raw " +
+      f"x2 formats in $genSecs%.1f s ($shards shards)")
+
+    def bench(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t = System.nanoTime()
+      val d = df
+      val agg = d.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("declared_len_ok"), 0L).otherwise(1L)).as("bad"),
+        sum(length(col("warc_body"))).as("chars")).head()
+      val secs = (System.nanoTime() - t) / 1e9
+      val n = agg.getLong(0)
+      require(n == nRecords, s"$name: $n records, expected $nRecords")
+      require(agg.getLong(1) == 0, s"$name: ${agg.getLong(1)} bad lengths")
+      println(f"[warc] $name%-10s $secs%7.1f s  " +
+        f"${n / secs}%,.0f rec/s  ${gb / secs * 1000}%,.0f MB/s  " +
+        f"(all Content-Lengths validate)")
+    }
+
+    bench("readWarc") {
+      Warc.readWarc(spark, s"$dir/*.warc")
+    }
+    bench("readWarcGz") {
+      Warc.readWarcGz(spark, s"$dir/*.warc.gz")
+    }
+
+    // per-file contiguity + sampled body check on the splittable read
+    val d = Warc.readWarc(spark, s"$dir/*.warc")
+    val contig = d.groupBy("source_file")
+      .agg(count(lit(1)).as("n"), min("rec_idx").as("lo"),
+        max("rec_idx").as("hi"))
+      .where(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+      .count()
+    require(contig == 0, s"$contig files with non-contiguous rec_idx")
+    val sample = d.where(col("warc_url").endsWith("/p/970")) // i=970: 970%97==0 -> embedded fake delimiter
+      .select("warc_body").head().getString(0)
+    require(sample.contains("WARC/1.0\r\nnot a real record header"),
+      "false-split payload was torn")
+    require(sample ==
+      s"<html><body><p>${payloadText(970L, payloadBytes)}</p></body></html>",
+      "sampled body does not match generator formula")
+    println("[warc] invariants: counts exact, rec_idx contiguous, " +
+      "false-split payloads intact, sampled body formula-exact")
+    spark.stop()
+  }
+}
