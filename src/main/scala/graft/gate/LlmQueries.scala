@@ -1698,6 +1698,32 @@ object LlmQueries {
           col("mf_height"),
           posexplode(col("media_feat")).as(Seq("fi", "f")))),
 
+    // jusText-style main-content extraction: each doc's text rides as
+    // the content paragraph of a synthesized page whose nav (pure
+    // links -> 3*linkChars > totalChars), tiny paragraph (< 40 chars)
+    // and footer are boilerplate the block rules must DROP, while the
+    // content paragraph and a constant link-free paragraph survive.
+    // The oracle replays the keep decision and the exact joined text
+    // (corpus text contains no <, > or &, so per-block extraction
+    // reduces to whitespace collapse).
+    "llm_main_content" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nav = "<nav><a href=\"/\">Home page</a> " +
+        "<a href=\"/a\">About our project</a> " +
+        "<a href=\"/c\">Contact and support</a></nav>"
+      val aboutPar = "<p>About this corpus: a deterministic fixture " +
+        "paragraph kept by the density rule.</p>"
+      val footer = "<footer>(c) 2024 <a href=\"/t\">Terms</a></footer>"
+      val html = concat(lit("<html><body>" + nav + "<p>"), col("text"),
+        lit("</p>" + aboutPar + "<p>tiny</p>" + footer +
+          "</body></html>"))
+      Web.withMainContent(
+        docs.select(col("doc_id"), html.as("html")), "html")
+        .select(col("doc_id"),
+          length(col("main_text")).cast("long").as("main_len"),
+          md5(col("main_text")).as("main_md5"))
+    }),
+
     // WARC (ISO 28500 / Common Crawl) record extraction: a two-record
     // archive (request + HTTP response wrapping the document text) is
     // synthesized per doc in column exprs; the REAL parser splits
@@ -4063,6 +4089,25 @@ object LlmQueries {
            CAST(COALESCE(g.f, 0) AS BIGINT) AS f
          FROM allfi a LEFT JOIN agg g
            ON g.doc_id = a.doc_id AND g.fi = a.fi""",
+    // Keep rule replayed: content kept iff collapsed length >= 40; the
+    // constant about-paragraph always survives; nav/tiny/footer always
+    // drop; kept blocks join with \n.
+    "llm_main_content" ->
+      """WITH d AS (
+           SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CASE WHEN length(t) >= 40
+               THEN t || chr(10) ||
+                 'About this corpus: a deterministic fixture paragraph kept by the density rule.'
+               ELSE
+                 'About this corpus: a deterministic fixture paragraph kept by the density rule.'
+             END AS mt
+           FROM d)
+         SELECT doc_id, CAST(length(mt) AS BIGINT) AS main_len,
+           md5(mt) AS main_md5
+         FROM m""",
     // Every parsed WARC field recomputed from the synthesis formula:
     // fixed request lengths/md5, response Content-Length = 44 HTTP
     // header bytes + 33 html wrapper bytes + the text's UTF-8 bytes.

@@ -204,6 +204,104 @@ object Web {
   val htmlTextUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((html: String) => extractHtmlText(html))
 
+  private val blockTags = Set("p", "div", "td", "li", "h1", "h2", "h3",
+    "h4", "h5", "h6", "article", "section", "header", "footer", "nav",
+    "aside", "ul", "ol", "table", "tr", "blockquote", "br", "body",
+    "html", "main")
+
+  /** jusText/trafilatura-style MAIN-CONTENT extraction: segment the
+    * page into blocks at block-level tag boundaries, score each block,
+    * keep prose, drop boilerplate. The production crawl pipelines'
+    * step between "all text" ([[extractHtmlText]]) and C4/quality
+    * filtering — nav bars, footers and link farms never reach the
+    * corpus.
+    *
+    * Block rule (simplified jusText, Pomikalek 2011): keep iff
+    *  - extracted text length >= `minChars` (default 40), and
+    *  - link density <= 1/3 (characters inside `<a>` / all characters,
+    *    computed BEFORE whitespace collapse, integer cross-multiplied:
+    *    3*linkChars <= totalChars).
+    * Kept blocks join with a single '\n'. Entity decoding, script/style
+    * skipping and whitespace collapse are [[extractHtmlText]]'s rules
+    * applied per block. Crawl-garbage contract: never throws; null ->
+    * "".
+    */
+  def extractMainContent(html: String, minChars: Int = 40): String = {
+    if (html == null) return ""
+    val lower = html.toLowerCase(java.util.Locale.ROOT)
+    val out = new StringBuilder
+    val block = new StringBuilder
+    var blockLink = 0 // chars emitted while inside <a>
+    var aDepth = 0
+    def flush(): Unit = {
+      val text = block.toString.split("\\s+").filter(_.nonEmpty)
+        .mkString(" ")
+      val total = block.count(!_.isWhitespace)
+      if (text.length >= minChars && 3L * blockLink <= total) {
+        if (out.nonEmpty) out += '\n'
+        out ++= text
+      }
+      block.clear(); blockLink = 0
+    }
+    def emit(c: Char): Unit = {
+      block += c
+      if (aDepth > 0 && !c.isWhitespace) blockLink += 1
+    }
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        val close = html.indexOf('>', i)
+        if (close < 0) i = n
+        else {
+          val inner = lower.substring(i + 1, close).trim
+          val closing = inner.startsWith("/")
+          val name = (if (closing) inner.drop(1) else inner)
+            .takeWhile(ch => ch.isLetter || ch.isDigit)
+          if (name == "script" || name == "style") {
+            val end = lower.indexOf("</" + name, close)
+            i = if (end < 0) n
+            else {
+              val e = html.indexOf('>', end)
+              if (e < 0) n else e + 1
+            }
+          } else {
+            if (name == "a") {
+              if (closing) aDepth = math.max(0, aDepth - 1)
+              else if (!inner.endsWith("/")) aDepth += 1
+            }
+            if (blockTags.contains(name)) flush() else emit(' ')
+            i = close + 1
+          }
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i)
+        if (semi > i && semi - i <= 6) {
+          html.substring(i + 1, semi) match {
+            case "amp" => emit('&')
+            case "lt" => emit('<')
+            case "gt" => emit('>')
+            case "quot" => emit('"')
+            case "#39" | "apos" => emit('\'')
+            case "nbsp" => emit(' ')
+            case _ => html.substring(i, semi + 1).foreach(emit)
+          }
+          i = semi + 1
+        } else { emit(c); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
+  val mainContentUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((html: String) => extractMainContent(html))
+
+  /** Column form: adds `main_text` extracted from `htmlCol`. */
+  def withMainContent(df: DataFrame, htmlCol: String): DataFrame =
+    df.withColumn("main_text", mainContentUdf(col(htmlCol)))
+
   /** Hard per-domain cap: keep at most `n` rows per registered domain,
     * selected by md5(id) order with an id tiebreak -- deterministic,
     * layout-independent, and TOTAL (content-hash ties fall back to the

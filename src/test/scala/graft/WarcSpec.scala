@@ -138,6 +138,44 @@ class WarcSpec extends SparkSpec {
       ("http://g3/", "<p>three</p>")))
   }
 
+  test("extractMainContent: boilerplate dropped, prose kept, density " +
+    "boundary exact") {
+    import graft.llmops.Web.extractMainContent
+    val prose = "This paragraph has comfortably more than forty " +
+      "characters of real prose in it."
+    val html = "<html><body>" +
+      "<nav><a href='/'>Home page link</a> <a href='/a'>About page " +
+      "link here</a> <a href='/c'>Contact support link</a></nav>" +
+      s"<p>$prose</p>" +
+      "<p>tiny</p>" +
+      "<footer>(c) 2024 <a href='/t'>Terms</a></footer>" +
+      "</body></html>"
+    assert(extractMainContent(html) === prose)
+    // two kept blocks join with \n in document order
+    assert(extractMainContent(s"<p>$prose</p><div>$prose</div>") ===
+      prose + "\n" + prose)
+    // density boundary: 3*linkChars <= totalChars keeps, above drops.
+    // 60 non-link + 30 link = 90 total, 3*30 == 90 -> kept
+    val nonLink = "x" * 60
+    val link = "y" * 30
+    assert(extractMainContent(s"<p>$nonLink<a>$link</a></p>") ===
+      nonLink + " " + link) // the dropped <a> tag becomes one space
+    // 59 non-link + 30 link: 3*30 = 90 > 89 -> dropped
+    assert(extractMainContent(
+      s"<p>${"x" * 59}<a>$link</a></p>") === "")
+    // script content never leaks into a block; entities decode
+    assert(extractMainContent(
+      s"<p><script>var no = 'leak';</script>$prose &amp; more</p>") ===
+      prose + " & more")
+    // garbage contract
+    assert(extractMainContent(null) === "")
+    assert(extractMainContent("<p" + "x" * 50) === "")
+    assert(extractMainContent("plain text with no tags at all but " +
+      "definitely longer than forty characters") ===
+      "plain text with no tags at all but definitely longer than " +
+        "forty characters")
+  }
+
   test("crawl front-end composition: warc -> response filter -> html " +
     "text -> url canon") {
     import spark.implicits._
