@@ -1724,6 +1724,46 @@ object LlmQueries {
           md5(col("main_text")).as("main_md5"))
     }),
 
+    // Crawl-to-corpus capstone composing the three r15 crawl operators
+    // in one DAG: WARC parse -> response filter -> main-content
+    // extraction -> Gopher rule filter. The oracle replays every stage
+    // from the raw documents table: the synthesized archive collapses
+    // to the main-content formula, and the rule booleans recompute
+    // integer-exact over the extracted text.
+    "llm_pipeline8" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val crlf = "\r\n"
+      val nav = "<nav><a href=\"/\">Home page</a> " +
+        "<a href=\"/a\">About our project</a> " +
+        "<a href=\"/c\">Contact and support</a></nav>"
+      val aboutPar = "<p>About this corpus: a deterministic fixture " +
+        "paragraph kept by the density rule.</p>"
+      val footer = "<footer>(c) 2024 <a href=\"/t\">Terms</a></footer>"
+      val html = concat(lit("<html><body>" + nav + "<p>"), col("text"),
+        lit("</p>" + aboutPar + "<p>tiny</p>" + footer +
+          "</body></html>"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
+          crlf + crlf), html)
+      val arc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: https://ex.com/p/"),
+        col("doc_id").cast("string"),
+        lit(crlf + "Content-Length: "), octet_length(http).cast("string"),
+        lit(crlf + crlf), http, lit(crlf + crlf))
+      val recs = graft.llmops.Warc.withWarcRecords(
+        docs.select(col("doc_id"), arc.as("arc")), "arc")
+        .where(col("warc_type") === "response" &&
+          col("http_status") === 200)
+      val main = recs.select(col("doc_id"),
+        Web.mainContentUdf(col("warc_body")).as("main_text"))
+      TextAnalysis.gopherRules(main, "main_text", minTokens = 25,
+        maxTokens = 100000, minStopHits = 2, repMilli = 300)
+        .select(col("doc_id"), md5(col("main_text")).as("main_md5"),
+          col("n_tokens"), col("rule_len"), col("rule_mean"),
+          col("rule_stop"), col("rule_rep"), col("keep"))
+    }),
+
     // WARC (ISO 28500 / Common Crawl) record extraction: a two-record
     // archive (request + HTTP response wrapping the document text) is
     // synthesized per doc in column exprs; the REAL parser splits
@@ -4089,6 +4129,45 @@ object LlmQueries {
            CAST(COALESCE(g.f, 0) AS BIGINT) AS f
          FROM allfi a LEFT JOIN agg g
            ON g.doc_id = a.doc_id AND g.fi = a.fi""",
+    // Stage replay end-to-end: archive -> response body -> main text
+    // (collapse formula + constant kept paragraph) -> Gopher booleans
+    // over the extracted text's tokens.
+    "llm_pipeline8" -> {
+      val stopArr = qualityStopwords.map(m => s"'$m'").mkString("[", ",", "]")
+      s"""WITH raw AS (
+            SELECT doc_id,
+              trim(regexp_replace(documents.text, '\\s+', ' ', 'g')) AS ct
+            FROM documents),
+          m AS (
+            SELECT doc_id,
+              CASE WHEN length(ct) >= 40
+                THEN ct || chr(10) ||
+                  'About this corpus: a deterministic fixture paragraph kept by the density rule.'
+                ELSE
+                  'About this corpus: a deterministic fixture paragraph kept by the density rule.'
+              END AS text
+            FROM raw),
+          t AS (SELECT doc_id, text, $duckToks AS ws FROM m),
+          s AS (
+            SELECT doc_id, text, len(ws) AS n,
+              COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+                AS sumlen,
+              len(list_filter(ws, w -> list_contains($stopArr, w)))
+                AS stops,
+              len(list_distinct(ws)) AS u
+            FROM t)
+          SELECT doc_id, md5(text) AS main_md5,
+            CAST(n AS BIGINT) AS n_tokens,
+            (n >= 25 AND n <= 100000) AS rule_len,
+            (n > 0 AND 3*n <= sumlen AND sumlen <= 10*n) AS rule_mean,
+            (stops >= 2) AS rule_stop,
+            (n > 0 AND 1000*u >= 300*n) AS rule_rep,
+            ((n >= 25 AND n <= 100000)
+              AND (n > 0 AND 3*n <= sumlen AND sumlen <= 10*n)
+              AND (stops >= 2)
+              AND (n > 0 AND 1000*u >= 300*n)) AS keep
+          FROM s"""
+    },
     // Keep rule replayed: content kept iff collapsed length >= 40; the
     // constant about-paragraph always survives; nav/tiny/footer always
     // drop; kept blocks join with \n.
