@@ -1556,12 +1556,18 @@ object LlmQueries {
       val h = md5(col("doc_id").cast("string"))
       val (t1, t2, t3) =
         (substring(h, 1, 4), substring(h, 5, 4), substring(h, 9, 4))
+      // the comment (with embedded markup AND a bare '>') and the
+      // CDATA section must contribute NOTHING -- the oracle's expected
+      // text ignores them, so the hash only matches if the extractor
+      // genuinely skips to '-->' / ']]>' instead of the first '>'
       val html = concat(
         lit("<html><head><title>"), t1, lit("</title>"),
         lit("<style>body{c:"), t2, lit("}</style>"),
         lit("<script>var a='"), t3, lit("';</script></head>"),
-        lit("<body>\n  <h1>Head "), t1, lit("</h1>\n  <p>Para <b>"), t2,
-        lit("</b> &amp; tail &lt;"), t3, lit("&gt;</p>\n</body></html>"))
+        lit("<body>\n  <!-- <p>dead "), t2, lit("</p> x > y -->"),
+        lit("<h1>Head "), t1, lit("</h1>\n  <p>Para <b>"), t2,
+        lit("</b><![CDATA[ raw <b>"), t3, lit("</b> ]]>"),
+        lit(" &amp; tail &lt;"), t3, lit("&gt;</p>\n</body></html>"))
       docs.select(col("doc_id"),
         Web.htmlTextUdf(html).as("text"))
     }),
@@ -1714,8 +1720,13 @@ object LlmQueries {
       val aboutPar = "<p>About this corpus: a deterministic fixture " +
         "paragraph kept by the density rule.</p>"
       val footer = "<footer>(c) 2024 <a href=\"/t\">Terms</a></footer>"
+      // commented-out nav INSIDE the content paragraph: its link chars
+      // and '>'s must not reach the density rule or the text -- the
+      // oracle's replay ignores it, so the hash gates the comment skip
+      val deadNav = "<!-- retired nav: <a href=\"/old\">Old home " +
+        "page</a> <a href=\"/old2\">Old contact > support</a> -->"
       val html = concat(lit("<html><body>" + nav + "<p>"), col("text"),
-        lit("</p>" + aboutPar + "<p>tiny</p>" + footer +
+        lit(deadNav + "</p>" + aboutPar + "<p>tiny</p>" + footer +
           "</body></html>"))
       Web.withMainContent(
         docs.select(col("doc_id"), html.as("html")), "html")

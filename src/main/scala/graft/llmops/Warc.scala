@@ -158,14 +158,17 @@ object Warc {
       (text.substring(starts(i)._1, starts(i)._2),
         text.substring(from, until))
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var leadAcc = leading
+    // accumulate per-record in StringBuilders: a payload that embeds
+    // many version lines heals in O(n), not O(n^2) immutable concats
+    // (an adversarial crawl page must not stall the task)
+    val out = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
+    val leadAcc = new StringBuilder(leading)
     raw.foreach { case (ver, chunk) =>
-      if (validStart(chunk)) out += chunk
-      else if (out.nonEmpty) out(out.length - 1) += ver + chunk
-      else leadAcc += ver + chunk // continuation before any record
+      if (validStart(chunk)) out += new StringBuilder(chunk)
+      else if (out.nonEmpty) { out.last ++= ver; out.last ++= chunk }
+      else { leadAcc ++= ver; leadAcc ++= chunk } // continuation before any record
     }
-    (leadAcc, out.toVector)
+    (leadAcc.toString, out.iterator.map(_.toString).toVector)
   }
 
   /** Parse a full archive string into records (false splits healed,
@@ -174,6 +177,142 @@ object Warc {
   def parseArchive(text: String): Seq[WarcRecord] =
     if (text == null) Seq.empty
     else chunkArchive(text)._2.map(parseOne)
+
+  /** Buffered line reader that PRESERVES terminators, so record text
+    * reassembles byte-exact. bufSize is a test knob (boundary-straddle
+    * coverage); 64 KB in production.
+    */
+  private final class LineReader(r: java.io.Reader, bufSize: Int) {
+    private val buf = new Array[Char](bufSize)
+    private var len = 0
+    private var pos = 0
+    private def fill(): Boolean = {
+      var n = r.read(buf)
+      while (n == 0) n = r.read(buf)
+      pos = 0; len = math.max(n, 0); n > 0
+    }
+    /** Next line INCLUDING its '\n' (last line may lack one); null at
+      * EOF. */
+    def readLine(): String = {
+      if (pos >= len && !fill()) return null
+      val sb = new StringBuilder
+      var done = false
+      while (!done) {
+        if (pos >= len && !fill()) done = true
+        else {
+          val c = buf(pos); pos += 1
+          sb += c
+          if (c == '\n') done = true
+        }
+      }
+      sb.toString
+    }
+  }
+
+  /** Exactly the version lines [[chunkArchive]]'s anchored regex
+    * accepts: the line reader splits at every '\n', so a match of
+    * `(?m)^WARC/1\.[01]\r?\n` is precisely a line equal to one of
+    * these four forms.
+    */
+  private def isVersionLine(line: String): Boolean =
+    line == "WARC/1.0\r\n" || line == "WARC/1.1\r\n" ||
+      line == "WARC/1.0\n" || line == "WARC/1.1\n"
+
+  /** Streaming record iterator over a character stream — the
+    * `.warc.gz` kernel. Memory is bounded by the LARGEST RECORD, never
+    * the archive: a ~1 GB gz member (3-4 GB of text) flows through a
+    * 64 KB decode window instead of materializing as one String.
+    *
+    * Semantics are IDENTICAL to [[parseArchive]] by construction, not
+    * by parallel reimplementation: chunks are delimited at the same
+    * anchored version lines ([[isVersionLine]] ≡ the regex on
+    * line-reader output), and each candidate chunk's accept/heal
+    * decision calls the SAME [[validStart]] on a prefix that provably
+    * yields the same answer — the prefix extends to the first header
+    * separator (headerBlockEnd's earliest match, found incrementally),
+    * the next version line, or EOF, whichever comes first, and
+    * validStart never reads past the first of those. A first line that
+    * fails the named-field shape short-circuits to "continuation"
+    * without buffering the payload (the common false-split case).
+    * Equivalence is property-tested against parseArchive in WarcSpec.
+    */
+  def streamRecords(reader: java.io.Reader,
+      bufSize: Int = 1 << 16): Iterator[WarcRecord] =
+    new scala.collection.AbstractIterator[WarcRecord] {
+      private val lr = new LineReader(reader, bufSize)
+      private var cur: StringBuilder = null // current record (post-version-line)
+      private var pendingVer: String = null // version line awaiting its chunk
+      private var ready: WarcRecord = null
+      private var eof = false
+
+      /** Earliest header-separator end position in `tent` (the
+        * incremental mirror of headerBlockEnd's indexOf scan), or -1.
+        * Checked over the tail window only, so the scan is O(text).
+        */
+      private def sepFoundIn(tent: StringBuilder, prevLen: Int): Boolean = {
+        val from = math.max(0, prevLen - 3)
+        tent.indexOf("\r\n\r\n", from) >= 0 ||
+          tent.indexOf("\n\n", from) >= 0
+      }
+
+      private def flushCur(): Unit =
+        if (cur != null) { ready = parseOne(cur.toString); cur = null }
+
+      private def advance(): Unit = {
+        while (ready == null) {
+          if (pendingVer == null && eof) { flushCur(); return }
+          if (pendingVer == null) {
+            val line = lr.readLine()
+            if (line == null) eof = true // next iteration flushes
+            else if (isVersionLine(line)) pendingVer = line
+            else if (cur != null) cur ++= line
+            // else: leading garbage before the first record, dropped
+          } else {
+            val ver = pendingVer; pendingVer = null
+            // candidate chunk: buffer until the validity decision is
+            // forced (first header separator / next version line /
+            // EOF), then ask the SAME validStart as the batch path
+            val tent = new StringBuilder
+            var decided = false
+            var first = true
+            var fieldish = false
+            while (!decided) {
+              val line = lr.readLine()
+              if (line == null) { eof = true; decided = true }
+              else if (isVersionLine(line)) {
+                pendingVer = line; decided = true
+              } else {
+                if (first) {
+                  first = false
+                  val bare = line.stripSuffix("\n").stripSuffix("\r")
+                  fieldish = fieldRe.matcher(bare).matches()
+                  tent ++= line
+                  if (!fieldish) decided = true // continuation for sure
+                  else decided = sepFoundIn(tent, 0)
+                } else {
+                  val prevLen = tent.length
+                  tent ++= line
+                  decided = sepFoundIn(tent, prevLen)
+                }
+              }
+            }
+            if (fieldish && validStart(tent.toString)) {
+              flushCur() // previous record is complete
+              cur = new StringBuilder(tent.toString)
+            } else if (cur != null) { cur ++= ver; cur ++= tent }
+            // else: continuation before any record, dropped
+            // (an EOF reached here is handled by the loop head, AFTER
+            // any record this decision completed is consumed)
+          }
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = ready != null
+      override def next(): WarcRecord = {
+        val r = ready; ready = null; advance(); r
+      }
+    }
 
   /** Explode an archive-per-row string/binary column into WARC record
     * rows: input columns + rec_idx + the [[WarcRecord]] fields.
@@ -355,6 +494,12 @@ object Warc {
     * concatenated members natively) and parallelism comes from the
     * file set — the production sharding, where a crawl segment is many
     * ~1 GB files. minPartitions spreads small file sets across tasks.
+    *
+    * The decode is STREAMED ([[streamRecords]]): task memory is
+    * bounded by the largest single record, so a ~1 GB member (~3-4 GB
+    * of decompressed text) never materializes as one String — the
+    * pre-r16 readAllBytes shape OOM'd exactly the production file
+    * size the Scaladoc promised.
     */
   def readWarcGz(spark: SparkSession, path: String,
       minPartitions: Int = 0): DataFrame = {
@@ -363,14 +508,28 @@ object Warc {
     val rows = spark.sparkContext
       .binaryFiles(path, mp)
       .flatMap { case (file, pds) =>
-        val in = new java.util.zip.GZIPInputStream(pds.open())
-        val text = try {
-          new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
-        parseArchive(text).iterator.zipWithIndex.map { case (r, i) =>
-          recordRow(file, i.toLong, r)
+        // InputStreamReader(UTF_8) replaces malformed sequences, the
+        // same policy as `new String(bytes, UTF_8)` — byte-identical
+        // output to the materializing path, tested in WarcSpec
+        val reader = new java.io.InputStreamReader(
+          new java.util.zip.GZIPInputStream(pds.open(), 1 << 16),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val base = streamRecords(reader)
+        var idx = -1L
+        // close on exhaustion; tasks that stop early are covered by
+        // the task-completion listener below
+        val closing = new scala.collection.AbstractIterator[WarcRecord] {
+          override def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h) reader.close()
+            h
+          }
+          override def next(): WarcRecord = base.next()
         }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try reader.close() catch { case _: Exception => () }))
+        closing.map { r => idx += 1; recordRow(file, idx, r) }
       }
     spark.createDataFrame(rows, recordSchema)
   }

@@ -146,7 +146,10 @@ object Web {
       .orderBy(desc("n_docs"), col("domain"))
 
   /** HTML -> text extraction, the first step of every web-corpus
-    * pipeline: a single-pass character walk that (a) drops tags, (b)
+    * pipeline: a single-pass character walk that (a) drops tags, plus
+    * comment (`<!-- -->`) and CDATA section CONTENTS (commented-out
+    * markup is boilerplate, and its embedded '>'s must not truncate
+    * the tag scan), (b)
     * drops <script>/<style> element CONTENTS (their text is code, not
     * prose), (c) decodes the six entities that dominate real pages
     * (&amp; &lt; &gt; &quot; &#39;/&apos; &nbsp;), passing unknown
@@ -164,7 +167,18 @@ object Web {
     val n = html.length
     while (i < n) {
       val c = html.charAt(i)
-      if (c == '<') {
+      if (c == '<' && html.startsWith("<!--", i)) {
+        // comment node: its contents (often commented-out markup with
+        // its own '>'s) must not leak into the text -- skip to the
+        // matching '-->', like the script/style contents skip
+        sb += ' '
+        val end = html.indexOf("-->", i + 4)
+        i = if (end < 0) n else end + 3
+      } else if (c == '<' && html.startsWith("<![CDATA[", i)) {
+        sb += ' '
+        val end = html.indexOf("]]>", i + 9)
+        i = if (end < 0) n else end + 3
+      } else if (c == '<') {
         // every dropped tag becomes ONE space ("<p>word</p><p>next"
         // must not weld words); the final collapse absorbs runs
         sb += ' '
@@ -251,7 +265,18 @@ object Web {
     val n = html.length
     while (i < n) {
       val c = html.charAt(i)
-      if (c == '<') {
+      if (c == '<' && html.startsWith("<!--", i)) {
+        // commented-out markup contributes NOTHING: no text, no link
+        // chars (density must not be skewed by dead nav), no block
+        // boundary -- skip to '-->' like the script/style skip
+        emit(' ')
+        val end = html.indexOf("-->", i + 4)
+        i = if (end < 0) n else end + 3
+      } else if (c == '<' && html.startsWith("<![CDATA[", i)) {
+        emit(' ')
+        val end = html.indexOf("]]>", i + 9)
+        i = if (end < 0) n else end + 3
+      } else if (c == '<') {
         val close = html.indexOf('>', i)
         if (close < 0) i = n
         else {

@@ -80,13 +80,23 @@ object WarcScale {
       val gz = new java.io.BufferedOutputStream(
         java.nio.file.Files.newOutputStream(gzPath), 1 << 20)
       var bytes = 0L
-      val per = nRecords / shards
-      var i = s * per
-      while (i < (s + 1) * per) {
+      // balanced ranges that cover nRecords EXACTLY even when
+      // shards does not divide it (the old nRecords/shards truncation
+      // made the n == nRecords invariant fail spuriously)
+      var i = s * nRecords / shards
+      val hi = (s + 1) * nRecords / shards
+      while (i < hi) {
         val rec = record(i, payloadBytes).getBytes("UTF-8")
         out.write(rec)
-        val g = new java.util.zip.GZIPOutputStream(gz)
-        g.write(rec); g.finish() // member per record, Common Crawl style
+        // member per record, Common Crawl style. GZIPOutputStream
+        // allocates a NATIVE Deflater per member that GC reclaims
+        // lazily -- end it eagerly or a 2M-member run leaks ~2M
+        // native buffers across the task set
+        final class MemberGz extends java.util.zip.GZIPOutputStream(gz) {
+          def endDeflater(): Unit = `def`.end()
+        }
+        val g = new MemberGz
+        try { g.write(rec); g.finish() } finally g.endDeflater()
         bytes += rec.length
         i += 1
       }

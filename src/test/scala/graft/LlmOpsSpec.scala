@@ -629,6 +629,17 @@ class LlmOpsSpec extends SparkSpec {
     // whitespace collapse across newlines/tabs
     assert(extractHtmlText("<p>\n  one\t two\n</p>\n<p>three</p>")
       == "one two three")
+    // comment CONTENTS skipped entirely -- the embedded '>' and the
+    // commented-out markup must not leak, and the trailing '--' of the
+    // closer must not surface
+    assert(extractHtmlText(
+      "a<!-- <p>dead nav</p> x > y --> b") == "a b")
+    assert(extractHtmlText("a<!-- never closed <p>gone") == "a")
+    // CDATA section contents skipped like comments
+    assert(extractHtmlText("a<![CDATA[ raw <b> bytes ]]>b") == "a b")
+    assert(extractHtmlText("a<![CDATA[ unterminated") == "a")
+    // DOCTYPE is an ordinary one-'>' declaration
+    assert(extractHtmlText("<!DOCTYPE html><p>x</p>") == "x")
     // truncated tag drops the malformed tail; unclosed script drops rest
     assert(extractHtmlText("ok <a href=") == "ok")
     assert(extractHtmlText("pre<script>never closed") == "pre")

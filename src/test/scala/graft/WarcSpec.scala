@@ -114,6 +114,72 @@ class WarcSpec extends SparkSpec {
     assert(whole.forall(_.getBoolean(3)))
   }
 
+  test("streamRecords == parseArchive on adversarial archives " +
+    "(seeded sweep, tiny decode buffers)") {
+    // every shape that has ever mattered: false splits whose next line
+    // IS field-shaped, mixed \n / \r\n terminators, leading garbage,
+    // empty chunks (version line immediately followed by another),
+    // headerless chunks that run to EOF, truncated final records,
+    // payloads ending in blank lines, version line as the last bytes
+    val pieces = Vector[String](
+      resp("http://a/", "<p>plain</p>"),
+      resp("http://b/", "<p>x\r\nWARC/1.0\r\nnot: a real header\r\ny</p>"),
+      // false split where the next line LOOKS like a named field but
+      // the pseudo-header block has no WARC-Type
+      resp("http://c/", "<p>q\r\nWARC/1.0\r\nFake-Field: v\r\n\r\nz</p>"),
+      // false split with a field-shaped line and NO blank line after
+      // (decision forced only at the next version line)
+      resp("http://d/", "<p>r\nWARC/1.1\nAlso-Fake: v\nnever blank</p>"),
+      "WARC/1.0\r\n\r\n\r\n", // empty header block
+      "WARC/1.0\r\n", // empty chunk (next piece starts a new record)
+      "WARC/1.0\nWARC-Type: metadata\nContent-Length: 3\n\nabc\n\n",
+      "WARC/1.0\r\nWARC-Type: response", // truncated at EOF
+      "leading garbage with no version line at all\r\n")
+    val rnd = new scala.util.Random(16)
+    (0 until 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(6)
+      val text = Vector.fill(n)(pieces(rnd.nextInt(pieces.length)))
+        .mkString
+      val batch = Warc.parseArchive(text)
+      Seq(1 << 16, 7, 1).foreach { buf =>
+        val streamed = Warc.streamRecords(
+          new java.io.StringReader(text), bufSize = buf).toVector
+        assert(streamed === batch,
+          s"divergence at buf=$buf for:\n$text")
+      }
+    }
+    // degenerate inputs
+    Seq("", "WARC/1.0\r\n", "no records", "WARC/1.0").foreach { t =>
+      assert(Warc.streamRecords(new java.io.StringReader(t)).toVector
+        === Warc.parseArchive(t))
+    }
+  }
+
+  test("readWarcGz streams: one huge member decodes record-by-record " +
+    "without materializing the archive") {
+    // 4k small records in ONE gzip member: the old readAllBytes path
+    // would hold all ~2 MB as one String; here we only assert the
+    // streamed output is exactly the batch parse of the same text
+    // (the memory bound is by construction: LineReader's 64 KB window
+    // + the largest single record)
+    val arc = (0 until 4000).map(i =>
+      resp(s"http://m/$i", s"<p>body $i</p>")).mkString
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(arc.getBytes("UTF-8")); g.close()
+    val dir = java.nio.file.Files.createTempDirectory("warcbig").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "big.warc.gz"), bo.toByteArray)
+    val out = Warc.readWarcGz(spark, dir)
+    assert(out.count() === 4000L)
+    import org.apache.spark.sql.functions._
+    val agg = out.agg(
+      sum(when(col("declared_len_ok"), 0L).otherwise(1L)),
+      min("rec_idx"), max("rec_idx")).head()
+    assert(agg.getLong(0) === 0L)
+    assert(agg.getLong(1) === 0L && agg.getLong(2) === 3999L)
+  }
+
   test("readWarcGz: concatenated gzip members, parallel across files") {
     val dir = java.nio.file.Files.createTempDirectory("warcgz").toString
     def gz(s: String): Array[Byte] = {
@@ -167,6 +233,16 @@ class WarcSpec extends SparkSpec {
     assert(extractMainContent(
       s"<p><script>var no = 'leak';</script>$prose &amp; more</p>") ===
       prose + " & more")
+    // comment contents contribute NOTHING: no text (the '>' inside
+    // must not truncate the scan), no link chars (dead nav must not
+    // skew density), no block boundary
+    assert(extractMainContent(
+      s"<p>$prose<!-- <a href='/x'>dead > nav</a> --></p>") === prose)
+    assert(extractMainContent(
+      s"<p><!-- <a>${"y" * 500}</a> -->$prose</p>") === prose)
+    assert(extractMainContent(s"<p>$prose<!-- unterminated") === prose)
+    assert(extractMainContent(
+      s"<p>$prose<![CDATA[ <a>raw]] bytes ]]></p>") === prose)
     // garbage contract
     assert(extractMainContent(null) === "")
     assert(extractMainContent("<p" + "x" * 50) === "")
