@@ -1589,6 +1589,49 @@ object LlmQueries {
         .select("doc_id", "domain")
     }),
 
+    // robots.txt (RFC 9309) crawl-politeness filter: nine path
+    // templates from md5(doc_id) exercise prefix rules, the * and $
+    // wildcards, longest-match precedence (Allow /api/*/docs over
+    // Disallow /api/), and per-agent group selection (named group vs
+    // the * fallback). The REAL parser+matcher runs on the policy
+    // text; the oracle hardcodes the RFC decision per template —
+    // implementation-independent, so a hash match proves the matcher
+    // implements the spec, not itself.
+    "llm_robots" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val policy =
+        "# fixture crawl policy\n" +
+          "User-agent: graftbot\n" +
+          "Disallow: /private/\n" +
+          "Allow: /private/ok/\n" +
+          "Disallow: /*.json$\n" +
+          "Disallow: /api/\n" +
+          "Allow: /api/*/docs\n" +
+          "Disallow: /tmp*\n" +
+          "\n" +
+          "User-agent: *\n" +
+          "Allow: /public/\n" +
+          "Disallow: /\n"
+      val h = md5(col("doc_id").cast("string"))
+      val seg = substring(h, 1, 6)
+      val c = pmod(conv(substring(h, 7, 1), 16, 10).cast("int"), lit(9))
+      val path = when(c === 0, concat(lit("/public/"), seg))
+        .when(c === 1, concat(lit("/private/"), seg))
+        .when(c === 2, concat(lit("/private/ok/"), seg))
+        .when(c === 3, concat(lit("/data/"), seg, lit(".json")))
+        .when(c === 4, concat(lit("/data/"), seg, lit(".json/x")))
+        .when(c === 5, concat(lit("/api/"), seg, lit("/docs")))
+        .when(c === 6, concat(lit("/tmp"), seg))
+        .when(c === 7, concat(lit("/api/"), seg, lit("/docs/extra")))
+        .otherwise(concat(lit("/api/"), seg, lit("/other")))
+      val base = docs.select(col("doc_id"), path.as("path"))
+      Web.withRobotsAllowed(
+        Web.withRobotsAllowed(base, "path", policy,
+          "GraftBot/1.2 (+https://example.com/bot)", "g"),
+        "path", policy, "StrangerBot/2.0", "o")
+        .select("doc_id", "path", "g_allowed", "g_rule", "o_allowed")
+    }),
+
     // REAL TIFF-header kernel gate: even doc_ids build little-endian
     // (II) files with LONG dim entries, odd doc_ids big-endian (MM)
     // with SHORT entries (value packed in the value field's first two
@@ -4043,6 +4086,39 @@ object LlmQueries {
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM m)
          SELECT doc_id, domain FROM r WHERE rn <= 20""",
+    // RFC 9309 decisions replayed per path template: the oracle
+    // encodes what the spec REQUIRES for each case (longest-match,
+    // Allow tie-break, $ anchor, * fallback group), never how the
+    // Scala matcher computes it.
+    "llm_robots" ->
+      """WITH m AS (
+           SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS seg,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 7, 1))
+               AS BIGINT) % 9 AS c
+           FROM documents)
+         SELECT doc_id,
+           CASE c
+             WHEN 0 THEN '/public/' || seg
+             WHEN 1 THEN '/private/' || seg
+             WHEN 2 THEN '/private/ok/' || seg
+             WHEN 3 THEN '/data/' || seg || '.json'
+             WHEN 4 THEN '/data/' || seg || '.json/x'
+             WHEN 5 THEN '/api/' || seg || '/docs'
+             WHEN 6 THEN '/tmp' || seg
+             WHEN 7 THEN '/api/' || seg || '/docs/extra'
+             ELSE '/api/' || seg || '/other' END AS path,
+           c IN (0, 2, 4, 5, 7) AS g_allowed,
+           CASE c
+             WHEN 1 THEN '/private/'
+             WHEN 2 THEN '/private/ok/'
+             WHEN 3 THEN '/*.json$'
+             WHEN 5 THEN '/api/*/docs'
+             WHEN 6 THEN '/tmp*'
+             WHEN 7 THEN '/api/*/docs'
+             WHEN 8 THEN '/api/'
+             ELSE NULL END AS g_rule,
+           (c = 0) AS o_allowed
+         FROM m""",
     "llm_tiff_headers" ->
       """WITH m AS (
            SELECT doc_id,

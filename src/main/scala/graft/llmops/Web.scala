@@ -370,6 +370,141 @@ object Web {
           !contains(col(textCol), lit("{")))
   }
 
+  /** One robots.txt rule: Allow/Disallow + its raw path pattern
+    * (`*` = any char run, trailing `$` = end anchor, else prefix).
+    */
+  final case class RobotsRule(allow: Boolean, pattern: String)
+
+  /** One robots.txt group: the User-agent product tokens it names
+    * (lowercased; `*` is the catch-all) and its rules in file order.
+    */
+  final case class RobotsGroup(agents: Vector[String],
+      rules: Vector[RobotsRule])
+
+  /** robots.txt parser (RFC 9309) — the crawl-politeness gate every
+    * corpus pipeline applies before a URL is even fetched, and at
+    * curation time to re-filter archived crawls against CURRENT
+    * policies. Line shape `key: value` with `#` comments; consecutive
+    * User-agent lines open a group that the following Allow/Disallow
+    * lines populate; any other line ends the agent run; rules before
+    * the first User-agent line are ignored; empty rule values match
+    * nothing (an RFC 9309 "Disallow:" means allow-all). Never throws
+    * on garbage (unparseable lines are skipped).
+    */
+  def parseRobots(text: String): Vector[RobotsGroup] = {
+    if (text == null) return Vector.empty
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String],
+        scala.collection.mutable.ArrayBuffer[RobotsRule])]
+    var agentRun = false // inside a run of consecutive User-agent lines
+    text.split("\r?\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (line.nonEmpty && i > 0) {
+        val key = line.substring(0, i).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(i + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!agentRun) groups +=
+              ((scala.collection.mutable.ArrayBuffer.empty[String],
+                scala.collection.mutable.ArrayBuffer.empty[RobotsRule]))
+            groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+            agentRun = true
+          case "allow" | "disallow" =>
+            agentRun = false
+            if (groups.nonEmpty && value.nonEmpty)
+              groups.last._2 += RobotsRule(key == "allow", value)
+          case _ => agentRun = false // sitemap / crawl-delay / unknown
+        }
+      }
+    }
+    groups.iterator.map { case (a, r) =>
+      RobotsGroup(a.toVector, r.toVector)
+    }.toVector
+  }
+
+  /** True iff `pattern` matches `path` under RFC 9309 wildcards:
+    * anchored at the path start, `*` spans any char run, a trailing
+    * `$` anchors the end (otherwise any suffix may follow). Leftmost
+    * placement of the `*` segments is sufficient for existence.
+    */
+  def robotsMatches(pattern: String, path: String): Boolean = {
+    val endAnchored = pattern.endsWith("$")
+    val pat = if (endAnchored) pattern.dropRight(1) else pattern
+    val parts = pat.split("\\*", -1)
+    if (!path.startsWith(parts.head)) return false
+    var pos = parts.head.length
+    var k = 1
+    while (k < parts.length - 1) {
+      val j = path.indexOf(parts(k), pos)
+      if (j < 0) return false
+      pos = j + parts(k).length
+      k += 1
+    }
+    if (parts.length == 1)
+      !endAnchored || path.length == pos
+    else {
+      val last = parts.last
+      if (endAnchored)
+        path.endsWith(last) && path.length - last.length >= pos
+      else path.indexOf(last, pos) >= 0
+    }
+  }
+
+  /** The rules governing `userAgent`: groups whose agent list names
+    * the UA's product token (text before the first '/'/whitespace,
+    * case-insensitive) — combined when several groups name it, per
+    * RFC 9309 — falling back to the `*` groups when none do.
+    */
+  def robotsRulesFor(groups: Seq[RobotsGroup],
+      userAgent: String): Vector[RobotsRule] = {
+    val token = userAgent.toLowerCase(java.util.Locale.ROOT)
+      .takeWhile(c => c != '/' && !c.isWhitespace)
+    val named = groups.filter(_.agents.contains(token))
+    val sel = if (named.nonEmpty) named
+      else groups.filter(_.agents.contains("*"))
+    sel.iterator.flatMap(_.rules).toVector
+  }
+
+  /** The winning rule for `path`, or None when nothing matches
+    * (→ allowed): longest pattern wins (the RFC's most-specific-match,
+    * measured like Google's reference matcher on the raw pattern
+    * string), Allow wins a length tie.
+    */
+  def robotsDecision(rules: Seq[RobotsRule],
+      path: String): Option[RobotsRule] = {
+    val p = if (path == null || path.isEmpty) "/" else path
+    val ms = rules.filter(r => robotsMatches(r.pattern, p))
+    if (ms.isEmpty) None
+    else Some(ms.maxBy(r => (r.pattern.length, r.allow)))
+  }
+
+  def robotsIsAllowed(rules: Seq[RobotsRule], path: String): Boolean =
+    robotsDecision(rules, path).forall(_.allow)
+
+  /** Column form: adds `<prefix>_allowed` (boolean) and
+    * `<prefix>_rule` (the winning pattern, null when no rule matched)
+    * for `userAgent` under ONE robots policy. The policy is parsed and
+    * group-selected ONCE on the driver; only the policy-sized rule
+    * vector rides in the task closure (the blocklistFilter shape — at
+    * crawl scale the corpus side never shuffles and the kernel is a
+    * per-row prefix walk over a handful of rules).
+    */
+  def withRobotsAllowed(df: DataFrame, pathCol: String,
+      robotsTxt: String, userAgent: String,
+      prefix: String = "robots"): DataFrame = {
+    val rules = robotsRulesFor(parseRobots(robotsTxt), userAgent)
+    val verdict = udf((path: String) => {
+      val d = robotsDecision(rules, path)
+      (d.forall(_.allow), d.map(_.pattern).orNull)
+    })
+    df.withColumn("__rv", verdict(col(pathCol)))
+      .withColumn(s"${prefix}_allowed", col("__rv._1"))
+      .withColumn(s"${prefix}_rule", col("__rv._2"))
+      .drop("__rv")
+  }
+
   def domainQuota(df: DataFrame, hostCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n >= 1)

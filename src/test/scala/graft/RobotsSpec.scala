@@ -1,0 +1,131 @@
+package graft
+
+import graft.llmops.Web
+import graft.llmops.Web.{RobotsGroup, RobotsRule}
+
+class RobotsSpec extends SparkSpec {
+
+  private val policy =
+    """# fixture crawl policy
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/ok/
+      |Disallow: /*.json$
+      |Disallow: /api/
+      |Allow: /api/*/docs
+      |Disallow: /tmp*
+      |
+      |User-agent: *
+      |Allow: /public/
+      |Disallow: /
+      |""".stripMargin
+
+  test("parseRobots: groups, comments, agent runs, garbage tolerance") {
+    val gs = Web.parseRobots(policy)
+    assert(gs.length === 2)
+    assert(gs(0).agents === Vector("graftbot"))
+    assert(gs(0).rules.length === 6)
+    assert(gs(1).agents === Vector("*"))
+    assert(gs(1).rules === Vector(
+      RobotsRule(allow = true, "/public/"),
+      RobotsRule(allow = false, "/")))
+    // consecutive user-agent lines share ONE group; a rule line ends
+    // the run so a later user-agent opens a NEW group
+    val multi = Web.parseRobots(
+      "User-agent: a\nUser-agent: b\nDisallow: /x\n" +
+        "User-agent: c\nDisallow: /y\n")
+    assert(multi.length === 2)
+    assert(multi(0).agents === Vector("a", "b"))
+    assert(multi(1).agents === Vector("c"))
+    // rules before any user-agent ignored; empty Disallow: matches
+    // nothing (RFC 9309 allow-all); junk lines skipped; null safe
+    val junk = Web.parseRobots(
+      "Disallow: /orphan\nUser-agent: z\nDisallow:\n" +
+        "Crawl-delay: 10\nnot a line\nDisallow: /real # trail\n")
+    assert(junk.length === 1)
+    assert(junk(0).rules === Vector(RobotsRule(allow = false, "/real")))
+    assert(Web.parseRobots(null) === Vector.empty)
+    assert(Web.parseRobots("") === Vector.empty)
+  }
+
+  test("robotsMatches: prefix, *, $, degenerate patterns") {
+    assert(Web.robotsMatches("/private/", "/private/x"))
+    assert(!Web.robotsMatches("/private/", "/privatex"))
+    assert(Web.robotsMatches("/*.json$", "/data/a.json"))
+    assert(!Web.robotsMatches("/*.json$", "/data/a.json/x"))
+    assert(Web.robotsMatches("/api/*/docs", "/api/v1/docs"))
+    assert(Web.robotsMatches("/api/*/docs", "/api/v1/docs/extra"))
+    assert(!Web.robotsMatches("/api/*/docs", "/api/docs"))
+    assert(Web.robotsMatches("/tmp*", "/tmpfoo"))
+    assert(Web.robotsMatches("*", "/anything"))
+    assert(Web.robotsMatches("/a*b*c$", "/aXbYbZc"))
+    assert(!Web.robotsMatches("/a*b*c$", "/aXbYcZ"))
+    assert(Web.robotsMatches("/$", "/"))
+    assert(!Web.robotsMatches("/$", "/x"))
+  }
+
+  test("group selection: exact token case-insensitive, combined " +
+    "groups, * fallback") {
+    val gs = Web.parseRobots(policy)
+    val g = Web.robotsRulesFor(gs, "GraftBot/1.2 (+https://example)")
+    assert(g.length === 6)
+    val o = Web.robotsRulesFor(gs, "OtherBot/0.1")
+    assert(o === Vector(RobotsRule(allow = true, "/public/"),
+      RobotsRule(allow = false, "/")))
+    // two groups naming the same token are COMBINED (RFC 9309)
+    val comb = Web.robotsRulesFor(Web.parseRobots(
+      "User-agent: x\nDisallow: /a\nUser-agent: x\nDisallow: /b\n"),
+      "x")
+    assert(comb.map(_.pattern) === Vector("/a", "/b"))
+    // no * group and no match -> no rules -> everything allowed
+    assert(Web.robotsRulesFor(Web.parseRobots(
+      "User-agent: y\nDisallow: /\n"), "x") === Vector.empty)
+  }
+
+  test("decision: longest match wins, Allow wins ties, no match " +
+    "allows") {
+    val rules = Web.robotsRulesFor(Web.parseRobots(policy), "graftbot")
+    def d(p: String) = Web.robotsDecision(rules, p)
+    assert(d("/public/x") === None)
+    assert(Web.robotsIsAllowed(rules, "/public/x"))
+    assert(d("/private/x") === Some(RobotsRule(allow = false, "/private/")))
+    assert(d("/private/ok/x") ===
+      Some(RobotsRule(allow = true, "/private/ok/")))
+    assert(d("/data/a.json") === Some(RobotsRule(allow = false, "/*.json$")))
+    assert(d("/data/a.json/x") === None)
+    assert(d("/api/v1/docs") === Some(RobotsRule(allow = true, "/api/*/docs")))
+    assert(d("/api/v1/other") === Some(RobotsRule(allow = false, "/api/")))
+    assert(d("/tmpfoo") === Some(RobotsRule(allow = false, "/tmp*")))
+    // equal-length tie -> Allow wins
+    val tie = Seq(RobotsRule(allow = false, "/t/"),
+      RobotsRule(allow = true, "/t/"))
+    assert(Web.robotsDecision(tie, "/t/x").exists(_.allow))
+    // empty/null path normalizes to "/" (the * group's Disallow: /
+    // catches it)
+    val other = Web.robotsRulesFor(Web.parseRobots(policy), "nobody")
+    assert(!Web.robotsIsAllowed(other, ""))
+    assert(!Web.robotsIsAllowed(other, null))
+  }
+
+  test("withRobotsAllowed: per-UA verdict columns over a DataFrame") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "/public/a"), (2L, "/private/a"), (3L, "/private/ok/a"),
+      (4L, "/data/a.json"), (5L, "/api/v1/docs"), (6L, "/api/v1/x"))
+      .toDF("id", "path")
+    val out = Web.withRobotsAllowed(
+      Web.withRobotsAllowed(df, "path", policy, "GraftBot/1.0", "g"),
+      "path", policy, "StrangerBot/2.0", "o")
+      .orderBy("id")
+      .select("g_allowed", "g_rule", "o_allowed")
+      .collect()
+    assert(out.map(_.getBoolean(0)).toSeq ===
+      Seq(true, false, true, false, true, false))
+    assert(out.map(r => Option(r.getString(1))).toSeq === Seq(None,
+      Some("/private/"), Some("/private/ok/"), Some("/*.json$"),
+      Some("/api/*/docs"), Some("/api/")))
+    // the * group allows only /public/ for unknown agents
+    assert(out.map(_.getBoolean(2)).toSeq ===
+      Seq(true, false, false, false, false, false))
+  }
+}
