@@ -1855,6 +1855,47 @@ object LlmQueries {
           col("http_content_type"), md5(col("warc_body")).as("body_md5"))
     }),
 
+    // WARC -> WET round trip: synthesized response archives parse with
+    // the real reader, convert to rendered WET conversion records
+    // (toWet's column-expression render), and the rendered text
+    // RE-PARSES with the same reader — declared_len_ok gates that the
+    // render's Content-Length and the parser's separator handling are
+    // byte-consistent, and the oracle recomputes url/length/text-md5
+    // from the raw documents table (html wrapper collapses to the
+    // whitespace-normalized text).
+    "llm_wet_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val crlf = "\r\n"
+      val url = concat(lit("https://ex"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".com/p/"),
+        col("doc_id").cast("string"))
+      val html = concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
+          crlf + crlf), html)
+      val arc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: "), url,
+        lit(crlf + "WARC-Date: 2024-01-01T00:00:00Z" + crlf +
+          "WARC-Record-ID: <urn:doc:"), col("doc_id").cast("string"),
+        lit(">" + crlf + "Content-Length: "),
+        octet_length(http).cast("string"),
+        lit(crlf + crlf), http, lit(crlf + crlf))
+      val recs = graft.llmops.Warc.withWarcRecords(
+        docs.select(col("doc_id"), arc.as("arc")), "arc")
+      val wet = graft.llmops.Warc.toWet(recs,
+        Web.htmlTextUdf(col("warc_body")))
+      graft.llmops.Warc.withWarcRecords(
+        wet.select(col("doc_id"), col("wet_record")), "wet_record")
+        .select(col("doc_id"), col("warc_type").as("wet_type"),
+          col("warc_url").as("wet_url"),
+          col("warc_refers_to").as("wet_refers_to"),
+          col("content_length").as("wet_len"),
+          col("declared_len_ok").as("len_ok"),
+          md5(col("warc_body")).as("text_md5"))
+    }),
+
     // REAL PCM-CONTENT gate (same protocol): a full 16-bit mono WAV is
     // built in column exprs — sample codes from
     //   i%17==0 -> 32767 (positive clip), i%23==5 -> 32768 (negative
@@ -4307,6 +4348,22 @@ object LlmQueries {
                AS body_md5
            FROM d)
          SELECT * FROM r0 UNION ALL SELECT * FROM r1""",
+    // The WET round trip collapses to: extracted text = whitespace-
+    // normalized document text (the html wrapper contributes tags
+    // only), re-parsed with a validating Content-Length and the
+    // refers-to chain intact.
+    "llm_wet_roundtrip" ->
+      """WITH d AS (
+           SELECT doc_id,
+             trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
+             'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+               || CAST(doc_id AS VARCHAR) AS u
+           FROM documents)
+         SELECT doc_id, 'conversion' AS wet_type, u AS wet_url,
+           '<urn:doc:' || CAST(doc_id AS VARCHAR) || '>' AS wet_refers_to,
+           CAST(octet_length(encode(t)) AS BIGINT) AS wet_len,
+           TRUE AS len_ok, md5(t) AS text_md5
+         FROM d""",
     "llm_audio_stats" ->
       """WITH m AS (
            SELECT doc_id,

@@ -43,6 +43,7 @@ object Warc {
       warc_url: String,
       warc_date: String,
       warc_record_id: String,
+      warc_refers_to: String,
       content_length: Long,
       declared_len_ok: Boolean,
       http_status: Integer,
@@ -135,6 +136,7 @@ object Warc {
       fields.getOrElse("warc-target-uri", null),
       fields.getOrElse("warc-date", null),
       fields.getOrElse("warc-record-id", null),
+      fields.getOrElse("warc-refers-to", null),
       declared, declaredOk, status, ctype, body)
   }
 
@@ -327,6 +329,7 @@ object Warc {
       StructField("warc_url", StringType),
       StructField("warc_date", StringType),
       StructField("warc_record_id", StringType),
+      StructField("warc_refers_to", StringType),
       StructField("content_length", LongType, nullable = false),
       StructField("declared_len_ok", BooleanType, nullable = false),
       StructField("http_status", IntegerType),
@@ -349,11 +352,77 @@ object Warc {
         parseArchive(raw).zipWithIndex.map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq[Any](i,
             r.warc_type, r.warc_url, r.warc_date, r.warc_record_id,
-            r.content_length, r.declared_len_ok, r.http_status,
-            r.http_content_type, r.warc_body))
+            r.warc_refers_to, r.content_length, r.declared_len_ok,
+            r.http_status, r.http_content_type, r.warc_body))
         }
       }
     }(rowEnc).toDF()
+  }
+
+  /** WARC -> WET conversion (the Common Crawl "extracted text"
+    * sidecar format): one `WARC-Type: conversion` record per response,
+    * payload = the extracted plain text, `WARC-Refers-To` linking back
+    * to the source record. Input is the [[withWarcRecords]] /
+    * [[readWarc]] column shape; `textCol` is the extraction the caller
+    * chose (Web.htmlTextUdf, Web.mainContentUdf, ...). Adds
+    * `wet_text` and the fully rendered `wet_record` — PURE column
+    * expressions (concat/when/octet_length), so the render runs inside
+    * whole-stage codegen and its Content-Length is byte-consistent
+    * with the parser by construction (gated round-trip:
+    * llm_wet_roundtrip re-parses the rendered record and the declared
+    * length must validate).
+    */
+  def toWet(records: DataFrame,
+      textCol: org.apache.spark.sql.Column): DataFrame = {
+    def headerLine(name: String,
+        v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(v.isNull, lit("")).otherwise(
+        concat(lit(name + ": "), v, lit("\r\n")))
+    val text = coalesce(textCol, lit(""))
+    records.where(col("warc_type") === "response")
+      .withColumn("wet_text", text)
+      .withColumn("wet_record", concat(
+        lit("WARC/1.0\r\nWARC-Type: conversion\r\n"),
+        headerLine("WARC-Target-URI", col("warc_url")),
+        headerLine("WARC-Date", col("warc_date")),
+        headerLine("WARC-Refers-To", col("warc_record_id")),
+        lit("Content-Type: text/plain\r\n"),
+        lit("Content-Length: "),
+        octet_length(col("wet_text")).cast("string"),
+        lit("\r\n\r\n"), col("wet_text"), lit("\r\n\r\n")))
+  }
+
+  /** Write rendered WET records (`wet_record` column) as sharded
+    * `.warc.wet[.gz]` files, one file per non-empty partition via the
+    * Hadoop FileSystem API (works on any scheme the executors know).
+    * Files round-trip through [[readWarc]] / [[readWarcGz]] /
+    * [[parseArchive]]. Returns the number of shard files written.
+    * Spark's text sink is NOT usable here: it appends '\n' per row,
+    * which would corrupt the byte-exact record separator the
+    * Content-Length validation depends on.
+    */
+  def writeWet(wet: DataFrame, dir: String, gzip: Boolean = true): Long = {
+    import org.apache.spark.sql.Encoders
+    val spark = wet.sparkSession
+    val written = wet.select(col("wet_record")).as(Encoders.STRING)
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val suffix = if (gzip) ".warc.wet.gz" else ".warc.wet"
+          val p = new org.apache.hadoop.fs.Path(dir, f"wet-$i%05d$suffix")
+          val fs = p.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          val base = fs.create(p, true)
+          val out: java.io.OutputStream =
+            if (gzip) new java.util.zip.GZIPOutputStream(base, 1 << 16)
+            else base
+          try it.foreach(s =>
+            out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          finally out.close()
+          Iterator.single(1L)
+        }
+      }
+    written.sum().toLong
   }
 
   private val recordSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -369,6 +438,8 @@ object Warc {
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("warc_record_id",
       org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("warc_refers_to",
+      org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("content_length",
       org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("declared_len_ok",
@@ -383,9 +454,9 @@ object Warc {
   private def recordRow(file: String, idx: Long,
       r: WarcRecord): org.apache.spark.sql.Row =
     org.apache.spark.sql.Row(file, idx, r.warc_type, r.warc_url,
-      r.warc_date, r.warc_record_id, r.content_length,
-      r.declared_len_ok, r.http_status, r.http_content_type,
-      r.warc_body)
+      r.warc_date, r.warc_record_id, r.warc_refers_to,
+      r.content_length, r.declared_len_ok, r.http_status,
+      r.http_content_type, r.warc_body)
 
   /** Splittable plain-`.warc` reader. Hadoop TextInputFormat with the
     * record delimiter "WARC/1.0\r\n": splits re-synchronize at version

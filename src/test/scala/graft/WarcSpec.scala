@@ -252,6 +252,48 @@ class WarcSpec extends SparkSpec {
         "forty characters")
   }
 
+  test("toWet + writeWet: WARC responses become WET conversion " +
+    "records that round-trip through files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, req("http://a/") + resp("http://a/", "<p>alpha  text</p>")),
+      (2L, resp("http://b/", "<b>beta</b> stuff"))).toDF("id", "arc")
+    val recs = Warc.withWarcRecords(df, "arc")
+    val wet = Warc.toWet(recs,
+      graft.llmops.Web.htmlTextUdf(col("warc_body")))
+    // requests are filtered out; text extracted; render parses back
+    val direct = Warc.withWarcRecords(
+      wet.select(col("id"), col("wet_record")), "wet_record")
+      .select("id", "warc_type", "warc_url", "warc_refers_to",
+        "declared_len_ok", "warc_body")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4), r.getString(5))).sortBy(_._1)
+    assert(direct.toSeq === Seq(
+      (1L, "conversion", "http://a/", "<urn:uuid:http://a/>", true,
+        "alpha text"),
+      (2L, "conversion", "http://b/", "<urn:uuid:http://b/>", true,
+        "beta stuff")))
+    // file round trip, both at-rest formats
+    val d1 = java.nio.file.Files.createTempDirectory("wetgz").toString
+    val n1 = Warc.writeWet(wet, d1, gzip = true)
+    assert(n1 >= 1L)
+    val back1 = Warc.readWarcGz(spark, d1)
+      .select("warc_type", "warc_url", "warc_body", "declared_len_ok")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getBoolean(3))).sortBy(_._2)
+    assert(back1.toSeq === Seq(
+      ("conversion", "http://a/", "alpha text", true),
+      ("conversion", "http://b/", "beta stuff", true)))
+    val d2 = java.nio.file.Files.createTempDirectory("wetplain").toString
+    Warc.writeWet(wet, d2, gzip = false)
+    val back2 = Warc.readWarc(spark, d2)
+      .select("warc_url", "warc_body").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(back2.toSeq === Seq(("http://a/", "alpha text"),
+      ("http://b/", "beta stuff")))
+  }
+
   test("crawl front-end composition: warc -> response filter -> html " +
     "text -> url canon") {
     import spark.implicits._
