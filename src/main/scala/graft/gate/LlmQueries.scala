@@ -1818,6 +1818,53 @@ object LlmQueries {
           col("rule_stop"), col("rule_rep"), col("keep"))
     }),
 
+    // Crawl-politeness capstone composing the r16 operators in one
+    // DAG: WARC parse -> URL path extraction -> robots.txt decision
+    // (RFC 9309 longest-match with * and $; the Allow /p/*50$ override
+    // out-specifies the Disallow /p/*0$ rule) -> politeness filter ->
+    // text extraction -> WET render -> re-parse. The oracle replays
+    // the surviving id set and every output from the raw documents
+    // table; declared_len_ok again gates render/parser consistency.
+    "llm_pipeline9" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val crlf = "\r\n"
+      val policy = "User-agent: graftbot\n" +
+        "Disallow: /p/*0$\n" +
+        "Disallow: /p/*5$\n" +
+        "Allow: /p/*50$\n"
+      val url = concat(lit("https://ex"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".com/p/"),
+        col("doc_id").cast("string"))
+      val html = concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
+          crlf + crlf), html)
+      val arc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: "), url,
+        lit(crlf + "Content-Length: "), octet_length(http).cast("string"),
+        lit(crlf + crlf), http, lit(crlf + crlf))
+      val recs = graft.llmops.Warc.withWarcRecords(
+        docs.select(col("doc_id"), arc.as("arc")), "arc")
+        .where(col("warc_type") === "response" &&
+          col("http_status") === 200)
+      val parts = Web.withUrlParts(recs, "warc_url")
+      val polite = Web.withRobotsAllowed(parts, "url_path", policy,
+        "GraftBot/1.2", "robots")
+        .where(col("robots_allowed"))
+      val wet = graft.llmops.Warc.toWet(polite,
+        Web.htmlTextUdf(col("warc_body")))
+      graft.llmops.Warc.withWarcRecords(
+        wet.select(col("doc_id"), col("url_path"), col("robots_rule"),
+          col("wet_record")), "wet_record")
+        .select(col("doc_id"), col("url_path").as("path"),
+          col("robots_rule").as("rule"),
+          col("content_length").as("wet_len"),
+          col("declared_len_ok").as("len_ok"),
+          md5(col("warc_body")).as("text_md5"))
+    }),
+
     // WARC (ISO 28500 / Common Crawl) record extraction: a two-record
     // archive (request + HTTP response wrapping the document text) is
     // synthesized per doc in column exprs; the REAL parser splits
@@ -4361,6 +4408,22 @@ object LlmQueries {
            FROM documents)
          SELECT doc_id, 'conversion' AS wet_type, u AS wet_url,
            '<urn:doc:' || CAST(doc_id AS VARCHAR) || '>' AS wet_refers_to,
+           CAST(octet_length(encode(t)) AS BIGINT) AS wet_len,
+           TRUE AS len_ok, md5(t) AS text_md5
+         FROM d""",
+    // Politeness replay: blocked iff the path ends in 0 or 5 UNLESS it
+    // ends in 50 (the longer Allow pattern out-specifies); the winning
+    // rule is NULL when nothing matched, '/p/*50$' on the override.
+    "llm_pipeline9" ->
+      """WITH d AS (
+           SELECT doc_id,
+             trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+           FROM documents
+           WHERE (doc_id % 10 NOT IN (0, 5)) OR (doc_id % 100 = 50))
+         SELECT doc_id,
+           '/p/' || CAST(doc_id AS VARCHAR) AS path,
+           CASE WHEN doc_id % 100 = 50 THEN '/p/*50$'
+             ELSE NULL END AS rule,
            CAST(octet_length(encode(t)) AS BIGINT) AS wet_len,
            TRUE AS len_ok, md5(t) AS text_md5
          FROM d""",
