@@ -1818,6 +1818,34 @@ object LlmQueries {
           col("rule_stop"), col("rule_rep"), col("keep"))
     }),
 
+    // Robots policies as a TABLE (the 100 TB shape: per-domain
+    // robots.txt is data, not config): four domain families, three
+    // with distinct policies (block-all; block ids ending 3; Allow
+    // /p/* out-specifying Disallow /) and one with NO policy row —
+    // the missing-robots.txt = allow-all path. The policy side joins
+    // broadcast; the oracle replays the per-(domain,path) decision.
+    "llm_robots_table" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pol = s.range(0, 3).toDF("pid")
+        .withColumn("domain",
+          concat(lit("d"), col("pid").cast("string"), lit(".com")))
+        .withColumn("robots_txt",
+          when(col("pid") === 0,
+            lit("User-agent: *\nDisallow: /\n"))
+          .when(col("pid") === 1,
+            lit("User-agent: graftbot\nDisallow: /p/*3$\n"))
+          .otherwise(
+            lit("User-agent: graftbot\nAllow: /p/*\nDisallow: /\n")))
+      val base = docs.select(col("doc_id"),
+        concat(lit("d"), pmod(col("doc_id"), lit(4)).cast("string"),
+          lit(".com")).as("domain"),
+        concat(lit("/p/"), col("doc_id").cast("string")).as("path"))
+      Web.withRobotsAllowedByPolicy(base, "domain", "path", pol,
+        "domain", "robots_txt", "GraftBot/1.0", "robots")
+        .select(col("doc_id"), col("domain"), col("path"),
+          col("robots_allowed"), col("robots_rule"))
+    }),
+
     // Crawl-politeness capstone composing the r16 operators in one
     // DAG: WARC parse -> URL path extraction -> robots.txt decision
     // (RFC 9309 longest-match with * and $; the Allow /p/*50$ override
@@ -4411,6 +4439,24 @@ object LlmQueries {
            CAST(octet_length(encode(t)) AS BIGINT) AS wet_len,
            TRUE AS len_ok, md5(t) AS text_md5
          FROM d""",
+    // Decision replay per (domain family, path): d0 blocks all, d1
+    // blocks ids ending 3 for graftbot, d2's longer Allow /p/* beats
+    // Disallow /, d3 has no robots.txt -> allowed.
+    "llm_robots_table" ->
+      """SELECT doc_id,
+           'd' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS domain,
+           '/p/' || CAST(doc_id AS VARCHAR) AS path,
+           CASE doc_id % 4
+             WHEN 0 THEN FALSE
+             WHEN 1 THEN doc_id % 10 <> 3
+             ELSE TRUE END AS robots_allowed,
+           CASE doc_id % 4
+             WHEN 0 THEN '/'
+             WHEN 1 THEN CASE WHEN doc_id % 10 = 3
+               THEN '/p/*3$' ELSE NULL END
+             WHEN 2 THEN '/p/*'
+             ELSE NULL END AS robots_rule
+         FROM documents""",
     // Politeness replay: blocked iff the path ends in 0 or 5 UNLESS it
     // ends in 50 (the longer Allow pattern out-specifies); the winning
     // rule is NULL when nothing matched, '/p/*50$' on the override.

@@ -505,6 +505,45 @@ object Web {
       .drop("__rv")
   }
 
+  /** Per-domain robots policies as DATA — the 100 TB shape. A real
+    * crawl has millions of domains, each with its own robots.txt
+    * fetched at crawl time, so the policy set is a TABLE, not a driver
+    * constant. `policies` is (domain, robots_txt); each policy row is
+    * parsed + group-selected for `userAgent` ONCE (map-side kernel
+    * producing an array<struct<allow,pattern>>, policy rows ≪ corpus
+    * rows), then LEFT-joined to the corpus on the domain key —
+    * broadcast when the policy side is small, shuffle-hash otherwise
+    * (AQE decides; the corpus side never collects). Rows with no
+    * policy row are ALLOWED (a missing robots.txt permits crawling,
+    * RFC 9309 §2.3.1.2-4). Adds `<prefix>_allowed` / `<prefix>_rule`.
+    */
+  def withRobotsAllowedByPolicy(df: DataFrame, domainCol: String,
+      pathCol: String, policies: DataFrame, policyDomainCol: String,
+      policyTextCol: String, userAgent: String,
+      prefix: String = "robots"): DataFrame = {
+    val compile = udf((txt: String) =>
+      robotsRulesFor(parseRobots(txt), userAgent)
+        .map(r => (r.allow, r.pattern)))
+    val pol = policies.select(
+      col(policyDomainCol).as("__robots_dom"),
+      compile(col(policyTextCol)).as("__robots_rules"))
+    val decide = udf(
+      (rules: Seq[org.apache.spark.sql.Row], path: String) => {
+        if (rules == null) (true, null: String)
+        else {
+          val rs = rules.map(r => RobotsRule(r.getBoolean(0),
+            r.getString(1)))
+          val d = robotsDecision(rs, path)
+          (d.forall(_.allow), d.map(_.pattern).orNull)
+        }
+      })
+    df.join(pol, df(domainCol) === col("__robots_dom"), "left")
+      .withColumn("__rv", decide(col("__robots_rules"), col(pathCol)))
+      .withColumn(s"${prefix}_allowed", col("__rv._1"))
+      .withColumn(s"${prefix}_rule", col("__rv._2"))
+      .drop("__rv", "__robots_dom", "__robots_rules")
+  }
+
   def domainQuota(df: DataFrame, hostCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n >= 1)

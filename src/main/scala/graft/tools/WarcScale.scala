@@ -42,10 +42,63 @@ object WarcScale {
       http + crlf + crlf
   }
 
+  /** `--onebig=N`: the bounded-memory proof for the streaming gz
+    * reader. ONE `.warc.gz` file, ONE gzip member, N records — the
+    * pre-r16 readAllBytes path held the whole decompressed text (plus
+    * its UTF-16 String and chunk copies, ~5x raw) in a single task;
+    * the streaming reader holds a 64 KB window + one record. Run under
+    * a deliberately small heap (SPARK_DRIVER_MEM=3g with N=1,000,000 x
+    * ~1 KB ≈ 1.2 GB raw) to make the bound observable, not asserted.
+    */
+  private def oneBig(spark: SparkSession, nRecords: Long,
+      payloadBytes: Int, reuseDir: Option[String]): Unit = {
+    val dir = reuseDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("warc_onebig").toString)
+    val path = java.nio.file.Paths.get(dir, "big.warc.gz")
+    val t0 = System.nanoTime()
+    var raw = 0L
+    if (!java.nio.file.Files.exists(path)) {
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(path), 1 << 20), 1 << 16)
+      var i = 0L
+      while (i < nRecords) {
+        val rec = record(i, payloadBytes).getBytes("UTF-8")
+        out.write(rec); raw += rec.length
+        i += 1
+      }
+      out.close()
+      println(f"[warc] onebig: generated ${nRecords}%,d records / " +
+        f"${raw / 1e9}%.2f GB raw in ONE gzip member " +
+        f"(${java.nio.file.Files.size(path) / 1e6}%,.0f MB at rest, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    } else println(s"[warc] onebig: reusing $path")
+    import org.apache.spark.sql.functions._
+    val t1 = System.nanoTime()
+    val agg = graft.llmops.Warc.readWarcGz(spark, dir).agg(
+      count(lit(1)), sum(when(col("declared_len_ok"), 0L).otherwise(1L)),
+      min("rec_idx"), max("rec_idx"), sum(length(col("warc_body"))))
+      .head()
+    val secs = (System.nanoTime() - t1) / 1e9
+    require(agg.getLong(0) == nRecords,
+      s"onebig: ${agg.getLong(0)} records, expected $nRecords")
+    require(agg.getLong(1) == 0, s"onebig: ${agg.getLong(1)} bad lengths")
+    require(agg.getLong(2) == 0L && agg.getLong(3) == nRecords - 1,
+      "onebig: rec_idx not contiguous")
+    val heap = Runtime.getRuntime.maxMemory() / 1e9
+    println(f"[warc] onebig: streamed ${nRecords}%,d records " +
+      f"(${agg.getLong(4) / 1e9}%.2f G chars) from one member in " +
+      f"$secs%.1f s = ${nRecords / secs}%,.0f rec/s under a " +
+      f"$heap%.1f GB max heap (single task; invariants green)")
+  }
+
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     val reuseDir = flags.collectFirst {
       case f if f.startsWith("--dir=") => f.substring(6)
+    }
+    val oneBigN = flags.collectFirst {
+      case f if f.startsWith("--onebig=") => f.substring(9).toLong
     }
     val nRecords = if (pos.nonEmpty) pos(0).toLong else 2000000L
     val payloadBytes = if (pos.length > 1) pos(1).toInt else 1024
@@ -60,6 +113,10 @@ object WarcScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    oneBigN.foreach { n =>
+      oneBig(spark, n, payloadBytes, reuseDir)
+      spark.stop(); return
+    }
     val dir = reuseDir.getOrElse(
       java.nio.file.Files.createTempDirectory("warc_scale").toString)
 

@@ -107,6 +107,32 @@ class RobotsSpec extends SparkSpec {
     assert(!Web.robotsIsAllowed(other, null))
   }
 
+  test("withRobotsAllowedByPolicy: per-domain robots table joined to " +
+    "the corpus; missing policy allows") {
+    import spark.implicits._
+    val pol = Seq(
+      ("a.com", "User-agent: *\nDisallow: /\n"),
+      ("b.com", "User-agent: bot\nDisallow: /x/*3$\n"),
+      ("c.com", "User-agent: bot\nAllow: /x/*\nDisallow: /\n"))
+      .toDF("domain", "robots_txt")
+    val docs = Seq(
+      (1L, "a.com", "/x/1"), (2L, "b.com", "/x/3"),
+      (3L, "b.com", "/x/4"), (4L, "c.com", "/x/9"),
+      (5L, "nopolicy.com", "/anything"))
+      .toDF("id", "domain", "path")
+    val out = Web.withRobotsAllowedByPolicy(docs, "domain", "path",
+      pol, "domain", "robots_txt", "Bot/1.0")
+      .orderBy("id")
+      .select("robots_allowed", "robots_rule")
+      .collect()
+      .map(r => (r.getBoolean(0), Option(r.getString(1))))
+    assert(out.toSeq === Seq(
+      (false, Some("/")), // * fallback group blocks all of a.com
+      (false, Some("/x/*3$")), (true, None), // named group on b.com
+      (true, Some("/x/*")), // longer Allow beats Disallow / on c.com
+      (true, None))) // no robots.txt row -> allowed
+  }
+
   test("withRobotsAllowed: per-UA verdict columns over a DataFrame") {
     import spark.implicits._
     val df = Seq(
