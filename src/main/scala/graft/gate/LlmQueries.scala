@@ -1747,6 +1747,31 @@ object LlmQueries {
           col("mf_height"),
           posexplode(col("media_feat")).as(Seq("fi", "f")))),
 
+    // REAL resize gate (r16, closes the identity-resize stub): decode
+    // the synthetic BMP/PNG fixtures, box-filter downscale by 2 with
+    // edge clamp, RE-ENCODE as PNG, then DECODE THAT with the pixel
+    // kernel and emit per-channel stats of the resized image. The
+    // oracle recomputes every resized pixel straight from the block
+    // formula floor(sum/count) — a hash match proves the whole
+    // decode -> resize -> encode -> decode chain is pixel-exact.
+    "llm_image_resize" -> ((s, d) => {
+      val rz = Multimodal.withResizedPixels(
+        syntheticImageDocs(Tables.documents(s, d)), "payload",
+        factor = 2)
+      Multimodal.withImagePixelStats(
+        rz.select(col("doc_id"), col("rz_format"),
+          col("rz_png").as("payload")), "payload")
+        .select(col("doc_id"), col("rz_format").as("rz_src_format"),
+          col("px_width").as("rz_width"),
+          col("px_height").as("rz_height"),
+          posexplode(arrays_zip(col("px_sum"), col("px_min"),
+            col("px_max"))).as(Seq("channel", "z")))
+        .select(col("doc_id"), col("rz_src_format"), col("rz_width"),
+          col("rz_height"), col("channel"),
+          col("z.px_sum").as("ch_sum"), col("z.px_min").as("ch_min"),
+          col("z.px_max").as("ch_max"))
+    }),
+
     // jusText-style main-content extraction: each doc's text rides as
     // the content paragraph of a synthesized page whose nav (pure
     // links -> 3*linkChars > totalChars), tiny paragraph (< 40 chars)
@@ -4290,6 +4315,56 @@ object LlmQueries {
            CAST(MIN(p) AS INT) AS ch_min,
            CAST(MAX(p) AS INT) AS ch_max
          FROM px GROUP BY doc_id, fmt, w, h, c""",
+    // Every resized pixel recomputed from the fixture formula: the
+    // 2x2 block at (2x, 2y) clamps at the right/bottom edges, value =
+    // floor(blockSum / blockCount) — the identical single integer
+    // division the Spark kernel performs between two real codec
+    // passes.
+    "llm_image_resize" ->
+      """WITH m AS (
+           SELECT doc_id,
+             1 + CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 2)) AS BIGINT) % 12 AS INT) AS w,
+             1 + CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               3, 2)) AS BIGINT) % 10 AS INT) AS h,
+             CASE WHEN doc_id % 3 = 2 THEN 'bmp' ELSE 'png' END AS fmt,
+             CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS nch
+           FROM documents WHERE doc_id < 300),
+         o AS (
+           SELECT doc_id, fmt, w, h, nch,
+             (w + 1) // 2 AS ow, (h + 1) // 2 AS oh
+           FROM m),
+         k AS (
+           SELECT doc_id, fmt, w, h, nch, ow, oh,
+             unnest(range(0, ow * oh * nch)) AS k
+           FROM o),
+         q AS (
+           SELECT doc_id, fmt, w, h, nch, ow, oh,
+             (k % nch) AS c,
+             ((k % (ow * nch)) // nch) AS x,
+             (k // (ow * nch)) AS y
+           FROM k),
+         v AS (
+           SELECT doc_id, fmt, ow, oh, c,
+             ((doc_id * 31 + (2 * y) * 7 + (2 * x) * 3 + c * 11) % 256
+              + CASE WHEN 2 * x + 1 < w THEN
+                  (doc_id * 31 + (2 * y) * 7 + (2 * x + 1) * 3 + c * 11)
+                    % 256 ELSE 0 END
+              + CASE WHEN 2 * y + 1 < h THEN
+                  (doc_id * 31 + (2 * y + 1) * 7 + (2 * x) * 3 + c * 11)
+                    % 256 ELSE 0 END
+              + CASE WHEN 2 * x + 1 < w AND 2 * y + 1 < h THEN
+                  (doc_id * 31 + (2 * y + 1) * 7 + (2 * x + 1) * 3
+                   + c * 11) % 256 ELSE 0 END)
+             // ((CASE WHEN 2 * x + 1 < w THEN 2 ELSE 1 END)
+                * (CASE WHEN 2 * y + 1 < h THEN 2 ELSE 1 END)) AS p
+           FROM q)
+         SELECT doc_id, fmt AS rz_src_format, ow AS rz_width,
+           oh AS rz_height, CAST(c AS INT) AS channel,
+           CAST(SUM(p) AS BIGINT) AS ch_sum,
+           CAST(MIN(p) AS INT) AS ch_min,
+           CAST(MAX(p) AS INT) AS ch_max
+         FROM v GROUP BY doc_id, fmt, ow, oh, c""",
     // 2x2 grid mean-pool straight from the pixel formula: pixel
     // (x = (k%(w*nch))//nch, y = k//(w*nch)) falls in cell
     // (y*2//h)*2 + (x*2//w); feature fi = cell*nch + c, value =

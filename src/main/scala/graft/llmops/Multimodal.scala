@@ -648,6 +648,84 @@ object Multimodal {
     }(rowEnc).toDF()
   }
 
+  /** REAL resize kernel — replaces the identity-resize stub at the
+    * pixel level: exact box-filter (area-average) downscale by integer
+    * `factor`, the mipmap/thumbnail standard. out(x,y,c) =
+    * floor(blockSum / blockCount), where the factor x factor source
+    * block CLAMPS at the right/bottom edges (blockCount < factor^2
+    * there), so every (w,h) resizes, not just multiples. Output dims =
+    * ceil(w/factor) x ceil(h/factor). The result re-encodes as a real
+    * PNG ([[pngEncode]]) so downstream kernels (pixel stats, grid
+    * features, ANN over media vectors) compose on an actual image —
+    * the llm_image_resize gate round-trips decode -> resize -> encode
+    * -> decode and the oracle recomputes every output pixel straight
+    * from the fixture formula. Adds rz_format (the SOURCE container),
+    * rz_width/rz_height/rz_channels and rz_png; undecodable payloads
+    * yield null fields, never a throw. Scale shape: per-partition
+    * batch map, no shuffle.
+    */
+  def withResizedPixels(df: DataFrame, binCol: String,
+      factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val idx = df.schema.fieldIndex(binCol)
+    val add = Seq("rz_format", "rz_width", "rz_height", "rz_channels",
+      "rz_png")
+    val clash = add.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withResizedPixels output columns already present: ${clash.mkString(", ")}")
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("rz_format", StringType),
+      StructField("rz_width", IntegerType),
+      StructField("rz_height", IntegerType),
+      StructField("rz_channels", IntegerType),
+      StructField("rz_png", BinaryType)))
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        decodeImage(row.getAs[Array[Byte]](idx)) match {
+          case Some((fmt, w, h, ch, pix)) =>
+            val ow = (w + factor - 1) / factor
+            val oh = (h + factor - 1) / factor
+            val out = new Array[Byte](ow * oh * ch)
+            var oy = 0
+            while (oy < oh) {
+              val sy0 = oy * factor
+              val sy1 = math.min(sy0 + factor, h)
+              var ox = 0
+              while (ox < ow) {
+                val sx0 = ox * factor
+                val sx1 = math.min(sx0 + factor, w)
+                val n = (sy1 - sy0) * (sx1 - sx0)
+                var c = 0
+                while (c < ch) {
+                  var sum = 0L
+                  var sy = sy0
+                  while (sy < sy1) {
+                    var sx = sx0
+                    while (sx < sx1) {
+                      sum += (pix((sy * w + sx) * ch + c) & 0xff)
+                      sx += 1
+                    }
+                    sy += 1
+                  }
+                  out((oy * ow + ox) * ch + c) = (sum / n).toByte
+                  c += 1
+                }
+                ox += 1
+              }
+              oy += 1
+            }
+            org.apache.spark.sql.Row.fromSeq(row.toSeq ++
+              Seq[Any](fmt, ow, oh, ch, pngEncode(ow, oh, ch, out)))
+          case None =>
+            org.apache.spark.sql.Row.fromSeq(row.toSeq ++
+              Seq[Any](null, null, null, null, null))
+        }
+      }
+    }(rowEnc).toDF()
+  }
+
   /** REAL WAV PCM amplitude statistics: walks the RIFF chunks like
     * [[wavHeaderMeta]], requires audio format 1 (linear PCM) at 16 or 8
     * bits, and reduces the data payload to exact integers — sample

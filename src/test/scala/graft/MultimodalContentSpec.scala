@@ -320,4 +320,58 @@ class MultimodalContentSpec extends SparkSpec {
     assert(Multimodal.wavPcmStats(bad).isEmpty)
     assert(Multimodal.wavPcmStats("RIFFxxxxWAVE".getBytes).isEmpty)
   }
+
+  test("box-filter resize: exact block means with edge clamp, factor-1 " +
+    "identity, PNG re-encode round trip, garbage null") {
+    import spark.implicits._
+    // 5x3 grayscale, factor 2 -> 3x2 with clamped right column and
+    // bottom row; reference computed by brute force here
+    val w = 5; val h = 3
+    val src = pix(w, h, 1)((x, y, _) => 17 * x + 41 * y + 3)
+    def ref(factor: Int): (Int, Int, Array[Int]) = {
+      val ow = (w + factor - 1) / factor
+      val oh = (h + factor - 1) / factor
+      val out = for (oy <- 0 until oh; ox <- 0 until ow) yield {
+        val xs = (ox * factor) until math.min((ox + 1) * factor, w)
+        val ys = (oy * factor) until math.min((oy + 1) * factor, h)
+        val vals = for (y <- ys; x <- xs) yield src((y * w + x)) & 0xff
+        vals.sum / vals.length
+      }
+      (ow, oh, out.toArray)
+    }
+    val df = Seq(
+      (1L, Multimodal.pngEncode(w, h, 1, src)),
+      (2L, "not an image".getBytes)).toDF("id", "media")
+    val out = Multimodal.withResizedPixels(df, "media", factor = 2)
+      .orderBy("id").collect()
+    val (ow, oh, expect) = ref(2)
+    assert(out(0).getInt(out(0).fieldIndex("rz_width")) === ow)
+    assert(out(0).getInt(out(0).fieldIndex("rz_height")) === oh)
+    assert(out(0).getString(out(0).fieldIndex("rz_format")) === "png")
+    val Some((dw, dh, dc, dp)) = Multimodal.pngDecode(
+      out(0).getAs[Array[Byte]](out(0).fieldIndex("rz_png")))
+    assert((dw, dh, dc) === ((ow, oh, 1)))
+    assert(dp.map(_ & 0xff).toSeq === expect.toSeq)
+    assert(out(1).isNullAt(out(1).fieldIndex("rz_png")))
+    // factor 1 is the identity (every block is one pixel)
+    val id1 = Multimodal.withResizedPixels(
+      df.where($"id" === 1), "media", factor = 1).head()
+    val Some((iw, ih, _, ip)) = Multimodal.pngDecode(
+      id1.getAs[Array[Byte]](id1.fieldIndex("rz_png")))
+    assert((iw, ih) === ((w, h)))
+    assert(ip.toSeq === src.toSeq)
+    // RGB channels resize independently
+    val rgb = pix(4, 4, 3)((x, y, c) => 60 * c + 9 * x + 5 * y)
+    val rdf = Seq((1L, Multimodal.pngEncode(4, 4, 3, rgb)))
+      .toDF("id", "media")
+    val rout = Multimodal.withResizedPixels(rdf, "media", factor = 2)
+      .head()
+    val Some((_, _, rc, rp)) = Multimodal.pngDecode(
+      rout.getAs[Array[Byte]](rout.fieldIndex("rz_png")))
+    assert(rc === 3)
+    // block (0,0) channel c: pixels (0,0),(1,0),(0,1),(1,1) ->
+    // mean of 60c + {0, 9, 5, 14} = 60c + 7
+    for (c <- 0 until 3)
+      assert((rp(c) & 0xff) === 60 * c + 7)
+  }
 }
