@@ -474,6 +474,54 @@ object PlanCheck {
         occ(c4Str, "Generate") == 0,
         "c4LineClean must be a pure map-side projection")
       println("c4 clean: exchanges=0, joins=0 (scan-stage filter shape)")
+
+      // Crawl front end (r16): WARC parse -> url parts -> robots
+      // decision -> politeness filter -> extract -> WET render must be
+      // ONE shuffle-free map-side chain — at 100 TB this runs as the
+      // scan stage, and any Exchange here would reshuffle the whole
+      // crawl before a single byte is curated.
+      val arc16 = docs12.select(col("doc_id"), concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "https://ex.com/p/"), col("doc_id").cast("string"),
+        lit("\r\n\r\nHTTP/1.1 200 OK\r\n\r\n<p>"), col("text"),
+        lit("</p>\r\n\r\n")).as("arc"))
+      val crawlFront = {
+        val recs = graft.llmops.Warc.withWarcRecords(arc16, "arc")
+          .where(col("warc_type") === "response")
+        val parts = graft.llmops.Web.withUrlParts(recs, "warc_url")
+        val polite = graft.llmops.Web.withRobotsAllowed(parts,
+          "url_path", "User-agent: *\nDisallow: /p/*0$\n", "bot")
+          .where(col("robots_allowed"))
+        graft.llmops.Warc.toWet(polite,
+          graft.llmops.Web.htmlTextUdf(col("warc_body")))
+      }
+      val cfStr = crawlFront.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      require(occ(cfStr, "Exchange") == 0 && occ(cfStr, "Join") == 0,
+        "crawl front end must be a shuffle-free map-side chain")
+      println("crawl front end (warc->robots->wet): exchanges=0, " +
+        "joins=0 (scan-stage shape)")
+
+      // Per-domain robots policy table must BROADCAST onto the corpus
+      // (policy rows << corpus rows); a SortMergeJoin here would
+      // shuffle the whole crawl by domain just to read its policy.
+      val pol16 = spark.range(0, 3).toDF("pid")
+        .select(concat(lit("d"), col("pid").cast("string"),
+          lit(".com")).as("domain"),
+          lit("User-agent: *\nDisallow: /\n").as("robots_txt"))
+      val byPol = graft.llmops.Web.withRobotsAllowedByPolicy(
+        docs12.select(col("doc_id"),
+          concat(lit("d"), pmod(col("doc_id"), lit(4)).cast("string"),
+            lit(".com")).as("domain"),
+          lit("/x").as("path")),
+        "domain", "path", pol16, "domain", "robots_txt", "bot")
+      val bpStr = byPol.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      require(occ(bpStr, "BroadcastHashJoin") >= 1 &&
+        occ(bpStr, "SortMergeJoin") == 0,
+        "robots policy table must broadcast, never sort-merge")
+      println("robots policy table: broadcast join, corpus side " +
+        "never shuffles")
     }
     spark.stop()
   }
