@@ -188,6 +188,42 @@ object WarcScale {
       Warc.readWarcGz(spark, s"$dir/*.warc.gz")
     }
 
+    // --wet: the full crawl front end as ONE job — splittable read ->
+    // response filter -> HTML text extraction -> WET render -> sharded
+    // .warc.wet.gz, then a validating read-back. declared_len_ok on
+    // the read-back gates byte-exact render/parse for EVERY record.
+    if (flags.contains("--wet")) {
+      val wetDir = java.nio.file.Files
+        .createTempDirectory("wet_out").toString
+      val tw = System.nanoTime()
+      val wet = Warc.toWet(
+        Warc.readWarc(spark, s"$dir/*.warc")
+          .where(col("warc_type") === "response"),
+        graft.llmops.Web.htmlTextUdf(col("warc_body")))
+      val wetShards = Warc.writeWet(wet, wetDir, gzip = true)
+      val wSecs = (System.nanoTime() - tw) / 1e9
+      println(f"[warc] crawl->WET  $wSecs%7.1f s  " +
+        f"${nRecords / wSecs}%,.0f rec/s  ${gb / wSecs * 1000}%,.0f MB/s " +
+        f"(read+extract+render+write, $wetShards shards)")
+      val tb = System.nanoTime()
+      val back = Warc.readWarcGz(spark, wetDir).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("declared_len_ok"), 0L).otherwise(1L)).as("bad"),
+        sum(when(col("warc_type") === "conversion", 0L).otherwise(1L))
+          .as("notconv"),
+        sum(octet_length(col("warc_body"))).as("bytes")).head()
+      val bSecs = (System.nanoTime() - tb) / 1e9
+      require(back.getLong(0) == nRecords,
+        s"wet readback: ${back.getLong(0)} records, expected $nRecords")
+      require(back.getLong(1) == 0,
+        s"wet readback: ${back.getLong(1)} invalid Content-Lengths")
+      require(back.getLong(2) == 0, "wet readback: non-conversion recs")
+      println(f"[warc] WET readback $bSecs%6.1f s  " +
+        f"${nRecords / bSecs}%,.0f rec/s  " +
+        f"${back.getLong(3) / 1e9}%.2f GB extracted text, every " +
+        "Content-Length validates (byte-exact render round trip)")
+    }
+
     // per-file contiguity + sampled body check on the splittable read
     val d = Warc.readWarc(spark, s"$dir/*.warc")
     val contig = d.groupBy("source_file")

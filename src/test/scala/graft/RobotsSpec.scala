@@ -64,6 +64,37 @@ class RobotsSpec extends SparkSpec {
     assert(!Web.robotsMatches("/$", "/x"))
   }
 
+  test("robotsMatches: seeded fuzz against a reference regex " +
+    "translation") {
+    // reference semantics: anchored at start, '*' -> '.*', trailing
+    // '$' -> end anchor, everything else literal
+    def refMatch(pattern: String, path: String): Boolean = {
+      val endAnchored = pattern.endsWith("$")
+      val pat = if (endAnchored) pattern.dropRight(1) else pattern
+      val rx = pat.split("\\*", -1)
+        .map(java.util.regex.Pattern.quote)
+        .mkString("(?s).*") + (if (endAnchored) "$" else "(?s).*$")
+      java.util.regex.Pattern.compile("^" + rx).matcher(path).matches()
+    }
+    val rnd = new scala.util.Random(9309)
+    val chars = "/ab3.$*"
+    def rs(n: Int) =
+      (0 until n).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    var checked = 0
+    (0 until 4000).foreach { _ =>
+      val pattern = "/" + rs(rnd.nextInt(8))
+      val path = "/" + rs(rnd.nextInt(12))
+      // '$' is only an anchor at the END of a rule; skip patterns with
+      // interior '$' (the RFC leaves them undefined, we treat interior
+      // '$' as literal and so does the reference translation — but
+      // a trailing-'$'-after-'*' etc. must still agree)
+      assert(Web.robotsMatches(pattern, path) === refMatch(pattern, path),
+        s"pattern=$pattern path=$path")
+      checked += 1
+    }
+    assert(checked === 4000)
+  }
+
   test("group selection: exact token case-insensitive, combined " +
     "groups, * fallback") {
     val gs = Web.parseRobots(policy)
