@@ -1843,6 +1843,67 @@ object LlmQueries {
           col("rule_stop"), col("rule_rep"), col("keep"))
     }),
 
+    // Link extraction (the WAT-style outlink metadata): pages carry a
+    // relative link, an absolute link, a single-quoted fragment link
+    // (fragment must be cut), and an <A HREF> case variant; the oracle
+    // replays each target from the synthesis formula — no regex on the
+    // oracle side, so the extraction rules themselves are what's
+    // gated.
+    "llm_links" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t1 = pmod(col("doc_id") * 7 + 1, lit(100)).cast("string")
+      val t2 = pmod(col("doc_id") * 13 + 2, lit(100)).cast("string")
+      val t3 = pmod(col("doc_id") * 31 + 5, lit(100)).cast("string")
+      val html = concat(
+        lit("<html><body><p>text</p><a href=\"/p/"), t1,
+        lit("\">one</a> <A HREF=\"https://ex"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".com/p/"), t2,
+        lit("\">two</A> <a class=\"x\" href='/p/"), t3,
+        lit("#frag'>three</a></body></html>"))
+      Web.withExtractedLinks(
+        docs.select(col("doc_id"), html.as("html")), "html")
+        .select(col("doc_id"),
+          posexplode(col("links")).as(Seq("li", "link")))
+    }),
+
+    // Crawl link-graph capstone: WARC parse -> link extraction ->
+    // target-id parse -> directed edge list -> integer PageRank
+    // (3 rounds, the gated Graphs.pageRank). All 100 hub pages get
+    // cross-SF in-link mass from every doc, so ranks genuinely
+    // separate; the oracle rebuilds the edge list from the link
+    // formula and replays the identical integer rank recurrence.
+    "llm_pipeline10" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val crlf = "\r\n"
+      val t1 = pmod(col("doc_id") * 7 + 1, lit(100)).cast("string")
+      val t2 = pmod(col("doc_id") * 13 + 2, lit(100)).cast("string")
+      val html = concat(
+        lit("<html><body><a href=\"/p/"), t1,
+        lit("\">a</a> <a href=\"/p/"), t2,
+        lit("\">b</a><p>"), col("text"), lit("</p></body></html>"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
+          crlf + crlf), html)
+      val arc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: https://ex.com/p/"),
+        col("doc_id").cast("string"),
+        lit(crlf + "Content-Length: "), octet_length(http).cast("string"),
+        lit(crlf + crlf), http, lit(crlf + crlf))
+      val recs = graft.llmops.Warc.withWarcRecords(
+        docs.select(col("doc_id"), arc.as("arc")), "arc")
+        .where(col("warc_type") === "response")
+      val edges = Web.withExtractedLinks(recs, "warc_body")
+        .select(col("doc_id"),
+          explode(col("links")).as("link"))
+        .select(col("doc_id").as("src"),
+          regexp_extract(col("link"), "/p/(\\d+)$", 1)
+            .cast("long").as("dst"))
+      graft.llmops.Graphs.pageRank(edges, "src", "dst",
+        iters = 3, dampingMilli = 850)
+        .select(col("id").as("node_id"), col("rank_micro"))
+    }),
+
     // Robots policies as a TABLE (the 100 TB shape: per-domain
     // robots.txt is data, not config): four domain families, three
     // with distinct policies (block-all; block ids ending 3; Allow
@@ -4227,6 +4288,52 @@ object LlmQueries {
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM m)
          SELECT doc_id, domain FROM r WHERE rn <= 20""",
+    // Each extracted link replayed from the synthesis formula: the
+    // oracle never runs a regex, so the extraction rules (attr quote
+    // styles, case-insensitivity, fragment cut) are what the hash
+    // gates.
+    "llm_links" ->
+      """SELECT doc_id, 0 AS li,
+           '/p/' || CAST((doc_id * 7 + 1) % 100 AS VARCHAR) AS link
+         FROM documents
+         UNION ALL
+         SELECT doc_id, 1,
+           'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' ||
+             CAST((doc_id * 13 + 2) % 100 AS VARCHAR)
+         FROM documents
+         UNION ALL
+         SELECT doc_id, 2,
+           '/p/' || CAST((doc_id * 31 + 5) % 100 AS VARCHAR)
+         FROM documents""",
+    // Link-graph capstone: rebuild the directed edge list from the
+    // link formula, symmetrize, and replay the identical integer
+    // PageRank recurrence (3 chained CTE rounds, the llm_graph_rank
+    // protocol).
+    "llm_pipeline10" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (
+             SELECT d.src AS id,
+               CAST(150000 + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT)
+                 AS r
+             FROM deg d LEFT JOIN (
+               SELECT e.dst, CAST(SUM($prev.r // g.deg) AS BIGINT) AS c
+               FROM edges e JOIN $prev ON $prev.id = e.src
+                 JOIN deg g ON g.src = e.src
+               GROUP BY e.dst) s ON s.dst = d.src)"""
+      s"""WITH e0 AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % 100 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 2) % 100 FROM documents),
+          edges AS (SELECT src, dst FROM e0
+                    UNION ALL SELECT dst, src FROM e0),
+          deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+          r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+          ${iter("r0", "r1")},
+          ${iter("r1", "r2")},
+          ${iter("r2", "r3")}
+          SELECT id AS node_id, r AS rank_micro FROM r3"""
+    },
     // RFC 9309 decisions replayed per path template: the oracle
     // encodes what the spec REQUIRES for each case (longest-match,
     // Allow tie-break, $ anchor, * fallback group), never how the

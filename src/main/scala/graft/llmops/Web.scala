@@ -370,6 +370,23 @@ object Web {
           !contains(col(textCol), lit("{")))
   }
 
+  /** Outbound links from an HTML column: every `<a ... href="...">`
+    * target, fragment part excluded — the edge generator for crawl
+    * frontier scheduling and link-graph ranking (WAT-style metadata).
+    * PURE column expression (regexp_extract_all, codegen'd): at crawl
+    * scale this runs inside the scan stage, and a SQL oracle replays
+    * it. Single/double-quoted values, case-insensitive tag/attr.
+    */
+  def linksCol(html: Column): Column =
+    coalesce(
+      regexp_extract_all(html,
+        lit("(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'#>]+)"), lit(1)),
+      lit(Array.empty[String])) // null html -> no links, never null
+
+  /** Column form: adds `links: array<string>`. */
+  def withExtractedLinks(df: DataFrame, htmlCol: String): DataFrame =
+    df.withColumn("links", linksCol(col(htmlCol)))
+
   /** One robots.txt rule: Allow/Disallow + its raw path pattern
     * (`*` = any char run, trailing `$` = end anchor, else prefix).
     */

@@ -612,6 +612,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(capped.toSet == expect)
   }
 
+  test("link extraction: quote styles, case, fragment cut, non-links") {
+    import spark.implicits._
+    import graft.llmops.Web
+    val df = Seq(
+      (1L, "<a href=\"/x\">a</a><A HREF='/y#frag'>b</A>" +
+        "<a class=\"z\" href = \"https://e.com/p?q=1\">c</a>"),
+      (2L, "<a name=\"anchor\">no href</a><p>plain</p>"),
+      (3L, null: String)).toDF("id", "html")
+    val out = Web.withExtractedLinks(df, "html").orderBy("id")
+      .select("links").collect()
+    assert(out(0).getSeq[String](0) ===
+      Seq("/x", "/y", "https://e.com/p?q=1"))
+    assert(out(1).getSeq[String](0) === Seq.empty)
+    assert(out(2).getSeq[String](0) === Seq.empty)
+  }
+
   test("html text extraction: tags, script/style, entities, garbage") {
     import graft.llmops.Web.extractHtmlText
     assert(extractHtmlText(
