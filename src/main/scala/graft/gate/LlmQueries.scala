@@ -1866,6 +1866,33 @@ object LlmQueries {
           posexplode(col("links")).as(Seq("li", "link")))
     }),
 
+    // RFC 3986 reference resolution (link -> frontier): eight ref
+    // classes from md5(doc_id) exercise relative merge, dot-segment
+    // removal with root clamping, root-relative, query-only,
+    // scheme-relative, fragment drop and absolute normalization; the
+    // oracle hardcodes the RFC's answer per class.
+    "llm_url_resolve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = md5(col("doc_id").cast("string"))
+      val seg = substring(h, 1, 4)
+      val seg2 = substring(h, 5, 4)
+      val c = pmod(conv(substring(h, 9, 1), 16, 10).cast("int"), lit(8))
+      val base = concat(lit("https://ex"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".com/a/"),
+        seg, lit("/page?x=1"))
+      val ref = when(c === 0, concat(lit("g"), seg2))
+        .when(c === 1, concat(lit("/root/"), seg2))
+        .when(c === 2, lit("../up"))
+        .when(c === 3, concat(lit("../../"), seg2))
+        .when(c === 4, concat(lit("?y="), seg2))
+        .when(c === 5, concat(lit("//other.com/p/"), seg2))
+        .when(c === 6, lit("g/./h#frag"))
+        .otherwise(lit("http://abs.com/x/../y"))
+      docs.select(col("doc_id"), base.as("base"), ref.as("ref"))
+        .withColumn("resolved",
+          Web.resolveUrlUdf(col("base"), col("ref")))
+    }),
+
     // Crawl link-graph capstone: WARC parse -> link extraction ->
     // target-id parse -> directed edge list -> integer PageRank
     // (3 rounds, the gated Graphs.pageRank). All 100 hub pages get
@@ -4305,6 +4332,38 @@ object LlmQueries {
          SELECT doc_id, 2,
            '/p/' || CAST((doc_id * 31 + 5) % 100 AS VARCHAR)
          FROM documents""",
+    // The RFC's answer per ref class, written out directly.
+    "llm_url_resolve" ->
+      """WITH m AS (
+           SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS seg,
+             substr(md5(CAST(doc_id AS VARCHAR)), 5, 4) AS seg2,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 1))
+               AS BIGINT) % 8 AS c,
+             'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+               AS origin
+           FROM documents)
+         SELECT doc_id,
+           origin || '/a/' || seg || '/page?x=1' AS base,
+           CASE c
+             WHEN 0 THEN 'g' || seg2
+             WHEN 1 THEN '/root/' || seg2
+             WHEN 2 THEN '../up'
+             WHEN 3 THEN '../../' || seg2
+             WHEN 4 THEN '?y=' || seg2
+             WHEN 5 THEN '//other.com/p/' || seg2
+             WHEN 6 THEN 'g/./h#frag'
+             ELSE 'http://abs.com/x/../y' END AS ref,
+           CASE c
+             WHEN 0 THEN origin || '/a/' || seg || '/g' || seg2
+             WHEN 1 THEN origin || '/root/' || seg2
+             WHEN 2 THEN origin || '/a/up'
+             WHEN 3 THEN origin || '/' || seg2
+             WHEN 4 THEN origin || '/a/' || seg || '/page?y=' || seg2
+             WHEN 5 THEN 'https://other.com/p/' || seg2
+             WHEN 6 THEN origin || '/a/' || seg || '/g/h'
+             ELSE 'http://abs.com/y' END AS resolved
+         FROM m""",
     // Link-graph capstone: rebuild the directed edge list from the
     // link formula, symmetrize, and replay the identical integer
     // PageRank recurrence (3 chained CTE rounds, the llm_graph_rank

@@ -387,6 +387,106 @@ object Web {
   def withExtractedLinks(df: DataFrame, htmlCol: String): DataFrame =
     df.withColumn("links", linksCol(col(htmlCol)))
 
+  /** RFC 3986 §5.2.4 remove_dot_segments: resolves "." and ".."
+    * segments in a path without ever escaping the root.
+    */
+  private[llmops] def removeDotSegments(path: String): String = {
+    val out = new StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        val cut = out.lastIndexOf("/")
+        out.setLength(math.max(cut, 0))
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val next = in.indexOf('/', 1)
+        val seg = if (next < 0) in else in.substring(0, next)
+        out ++= seg
+        in = if (next < 0) "" else in.substring(next)
+      }
+    }
+    out.toString
+  }
+
+  /** RFC 3986 §5.2 reference resolution — the step between link
+    * extraction and the crawl frontier: every href must become an
+    * ABSOLUTE url before it can be deduped, robots-checked or
+    * scheduled. Handles absolute refs, scheme-relative (`//host/..`),
+    * root-relative, same-document/query-only refs, and relative-path
+    * merge with dot-segment removal; the ref's fragment is dropped
+    * (frontier identity, same policy as [[urlCanonCol]]). A base that
+    * does not parse as scheme://host... yields "" (crawl-garbage
+    * contract). Verified against the RFC's own §5.4 golden vectors in
+    * LlmOpsSpec.
+    */
+  def resolveUrl(base: String, ref0: String): String = {
+    if (base == null || ref0 == null) return ""
+    val m = java.util.regex.Pattern
+      .compile("^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?.*$")
+      .matcher(base)
+    if (!m.matches()) return ""
+    val (bScheme, bAuth, bPath) = (m.group(1), m.group(2), m.group(3))
+    val bQuery = Option(m.group(4)).getOrElse("")
+    val ref = { // the ref's fragment is not frontier identity
+      val h = ref0.indexOf('#')
+      if (h >= 0) ref0.substring(0, h) else ref0
+    }
+    val schemeRe = java.util.regex.Pattern
+      .compile("^[A-Za-z][A-Za-z0-9+.-]*:").matcher(ref)
+    if (schemeRe.find()) {
+      // absolute ref: normalize its path's dot segments if hierarchical
+      val rm = java.util.regex.Pattern
+        .compile("^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?.*)?$")
+        .matcher(ref)
+      if (rm.matches())
+        rm.group(1).toLowerCase(java.util.Locale.ROOT) + "://" +
+          rm.group(2) + removeDotSegments(rm.group(3)) +
+          Option(rm.group(4)).getOrElse("")
+      else ref
+    } else if (ref.startsWith("//")) {
+      val qi = ref.indexOf('?')
+      val (hp, q) = if (qi < 0) (ref, "") else ref.splitAt(qi)
+      val pi = hp.indexOf('/', 2)
+      if (pi < 0) bScheme + "://" + hp.substring(2) + q
+      else bScheme + "://" + hp.substring(2, pi) +
+        removeDotSegments(hp.substring(pi)) + q
+    } else if (ref.isEmpty) {
+      bScheme + "://" + bAuth + bPath + bQuery
+    } else if (ref.startsWith("?")) {
+      bScheme + "://" + bAuth + bPath + ref
+    } else {
+      val qi = ref.indexOf('?')
+      val (rPath, rQuery) = if (qi < 0) (ref, "") else ref.splitAt(qi)
+      val merged =
+        if (rPath.startsWith("/")) rPath
+        else if (bAuth.nonEmpty && bPath.isEmpty) "/" + rPath
+        else bPath.substring(0, bPath.lastIndexOf('/') + 1) + rPath
+      bScheme + "://" + bAuth + removeDotSegments(merged) + rQuery
+    }
+  }
+
+  val resolveUrlUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((base: String, ref: String) => resolveUrl(base, ref))
+
+  /** Resolve an extracted-links array column against the page URL:
+    * adds `resolved_links: array<string>` of absolute urls (empty
+    * entries dropped). Map-side kernel over each row's link list — no
+    * shuffle; composes linksCol -> frontier.
+    */
+  def withResolvedLinks(df: DataFrame, baseUrlCol: String,
+      linksArrCol: String): DataFrame = {
+    val res = udf((base: String, links: Seq[String]) =>
+      if (links == null) Seq.empty[String]
+      else links.map(l => resolveUrl(base, l)).filter(_.nonEmpty))
+    df.withColumn("resolved_links",
+      res(col(baseUrlCol), col(linksArrCol)))
+  }
+
   /** One robots.txt rule: Allow/Disallow + its raw path pattern
     * (`*` = any char run, trailing `$` = end anchor, else prefix).
     */

@@ -628,6 +628,81 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2).getSeq[String](0) === Seq.empty)
   }
 
+  test("url resolution: the RFC 3986 section 5.4 golden vectors " +
+    "(fragments dropped by policy)") {
+    import graft.llmops.Web.resolveUrl
+    val base = "http://a/b/c/d;p?q"
+    val normal = Seq(
+      "g:h" -> "g:h",
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      // the RFC keeps fragments; frontier identity drops them
+      "#s" -> "http://a/b/c/d;p?q",
+      "g#s" -> "http://a/b/c/g",
+      "g?y#s" -> "http://a/b/c/g?y",
+      ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x",
+      "g;x?y#s" -> "http://a/b/c/g;x?y",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g")
+    val abnormal = Seq(
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y")
+    (normal ++ abnormal).foreach { case (ref, want) =>
+      assert(resolveUrl(base, ref) === want, s"ref=$ref")
+    }
+    // authority with empty path; scheme-relative with path + query
+    assert(resolveUrl("http://a?q", "g") === "http://a/g")
+    assert(resolveUrl("https://h/x", "//o/p/../q?z") === "https://o/q?z")
+    // absolute ref's own dot segments normalize; scheme lowercases
+    assert(resolveUrl("http://a/", "HTTP://B/x/../y") === "http://B/y")
+    // garbage contract
+    assert(resolveUrl("not a url", "/x") === "")
+    assert(resolveUrl(null, "/x") === "")
+    assert(resolveUrl("http://a/", null) === "")
+  }
+
+  test("resolved links column: array map, empties dropped, null safe") {
+    import spark.implicits._
+    import graft.llmops.Web
+    val df = Seq(
+      (1L, "https://ex.com/dir/page", "<a href=\"one\">1</a>" +
+        "<a href=\"/two\">2</a><a href=\"../three#f\">3</a>"),
+      (2L, "garbage base", "<a href=\"/x\">x</a>"),
+      (3L, "https://ex.com/", null: String)).toDF("id", "url", "html")
+    val out = Web.withResolvedLinks(
+      Web.withExtractedLinks(df, "html"), "url", "links")
+      .orderBy("id").select("resolved_links").collect()
+    assert(out(0).getSeq[String](0) === Seq("https://ex.com/dir/one",
+      "https://ex.com/two", "https://ex.com/three"))
+    assert(out(1).getSeq[String](0) === Seq.empty) // base garbage -> dropped
+    assert(out(2).getSeq[String](0) === Seq.empty)
+  }
+
   test("html text extraction: tags, script/style, entities, garbage") {
     import graft.llmops.Web.extractHtmlText
     assert(extractHtmlText(
