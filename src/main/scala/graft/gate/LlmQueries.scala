@@ -1931,6 +1931,41 @@ object LlmQueries {
         .select(col("id").as("node_id"), col("rank_micro"))
     }),
 
+    // Frontier-step capstone: the DAG a crawler runs between fetch
+    // rounds — extract links, RESOLVE them against the page URL,
+    // canonicalize (tracking params drop, fragments are already cut),
+    // aggregate reference counts, and anti-join the already-crawled
+    // set so only NEW work remains. Class-2 links collapse onto
+    // crawled pages only when doc_id ≡ target (mod 7) and class-3
+    // scheme-relative links ALWAYS do, so the anti-join genuinely
+    // splits; the oracle replays every formula.
+    "llm_pipeline11" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t1 = pmod(col("doc_id") * 7 + 1, lit(100)).cast("string")
+      val t2 = pmod(col("doc_id") * 13 + 2, lit(100)).cast("string")
+      val t3 = pmod(col("doc_id") * 31 + 5, lit(100))
+      val k2 = pmod(t3, lit(7)).cast("string")
+      val pageUrl = concat(lit("https://ex"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".com/p/"),
+        col("doc_id").cast("string"))
+      val html = concat(
+        lit("<html><body><a href=\"g"), t1,
+        lit("\">r</a> <a href=\"/p/"), t2,
+        lit("?utm_source=x\">q</a> <a href='//ex"), k2,
+        lit(".com/p/"), t3.cast("string"),
+        lit("#f'>s</a></body></html>"))
+      val pages = docs.select(col("doc_id"), pageUrl.as("url"),
+        html.as("html"))
+      val resolved = Web.withResolvedLinks(
+        Web.withExtractedLinks(pages, "html"), "url", "links")
+        .select(explode(col("resolved_links")).as("link"))
+        .select(Web.urlCanonCol(col("link")).as("url"))
+        .groupBy("url").agg(count(lit(1)).as("n_refs"))
+      val crawled = pages
+        .select(Web.urlCanonCol(col("url")).as("url"))
+      resolved.join(crawled, Seq("url"), "left_anti")
+    }),
+
     // Robots policies as a TABLE (the 100 TB shape: per-domain
     // robots.txt is data, not config): four domain families, three
     // with distinct policies (block-all; block ids ending 3; Allow
@@ -4332,6 +4367,31 @@ object LlmQueries {
          SELECT doc_id, 2,
            '/p/' || CAST((doc_id * 31 + 5) % 100 AS VARCHAR)
          FROM documents""",
+    // Frontier replay: resolve + canon collapse to closed-form urls
+    // per link class; the crawled set is the page-url formula itself.
+    "llm_pipeline11" ->
+      """WITH l AS (
+           SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.com/p/g' || CAST((doc_id * 7 + 1) % 100 AS VARCHAR) AS url
+           FROM documents
+           UNION ALL
+           SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.com/p/' || CAST((doc_id * 13 + 2) % 100 AS VARCHAR)
+           FROM documents
+           UNION ALL
+           SELECT 'https://ex' ||
+             CAST(((doc_id * 31 + 5) % 100) % 7 AS VARCHAR) ||
+             '.com/p/' || CAST((doc_id * 31 + 5) % 100 AS VARCHAR)
+           FROM documents),
+         agg AS (
+           SELECT url, CAST(COUNT(*) AS BIGINT) AS n_refs
+           FROM l GROUP BY url),
+         crawled AS (
+           SELECT DISTINCT 'https://ex' || CAST(doc_id % 7 AS VARCHAR)
+             || '.com/p/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents)
+         SELECT a.url, a.n_refs FROM agg a
+         WHERE a.url NOT IN (SELECT url FROM crawled)""",
     // The RFC's answer per ref class, written out directly.
     "llm_url_resolve" ->
       """WITH m AS (
