@@ -493,10 +493,13 @@ object Web {
   final case class RobotsRule(allow: Boolean, pattern: String)
 
   /** One robots.txt group: the User-agent product tokens it names
-    * (lowercased; `*` is the catch-all) and its rules in file order.
+    * (lowercased; `*` is the catch-all), its rules in file order, and
+    * the group's Crawl-delay in milliseconds when one was given (the
+    * de-facto extension every polite crawler honors).
     */
   final case class RobotsGroup(agents: Vector[String],
-      rules: Vector[RobotsRule])
+      rules: Vector[RobotsRule],
+      crawlDelayMillis: Option[Long] = None)
 
   /** robots.txt parser (RFC 9309) — the crawl-politeness gate every
     * corpus pipeline applies before a URL is even fetched, and at
@@ -508,11 +511,15 @@ object Web {
     * nothing (an RFC 9309 "Disallow:" means allow-all). Never throws
     * on garbage (unparseable lines are skipped).
     */
+  private final class GroupAcc {
+    val agents = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rules = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+    var delayMillis: Option[Long] = None
+  }
+
   def parseRobots(text: String): Vector[RobotsGroup] = {
     if (text == null) return Vector.empty
-    val groups = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[String],
-        scala.collection.mutable.ArrayBuffer[RobotsRule])]
+    val groups = scala.collection.mutable.ArrayBuffer.empty[GroupAcc]
     var agentRun = false // inside a run of consecutive User-agent lines
     text.split("\r?\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -523,22 +530,57 @@ object Web {
         val value = line.substring(i + 1).trim
         key match {
           case "user-agent" =>
-            if (!agentRun) groups +=
-              ((scala.collection.mutable.ArrayBuffer.empty[String],
-                scala.collection.mutable.ArrayBuffer.empty[RobotsRule]))
-            groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+            if (!agentRun) groups += new GroupAcc
+            groups.last.agents +=
+              value.toLowerCase(java.util.Locale.ROOT)
             agentRun = true
           case "allow" | "disallow" =>
             agentRun = false
             if (groups.nonEmpty && value.nonEmpty)
-              groups.last._2 += RobotsRule(key == "allow", value)
-          case _ => agentRun = false // sitemap / crawl-delay / unknown
+              groups.last.rules += RobotsRule(key == "allow", value)
+          case "crawl-delay" =>
+            agentRun = false
+            if (groups.nonEmpty)
+              scala.util.Try(value.toDouble).toOption
+                .filter(d => d >= 0 && d.isFinite)
+                .foreach(d => groups.last.delayMillis =
+                  Some(math.round(d * 1000)))
+          case _ => agentRun = false // sitemap / unknown
         }
       }
     }
-    groups.iterator.map { case (a, r) =>
-      RobotsGroup(a.toVector, r.toVector)
-    }.toVector
+    groups.iterator.map(g =>
+      RobotsGroup(g.agents.toVector, g.rules.toVector, g.delayMillis))
+      .toVector
+  }
+
+  /** Sitemap URLs from a robots.txt — global per the sitemaps.org
+    * convention (valid anywhere in the file, independent of groups);
+    * the frontier-seeding companion to [[parseRobots]].
+    */
+  def robotsSitemaps(text: String): Vector[String] = {
+    if (text == null) return Vector.empty
+    text.split("\r?\n").iterator.map(_.takeWhile(_ != '#').trim)
+      .filter(l => l.length > 8 &&
+        l.substring(0, 8).equalsIgnoreCase("sitemap:"))
+      .map(_.substring(8).trim)
+      .filter(_.nonEmpty)
+      .toVector
+  }
+
+  /** The Crawl-delay governing `userAgent`: smallest delay among its
+    * selected groups (conservative when several groups name the same
+    * token), falling back to the `*` groups like rule selection.
+    */
+  def robotsCrawlDelayFor(groups: Seq[RobotsGroup],
+      userAgent: String): Option[Long] = {
+    val token = userAgent.toLowerCase(java.util.Locale.ROOT)
+      .takeWhile(c => c != '/' && !c.isWhitespace)
+    val named = groups.filter(_.agents.contains(token))
+    val sel = if (named.nonEmpty) named
+      else groups.filter(_.agents.contains("*"))
+    val ds = sel.flatMap(_.crawlDelayMillis)
+    if (ds.isEmpty) None else Some(ds.min)
   }
 
   /** True iff `pattern` matches `path` under RFC 9309 wildcards:

@@ -64,6 +64,37 @@ class RobotsSpec extends SparkSpec {
     assert(!Web.robotsMatches("/$", "/x"))
   }
 
+  test("crawl-delay + sitemaps: per-group delay selection, global " +
+    "sitemap lines, garbage values ignored") {
+    val txt =
+      """Sitemap: https://a.com/sm1.xml
+        |User-agent: fastbot
+        |Crawl-delay: 0.5
+        |Disallow: /x
+        |User-agent: slowbot
+        |Crawl-delay: 10
+        |Disallow: /y
+        |User-agent: slowbot
+        |Crawl-delay: 2
+        |User-agent: *
+        |Crawl-delay: nonsense
+        |Disallow: /
+        |SITEMAP: https://a.com/sm2.xml  # trailing comment
+        |""".stripMargin
+    val gs = Web.parseRobots(txt)
+    assert(gs(0).crawlDelayMillis === Some(500L))
+    assert(gs(1).crawlDelayMillis === Some(10000L))
+    assert(gs(3).crawlDelayMillis === None) // unparseable -> absent
+    assert(Web.robotsCrawlDelayFor(gs, "FastBot/2") === Some(500L))
+    // same token in two groups: conservative minimum
+    assert(Web.robotsCrawlDelayFor(gs, "slowbot") === Some(2000L))
+    // * fallback has no valid delay
+    assert(Web.robotsCrawlDelayFor(gs, "unknown") === None)
+    assert(Web.robotsSitemaps(txt) ===
+      Vector("https://a.com/sm1.xml", "https://a.com/sm2.xml"))
+    assert(Web.robotsSitemaps(null) === Vector.empty)
+  }
+
   test("robotsMatches: seeded fuzz against a reference regex " +
     "translation") {
     // reference semantics: anchored at start, '*' -> '.*', trailing

@@ -70,4 +70,45 @@ class StreamingCrawlSpec extends SparkSpec {
     // urls distinct across the whole table: nothing drained twice
     assert(r2.select("warc_url").distinct().count() === 4L)
   }
+
+  test("the crawl DAG runs IN STREAMING mode: url parts -> robots " +
+    "filter -> extraction -> WET render are all map-side, so the " +
+    "whole front end composes on the stream") {
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("crawl2_in").toString
+    val out = java.nio.file.Files.createTempDirectory("crawl2_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("crawl2_ck").toString
+    val prose = "Streaming prose long enough to clear the jusText " +
+      "length rule comfortably, forty plus characters."
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(in, "seg.warc.gz"),
+      gz(resp("https://h.com/keep/1", s"<p>$prose</p>") +
+        resp("https://h.com/private/2", s"<p>$prose</p>")))
+    val policy = "User-agent: *\nDisallow: /private/\n"
+    val stream = {
+      val recs = Warc.readWarcStream(spark, in)
+        .where(col("warc_type") === "response")
+      val parts = graft.llmops.Web.withUrlParts(recs, "warc_url")
+      val polite = graft.llmops.Web.withRobotsAllowed(parts,
+        "url_path", policy, "bot").where(col("robots_allowed"))
+      Warc.toWet(polite,
+        graft.llmops.Web.mainContentUdf(col("warc_body")))
+    }
+    val q = stream.writeStream.format("parquet")
+      .option("path", s"$out/wet")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = spark.read.parquet(s"$out/wet")
+      .select("warc_url", "wet_text", "wet_record").collect()
+    assert(res.length === 1) // the impolite fetch never reaches WET
+    assert(res(0).getString(0) === "https://h.com/keep/1")
+    assert(res(0).getString(1) === prose)
+    // the rendered WET record re-parses byte-exactly even when built
+    // inside a micro-batch
+    val back = Warc.parseArchive(res(0).getString(2))
+    assert(back.length === 1 && back.head.declared_len_ok)
+    assert(back.head.warc_body === prose)
+  }
 }
