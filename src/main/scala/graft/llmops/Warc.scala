@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
   *    gzip form (`.warc.gz`, per-record gzip members concatenated —
   *    how Common Crawl actually ships) is NOT splittable by the codec,
   *    so parallelism is across files — the production shape, where a
-  *    crawl segment is thousands of ~1 GB members.
+  *    crawl segment is thousands of ~1 GB members — and each file
+  *    DECODES INCREMENTALLY through [[streamRecords]] (r16), bounding
+  *    task memory by the largest record instead of the archive.
+  *  - [[readWarcStream]]: the Structured Streaming surface (segments
+  *    arrive continuously; checkpointed exactly-once drain).
+  *  - [[toWet]] / [[writeWet]]: WARC -> WET conversion records and
+  *    sharded `.warc.wet[.gz]` output, the extracted-text sidecar.
   *
   * Text fidelity: payload bytes pass through UTF-8 decoding with
   * replacement (the reader targets textual response payloads for LLM
