@@ -1931,6 +1931,40 @@ object LlmQueries {
         .select(col("id").as("node_id"), col("rank_micro"))
     }),
 
+    // Redirect handling: 301 responses carry a root-relative Location
+    // the parser must surface and the frontier must RESOLVE against
+    // the request url (redirect chains are how crawls discover moved
+    // content); 200s carry none. The oracle replays status, raw
+    // location and the resolved absolute target.
+    "llm_redirects" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val crlf = "\r\n"
+      val url = concat(lit("https://ex"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".com/old/"),
+        col("doc_id").cast("string"))
+      val locPath = concat(lit("/new/"),
+        pmod(col("doc_id") * 3 + 1, lit(100)).cast("string"))
+      val http = when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("HTTP/1.1 301 Moved Permanently" + crlf +
+            "Location: "), locPath, lit(crlf + crlf)))
+        .otherwise(concat(lit("HTTP/1.1 200 OK" + crlf +
+          "Content-Type: text/html" + crlf + crlf + "<p>"),
+          col("text"), lit("</p>")))
+      val arc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: "), url,
+        lit(crlf + "Content-Length: "), octet_length(http).cast("string"),
+        lit(crlf + crlf), http, lit(crlf + crlf))
+      graft.llmops.Warc.withWarcRecords(
+        docs.select(col("doc_id"), arc.as("arc")), "arc")
+        .select(col("doc_id"), col("http_status"), col("http_location"),
+          when(col("http_status").isin(301, 302, 303, 307, 308) &&
+            col("http_location").isNotNull,
+            Web.resolveUrlUdf(col("warc_url"), col("http_location")))
+            .as("redirect_target"),
+          col("declared_len_ok"))
+    }),
+
     // Frontier-step capstone: the DAG a crawler runs between fetch
     // rounds — extract links, RESOLVE them against the page URL,
     // canonicalize (tracking params drop, fragments are already cut),
@@ -4366,6 +4400,20 @@ object LlmQueries {
          UNION ALL
          SELECT doc_id, 2,
            '/p/' || CAST((doc_id * 31 + 5) % 100 AS VARCHAR)
+         FROM documents""",
+    // Redirect replay: 301 + raw/resolved location for doc_id % 5 = 0,
+    // 200 + nulls otherwise.
+    "llm_redirects" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 301 ELSE 200 END AS http_status,
+           CASE WHEN doc_id % 5 = 0 THEN
+             '/new/' || CAST((doc_id * 3 + 1) % 100 AS VARCHAR)
+             ELSE NULL END AS http_location,
+           CASE WHEN doc_id % 5 = 0 THEN
+             'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/new/'
+               || CAST((doc_id * 3 + 1) % 100 AS VARCHAR)
+             ELSE NULL END AS redirect_target,
+           TRUE AS declared_len_ok
          FROM documents""",
     // Frontier replay: resolve + canon collapse to closed-form urls
     // per link class; the crawled set is the page-url formula itself.

@@ -54,6 +54,7 @@ object Warc {
       declared_len_ok: Boolean,
       http_status: Integer,
       http_content_type: String,
+      http_location: String,
       warc_body: String)
 
   private val versionRe =
@@ -122,7 +123,7 @@ object Warc {
     val declaredOk = declared >= 0 &&
       declared == payload.getBytes(
         java.nio.charset.StandardCharsets.UTF_8).length
-    val (status, ctype, body) =
+    val (status, ctype, loc, body) =
       if (payload.startsWith("HTTP/")) {
         val (he, ps) = headerBlockEnd(payload)
         val statusLine = payload.substring(0,
@@ -135,15 +136,16 @@ object Warc {
         val hh = headerMap(payload.substring(0, he))
         (st.map(Integer.valueOf).orNull,
           hh.get("content-type").orNull,
+          hh.get("location").orNull, // redirect target (301/302/...)
           payload.substring(math.min(ps, payload.length)))
-      } else (null: Integer, null: String, payload)
+      } else (null: Integer, null: String, null: String, payload)
     WarcRecord(
       fields.getOrElse("warc-type", ""),
       fields.getOrElse("warc-target-uri", null),
       fields.getOrElse("warc-date", null),
       fields.getOrElse("warc-record-id", null),
       fields.getOrElse("warc-refers-to", null),
-      declared, declaredOk, status, ctype, body)
+      declared, declaredOk, status, ctype, loc, body)
   }
 
   /** Split archive text into per-record chunks (version line stripped),
@@ -340,6 +342,7 @@ object Warc {
       StructField("declared_len_ok", BooleanType, nullable = false),
       StructField("http_status", IntegerType),
       StructField("http_content_type", StringType),
+      StructField("http_location", StringType),
       StructField("warc_body", StringType))
     val clash = recFields.map(_.name).filter(df.columns.contains)
     require(clash.isEmpty,
@@ -359,7 +362,8 @@ object Warc {
           org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq[Any](i,
             r.warc_type, r.warc_url, r.warc_date, r.warc_record_id,
             r.warc_refers_to, r.content_length, r.declared_len_ok,
-            r.http_status, r.http_content_type, r.warc_body))
+            r.http_status, r.http_content_type, r.http_location,
+            r.warc_body))
         }
       }
     }(rowEnc).toDF()
@@ -454,6 +458,8 @@ object Warc {
       org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("http_content_type",
       org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("http_location",
+      org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("warc_body",
       org.apache.spark.sql.types.StringType)))
 
@@ -462,7 +468,7 @@ object Warc {
     org.apache.spark.sql.Row(file, idx, r.warc_type, r.warc_url,
       r.warc_date, r.warc_record_id, r.warc_refers_to,
       r.content_length, r.declared_len_ok, r.http_status,
-      r.http_content_type, r.warc_body)
+      r.http_content_type, r.http_location, r.warc_body)
 
   /** Splittable plain-`.warc` reader. Hadoop TextInputFormat with the
     * record delimiter "WARC/1.0\r\n": splits re-synchronize at version
@@ -625,13 +631,13 @@ object Warc {
             r.warc_record_id, r.warc_refers_to, r.content_length,
             r.declared_len_ok,
             Option(r.http_status).map(_.intValue()),
-            r.http_content_type, r.warc_body)
+            r.http_content_type, r.http_location, r.warc_body)
         }
       }
       .toDF("source_file", "rec_idx", "warc_type", "warc_url",
         "warc_date", "warc_record_id", "warc_refers_to",
         "content_length", "declared_len_ok", "http_status",
-        "http_content_type", "warc_body")
+        "http_content_type", "http_location", "warc_body")
   }
 
   /** `.warc.gz` reader: concatenated per-record gzip members (the
