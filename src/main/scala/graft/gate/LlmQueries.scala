@@ -1931,6 +1931,31 @@ object LlmQueries {
         .select(col("id").as("node_id"), col("rank_micro"))
     }),
 
+    // Charset sniffing precedence: header param > HTML5 meta > legacy
+    // http-equiv > null; five fixture classes exercise each source,
+    // the header-beats-meta conflict, and the none-declared fallback.
+    // The oracle hardcodes the expected charset per class.
+    "llm_charset" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = pmod(col("doc_id"), lit(5))
+      val ctype = when(c === 0, lit("text/html; charset=ISO-8859-1"))
+        .when(c === 2, lit("text/html; charset=UTF-8"))
+        .otherwise(lit("text/html"))
+      val html = when(c === 1,
+          lit("<html><head><meta charset=\"windows-1251\"></head>" +
+            "<body>x</body></html>"))
+        .when(c === 2,
+          lit("<html><head><meta charset='latin1'></head>x</html>"))
+        .when(c === 4,
+          lit("<html><head><meta http-equiv=\"Content-Type\" " +
+            "content=\"text/html; charset=Shift_JIS\"></head>x</html>"))
+        .otherwise(lit("<html><body>plain</body></html>"))
+      Web.withCharset(
+        docs.select(col("doc_id"), ctype.as("http_content_type"),
+          html.as("body")), "http_content_type", "body")
+        .select(col("doc_id"), col("charset"))
+    }),
+
     // Redirect handling: 301 responses carry a root-relative Location
     // the parser must surface and the frontier must RESOLVE against
     // the request url (redirect chains are how crawls discover moved
@@ -4400,6 +4425,16 @@ object LlmQueries {
          UNION ALL
          SELECT doc_id, 2,
            '/p/' || CAST((doc_id * 31 + 5) % 100 AS VARCHAR)
+         FROM documents""",
+    // Sniffing precedence replayed per class.
+    "llm_charset" ->
+      """SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'iso-8859-1'
+             WHEN 1 THEN 'windows-1251'
+             WHEN 2 THEN 'utf-8'
+             WHEN 4 THEN 'shift_jis'
+             ELSE NULL END AS charset
          FROM documents""",
     // Redirect replay: 301 + raw/resolved location for doc_id % 5 = 0,
     // 200 + nulls otherwise.

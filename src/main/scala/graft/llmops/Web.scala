@@ -387,6 +387,33 @@ object Web {
   def withExtractedLinks(df: DataFrame, htmlCol: String): DataFrame =
     df.withColumn("links", linksCol(col(htmlCol)))
 
+  /** Charset sniffing — the step before any non-UTF-8 payload can be
+    * transcoded: the HTTP `Content-Type` charset parameter wins, then
+    * HTML5 `<meta charset=...>`, then the legacy
+    * `<meta http-equiv="Content-Type" content="...; charset=...">`;
+    * null when none declares one (the caller's cue to fall back to
+    * UTF-8-with-replacement, this library's default). Pure column
+    * expressions (three regexp_extracts + precedence), codegen'd and
+    * oracle-replayable; values lowercase, quotes tolerated.
+    */
+  def charsetCol(contentType: Column, html: Column): Column = {
+    def nonEmpty(c: Column): Column = when(c === "", null).otherwise(c)
+    val fromHeader = nonEmpty(lower(regexp_extract(contentType,
+      "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_.:-]+)", 1)))
+    val fromMeta = nonEmpty(lower(regexp_extract(html,
+      "(?i)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1)))
+    val fromEquiv = nonEmpty(lower(regexp_extract(html,
+      "(?i)<meta\\s+http-equiv\\s*=\\s*[\"']?content-type[\"']?" +
+        "\\s+content\\s*=\\s*[\"'][^\"']*charset=([A-Za-z0-9_.:-]+)", 1)))
+    coalesce(fromHeader, fromMeta, fromEquiv)
+  }
+
+  /** Column form over the WARC record shape: adds `charset`. */
+  def withCharset(df: DataFrame, contentTypeCol: String,
+      htmlCol: String): DataFrame =
+    df.withColumn("charset",
+      charsetCol(col(contentTypeCol), col(htmlCol)))
+
   /** RFC 3986 §5.2.4 remove_dot_segments: resolves "." and ".."
     * segments in a path without ever escaping the root.
     */

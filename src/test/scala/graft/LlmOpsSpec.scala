@@ -628,6 +628,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2).getSeq[String](0) === Seq.empty)
   }
 
+  test("charset sniffing: header beats meta beats http-equiv; quotes " +
+    "and case tolerated; none -> null") {
+    import spark.implicits._
+    import graft.llmops.Web
+    val df = Seq(
+      (1L, "text/html; charset=ISO-8859-1", "<meta charset='utf-8'>"),
+      (2L, "text/html", "<META CHARSET=\"Windows-1251\">"),
+      (3L, "text/html", "<meta http-equiv='Content-Type' " +
+        "content='text/html; charset=Shift_JIS'>"),
+      (4L, "text/html", "<body>nothing declared</body>"),
+      (5L, "text/html;charset=utf-8", ""),
+      (6L, null: String, null: String)).toDF("id", "ct", "html")
+    val out = Web.withCharset(df, "ct", "html").orderBy("id")
+      .select("charset").collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq === Seq(Some("iso-8859-1"), Some("windows-1251"),
+      Some("shift_jis"), None, Some("utf-8"), None))
+  }
+
   test("url resolution: the RFC 3986 section 5.4 golden vectors " +
     "(fragments dropped by policy)") {
     import graft.llmops.Web.resolveUrl
