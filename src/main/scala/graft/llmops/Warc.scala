@@ -61,6 +61,9 @@ object Warc {
     java.util.regex.Pattern.compile("(?m)^WARC/1\\.[01]\r?\n")
   private val fieldRe =
     java.util.regex.Pattern.compile("^[A-Za-z][A-Za-z0-9_-]*:.*")
+  // precompiled: headerMap runs twice per record (WARC + HTTP heads),
+  // and String.split(regex) recompiles its Pattern per call
+  private val headerLineRe = java.util.regex.Pattern.compile("\r?\n")
 
   /** True iff the text after a version line starts with a plausible
     * WARC named-field block (first line is `Name: value`). Payload
@@ -94,7 +97,7 @@ object Warc {
   }
 
   private def headerMap(head: String): Map[String, String] =
-    head.split("\r?\n").iterator
+    headerLineRe.split(head).iterator
       .filter(l => l.contains(":"))
       .map { l =>
         val i = l.indexOf(':')

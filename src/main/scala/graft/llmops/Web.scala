@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object Web {
 
+  // precompiled splitters: String.split(regex) recompiles its Pattern
+  // per CALL, and these run per row (or per rule x path) at crawl scale
+  private val wsRe = java.util.regex.Pattern.compile("\\s+")
+  private val lineRe = java.util.regex.Pattern.compile("\r?\n")
+
   /** Two-level public suffixes the registered-domain heuristic knows:
     * host "a.b.co.uk" -> registered domain "b.co.uk" (three labels),
     * while "a.b.com" -> "b.com" (two). A real deployment swaps in the
@@ -212,7 +217,7 @@ object Web {
         } else { sb += c; i += 1 }
       } else { sb += c; i += 1 }
     }
-    sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    wsRe.split(sb).iterator.filter(_.nonEmpty).mkString(" ")
   }
 
   val htmlTextUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
@@ -248,7 +253,7 @@ object Web {
     var blockLink = 0 // chars emitted while inside <a>
     var aDepth = 0
     def flush(): Unit = {
-      val text = block.toString.split("\\s+").filter(_.nonEmpty)
+      val text = wsRe.split(block).iterator.filter(_.nonEmpty)
         .mkString(" ")
       val total = block.count(!_.isWhitespace)
       if (text.length >= minChars && 3L * blockLink <= total) {
@@ -451,11 +456,18 @@ object Web {
     * contract). Verified against the RFC's own §5.4 golden vectors in
     * LlmOpsSpec.
     */
+  // compiled once: resolveUrl runs per-row (per-LINK) inside UDFs, and
+  // Pattern.compile per call would dominate the kernel at crawl scale
+  private val baseUrlRe = java.util.regex.Pattern
+    .compile("^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?.*$")
+  private val refSchemeRe = java.util.regex.Pattern
+    .compile("^[A-Za-z][A-Za-z0-9+.-]*:")
+  private val absRefRe = java.util.regex.Pattern
+    .compile("^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?.*)?$")
+
   def resolveUrl(base: String, ref0: String): String = {
     if (base == null || ref0 == null) return ""
-    val m = java.util.regex.Pattern
-      .compile("^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?.*$")
-      .matcher(base)
+    val m = baseUrlRe.matcher(base)
     if (!m.matches()) return ""
     val (bScheme, bAuth, bPath) = (m.group(1), m.group(2), m.group(3))
     val bQuery = Option(m.group(4)).getOrElse("")
@@ -463,13 +475,9 @@ object Web {
       val h = ref0.indexOf('#')
       if (h >= 0) ref0.substring(0, h) else ref0
     }
-    val schemeRe = java.util.regex.Pattern
-      .compile("^[A-Za-z][A-Za-z0-9+.-]*:").matcher(ref)
-    if (schemeRe.find()) {
+    if (refSchemeRe.matcher(ref).find()) {
       // absolute ref: normalize its path's dot segments if hierarchical
-      val rm = java.util.regex.Pattern
-        .compile("^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?.*)?$")
-        .matcher(ref)
+      val rm = absRefRe.matcher(ref)
       if (rm.matches())
         rm.group(1).toLowerCase(java.util.Locale.ROOT) + "://" +
           rm.group(2) + removeDotSegments(rm.group(3)) +
@@ -548,7 +556,7 @@ object Web {
     if (text == null) return Vector.empty
     val groups = scala.collection.mutable.ArrayBuffer.empty[GroupAcc]
     var agentRun = false // inside a run of consecutive User-agent lines
-    text.split("\r?\n").foreach { raw =>
+    lineRe.split(text).foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val i = line.indexOf(':')
       if (line.nonEmpty && i > 0) {
@@ -587,7 +595,7 @@ object Web {
     */
   def robotsSitemaps(text: String): Vector[String] = {
     if (text == null) return Vector.empty
-    text.split("\r?\n").iterator.map(_.takeWhile(_ != '#').trim)
+    lineRe.split(text).iterator.map(_.takeWhile(_ != '#').trim)
       .filter(l => l.length > 8 &&
         l.substring(0, 8).equalsIgnoreCase("sitemap:"))
       .map(_.substring(8).trim)
@@ -615,10 +623,26 @@ object Web {
     * `$` anchors the end (otherwise any suffix may follow). Leftmost
     * placement of the `*` segments is sufficient for existence.
     */
+  /** Manual '*' split (String.split("\\*") recompiles its regex per
+    * call; this runs per (rule, path) per row). Preserves trailing
+    * empty segments like split(_, -1).
+    */
+  private def splitStar(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var from = 0
+    var i = s.indexOf('*')
+    while (i >= 0) {
+      out += s.substring(from, i); from = i + 1
+      i = s.indexOf('*', from)
+    }
+    out += s.substring(from)
+    out.toArray
+  }
+
   def robotsMatches(pattern: String, path: String): Boolean = {
     val endAnchored = pattern.endsWith("$")
     val pat = if (endAnchored) pattern.dropRight(1) else pattern
-    val parts = pat.split("\\*", -1)
+    val parts = splitStar(pat)
     if (!path.startsWith(parts.head)) return false
     var pos = parts.head.length
     var k = 1
