@@ -1931,6 +1931,35 @@ object LlmQueries {
         .select(col("id").as("node_id"), col("rank_micro"))
     }),
 
+    // Canonical-URL dedup identity: four classes — rel-then-href with
+    // a ROOT-RELATIVE canonical (must resolve against the page url),
+    // href-then-rel absolute, canonical with a fragment (cut), and no
+    // declaration (dedup key falls back to the page url). The oracle
+    // replays declaration + resolution + the coalesced dedup key.
+    "llm_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = pmod(col("doc_id"), lit(4))
+      val t = pmod(col("doc_id") * 11 + 3, lit(100)).cast("string")
+      val url = concat(lit("https://ex"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".com/v/"),
+        col("doc_id").cast("string"))
+      val html = when(c === 0, concat(
+          lit("<html><head><link rel=\"canonical\" href=\"/c/"), t,
+          lit("\"></head><body>x</body></html>")))
+        .when(c === 1, concat(
+          lit("<html><head><link href='https://canon.com/x"), t,
+          lit("' rel='canonical'></head>x</html>")))
+        .when(c === 2, concat(
+          lit("<html><head><link rel=canonical href=\"/c/"), t,
+          lit("#sec\"></head>x</html>")))
+        .otherwise(lit("<html><head><title>t</title></head>x</html>"))
+      Web.withCanonicalUrl(
+        docs.select(col("doc_id"), url.as("url"), html.as("html")),
+        "url", "html")
+        .select(col("doc_id"), col("canonical_url"),
+          coalesce(col("canonical_url"), col("url")).as("dedup_url"))
+    }),
+
     // Charset sniffing precedence: header param > HTML5 meta > legacy
     // http-equiv > null; five fixture classes exercise each source,
     // the header-beats-meta conflict, and the none-declared fallback.
@@ -4426,6 +4455,27 @@ object LlmQueries {
          SELECT doc_id, 2,
            '/p/' || CAST((doc_id * 31 + 5) % 100 AS VARCHAR)
          FROM documents""",
+    // Declaration + resolution + fallback replayed per class.
+    "llm_canonical" ->
+      """WITH m AS (
+           SELECT doc_id, doc_id % 4 AS c,
+             CAST((doc_id * 11 + 3) % 100 AS VARCHAR) AS t,
+             'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS o,
+             'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/v/'
+               || CAST(doc_id AS VARCHAR) AS u
+           FROM documents)
+         SELECT doc_id,
+           CASE c
+             WHEN 0 THEN o || '/c/' || t
+             WHEN 1 THEN 'https://canon.com/x' || t
+             WHEN 2 THEN o || '/c/' || t
+             ELSE NULL END AS canonical_url,
+           CASE c
+             WHEN 0 THEN o || '/c/' || t
+             WHEN 1 THEN 'https://canon.com/x' || t
+             WHEN 2 THEN o || '/c/' || t
+             ELSE u END AS dedup_url
+         FROM m""",
     // Sniffing precedence replayed per class.
     "llm_charset" ->
       """SELECT doc_id,

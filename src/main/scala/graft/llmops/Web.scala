@@ -392,6 +392,39 @@ object Web {
   def withExtractedLinks(df: DataFrame, htmlCol: String): DataFrame =
     df.withColumn("links", linksCol(col(htmlCol)))
 
+  /** `<link rel="canonical">` target — the page's OWN statement of its
+    * dedup identity, which crawl pipelines prefer over the fetched URL
+    * (mirrors, pagination params and tracking variants all declare the
+    * same canonical). Both attribute orders handled (`rel` before
+    * `href` and the reverse); fragment cut like [[linksCol]]; null
+    * when the page declares none. Pure column expressions.
+    */
+  def canonicalHrefCol(html: Column): Column = {
+    def nonEmpty(c: Column): Column = when(c === "", null).otherwise(c)
+    val relFirst = regexp_extract(html,
+      "(?i)<link\\s[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*" +
+        "href\\s*=\\s*[\"']([^\"'#>]+)", 1)
+    val hrefFirst = regexp_extract(html,
+      "(?i)<link\\s[^>]*href\\s*=\\s*[\"']([^\"'#>]+)[\"'][^>]*" +
+        "rel\\s*=\\s*[\"']?canonical", 1)
+    coalesce(nonEmpty(relFirst), nonEmpty(hrefFirst))
+  }
+
+  /** Adds `canonical_url`: the declared canonical RESOLVED to an
+    * absolute url against the page url (RFC 3986 — canonicals are
+    * often root-relative), null when none is declared or the base does
+    * not parse. The dedup key is then
+    * `coalesce(canonical_url, url)` — gated in llm_canonical.
+    */
+  def withCanonicalUrl(df: DataFrame, urlCol: String,
+      htmlCol: String): DataFrame = {
+    val resolve = udf((base: String, ref: String) =>
+      if (ref == null) null
+      else { val r = resolveUrl(base, ref); if (r.isEmpty) null else r })
+    df.withColumn("canonical_url",
+      resolve(col(urlCol), canonicalHrefCol(col(htmlCol))))
+  }
+
   /** Charset sniffing — the step before any non-UTF-8 payload can be
     * transcoded: the HTTP `Content-Type` charset parameter wins, then
     * HTML5 `<meta charset=...>`, then the legacy

@@ -628,6 +628,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2).getSeq[String](0) === Seq.empty)
   }
 
+  test("canonical url: both attr orders, relative resolution, " +
+    "fragment cut, absent -> null") {
+    import spark.implicits._
+    import graft.llmops.Web
+    val df = Seq(
+      (1L, "https://ex.com/v/1",
+        "<link rel=\"canonical\" href=\"/c/9\">"),
+      (2L, "https://ex.com/v/2",
+        "<link href='https://c.com/x' rel='canonical'>"),
+      (3L, "https://ex.com/v/3", "<link rel=canonical href=\"/c#s\">"),
+      (4L, "https://ex.com/v/4", "<link rel=\"stylesheet\" href=\"/s\">"),
+      (5L, "https://ex.com/d/5", "<link rel=canonical href=\"up\">"),
+      (6L, null: String, "<link rel=canonical href=\"/c\">"))
+      .toDF("id", "url", "html")
+    val out = Web.withCanonicalUrl(df, "url", "html").orderBy("id")
+      .select("canonical_url").collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq === Seq(Some("https://ex.com/c/9"),
+      Some("https://c.com/x"), Some("https://ex.com/c"), None,
+      Some("https://ex.com/d/up"), None))
+  }
+
   test("charset sniffing: header beats meta beats http-equiv; quotes " +
     "and case tolerated; none -> null") {
     import spark.implicits._
