@@ -57,8 +57,13 @@ object Warc {
       http_location: String,
       warc_body: String)
 
-  private val versionRe =
-    java.util.regex.Pattern.compile("(?m)^WARC/1\\.[01]\r?\n")
+  // UNIX_LINES: MULTILINE '^' must anchor ONLY after '\n' — Java's
+  // default also fires after a lone '\r'/NEL/LS/PS, where the streaming
+  // path's line reader (which splits at '\n' alone) would NOT split, so
+  // batch and streaming could diverge on adversarial payloads
+  private val versionRe = java.util.regex.Pattern.compile(
+    "^WARC/1\\.[01]\r?\n",
+    java.util.regex.Pattern.MULTILINE | java.util.regex.Pattern.UNIX_LINES)
   private val fieldRe =
     java.util.regex.Pattern.compile("^[A-Za-z][A-Za-z0-9_-]*:.*")
   // precompiled: headerMap runs twice per record (WARC + HTTP heads),
@@ -392,12 +397,25 @@ object Warc {
       when(v.isNull, lit("")).otherwise(
         concat(lit(name + ": "), v, lit("\r\n")))
     val text = coalesce(textCol, lit(""))
+    // every conversion record carries its OWN WARC-Record-ID (Common
+    // Crawl WET convention — downstream keyed on record id must not see
+    // nulls): a urn:uuid shaped deterministically from the source
+    // record's identity (id, else url), so re-runs are reproducible and
+    // an oracle can replay it
+    val idSeed = md5(concat_ws("|", lit("graft-wet"),
+      coalesce(col("warc_record_id"), col("warc_url"), lit(""))))
+    val wetId = concat(lit("<urn:uuid:"),
+      substring(idSeed, 1, 8), lit("-"), substring(idSeed, 9, 4),
+      lit("-"), substring(idSeed, 13, 4), lit("-"),
+      substring(idSeed, 17, 4), lit("-"), substring(idSeed, 21, 12),
+      lit(">"))
     records.where(col("warc_type") === "response")
       .withColumn("wet_text", text)
       .withColumn("wet_record", concat(
         lit("WARC/1.0\r\nWARC-Type: conversion\r\n"),
         headerLine("WARC-Target-URI", col("warc_url")),
         headerLine("WARC-Date", col("warc_date")),
+        headerLine("WARC-Record-ID", wetId),
         headerLine("WARC-Refers-To", col("warc_record_id")),
         lit("Content-Type: text/plain\r\n"),
         lit("Content-Length: "),
@@ -417,14 +435,27 @@ object Warc {
   def writeWet(wet: DataFrame, dir: String, gzip: Boolean = true): Long = {
     import org.apache.spark.sql.Encoders
     val spark = wet.sparkSession
+    // ship the DRIVER's effective Hadoop conf to the writer tasks (as a
+    // broadcast entry list — SerializableConfiguration is private[spark]):
+    // a bare `new Configuration()` would drop every spark.hadoop.*
+    // setting (s3a credentials, custom scheme impls), so "any scheme the
+    // executors know" would silently mean "defaults only"
+    val confEntries = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    val bcConf = spark.sparkContext.broadcast(confEntries)
     val written = wet.select(col("wet_record")).as(Encoders.STRING)
       .rdd.mapPartitionsWithIndex { (i, it) =>
         if (it.isEmpty) Iterator.empty
         else {
           val suffix = if (gzip) ".warc.wet.gz" else ".warc.wet"
           val p = new org.apache.hadoop.fs.Path(dir, f"wet-$i%05d$suffix")
-          val fs = p.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          bcConf.value.foreach { case (k, v) => conf.set(k, v) }
+          val fs = p.getFileSystem(conf)
           val base = fs.create(p, true)
           val out: java.io.OutputStream =
             if (gzip) new java.util.zip.GZIPOutputStream(base, 1 << 16)
@@ -618,7 +649,9 @@ object Warc {
           else in,
           java.nio.charset.StandardCharsets.UTF_8)
         val base = streamRecords(reader)
-        // end the gzip Inflater's native buffer eagerly on exhaustion
+        // end the gzip Inflater's native buffer eagerly on exhaustion,
+        // AND on early task end (failure / limit / query stop) via the
+        // task-completion listener — the readWarcGz contract
         val closing = new scala.collection.AbstractIterator[WarcRecord] {
           override def hasNext: Boolean = {
             val h = base.hasNext
@@ -627,6 +660,9 @@ object Warc {
           }
           override def next(): WarcRecord = base.next()
         }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try reader.close() catch { case _: Exception => () }))
         var idx = -1L
         closing.map { r =>
           idx += 1

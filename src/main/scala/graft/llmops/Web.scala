@@ -380,12 +380,17 @@ object Web {
     * frontier scheduling and link-graph ranking (WAT-style metadata).
     * PURE column expression (regexp_extract_all, codegen'd): at crawl
     * scale this runs inside the scan stage, and a SQL oracle replays
-    * it. Single/double-quoted values, case-insensitive tag/attr.
+    * it. Single/double-quoted values only (an unquoted `href=/x` is
+    * skipped — documented limitation), case-insensitive tag/attr. The
+    * attribute name requires a DELIMITER before it (`<a href` or a
+    * whitespace/quote boundary after earlier attrs), so `data-href=`
+    * never produces a false frontier edge.
     */
   def linksCol(html: Column): Column =
     coalesce(
       regexp_extract_all(html,
-        lit("(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'#>]+)"), lit(1)),
+        lit("(?i)<a\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*[\"']([^\"'#>]+)"),
+        lit(1)),
       lit(Array.empty[String])) // null html -> no links, never null
 
   /** Column form: adds `links: array<string>`. */
@@ -401,12 +406,14 @@ object Web {
     */
   def canonicalHrefCol(html: Column): Column = {
     def nonEmpty(c: Column): Column = when(c === "", null).otherwise(c)
+    // same delimiter-before-attribute rule as linksCol: `xrel=` /
+    // `data-href=` must not pass as rel/href
     val relFirst = regexp_extract(html,
-      "(?i)<link\\s[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*" +
-        "href\\s*=\\s*[\"']([^\"'#>]+)", 1)
+      "(?i)<link\\s(?:[^>]*[\\s\"'])?rel\\s*=\\s*[\"']?canonical" +
+        "[\"']?[^>]*[\\s\"']href\\s*=\\s*[\"']([^\"'#>]+)", 1)
     val hrefFirst = regexp_extract(html,
-      "(?i)<link\\s[^>]*href\\s*=\\s*[\"']([^\"'#>]+)[\"'][^>]*" +
-        "rel\\s*=\\s*[\"']?canonical", 1)
+      "(?i)<link\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*[\"']([^\"'#>]+)" +
+        "[\"'][^>]*[\\s\"']rel\\s*=\\s*[\"']?canonical", 1)
     coalesce(nonEmpty(relFirst), nonEmpty(hrefFirst))
   }
 
@@ -759,17 +766,32 @@ object Web {
     * (AQE decides; the corpus side never collects). Rows with no
     * policy row are ALLOWED (a missing robots.txt permits crawling,
     * RFC 9309 §2.3.1.2-4). Adds `<prefix>_allowed` / `<prefix>_rule`.
+    *
+    * The policy side is PRE-AGGREGATED to one row per domain before the
+    * join — a crawl's policy table routinely holds several fetches of
+    * the same robots.txt, and a duplicated key on the build side of a
+    * left join would silently MULTIPLY corpus rows. When
+    * `policyOrderCol` names a column (a fetch timestamp), the row with
+    * the largest value wins (latest fetch); otherwise max(text) — an
+    * arbitrary but deterministic pick.
     */
   def withRobotsAllowedByPolicy(df: DataFrame, domainCol: String,
       pathCol: String, policies: DataFrame, policyDomainCol: String,
       policyTextCol: String, userAgent: String,
-      prefix: String = "robots"): DataFrame = {
+      prefix: String = "robots",
+      policyOrderCol: Option[String] = None): DataFrame = {
     val compile = udf((txt: String) =>
       robotsRulesFor(parseRobots(txt), userAgent)
         .map(r => (r.allow, r.pattern)))
-    val pol = policies.select(
+    val onePerDomain = policies.groupBy(col(policyDomainCol))
+      .agg(policyOrderCol match {
+        case Some(o) => max_by(col(policyTextCol), col(o))
+          .as("__robots_txt")
+        case None => max(col(policyTextCol)).as("__robots_txt")
+      })
+    val pol = onePerDomain.select(
       col(policyDomainCol).as("__robots_dom"),
-      compile(col(policyTextCol)).as("__robots_rules"))
+      compile(col("__robots_txt")).as("__robots_rules"))
     val decide = udf(
       (rules: Seq[org.apache.spark.sql.Row], path: String) => {
         if (rules == null) (true, null: String)

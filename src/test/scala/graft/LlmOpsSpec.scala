@@ -626,6 +626,24 @@ class LlmOpsSpec extends SparkSpec {
       Seq("/x", "/y", "https://e.com/p?q=1"))
     assert(out(1).getSeq[String](0) === Seq.empty)
     assert(out(2).getSeq[String](0) === Seq.empty)
+    // attribute-name boundary: data-href / xhref are NOT hrefs (a false
+    // frontier edge per page compounds at crawl scale), while a real
+    // href after other attrs still extracts
+    val bdf = Seq(
+      (1L, "<a data-href=\"/fake\">x</a>"),
+      (2L, "<a data-href=\"/fake\" href=\"/real\">x</a>"),
+      (3L, "<link xrel=canonical href=\"/f\">" +
+        "<link data-href=\"/g\" rel=canonical>"))
+      .toDF("id", "html")
+    val bout = Web.withExtractedLinks(bdf, "html").orderBy("id")
+      .select("links").collect()
+    assert(bout(0).getSeq[String](0) === Seq.empty)
+    assert(bout(1).getSeq[String](0) === Seq("/real"))
+    val cdf = Web.withCanonicalUrl(
+      bdf.withColumn("url", lit("https://ex.com/")), "url", "html")
+      .orderBy("id").select("canonical_url").collect()
+      .map(r => Option(r.getString(0)))
+    assert(cdf.toSeq === Seq(None, None, None))
   }
 
   test("canonical url: both attr orders, relative resolution, " +

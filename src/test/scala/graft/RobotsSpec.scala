@@ -195,6 +195,31 @@ class RobotsSpec extends SparkSpec {
       (true, None))) // no robots.txt row -> allowed
   }
 
+  test("withRobotsAllowedByPolicy: duplicate policy rows never multiply " +
+    "corpus rows; latest fetch wins with an order column") {
+    import spark.implicits._
+    // two fetches of a.com's robots.txt: the older allows, the newer
+    // blocks — a naive left join would emit BOTH verdicts per corpus row
+    val pol = Seq(
+      ("a.com", "User-agent: *\nAllow: /\n", 1L),
+      ("a.com", "User-agent: *\nDisallow: /\n", 2L),
+      ("b.com", "User-agent: *\nDisallow: /x\n", 1L))
+      .toDF("domain", "robots_txt", "fetched_at")
+    val docs = Seq((1L, "a.com", "/p"), (2L, "b.com", "/x/1"))
+      .toDF("id", "domain", "path")
+    val out = Web.withRobotsAllowedByPolicy(docs, "domain", "path",
+      pol, "domain", "robots_txt", "Bot/1.0",
+      policyOrderCol = Some("fetched_at"))
+      .orderBy("id").select("id", "robots_allowed").collect()
+    assert(out.length === 2) // no row multiplication
+    assert(out.map(r => (r.getLong(0), r.getBoolean(1))).toSeq ===
+      Seq((1L, false), (2L, false))) // newest a.com policy decided
+    // without an order column: still one row per corpus row
+    val out2 = Web.withRobotsAllowedByPolicy(docs, "domain", "path",
+      pol, "domain", "robots_txt", "Bot/1.0").collect()
+    assert(out2.length === 2)
+  }
+
   test("withRobotsAllowed: per-UA verdict columns over a DataFrame") {
     import spark.implicits._
     val df = Seq(

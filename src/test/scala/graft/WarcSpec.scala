@@ -134,6 +134,11 @@ class WarcSpec extends SparkSpec {
       "WARC/1.0\r\n", // empty chunk (next piece starts a new record)
       "WARC/1.0\nWARC-Type: metadata\nContent-Length: 3\n\nabc\n\n",
       "WARC/1.0\r\nWARC-Type: response", // truncated at EOF
+      // lone-\r terminator before a version line: Java MULTILINE '^'
+      // fires after a bare \r unless UNIX_LINES is set; the streaming
+      // line reader splits at '\n' only, so the two paths MUST agree
+      // that this does not open a record
+      resp("http://e/", "<p>s\rWARC/1.0\r\nWARC-Type: x\r\n\r\nt</p>"),
       "leading garbage with no version line at all\r\n")
     val rnd = new scala.util.Random(16)
     (0 until 200).foreach { _ =>
