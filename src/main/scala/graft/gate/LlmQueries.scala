@@ -1985,6 +1985,66 @@ object LlmQueries {
         .select(col("doc_id"), col("charset"))
     }),
 
+    // Charset transcoding end-to-end: byte-transparent WARC read
+    // (latin1 chars == payload bytes) -> charset sniff -> CharsetDecoder
+    // transcode -> WET render -> re-parse. Four classes: ISO-8859-1
+    // declared in the HTTP header, Shift_JIS via <meta charset>,
+    // windows-1251 via legacy http-equiv, and an UNDECLARED page whose
+    // bytes are valid UTF-8 (the fallback). The oracle hardcodes the
+    // expected post-transcode CODE POINTS per class (chr()-built — it
+    // never trusts this engine's decoder), and both len_ok flags gate
+    // that byte-transparent parsing and the WET render of the
+    // now-genuinely-UTF-8 text are byte-consistent.
+    "llm_transcode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = pmod(col("doc_id"), lit(4))
+      val crlf = "\r\n"
+      def b(str: String) = lit(str).cast("binary")
+      val idB = col("doc_id").cast("string").cast("binary")
+      // payload byte runs per class (hex keeps the source ASCII):
+      //   0: "café résumé"  latin1  63 61 66 E9 20 72 E9 73 75 6D E9
+      //   1: "日本"          sjis    93 FA 96 7B
+      //   2: "Привет"       cp1251  CF F0 E8 E2 E5 F2
+      //   3: "héllo"        utf-8   68 C3 A9 6C 6C 6F
+      val nonAscii = when(c === 0, unhex(lit("636166E92072E973756DE9")))
+        .when(c === 1, unhex(lit("93FA967B")))
+        .when(c === 2, unhex(lit("CFF0E8E2E5F2")))
+        .otherwise(unhex(lit("68C3A96C6C6F")))
+      val head = when(c === 1,
+          b("<html><head><meta charset=\"shift_jis\"></head><body><p>"))
+        .when(c === 2,
+          b("<html><head><meta http-equiv=\"Content-Type\" content=" +
+            "\"text/html; charset=windows-1251\"></head><body><p>"))
+        .otherwise(b("<html><body><p>"))
+      val htmlB = concat(head, nonAscii, b(" doc "), idB,
+        b("</p></body></html>"))
+      val ctype = when(c === 0, b("text/html; charset=ISO-8859-1"))
+        .otherwise(b("text/html"))
+      val httpB = concat(b("HTTP/1.1 200 OK" + crlf + "Content-Type: "),
+        ctype, b(crlf + crlf), htmlB)
+      val arcB = concat(
+        b("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: https://ex.com/t/"), idB,
+        b(crlf + "Content-Length: "),
+        octet_length(httpB).cast("string").cast("binary"),
+        b(crlf + crlf), httpB, b(crlf + crlf))
+      val recs = graft.llmops.Warc.withWarcRecords(
+        docs.select(col("doc_id"), arcB.as("arc")), "arc",
+        byteTransparent = true)
+      val sniffed = Web.withCharset(recs, "http_content_type",
+        "warc_body")
+      val txt = Web.withTranscodedBody(sniffed, "warc_body", "charset")
+      val wet = graft.llmops.Warc.toWet(txt,
+        Web.htmlTextUdf(col("text_utf8")))
+      graft.llmops.Warc.withWarcRecords(
+        wet.select(col("doc_id"), col("charset"),
+          col("declared_len_ok").as("src_len_ok"), col("wet_record")),
+        "wet_record")
+        .select(col("doc_id"), col("charset"), col("src_len_ok"),
+          col("warc_body").as("text_utf8"),
+          col("declared_len_ok").as("wet_len_ok"))
+    }),
+
     // Redirect handling: 301 responses carry a root-relative Location
     // the parser must surface and the frontier must RESOLVE against
     // the request url (redirect chains are how crawls discover moved
@@ -4485,6 +4545,27 @@ object LlmQueries {
              WHEN 2 THEN 'utf-8'
              WHEN 4 THEN 'shift_jis'
              ELSE NULL END AS charset
+         FROM documents""",
+    // Post-transcode code points hardcoded per class via chr() — the
+    // oracle encodes what ISO-8859-1/Shift_JIS/windows-1251 decoding
+    // MUST produce, independent of the engine's CharsetDecoder.
+    "llm_transcode" ->
+      """SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'iso-8859-1'
+             WHEN 1 THEN 'shift_jis'
+             WHEN 2 THEN 'windows-1251'
+             ELSE NULL END AS charset,
+           TRUE AS src_len_ok,
+           CASE doc_id % 4
+             WHEN 0 THEN 'caf' || chr(233) || ' r' || chr(233) ||
+               'sum' || chr(233)
+             WHEN 1 THEN chr(26085) || chr(26412)
+             WHEN 2 THEN chr(1055) || chr(1088) || chr(1080) ||
+               chr(1074) || chr(1077) || chr(1090)
+             ELSE 'h' || chr(233) || 'llo' END ||
+             ' doc ' || CAST(doc_id AS VARCHAR) AS text_utf8,
+           TRUE AS wet_len_ok
          FROM documents""",
     // Redirect replay: 301 + raw/resolved location for doc_id % 5 = 0,
     // 200 + nulls otherwise.

@@ -110,7 +110,14 @@ object Warc {
           l.substring(i + 1).trim
       }.toMap
 
-  private def parseOne(chunk: String): WarcRecord = {
+  /** `transparent`: the archive text was decoded ISO-8859-1 (one char
+    * per byte, bijective on 0..255 — the byte-transparent mode that
+    * feeds [[graft.llmops.Web.withTranscodedBody]]), so the payload's
+    * byte length IS its char length; in the default UTF-8 mode the
+    * payload re-encodes to count bytes.
+    */
+  private def parseOne(chunk: String,
+      transparent: Boolean = false): WarcRecord = {
     val (hEnd, pStart) = headerBlockEnd(chunk)
     val fields = headerMap(chunk.substring(0, hEnd))
     // the content block is followed by EXACTLY ONE \r\n\r\n record
@@ -129,8 +136,9 @@ object Warc {
     val declared = fields.get("content-length")
       .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(-1L)
     val declaredOk = declared >= 0 &&
-      declared == payload.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8).length
+      declared == (if (transparent) payload.length.toLong
+        else payload.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8).length.toLong)
     val (status, ctype, loc, body) =
       if (payload.startsWith("HTTP/")) {
         val (he, ps) = headerBlockEnd(payload)
@@ -191,10 +199,12 @@ object Warc {
 
   /** Parse a full archive string into records (false splits healed,
     * leading garbage dropped). Never throws on crawl garbage.
+    * `byteTransparent`: see [[parseOne]].
     */
-  def parseArchive(text: String): Seq[WarcRecord] =
+  def parseArchive(text: String,
+      byteTransparent: Boolean = false): Seq[WarcRecord] =
     if (text == null) Seq.empty
-    else chunkArchive(text)._2.map(parseOne)
+    else chunkArchive(text)._2.map(parseOne(_, byteTransparent))
 
   /** Buffered line reader that PRESERVES terminators, so record text
     * reassembles byte-exact. bufSize is a test knob (boundary-straddle
@@ -255,7 +265,8 @@ object Warc {
     * Equivalence is property-tested against parseArchive in WarcSpec.
     */
   def streamRecords(reader: java.io.Reader,
-      bufSize: Int = 1 << 16): Iterator[WarcRecord] =
+      bufSize: Int = 1 << 16,
+      byteTransparent: Boolean = false): Iterator[WarcRecord] =
     new scala.collection.AbstractIterator[WarcRecord] {
       private val lr = new LineReader(reader, bufSize)
       private var cur: StringBuilder = null // current record (post-version-line)
@@ -274,7 +285,9 @@ object Warc {
       }
 
       private def flushCur(): Unit =
-        if (cur != null) { ready = parseOne(cur.toString); cur = null }
+        if (cur != null) {
+          ready = parseOne(cur.toString, byteTransparent); cur = null
+        }
 
       private def advance(): Unit = {
         while (ready == null) {
@@ -335,8 +348,17 @@ object Warc {
   /** Explode an archive-per-row string/binary column into WARC record
     * rows: input columns + rec_idx + the [[WarcRecord]] fields.
     * Map-side batch kernel, no shuffle.
+    *
+    * `byteTransparent = true` decodes a BINARY archive column
+    * ISO-8859-1 instead of UTF-8: latin1 maps byte k to codepoint k, so
+    * `warc_body`'s CHARS are the payload's BYTES, undamaged — the
+    * shape [[graft.llmops.Web.withTranscodedBody]] needs to recover
+    * Shift_JIS/windows-1251/... pages (UTF-8-with-replacement decode
+    * destroys every non-UTF-8 byte run as U+FFFD). WARC and HTTP
+    * headers are ASCII either way, so field parsing is unaffected.
     */
-  def withWarcRecords(df: DataFrame, archiveCol: String): DataFrame = {
+  def withWarcRecords(df: DataFrame, archiveCol: String,
+      byteTransparent: Boolean = false): DataFrame = {
     val idx = df.schema.fieldIndex(archiveCol)
     import org.apache.spark.sql.types._
     val recFields = Seq(
@@ -362,11 +384,14 @@ object Warc {
         val raw = row.get(idx) match {
           case null => null
           case b: Array[Byte] =>
-            new String(b, java.nio.charset.StandardCharsets.UTF_8)
+            new String(b,
+              if (byteTransparent)
+                java.nio.charset.StandardCharsets.ISO_8859_1
+              else java.nio.charset.StandardCharsets.UTF_8)
           case s: String => s
           case other => other.toString
         }
-        parseArchive(raw).zipWithIndex.map { case (r, i) =>
+        parseArchive(raw, byteTransparent).zipWithIndex.map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq[Any](i,
             r.warc_type, r.warc_url, r.warc_date, r.warc_record_id,
             r.warc_refers_to, r.content_length, r.declared_len_ok,
@@ -620,7 +645,8 @@ object Warc {
     * StreamingIngest pattern, streaming/StreamingIngest.scala).
     */
   def readWarcStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 16): DataFrame = {
+      maxFilesPerTrigger: Int = 16,
+      byteTransparent: Boolean = false): DataFrame = {
     import spark.implicits._
     // the binaryFile source's fixed schema, spelled out because
     // streaming file sources refuse to infer one
@@ -647,8 +673,10 @@ object Warc {
           if (file.endsWith(".gz"))
             new java.util.zip.GZIPInputStream(in, 1 << 16)
           else in,
-          java.nio.charset.StandardCharsets.UTF_8)
-        val base = streamRecords(reader)
+          if (byteTransparent)
+            java.nio.charset.StandardCharsets.ISO_8859_1
+          else java.nio.charset.StandardCharsets.UTF_8)
+        val base = streamRecords(reader, byteTransparent = byteTransparent)
         // end the gzip Inflater's native buffer eagerly on exhaustion,
         // AND on early task end (failure / limit / query stop) via the
         // task-completion listener — the readWarcGz contract
@@ -693,7 +721,8 @@ object Warc {
     * size the Scaladoc promised.
     */
   def readWarcGz(spark: SparkSession, path: String,
-      minPartitions: Int = 0): DataFrame = {
+      minPartitions: Int = 0,
+      byteTransparent: Boolean = false): DataFrame = {
     val mp = if (minPartitions > 0) minPartitions
       else spark.sparkContext.defaultParallelism
     val rows = spark.sparkContext
@@ -701,11 +730,15 @@ object Warc {
       .flatMap { case (file, pds) =>
         // InputStreamReader(UTF_8) replaces malformed sequences, the
         // same policy as `new String(bytes, UTF_8)` — byte-identical
-        // output to the materializing path, tested in WarcSpec
+        // output to the materializing path, tested in WarcSpec.
+        // byteTransparent decodes latin1 (see withWarcRecords) so
+        // non-UTF-8 payload bytes survive for charset transcoding.
         val reader = new java.io.InputStreamReader(
           new java.util.zip.GZIPInputStream(pds.open(), 1 << 16),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val base = streamRecords(reader)
+          if (byteTransparent)
+            java.nio.charset.StandardCharsets.ISO_8859_1
+          else java.nio.charset.StandardCharsets.UTF_8)
+        val base = streamRecords(reader, byteTransparent = byteTransparent)
         var idx = -1L
         // close on exhaustion; tasks that stop early are covered by
         // the task-completion listener below

@@ -459,6 +459,67 @@ object Web {
     df.withColumn("charset",
       charsetCol(col(contentTypeCol), col(htmlCol)))
 
+  /** Charset name -> JDK Charset, never throwing: the sniffed value is
+    * crawl data (typos, fantasy names, unsupported encodings), and an
+    * unknown charset must FALL BACK to UTF-8, not fail the task. The
+    * JDK alias table covers the names real pages declare (latin1,
+    * shift_jis, windows-1251, gbk, euc-jp, ...).
+    */
+  def resolveCharset(name: String): java.nio.charset.Charset = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    if (name == null) utf8
+    else {
+      val n = name.trim
+      if (n.isEmpty) utf8
+      else try java.nio.charset.Charset.forName(n)
+      catch { case _: Exception => utf8 }
+    }
+  }
+
+  /** Decode payload BYTES under a sniffed charset into a UTF-16 String
+    * (which Spark then stores as UTF-8) — the transcoding step that
+    * turns a correctly-LABELED Shift_JIS/windows-1251 page into real
+    * text instead of mojibake. Malformed and unmappable sequences
+    * REPLACE (U+FFFD), the same policy as the readers' UTF-8 fallback;
+    * unknown/null charset decodes as UTF-8. Never throws.
+    */
+  def transcode(raw: Array[Byte], charset: String): String = {
+    if (raw == null) return ""
+    val cs = resolveCharset(charset)
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    try dec.decode(java.nio.ByteBuffer.wrap(raw)).toString
+    catch { // a broken third-party decoder must not kill the task
+      case _: Exception =>
+        new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  /** Transcode a BYTE-TRANSPARENT body column (read with
+    * `byteTransparent = true`, so each latin1 char IS one payload byte
+    * — see Warc.withWarcRecords) under a sniffed-charset column. The
+    * latin1 round trip `body.getBytes(ISO_8859_1)` recovers the exact
+    * original bytes, then [[transcode]] decodes them for real. Pages
+    * whose charset is null/unknown decode as UTF-8-with-replacement —
+    * identical to what the non-transparent readers produce, so running
+    * this on an all-UTF-8 corpus is a no-op, not a regression.
+    */
+  val transcodeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((body: String, charset: String) =>
+      if (body == null) null
+      else transcode(
+        body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+        charset))
+
+  /** Column form: adds `<out>` = transcoded UTF-8 text. Map-side
+    * kernel — at crawl scale this stays inside the scan stage beside
+    * the charset sniff it consumes.
+    */
+  def withTranscodedBody(df: DataFrame, bodyCol: String,
+      charsetCol: String, out: String = "text_utf8"): DataFrame =
+    df.withColumn(out, transcodeUdf(col(bodyCol), col(charsetCol)))
+
   /** RFC 3986 §5.2.4 remove_dot_segments: resolves "." and ".."
     * segments in a path without ever escaping the root.
     */

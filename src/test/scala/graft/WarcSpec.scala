@@ -114,6 +114,58 @@ class WarcSpec extends SparkSpec {
     assert(whole.forall(_.getBoolean(3)))
   }
 
+  test("byte-transparent read + transcode: Shift_JIS/cp1251 bytes " +
+    "survive latin1 decode and recover real text") {
+    import graft.llmops.Web
+    // "日本" in Shift_JIS — invalid as UTF-8, so the default decode
+    // would smash it to U+FFFD and no transcoder could recover it
+    val sjis = Array(0x93, 0xFA, 0x96, 0x7B).map(_.toByte)
+    val html = "<html><head><meta charset=\"shift_jis\"></head><body>"
+      .getBytes("ISO-8859-1") ++ sjis ++
+      "</body></html>".getBytes("ISO-8859-1")
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ html
+    val arc = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://jp/\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    // transparent parse: body chars == payload bytes, length validates
+    val rs = Warc.parseArchive(
+      new String(arc, "ISO-8859-1"), byteTransparent = true)
+    assert(rs.length === 1)
+    assert(rs.head.declared_len_ok)
+    val body = rs.head.warc_body
+    assert(body.getBytes("ISO-8859-1").containsSlice(sjis))
+    // the default UTF-8 parse destroys the bytes (replacement chars)
+    val utf8Body = Warc.parseArchive(new String(arc, "UTF-8")).head
+    assert(!utf8Body.warc_body.contains("日本"))
+    assert(!utf8Body.declared_len_ok) // replacement changed byte count
+    // transcode recovers the real code points
+    assert(Web.transcode(body.getBytes("ISO-8859-1"), "shift_jis")
+      .contains("日本"))
+    // windows-1251, unknown charset fallback, null tolerance
+    val cp1251 = Array(0xCF, 0xF0, 0xE8, 0xE2, 0xE5, 0xF2).map(_.toByte)
+    assert(Web.transcode(cp1251, "windows-1251") ===
+      "Привет")
+    assert(Web.transcode("héllo".getBytes("UTF-8"), "no-such-cs")
+      === "héllo") // unknown name -> UTF-8
+    assert(Web.transcode(null, "utf-8") === "")
+    // gz reader round trip in transparent mode
+    val dir = java.nio.file.Files.createTempDirectory("warctrans")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("a.warc.gz")))
+    gz.write(arc); gz.close()
+    val df = Warc.readWarcGz(spark, dir.toString + "/*.warc.gz",
+      byteTransparent = true)
+    val out = Web.withTranscodedBody(
+      Web.withCharset(df, "http_content_type", "warc_body"),
+      "warc_body", "charset").select("text_utf8", "declared_len_ok")
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0).contains("日本"))
+    assert(out(0).getBoolean(1))
+  }
+
   test("streamRecords == parseArchive on adversarial archives " +
     "(seeded sweep, tiny decode buffers)") {
     // every shape that has ever mattered: false splits whose next line
