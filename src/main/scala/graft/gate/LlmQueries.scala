@@ -1985,6 +1985,34 @@ object LlmQueries {
         .select(col("doc_id"), col("charset"))
     }),
 
+    // Public-suffix list as DATA: the PSL algorithm's three rule kinds
+    // against the old heuristic, side by side — private registries
+    // (a.github.io), deeper ICANN suffixes the 18-entry table missed
+    // (com.sg), wildcard (*.ck), exception (!www.ck), and a host that
+    // IS a public suffix (no registrable part -> null). The oracle
+    // hardcodes what the PSL algorithm requires per class; domain
+    // quotas/robots keys/url dedup all follow this key.
+    "llm_psl_domains" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = pmod(col("doc_id"), lit(7))
+      val k = pmod(col("doc_id") * 3 + 1, lit(50)).cast("string")
+      val host = when(c === 0, concat(lit("a"), k, lit(".github.io")))
+        .when(c === 1, concat(lit("x"), k, lit(".y.com.sg")))
+        .when(c === 2, concat(lit("w"), k, lit(".example.ck")))
+        .when(c === 3, concat(lit("sub"), k, lit(".www.ck")))
+        .when(c === 4, concat(lit("b"), k, lit(".example.com")))
+        .when(c === 5, concat(lit("deep"), k, lit(".a.b.co.uk")))
+        .otherwise(lit("github.io"))
+      val psl = Web.parsePsl(
+        "// test public suffix list\ncom\nsg\ncom.sg\nco.uk\nuk\nio\n" +
+          "github.io\n*.ck\n!www.ck\n")
+      val base = docs.select(col("doc_id"), host.as("host"))
+        .withColumn("domain_heur", Web.registeredDomainCol(col("host")))
+      Web.withRegisteredDomainPsl(base, "host", psl, "domain_psl")
+        .select(col("doc_id"), col("host"), col("domain_heur"),
+          col("domain_psl"))
+    }),
+
     // Charset transcoding end-to-end: byte-transparent WARC read
     // (latin1 chars == payload bytes) -> charset sniff -> CharsetDecoder
     // transcode -> WET render -> re-parse. Four classes: ISO-8859-1
@@ -4546,6 +4574,39 @@ object LlmQueries {
              WHEN 4 THEN 'shift_jis'
              ELSE NULL END AS charset
          FROM documents""",
+    // The PSL algorithm's required answer per class, written out
+    // directly (exception > longest exact/wildcard > default-TLD).
+    "llm_psl_domains" ->
+      """WITH m AS (
+           SELECT doc_id, doc_id % 7 AS c,
+             CAST((doc_id * 3 + 1) % 50 AS VARCHAR) AS k
+           FROM documents)
+         SELECT doc_id,
+           CASE c
+             WHEN 0 THEN 'a' || k || '.github.io'
+             WHEN 1 THEN 'x' || k || '.y.com.sg'
+             WHEN 2 THEN 'w' || k || '.example.ck'
+             WHEN 3 THEN 'sub' || k || '.www.ck'
+             WHEN 4 THEN 'b' || k || '.example.com'
+             WHEN 5 THEN 'deep' || k || '.a.b.co.uk'
+             ELSE 'github.io' END AS host,
+           CASE c
+             WHEN 0 THEN 'github.io'
+             WHEN 1 THEN 'com.sg'
+             WHEN 2 THEN 'example.ck'
+             WHEN 3 THEN 'www.ck'
+             WHEN 4 THEN 'example.com'
+             WHEN 5 THEN 'b.co.uk'
+             ELSE 'github.io' END AS domain_heur,
+           CASE c
+             WHEN 0 THEN 'a' || k || '.github.io'
+             WHEN 1 THEN 'y.com.sg'
+             WHEN 2 THEN 'w' || k || '.example.ck'
+             WHEN 3 THEN 'www.ck'
+             WHEN 4 THEN 'example.com'
+             WHEN 5 THEN 'b.co.uk'
+             ELSE NULL END AS domain_psl
+         FROM m""",
     // Post-transcode code points hardcoded per class via chr() — the
     // oracle encodes what ISO-8859-1/Shift_JIS/windows-1251 decoding
     // MUST produce, independent of the engine's CharsetDecoder.

@@ -63,6 +63,98 @@ object Web {
   def withRegisteredDomain(df: DataFrame, hostCol: String): DataFrame =
     df.withColumn("domain", registeredDomainCol(col(hostCol)))
 
+  /** Parsed public-suffix list (publicsuffix.org format) — the REAL
+    * registered-domain boundary as DATA, the 100 TB shape: the PSL is
+    * ~14k rules that change monthly, so it loads like the robots policy
+    * table (policy-sized, broadcast), never hardcodes. Three rule
+    * kinds: exact (`com.sg`), wildcard (`*.ck` — any single label
+    * under), exception (`!www.ck` — carves a registrable name out of a
+    * wildcard). [[registeredDomainCol]] stays as the no-PSL fallback
+    * heuristic.
+    */
+  final case class PslRules(exact: Set[String], wildcard: Set[String],
+      exceptions: Set[String])
+
+  /** Parse PSL text: one rule per line, `//` comments and blanks
+    * skipped, first whitespace-token only (the file's trailing notes),
+    * lowercased. Never throws on garbage lines.
+    */
+  def parsePsl(text: String): PslRules = {
+    val exact = Set.newBuilder[String]
+    val wild = Set.newBuilder[String]
+    val exc = Set.newBuilder[String]
+    if (text != null) lineRe.split(text).foreach { raw =>
+      val l0 = raw.trim
+      if (l0.nonEmpty && !l0.startsWith("//")) {
+        val l = l0.takeWhile(!_.isWhitespace)
+          .toLowerCase(java.util.Locale.ROOT)
+        if (l.startsWith("!")) exc += l.substring(1)
+        else if (l.startsWith("*.")) wild += l.substring(2)
+        else if (l.nonEmpty) exact += l
+      }
+    }
+    PslRules(exact.result(), wild.result(), exc.result())
+  }
+
+  /** Number of labels in `labels`' public suffix under the PSL
+    * algorithm (publicsuffix.org/list): exception rules prevail (their
+    * suffix is the exception minus its leftmost label), else the
+    * longest matching exact/wildcard rule, else the implicit `*`
+    * default (the bare TLD is public).
+    */
+  private def publicSuffixLen(rules: PslRules,
+      labels: Array[String]): Int = {
+    val n = labels.length
+    var k = n
+    while (k >= 1) { // exceptions first, longest wins
+      if (rules.exceptions.contains(labels.drop(n - k).mkString(".")))
+        return k - 1
+      k -= 1
+    }
+    var best = 1
+    k = 2 // best starts at the default rule; only longer can improve
+    while (k <= n) {
+      val s = labels.drop(n - k).mkString(".")
+      if (rules.exact.contains(s)) best = math.max(best, k)
+      // `*.X` (k labels incl. the wildcard) matches when the suffix
+      // one label SHORTER is X
+      if (rules.wildcard.contains(labels.drop(n - k + 1).mkString(".")))
+        best = math.max(best, k)
+      k += 1
+    }
+    best
+  }
+
+  /** Registered (registrable) domain of `host` under the PSL: the
+    * public suffix plus ONE more label. Null when the host has no
+    * registrable part (it IS a public suffix — `github.io` alone is
+    * nobody's site), does not parse (empty labels), or is null —
+    * crawl-garbage contract. Case-normalized; one trailing dot
+    * tolerated (DNS root form).
+    */
+  def registeredDomainPsl(rules: PslRules, host: String): String = {
+    if (host == null) return null
+    val h = host.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
+    if (h.isEmpty) return null
+    val labels = h.split('.')
+    if (labels.isEmpty || labels.exists(_.isEmpty)) return null
+    val ps = publicSuffixLen(rules, labels)
+    val n = labels.length
+    if (n <= ps) null
+    else labels.drop(n - ps - 1).mkString(".")
+  }
+
+  /** Column form: adds `<out>` = PSL registered domain. The rule set
+    * rides a broadcast (policy-sized — the full PSL is ~14k rules);
+    * the kernel is a per-row label walk, map-side, no shuffle.
+    */
+  def withRegisteredDomainPsl(df: DataFrame, hostCol: String,
+      rules: PslRules, out: String = "domain"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(rules)
+    val k = udf((h: String) => registeredDomainPsl(bc.value, h))
+    df.withColumn(out, k(col(hostCol)))
+  }
+
   /** Tracking query params stripped by [[urlCanonCol]] (the C4/CCNet
     * URL-dedup convention: utm_* campaign tags and the common click
     * ids). Anchored key match — `ref=x` drops, `prefix_ref=x` stays.
@@ -133,20 +225,33 @@ object Web {
     * left_anti join -- at 100 TB the corpus side never shuffles.
     */
   def blocklistFilter(df: DataFrame, hostCol: String,
-      blockedDomains: Seq[String]): DataFrame = {
+      blockedDomains: Seq[String],
+      psl: Option[PslRules] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val block = blockedDomains.map(_.toLowerCase).toDF("domain")
-    df.withColumn("domain", registeredDomainCol(col(hostCol)))
+    withDomainKey(df, hostCol, psl)
       .join(broadcast(block), Seq("domain"), "left_anti")
+  }
+
+  /** `domain` column via the PSL when one is supplied, else the
+    * two-level-suffix heuristic — the shared derivation behind every
+    * domain-keyed operator (quota, counts, blocklist, robots key).
+    */
+  private def withDomainKey(df: DataFrame, hostCol: String,
+      psl: Option[PslRules]): DataFrame = psl match {
+    case Some(rules) => withRegisteredDomainPsl(df, hostCol, rules)
+    case None =>
+      df.withColumn("domain", registeredDomainCol(col(hostCol)))
   }
 
   /** Per-registered-domain doc counts, descending (count desc, domain
     * asc tiebreak) -- the quota/reporting primitive behind per-domain
     * caps. One hash aggregation; the key space is domains, not docs.
     */
-  def domainCounts(df: DataFrame, hostCol: String): DataFrame =
-    df.withColumn("domain", registeredDomainCol(col(hostCol)))
+  def domainCounts(df: DataFrame, hostCol: String,
+      psl: Option[PslRules] = None): DataFrame =
+    withDomainKey(df, hostCol, psl)
       .groupBy("domain").agg(count(lit(1)).as("n_docs"))
       .orderBy(desc("n_docs"), col("domain"))
 
@@ -871,12 +976,12 @@ object Web {
   }
 
   def domainQuota(df: DataFrame, hostCol: String, idCol: String,
-      n: Int): DataFrame = {
+      n: Int, psl: Option[PslRules] = None): DataFrame = {
     require(n >= 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("domain")
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-    df.withColumn("domain", registeredDomainCol(col(hostCol)))
+    withDomainKey(df, hostCol, psl)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
       .drop("__rn")

@@ -612,6 +612,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(capped.toSet == expect)
   }
 
+  test("public-suffix list: rule kinds, precedence, no-registrable " +
+    "hosts, and the quota key shift") {
+    import spark.implicits._
+    import graft.llmops.Web
+    val psl = Web.parsePsl(
+      "// comment\ncom\nio\ngithub.io\nsg\ncom.sg\n*.ck\n!www.ck\n" +
+        "jp\n*.kawasaki.jp\n!city.kawasaki.jp\nuk\nco.uk   trailing note\n")
+    def rd(h: String) = Option(Web.registeredDomainPsl(psl, h))
+    assert(rd("a.github.io") === Some("a.github.io")) // private registry
+    assert(rd("x.y.com.sg") === Some("y.com.sg"))
+    assert(rd("w.example.ck") === Some("w.example.ck")) // wildcard
+    assert(rd("sub.www.ck") === Some("www.ck")) // exception
+    // *.kawasaki.jp makes b.kawasaki.jp itself a public suffix, so the
+    // registrable name is one label deeper
+    assert(rd("a.b.kawasaki.jp") === Some("a.b.kawasaki.jp"))
+    assert(rd("b.kawasaki.jp") === None) // IS a public suffix
+    assert(rd("x.city.kawasaki.jp") === Some("city.kawasaki.jp")) // deep exc
+    assert(rd("b.example.com") === Some("example.com"))
+    assert(rd("deep.a.b.co.uk") === Some("b.co.uk"))
+    assert(rd("github.io") === None) // IS a public suffix
+    assert(rd("unknowntld") === None) // bare label under default rule
+    assert(rd("x.unknowntld") === Some("x.unknowntld")) // default '*'
+    assert(rd("UPPER.Example.COM.") === Some("example.com")) // case+dot
+    assert(rd("a..b.com") === None) // garbage
+    assert(rd(null) === None)
+    // the quota key shifts: under the heuristic all github.io sites
+    // share ONE quota bucket; under the PSL each site is its own domain
+    val docs = (1L to 8L).map(i => (i, s"site$i.github.io"))
+      .toDF("id", "host")
+    val heurKept = Web.domainQuota(docs, "host", "id", n = 2).count()
+    val pslKept = Web.domainQuota(docs, "host", "id", n = 2,
+      psl = Some(psl)).count()
+    assert(heurKept === 2L) // one bucket 'github.io'
+    assert(pslKept === 8L) // eight distinct registered domains
+  }
+
   test("link extraction: quote styles, case, fragment cut, non-links") {
     import spark.implicits._
     import graft.llmops.Web
