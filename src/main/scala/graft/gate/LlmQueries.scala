@@ -2142,6 +2142,61 @@ object LlmQueries {
       resolved.join(crawled, Seq("url"), "left_anti")
     }),
 
+    // Politeness-scheduling capstone — the consumer Crawl-delay was
+    // parsed for: the pipeline11 frontier (extract -> resolve -> canon
+    // -> count refs -> anti-join crawled) flows into a per-domain
+    // policy table whose Crawl-delay values (integer AND fractional
+    // seconds; missing policy -> default) become fetch slots: urls
+    // rank within their domain by (n_refs desc, url), slot k fetches
+    // at k x delay. The oracle replays the frontier algebra AND the
+    // schedule arithmetic with its own window.
+    "llm_pipeline12" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t1 = pmod(col("doc_id") * 7 + 1, lit(100)).cast("string")
+      val t2 = pmod(col("doc_id") * 13 + 2, lit(100)).cast("string")
+      val t3 = pmod(col("doc_id") * 31 + 5, lit(100))
+      val k2 = pmod(t3, lit(7)).cast("string")
+      val pageUrl = concat(lit("https://ex"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".com/p/"),
+        col("doc_id").cast("string"))
+      val html = concat(
+        lit("<html><body><a href=\"g"), t1,
+        lit("\">r</a> <a href=\"/p/"), t2,
+        lit("?utm_source=x\">q</a> <a href='//ex"), k2,
+        lit(".com/p/"), t3.cast("string"),
+        lit("#f'>s</a></body></html>"))
+      val pages = docs.select(col("doc_id"), pageUrl.as("url"),
+        html.as("html"))
+      val resolved = Web.withResolvedLinks(
+        Web.withExtractedLinks(pages, "html"), "url", "links")
+        .select(explode(col("resolved_links")).as("link"))
+        .select(Web.urlCanonCol(col("link")).as("url"))
+        .groupBy("url").agg(count(lit(1)).as("n_refs"))
+      val crawled = pages
+        .select(Web.urlCanonCol(col("url")).as("url"))
+      val frontier = resolved.join(crawled, Seq("url"), "left_anti")
+      val pol = s.range(0, 4).toDF("pid")
+        .withColumn("domain", concat(lit("ex"),
+          col("pid").cast("string"), lit(".com")))
+        .withColumn("robots_txt", concat(
+          lit("User-agent: *\nCrawl-delay: "),
+          when(col("pid") === 0, lit("1"))
+            .when(col("pid") === 1, lit("2.5"))
+            .when(col("pid") === 2, lit("10"))
+            .otherwise(lit("0.5")),
+          lit("\n")))
+      val withDomain = Web.withUrlParts(frontier, "url")
+        .withColumn("domain", col("url_host"))
+      val delayed = Web.withCrawlDelayByPolicy(withDomain, "domain",
+        pol, "domain", "robots_txt", "GraftBot/1.0",
+        defaultDelayMillis = 1000L)
+      Web.frontierSchedule(delayed, "domain", "url", "n_refs",
+        "robots_delay_ms")
+        .select(col("url"), col("n_refs"), col("domain"),
+          col("robots_delay_ms"), col("fetch_slot"),
+          col("fetch_time_ms"))
+    }),
+
     // Robots policies as a TABLE (the 100 TB shape: per-domain
     // robots.txt is data, not config): four domain families, three
     // with distinct policies (block-all; block ids ending 3; Allow
@@ -4667,6 +4722,48 @@ object LlmQueries {
            FROM documents)
          SELECT a.url, a.n_refs FROM agg a
          WHERE a.url NOT IN (SELECT url FROM crawled)""",
+    // Frontier replay + the schedule arithmetic with DuckDB's own
+    // window: delay per domain class (2.5 s -> 2500 ms, default 1000),
+    // slot = rank within domain by (n_refs desc, url), time = slot x
+    // delay.
+    "llm_pipeline12" ->
+      """WITH l AS (
+           SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.com/p/g' || CAST((doc_id * 7 + 1) % 100 AS VARCHAR) AS url
+           FROM documents
+           UNION ALL
+           SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.com/p/' || CAST((doc_id * 13 + 2) % 100 AS VARCHAR)
+           FROM documents
+           UNION ALL
+           SELECT 'https://ex' ||
+             CAST(((doc_id * 31 + 5) % 100) % 7 AS VARCHAR) ||
+             '.com/p/' || CAST((doc_id * 31 + 5) % 100 AS VARCHAR)
+           FROM documents),
+         agg AS (
+           SELECT url, CAST(COUNT(*) AS BIGINT) AS n_refs
+           FROM l GROUP BY url),
+         crawled AS (
+           SELECT DISTINCT 'https://ex' || CAST(doc_id % 7 AS VARCHAR)
+             || '.com/p/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         f AS (
+           SELECT a.url, a.n_refs,
+             regexp_extract(a.url, '^https://([^/]+)', 1) AS domain
+           FROM agg a
+           WHERE a.url NOT IN (SELECT url FROM crawled)),
+         dd AS (
+           SELECT url, n_refs, domain,
+             CAST(CASE domain
+               WHEN 'ex0.com' THEN 1000 WHEN 'ex1.com' THEN 2500
+               WHEN 'ex2.com' THEN 10000 WHEN 'ex3.com' THEN 500
+               ELSE 1000 END AS BIGINT) AS robots_delay_ms,
+             CAST(ROW_NUMBER() OVER (PARTITION BY domain
+               ORDER BY n_refs DESC, url ASC) - 1 AS BIGINT) AS fetch_slot
+           FROM f)
+         SELECT url, n_refs, domain, robots_delay_ms, fetch_slot,
+           fetch_slot * robots_delay_ms AS fetch_time_ms
+         FROM dd""",
     // The RFC's answer per ref class, written out directly.
     "llm_url_resolve" ->
       """WITH m AS (

@@ -941,6 +941,19 @@ object Web {
     * the largest value wins (latest fetch); otherwise max(text) — an
     * arbitrary but deterministic pick.
     */
+  /** One policy row per domain (`__robots_txt`): latest fetch wins when
+    * `orderCol` is given, else max(text) — arbitrary but deterministic.
+    * Shared by every policy-table consumer so a duplicated key can
+    * never multiply corpus rows through the left join.
+    */
+  private def dedupPolicies(policies: DataFrame, domainCol: String,
+      textCol: String, orderCol: Option[String]): DataFrame =
+    policies.groupBy(col(domainCol))
+      .agg(orderCol match {
+        case Some(o) => max_by(col(textCol), col(o)).as("__robots_txt")
+        case None => max(col(textCol)).as("__robots_txt")
+      })
+
   def withRobotsAllowedByPolicy(df: DataFrame, domainCol: String,
       pathCol: String, policies: DataFrame, policyDomainCol: String,
       policyTextCol: String, userAgent: String,
@@ -949,13 +962,8 @@ object Web {
     val compile = udf((txt: String) =>
       robotsRulesFor(parseRobots(txt), userAgent)
         .map(r => (r.allow, r.pattern)))
-    val onePerDomain = policies.groupBy(col(policyDomainCol))
-      .agg(policyOrderCol match {
-        case Some(o) => max_by(col(policyTextCol), col(o))
-          .as("__robots_txt")
-        case None => max(col(policyTextCol)).as("__robots_txt")
-      })
-    val pol = onePerDomain.select(
+    val pol = dedupPolicies(policies, policyDomainCol, policyTextCol,
+      policyOrderCol).select(
       col(policyDomainCol).as("__robots_dom"),
       compile(col("__robots_txt")).as("__robots_rules"))
     val decide = udf(
@@ -973,6 +981,54 @@ object Web {
       .withColumn(s"${prefix}_allowed", col("__rv._1"))
       .withColumn(s"${prefix}_rule", col("__rv._2"))
       .drop("__rv", "__robots_dom", "__robots_rules")
+  }
+
+  /** Per-domain Crawl-delay from the robots policy TABLE: each policy
+    * row parses once (map-side, policy rows ≪ corpus rows), selects
+    * the delay governing `userAgent` ([[robotsCrawlDelayFor]] — the
+    * de-facto extension every polite crawler honors), and LEFT-joins
+    * onto the frontier by domain (broadcast when small, the
+    * withRobotsAllowedByPolicy shape). Adds `<prefix>_delay_ms`:
+    * `defaultDelayMillis` when the domain has no policy row or its
+    * policy names no Crawl-delay. Duplicate policy rows pre-aggregate
+    * (latest wins via `policyOrderCol`).
+    */
+  def withCrawlDelayByPolicy(df: DataFrame, domainCol: String,
+      policies: DataFrame, policyDomainCol: String,
+      policyTextCol: String, userAgent: String,
+      defaultDelayMillis: Long = 1000L,
+      prefix: String = "robots",
+      policyOrderCol: Option[String] = None): DataFrame = {
+    val delayOf = udf((txt: String) =>
+      robotsCrawlDelayFor(parseRobots(txt), userAgent))
+    val pol = dedupPolicies(policies, policyDomainCol, policyTextCol,
+      policyOrderCol).select(
+      col(policyDomainCol).as("__cd_dom"),
+      delayOf(col("__robots_txt")).as("__cd_ms"))
+    df.join(pol, df(domainCol) === col("__cd_dom"), "left")
+      .withColumn(s"${prefix}_delay_ms",
+        coalesce(col("__cd_ms"), lit(defaultDelayMillis)))
+      .drop("__cd_dom", "__cd_ms")
+  }
+
+  /** Politeness schedule — the consumer Crawl-delay existed for: a
+    * polite crawler fetches ONE url per domain per delay window, so
+    * the frontier's urls get per-domain fetch SLOTS in priority order
+    * (highest `priorityCol` first, url tiebreak — total and
+    * deterministic), and slot k's fetch time is k × the domain's
+    * delay. Adds `fetch_slot` (0-based) and `fetch_time_ms` (relative
+    * to the domain's first fetch). One window partitioned by domain:
+    * frames are per-domain frontier slices — the quota shape AQE
+    * skew-splits at crawl scale, never a corpus-wide ordering.
+    */
+  def frontierSchedule(df: DataFrame, domainCol: String, urlCol: String,
+      priorityCol: String, delayMsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col(priorityCol).desc, col(urlCol).asc)
+    df.withColumn("fetch_slot", row_number().over(w).cast("long") - 1)
+      .withColumn("fetch_time_ms",
+        col("fetch_slot") * col(delayMsCol))
   }
 
   def domainQuota(df: DataFrame, hostCol: String, idCol: String,

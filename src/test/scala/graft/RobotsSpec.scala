@@ -220,6 +220,35 @@ class RobotsSpec extends SparkSpec {
     assert(out2.length === 2)
   }
 
+  test("crawl-delay policy join + frontier schedule: slots x delay, " +
+    "fractional seconds, missing-policy default") {
+    import spark.implicits._
+    val pol = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 2.5\n"),
+      ("b.com", "User-agent: *\nDisallow: /x\n")) // no delay named
+      .toDF("domain", "robots_txt")
+    val frontier = Seq(
+      ("a.com", "https://a.com/1", 5L), ("a.com", "https://a.com/2", 9L),
+      ("a.com", "https://a.com/3", 9L), // ties break by url asc
+      ("b.com", "https://b.com/1", 2L), // policy without a Crawl-delay
+      ("c.com", "https://c.com/1", 1L)) // no policy row at all
+      .toDF("domain", "url", "n_refs")
+    val out = Web.frontierSchedule(
+      Web.withCrawlDelayByPolicy(frontier, "domain", pol, "domain",
+        "robots_txt", "Bot/1.0", defaultDelayMillis = 700L),
+      "domain", "url", "n_refs", "robots_delay_ms")
+      .orderBy("url")
+      .select("url", "robots_delay_ms", "fetch_slot", "fetch_time_ms")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("https://a.com/1", 2500L, 2L, 5000L), // lowest priority: slot 2
+      ("https://a.com/2", 2500L, 0L, 0L), // n_refs 9, url tiebreak
+      ("https://a.com/3", 2500L, 1L, 2500L),
+      ("https://b.com/1", 700L, 0L, 0L), // delay-less policy -> default
+      ("https://c.com/1", 700L, 0L, 0L))) // missing policy -> default
+  }
+
   test("withRobotsAllowed: per-UA verdict columns over a DataFrame") {
     import spark.implicits._
     val df = Seq(
