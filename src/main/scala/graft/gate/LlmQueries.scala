@@ -2142,6 +2142,45 @@ object LlmQueries {
       resolved.join(crawled, Seq("url"), "left_anti")
     }),
 
+    // Sitemap ingestion completing frontier seeding: per-doc fixtures
+    // alternate a <sitemapindex> (two child sitemaps, one with
+    // lastmod) and a <urlset> (a /p/ loc that may ALREADY be crawled,
+    // plus an entity-escaped &amp; loc that never is), parsed by the
+    // real block scanner and LEFT-joined against the crawled set so
+    // is_new genuinely splits. The oracle rebuilds every entry from
+    // the synthesis formula — entity decode, lastmod presence, index
+    // flag and the crawled-membership arithmetic all replay.
+    "llm_sitemap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = pmod(col("doc_id"), lit(3))
+      val host = concat(lit("https://ex"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".com"))
+      val p1 = pmod(col("doc_id") * 13 + 2, lit(100)).cast("string")
+      val p2 = pmod(col("doc_id") * 7 + 1, lit(100)).cast("string")
+      val lm = (pmod(col("doc_id"), lit(9)) + 1).cast("string")
+      val xml = when(c === 0, concat(
+          lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>"),
+          host, lit("/sitemap-a.xml</loc><lastmod>2024-01-01</lastmod>" +
+            "</sitemap><sitemap><loc> "), host,
+          lit("/sitemap-b.xml </loc></sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit("<?xml version=\"1.0\"?><urlset><url><loc>"),
+          host, lit("/p/"), p1,
+          lit("</loc><lastmod>2024-02-0"), lm,
+          lit("</lastmod></url><url><loc>"),
+          host, lit("/q?a=1&amp;b="), p2,
+          lit("</loc></url></urlset>")))
+      val parsed = Web.withSitemapEntries(
+        docs.select(col("doc_id"), xml.as("xml")), "xml")
+      val crawled = docs.select(concat(lit("https://ex"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".com/p/"),
+        col("doc_id").cast("string")).as("curl")).distinct()
+      parsed.join(crawled, parsed("loc") === crawled("curl"), "left")
+        .select(col("doc_id"), col("sitemap_idx"), col("loc"),
+          col("lastmod"), col("is_index"),
+          col("curl").isNull.as("is_new"))
+    }),
+
     // Politeness-scheduling capstone — the consumer Crawl-delay was
     // parsed for: the pipeline11 frontier (extract -> resolve -> canon
     // -> count refs -> anti-join crawled) flows into a per-domain
@@ -4722,6 +4761,42 @@ object LlmQueries {
            FROM documents)
          SELECT a.url, a.n_refs FROM agg a
          WHERE a.url NOT IN (SELECT url FROM crawled)""",
+    // Every sitemap entry rebuilt from the synthesis formula; the
+    // crawled-membership test replays as arithmetic (loc /p/(13d+2)%100
+    // is crawled iff its path id shares the host residue d%7 — all
+    // path ids 0..99 exist as documents at every sf).
+    "llm_sitemap" ->
+      """WITH m AS (
+           SELECT doc_id, doc_id % 3 AS c,
+             CAST(doc_id % 7 AS VARCHAR) AS h,
+             CAST((doc_id * 13 + 2) % 100 AS VARCHAR) AS p1,
+             CAST((doc_id * 7 + 1) % 100 AS VARCHAR) AS p2,
+             CAST(doc_id % 9 + 1 AS VARCHAR) AS lm
+           FROM documents),
+         e AS (
+           SELECT doc_id, 0 AS sitemap_idx,
+             'https://ex' || h || '.com/sitemap-a.xml' AS loc,
+             '2024-01-01' AS lastmod, TRUE AS is_index
+           FROM m WHERE c = 0
+           UNION ALL
+           SELECT doc_id, 1,
+             'https://ex' || h || '.com/sitemap-b.xml', NULL, TRUE
+           FROM m WHERE c = 0
+           UNION ALL
+           SELECT doc_id, 0, 'https://ex' || h || '.com/p/' || p1,
+             '2024-02-0' || lm, FALSE
+           FROM m WHERE c <> 0
+           UNION ALL
+           SELECT doc_id, 1, 'https://ex' || h || '.com/q?a=1&b=' || p2,
+             NULL, FALSE
+           FROM m WHERE c <> 0),
+         crawled AS (
+           SELECT DISTINCT 'https://ex' || CAST(doc_id % 7 AS VARCHAR)
+             || '.com/p/' || CAST(doc_id AS VARCHAR) AS curl
+           FROM documents)
+         SELECT e.doc_id, e.sitemap_idx, e.loc, e.lastmod, e.is_index,
+           (c.curl IS NULL) AS is_new
+         FROM e LEFT JOIN crawled c ON e.loc = c.curl""",
     // Frontier replay + the schedule arithmetic with DuckDB's own
     // window: delay per domain class (2.5 s -> 2500 ms, default 1000),
     // slot = rank within domain by (n_refs desc, url), time = slot x

@@ -809,6 +809,93 @@ object Web {
       .toVector
   }
 
+  /** One sitemap entry: the target URL, its optional lastmod text, and
+    * whether it points at ANOTHER sitemap (`<sitemapindex>` child — a
+    * fetch-more-sitemaps edge) or at a page (`<urlset>` member — a
+    * frontier seed).
+    */
+  final case class SitemapEntry(loc: String, lastmod: String,
+      isIndex: Boolean)
+
+  // sitemap XML entity decode: the protocol REQUIRES entity-escaping of
+  // URLs (sitemaps.org), so &amp; in a loc is the rule, not the corner
+  private def decodeXmlEntities(s: String): String =
+    if (!s.contains('&')) s
+    else s.replace("&amp;", "&").replace("&lt;", "<")
+      .replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'")
+
+  /** sitemap.xml / sitemapindex parser (sitemaps.org protocol) — the
+    * frontier-seeding companion to [[robotsSitemaps]], which surfaces
+    * the sitemap URLs this parses. Lightweight block scan, NOT an XML
+    * library: crawl sitemaps are full of namespace soup, truncation
+    * and stray bytes, and the only fields that matter are `<loc>` and
+    * `<lastmod>` inside `<url>`/`<sitemap>` blocks. CDATA-wrapped and
+    * entity-escaped locs both decode; blocks without a loc are
+    * skipped; never throws on garbage (null/non-XML -> empty).
+    */
+  def sitemapEntries(xml: String): Vector[SitemapEntry] = {
+    if (xml == null) return Vector.empty
+    val lower = xml.toLowerCase(java.util.Locale.ROOT)
+    def inner(block: String, tag: String): Option[String] = {
+      val lb = block.toLowerCase(java.util.Locale.ROOT)
+      val o = lb.indexOf("<" + tag + ">")
+      if (o < 0) None
+      else {
+        val from = o + tag.length + 2
+        val c = lb.indexOf("</" + tag + ">", from)
+        if (c < 0) None
+        else {
+          var v = block.substring(from, c).trim
+          if (v.startsWith("<![CDATA[") && v.endsWith("]]>"))
+            v = v.substring(9, v.length - 3).trim
+          val d = decodeXmlEntities(v)
+          if (d.isEmpty) None else Some(d)
+        }
+      }
+    }
+    def blocks(tag: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      val open = "<" + tag + ">"
+      val close = "</" + tag + ">"
+      var i = lower.indexOf(open)
+      while (i >= 0) {
+        val c = lower.indexOf(close, i)
+        if (c < 0) i = -1 // truncated block: malformed tail dropped
+        else {
+          out += xml.substring(i, c)
+          i = lower.indexOf(open, c)
+        }
+      }
+      out.result()
+    }
+    val pages = blocks("url").flatMap(b =>
+      inner(b, "loc").map(l =>
+        SitemapEntry(l, inner(b, "lastmod").orNull, isIndex = false)))
+    val subs = blocks("sitemap").flatMap(b =>
+      inner(b, "loc").map(l =>
+        SitemapEntry(l, inner(b, "lastmod").orNull, isIndex = true)))
+    // a well-formed file is all-pages or all-subs; mixed garbage
+    // yields pages first, subs after — stable and documented
+    pages ++ subs
+  }
+
+  /** Explode a sitemap-XML column into entry rows: input columns +
+    * `sitemap_idx` (0-based within the document) + `loc` + `lastmod` +
+    * `is_index`. Map-side kernel, no shuffle — seeds then flow through
+    * urlCanonCol -> anti-join crawled, the pipeline11 shape.
+    */
+  def withSitemapEntries(df: DataFrame, xmlCol: String): DataFrame = {
+    val k = udf((xml: String) => sitemapEntries(xml)
+      .map(e => (e.loc, e.lastmod, e.isIndex)))
+    df.withColumn("__sm", k(col(xmlCol)))
+      .select(col("*"), posexplode(col("__sm")).as(Seq("sitemap_idx", "__e")))
+      .withColumn("loc", col("__e._1"))
+      .withColumn("lastmod", col("__e._2"))
+      .withColumn("is_index", col("__e._3"))
+      .drop("__sm", "__e")
+  }
+
   /** The Crawl-delay governing `userAgent`: smallest delay among its
     * selected groups (conservative when several groups name the same
     * token), falling back to the `*` groups like rule selection.

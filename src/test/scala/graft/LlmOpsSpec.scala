@@ -612,6 +612,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(capped.toSet == expect)
   }
 
+  test("sitemap parsing: urlset/sitemapindex, CDATA, entities, " +
+    "truncation, garbage tolerance") {
+    import graft.llmops.Web
+    val urlset = """<?xml version="1.0"?>
+      <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        <url><loc>https://a.com/p?x=1&amp;y=2</loc>
+             <lastmod>2024-03-01</lastmod></url>
+        <url><loc><![CDATA[https://a.com/cdata]]></loc></url>
+        <url><priority>0.5</priority></url>
+        <url><loc>https://a.com/torn</url0"""
+    val e = Web.sitemapEntries(urlset)
+    assert(e === Vector(
+      Web.SitemapEntry("https://a.com/p?x=1&y=2", "2024-03-01", false),
+      Web.SitemapEntry("https://a.com/cdata", null, false)))
+    val index = """<sitemapindex>
+      <sitemap><loc> https://a.com/s1.xml </loc>
+        <lastmod>2024-01-02</lastmod></sitemap>
+      <sitemap><loc>https://a.com/s2.xml</loc></sitemap>
+      </sitemapindex>"""
+    assert(Web.sitemapEntries(index) === Vector(
+      Web.SitemapEntry("https://a.com/s1.xml", "2024-01-02", true),
+      Web.SitemapEntry("https://a.com/s2.xml", null, true)))
+    assert(Web.sitemapEntries(null) === Vector.empty)
+    assert(Web.sitemapEntries("not xml at all") === Vector.empty)
+    assert(Web.sitemapEntries("<urlset><url><loc></loc></url></urlset>")
+      === Vector.empty) // empty loc skipped
+  }
+
   test("public-suffix list: rule kinds, precedence, no-registrable " +
     "hosts, and the quota key shift") {
     import spark.implicits._
