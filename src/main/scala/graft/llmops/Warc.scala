@@ -541,8 +541,19 @@ object Warc {
     * Both passes share the same kernel, so counts and slots cannot
     * disagree — the readPgnSplittable design, citation there.
     */
+  /** `maxCarryChars` BOUNDS the driver-side carry plan: pass 1 ships a
+    * split's leading continuation text only up to this cap (a normal
+    * split's lead is ~0 bytes; a lead is nonzero only when a FALSE
+    * split lands exactly on a split boundary). A file containing an
+    * over-cap lead — an adversarial record spanning whole splits —
+    * falls back to a single-task whole-file read for THAT file: such a
+    * record must reassemble inside one task anyway, so the fallback
+    * changes locality, not the memory bound, and the collected report
+    * stays O(splits × cap) instead of O(splits × split-size).
+    */
   def readWarc(spark: SparkSession, path: String,
-      hadoopConf: Map[String, String] = Map.empty): DataFrame = {
+      hadoopConf: Map[String, String] = Map.empty,
+      maxCarryChars: Int = 1 << 20): DataFrame = {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", "WARC/1.0\r\n")
@@ -584,11 +595,13 @@ object Warc {
     }
 
     // Pass 1: per split — leading continuation text (payload tail of a
-    // record owned by an earlier split) and the number of records
-    // STARTING here.
+    // record owned by an earlier split; shipped only up to the cap, so
+    // the collect stays bounded) plus its TRUE length, and the number
+    // of records STARTING here.
     val reports = scan { (file, start, head, iter) =>
       val (lead, recs) = chunkArchive(splitText(head, iter))
-      Iterator((file, start, lead, recs.size))
+      val shipped = if (lead.length <= maxCarryChars) lead else ""
+      Iterator((file, start, shipped, lead.length.toLong, recs.size))
     }.collect()
 
     // Driver plan: for each split, the carry text to APPEND to its
@@ -596,38 +609,71 @@ object Warc {
     // continuations while those splits contain the continuation chain
     // (a split that is ALL continuation contributes and forwards), and
     // the global base index = sum of record counts of earlier splits.
+    // A file whose chain NEEDS a lead that was over-cap (truncated to
+    // "") cannot be spliced from the report — it re-reads whole, one
+    // task, below. The head split's lead is pre-first-record garbage
+    // and never needed, so it cannot force a fallback.
     val byFile = reports.groupBy(_._1)
+    val fallbackFiles = scala.collection.mutable.LinkedHashSet.empty[String]
     val plan: Map[(String, Long), (Long, String)] = byFile.flatMap {
       case (file, rs) =>
         val sorted = rs.sortBy(_._2)
-        var base = 0L
-        sorted.indices.map { i =>
-          val (f, start, _, n) = sorted(i)
-          val myBase = base
-          base += n
-          // carry: chain of subsequent splits' leading texts, stopping
-          // after the first split that has records of its own
-          val carry = new StringBuilder
-          var j = i + 1
-          var open = true
-          while (open && j < sorted.length) {
-            carry ++= sorted(j)._3
-            if (sorted(j)._4 > 0) open = false
-            j += 1
+        val truncated = sorted.indices.exists { i =>
+          i > 0 && sorted(i)._4 > maxCarryChars
+        }
+        if (truncated) {
+          fallbackFiles += file
+          Seq.empty
+        } else {
+          var base = 0L
+          sorted.indices.map { i =>
+            val (f, start, _, _, n) = sorted(i)
+            val myBase = base
+            base += n
+            // carry: chain of subsequent splits' leading texts, stopping
+            // after the first split that has records of its own
+            val carry = new StringBuilder
+            var j = i + 1
+            var open = true
+            while (open && j < sorted.length) {
+              carry ++= sorted(j)._3
+              if (sorted(j)._5 > 0) open = false
+              j += 1
+            }
+            (f, start) -> ((myBase, carry.toString))
           }
-          (f, start) -> ((myBase, carry.toString))
         }
     }
     val bc = spark.sparkContext.broadcast(plan)
 
     val rows = scan { (file, start, head, iter) =>
-      val (base, carry) = bc.value((file, start))
-      val (_, recs) = chunkArchive(splitText(head, iter) + carry)
-      recs.iterator.zipWithIndex.map { case (chunk, i) =>
-        recordRow(file, base + i, parseOne(chunk))
+      bc.value.get((file, start)) match {
+        case None => Iterator.empty // file on the whole-read fallback
+        case Some((base, carry)) =>
+          val (_, recs) = chunkArchive(splitText(head, iter) + carry)
+          recs.iterator.zipWithIndex.map { case (chunk, i) =>
+            recordRow(file, base + i, parseOne(chunk))
+          }
       }
     }
-    spark.createDataFrame(rows, recordSchema)
+    val normal = spark.createDataFrame(rows, recordSchema)
+    if (fallbackFiles.isEmpty) normal
+    else {
+      val fb = spark.sparkContext
+        .binaryFiles(fallbackFiles.mkString(","), fallbackFiles.size)
+        .flatMap { case (file0, pds) =>
+          val u = new org.apache.hadoop.fs.Path(file0).toUri
+          val file = new java.net.URI(u.getScheme,
+            Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
+            .toString
+          val text = new String(pds.toArray(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          chunkArchive(text)._2.iterator.zipWithIndex.map {
+            case (chunk, i) => recordRow(file, i.toLong, parseOne(chunk))
+          }
+        }
+      normal.union(spark.createDataFrame(fb, recordSchema))
+    }
   }
 
   /** Structured Streaming WARC source: crawl segments ARRIVE

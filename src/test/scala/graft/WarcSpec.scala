@@ -114,6 +114,45 @@ class WarcSpec extends SparkSpec {
     assert(whole.forall(_.getBoolean(3)))
   }
 
+  test("readWarc carry bound: an over-cap record spanning many splits " +
+    "falls back to a whole-file read, results unchanged") {
+    // one record whose payload embeds a false delimiter and then runs
+    // for ~4 forced 512-byte splits: its continuation lead exceeds a
+    // tiny cap, so the FILE must re-read whole (single task) while a
+    // clean sibling file stays on the splittable path
+    val bigPayload = "x\r\nWARC/1.0\r\nnot a header " + ("y" * 2200)
+    val arc = resp("http://big/", s"<p>$bigPayload</p>") +
+      resp("http://after/", "<p>tail</p>")
+    val cleanArc = (0 until 6).map(i =>
+      resp(s"http://clean/$i", s"<p>c $i</p>")).mkString
+    val dir = java.nio.file.Files.createTempDirectory("warccap")
+    java.nio.file.Files.write(dir.resolve("big.warc"),
+      arc.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("clean.warc"),
+      cleanArc.getBytes("UTF-8"))
+    val conf = Map(
+      "mapreduce.input.fileinputformat.split.maxsize" -> "512",
+      "mapreduce.input.fileinputformat.split.minsize" -> "512")
+    def rows(cap: Int) =
+      Warc.readWarc(spark, dir.toString, hadoopConf = conf,
+        maxCarryChars = cap)
+        .select("source_file", "rec_idx", "warc_url", "warc_body",
+          "declared_len_ok")
+        .collect()
+        .map(r => (r.getString(0).split('/').last, r.getLong(1),
+          r.getString(2), r.getString(3), r.getBoolean(4)))
+        .sortBy(t => (t._1, t._2))
+    val capped = rows(64) // forces the fallback for big.warc
+    val roomy = rows(1 << 20) // splice path for both files
+    assert(capped.toSeq === roomy.toSeq)
+    assert(capped.count(_._1 == "big.warc") === 2)
+    assert(capped.count(_._1 == "clean.warc") === 6)
+    val big = capped.filter(t => t._1 == "big.warc" && t._2 == 0L).head
+    assert(big._3 === "http://big/")
+    assert(big._4.contains("y" * 2200)) // reassembled across splits
+    assert(capped.forall(_._5)) // every Content-Length validates
+  }
+
   test("byte-transparent read + transcode: Shift_JIS/cp1251 bytes " +
     "survive latin1 decode and recover real text") {
     import graft.llmops.Web
