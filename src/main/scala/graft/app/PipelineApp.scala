@@ -25,27 +25,44 @@ import org.apache.spark.sql.functions._
   * leaves either no line (stage reruns, sub-stages resume) or a
   * complete line over complete artifacts.
   *
-  *   runMain graft.app.PipelineApp <documentsParquet> <outDir>
+  *   runMain graft.app.PipelineApp <documentsParquet|-> <outDir>
+  *     [crawl: --warc=<warcDir> --robots=<policyParquet> --ua=
+  *      --warc-text=main|all]
   *     [dedup: --id-col= --text-col= --score-col= --threshold=
   *      --shingle= --hashes= --band-rows= --source-col=]
   *     [curate: --benchmark= --min-quality= --rate= --shard-tokens=
   *      --epoch=] [--resume]
+  *
+  * With `--warc=`, an "ingest" stage runs first (WARC decode ->
+  * responses -> optional robots-policy filter -> main-content/all-text
+  * extraction -> <outDir>/ingest/docs with doc_id/url/domain/text/
+  * n_chars), and dedup reads that — the whole 100 TB crawl-to-corpus
+  * story as ONE command with manifest resume across all three stages.
   */
 object PipelineApp {
 
   final case class Config(docs: String, outDir: String,
       dedup: DedupApp.Config, curate: CurateApp.Config,
-      resume: Boolean)
+      resume: Boolean,
+      warc: Option[String] = None, robots: Option[String] = None,
+      ua: String = "GraftBot/1.0", warcText: String = "main")
 
   private val dedupFlags = Seq("--id-col=", "--text-col=", "--score-col=",
     "--threshold=", "--shingle=", "--hashes=", "--band-rows=",
     "--source-col=")
   private val curateFlags = Seq("--benchmark=", "--min-quality=", "--rate=",
     "--shard-tokens=", "--epoch=")
+  // crawl front door: <documentsParquet> is ignored as data when --warc
+  // is given (pass '-'); the ingest stage writes <outDir>/ingest/docs
+  // and the dedup stage reads that instead
+  private val warcFlags = Seq("--warc=", "--robots=", "--ua=",
+    "--warc-text=")
 
   def parse(args: Array[String]): Config = {
     require(args.length >= 2,
-      "usage: PipelineApp <documentsParquet> <outDir> [stage flags] [--resume]")
+      "usage: PipelineApp <documentsParquet|-> <outDir> " +
+        "[--warc=<warcDir> [--robots=<policyParquet>] [--ua=] " +
+        "[--warc-text=main|all]] [stage flags] [--resume]")
     val docs = args(0); val outDir = args(1)
     // Fail fast on anything outside the known dedup+curate flag union
     // (AnnIndexApp protocol): silently forwarding unknown flags let
@@ -56,19 +73,28 @@ object PipelineApp {
     // <priorPipeline>/dedup), not a pipeline mode.
     args.drop(2).foreach { a =>
       require(a == "--resume" ||
-        (dedupFlags ++ curateFlags).exists(a.startsWith),
+        (dedupFlags ++ curateFlags ++ warcFlags).exists(a.startsWith),
         if (a.startsWith("--incremental="))
           "PipelineApp does not take --incremental=; run DedupApp " +
             "--incremental=<priorPipelineOut>/dedup and CurateApp over " +
             "its survivors instead"
         else s"unknown flag: $a")
     }
+    def flag(name: String): Option[String] =
+      args.collectFirst { case s if s.startsWith(s"--$name=") =>
+        s.stripPrefix(s"--$name=") }
+    val warcText = flag("warc-text").getOrElse("main")
+    require(warcText == "main" || warcText == "all",
+      s"--warc-text must be main or all, got: $warcText")
     val d = DedupApp.parse(Array(docs, s"$outDir/dedup") ++
-      args.drop(2).filterNot(f => curateFlags.exists(f.startsWith)))
+      args.drop(2).filterNot(f =>
+        (curateFlags ++ warcFlags).exists(f.startsWith)))
     val c = CurateApp.parse(Array(s"$outDir/dedup/survivors",
       s"$outDir/curate") ++ args.drop(2).filter(f =>
       (curateFlags :+ "--resume").exists(f.startsWith)))
-    Config(docs, outDir, d, c, resume = args.contains("--resume"))
+    Config(docs, outDir, d, c, resume = args.contains("--resume"),
+      warc = flag("warc"), robots = flag("robots"),
+      ua = flag("ua").getOrElse("GraftBot/1.0"), warcText = warcText)
   }
 
   /** Canonical parameter strings — strict string equality decides
@@ -178,8 +204,63 @@ object PipelineApp {
     if (!cfg.resume) { // fresh run: a stale manifest must not gate skips
       java.nio.file.Files.deleteIfExists(manifestPath(cfg.outDir))
     }
+
+    // Optional crawl front door: WARC dir -> responses -> robots filter
+    // -> text extraction -> documents parquet, as its own manifested
+    // stage ("ingest") so a resumed run never re-decodes the crawl.
+    // The whole stage is the PlanCheck-asserted map-side chain (plus
+    // one broadcast policy join when --robots is given); doc ids are
+    // content-independent (hash of source file + record index) so
+    // keep-best ties stay deterministic across re-runs.
+    val docsInput: String = cfg.warc match {
+      case None => cfg.docs
+      case Some(warcDir) =>
+        val ingestOut = s"${cfg.outDir}/ingest"
+        val ip = s"warc=$warcDir;robots=${cfg.robots.getOrElse("-")};" +
+          s"ua=${cfg.ua};text=${cfg.warcText}"
+        val arts = Seq(s"$ingestOut/docs", s"$ingestOut/report")
+        if (!skippable(spark, cfg.outDir, "ingest", ip, warcDir, arts)) {
+          record(cfg.outDir, "ingest", ip, warcDir, ingestOut, "started")
+          val recs = graft.llmops.Warc.readWarcDir(spark, warcDir)
+            .where(col("warc_type") === "response" &&
+              (col("http_status").isNull || col("http_status") === 200))
+          val parts = graft.llmops.Web.withUrlParts(recs, "warc_url")
+            .withColumn("domain",
+              graft.llmops.Web.registeredDomainCol(col("url_host")))
+          val polite = cfg.robots match {
+            case None => parts
+            case Some(pp) =>
+              graft.llmops.Web.withRobotsAllowedByPolicy(parts,
+                "domain", "url_path", spark.read.parquet(pp),
+                "domain", "robots_txt", cfg.ua)
+                .where(col("robots_allowed"))
+          }
+          val textCol = if (cfg.warcText == "all")
+            graft.llmops.Web.htmlTextUdf(col("warc_body"))
+          else graft.llmops.Web.mainContentUdf(col("warc_body"))
+          val docs = polite
+            .withColumn("text", textCol)
+            .where(length(col("text")) > 0)
+            .select(
+              // 63-bit mask: curation's composite sort keys require
+              // non-negative ids (%019d lexicographic rendering)
+              xxhash64(col("source_file"), col("rec_idx"))
+                .bitwiseAND(lit(Long.MaxValue)).as("doc_id"),
+              col("warc_url").as("url"), col("domain"), col("text"),
+              length(col("text")).cast("long").as("n_chars"))
+          docs.write.mode("overwrite").parquet(s"$ingestOut/docs")
+          spark.read.parquet(s"$ingestOut/docs")
+            .agg(count(lit(1)).as("docs"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$ingestOut/report")
+          record(cfg.outDir, "ingest", ip, warcDir, ingestOut, "done")
+        }
+        s"$ingestOut/docs@$ip" // identity chains into dedup's input
+    }
+    val docsPath = docsInput.split('@').head
+
     val dedupOut = s"${cfg.outDir}/dedup"
-    val dedupCfg = cfg.dedup.copy(docs = cfg.docs, outDir = dedupOut,
+    val dedupCfg = cfg.dedup.copy(docs = docsPath, outDir = dedupOut,
       resume = cfg.resume)
     val dp = dedupParams(dedupCfg)
     val dedupArts = (Seq("pairs", "clusters", "survivors", "report") ++
@@ -190,11 +271,11 @@ object PipelineApp {
     def innerResume(stage: String, params: String, input: String): Boolean =
       cfg.resume && readManifest(cfg.outDir).get(stage)
         .exists { case (p, i, _) => p == params && i == input }
-    if (!skippable(spark, cfg.outDir, "dedup", dp, cfg.docs, dedupArts)) {
-      val r = innerResume("dedup", dp, cfg.docs)
-      record(cfg.outDir, "dedup", dp, cfg.docs, dedupOut, "started")
+    if (!skippable(spark, cfg.outDir, "dedup", dp, docsInput, dedupArts)) {
+      val r = innerResume("dedup", dp, docsInput)
+      record(cfg.outDir, "dedup", dp, docsInput, dedupOut, "started")
       DedupApp.run(spark, dedupCfg.copy(resume = r))
-      record(cfg.outDir, "dedup", dp, cfg.docs, dedupOut, "done")
+      record(cfg.outDir, "dedup", dp, docsInput, dedupOut, "done")
     }
 
     val curateOut = s"${cfg.outDir}/curate"
@@ -220,7 +301,10 @@ object PipelineApp {
       val r = df.head()
       df.schema.fieldNames.toSeq.map(n => s"$prefix$n" -> r.getAs[Long](n))
     }
-    reportOf(s"$dedupOut/report", "dedup_") ++
+    cfg.warc.map(_ =>
+      reportOf(s"${cfg.outDir}/ingest/report", "ingest_"))
+      .getOrElse(Seq.empty) ++
+      reportOf(s"$dedupOut/report", "dedup_") ++
       reportOf(s"$curateOut/report", "curate_")
   }
 

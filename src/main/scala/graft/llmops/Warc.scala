@@ -676,6 +676,63 @@ object Warc {
     }
   }
 
+  /** Read every WARC file under `dir` with the right reader per
+    * at-rest form: `.gz` members through the streaming gz reader
+    * (parallel across files — the Common Crawl sharding), everything
+    * else through the splittable plain reader. One union DataFrame in
+    * the shared record schema — the one-call front door PipelineApp's
+    * --warc mode uses. Listing is driver-side (file COUNT, not data).
+    */
+  def readWarcDir(spark: SparkSession, dir: String,
+      byteTransparent: Boolean = false): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.toString)
+      .filter(f => f.contains(".warc") || f.contains(".wet"))
+    require(files.nonEmpty, s"no .warc/.wet files under $dir")
+    val (gz, plain) = files.partition(_.endsWith(".gz"))
+    val parts = Seq(
+      if (gz.nonEmpty)
+        Some(readWarcGz(spark, gz.mkString(","),
+          byteTransparent = byteTransparent))
+      else None,
+      if (plain.nonEmpty) {
+        // the splittable path has no transparent mode (Hadoop Text is
+        // UTF-8 by contract); plain .warc falls back to whole-file
+        // transparent reads via binaryFiles when bytes must survive
+        if (byteTransparent)
+          Some(transparentWholeFiles(spark, plain))
+        else Some(readWarc(spark, plain.mkString(",")))
+      } else None).flatten
+    parts.reduce(_ union _)
+  }
+
+  /** Whole-file byte-transparent reads for plain `.warc` (each file one
+    * task — the price of byte fidelity without a byte-level splitter).
+    */
+  private def transparentWholeFiles(spark: SparkSession,
+      files: Seq[String]): DataFrame = {
+    val rows = spark.sparkContext
+      .binaryFiles(files.mkString(","), files.size)
+      .flatMap { case (file0, pds) =>
+        val u = new org.apache.hadoop.fs.Path(file0).toUri
+        val file = new java.net.URI(u.getScheme,
+          Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
+          .toString
+        val reader = new java.io.InputStreamReader(pds.open(),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try reader.close() catch { case _: Exception => () }))
+        var idx = -1L
+        streamRecords(reader, byteTransparent = true).map { r =>
+          idx += 1; recordRow(file, idx, r)
+        }
+      }
+    spark.createDataFrame(rows, recordSchema)
+  }
+
   /** Structured Streaming WARC source: crawl segments ARRIVE
     * continuously in production, so the front door needs a streaming
     * surface with exactly-once file semantics (checkpointed

@@ -42,6 +42,60 @@ class PipelineAppSpec extends SparkSpec {
     assert(report("curate_n_shards") > 0)
   }
 
+  test("--warc front door: crawl dir -> ingest stage -> dedup -> " +
+    "curate in one run; robots filter applies; resume skips decode") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 40 responses across two files (one gz), two domains; blocked.com
+    // is robots-disallowed; one page 404s; duplicate texts dedup
+    def rec(i: Int, host: String, status: Int = 200): String = {
+      val text = s"Paragraph number ${i % 7} with plenty of prose " +
+        "to clear the main-content minimum length threshold easily."
+      val html = s"<html><body><nav><a href='/x'>navlinkfarm</a></nav>" +
+        s"<p>$text</p></body></html>"
+      val http = s"HTTP/1.1 $status OK\r\nContent-Type: text/html\r\n\r\n$html"
+      s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://$host/p/$i\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+        http + "\r\n\r\n"
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pipe_warc")
+    val a = (0 until 20).map(i => rec(i, "ok.com")).mkString
+    val b = (20 until 38).map(i => rec(i, "blocked.com")).mkString +
+      rec(38, "ok.com") + rec(39, "ok.com", status = 404)
+    java.nio.file.Files.write(dir.resolve("a.warc"), a.getBytes("UTF-8"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("b.warc.gz")))
+    gz.write(b.getBytes("UTF-8")); gz.close()
+    val polDir = java.nio.file.Files.createTempDirectory("pipe_pol")
+    Seq(("blocked.com", "User-agent: *\nDisallow: /\n"))
+      .toDF("domain", "robots_txt")
+      .write.mode("overwrite").parquet(s"$polDir/pol")
+    val out = java.nio.file.Files
+      .createTempDirectory("pipe_warc_out").toString
+    val c = PipelineApp.parse(Array("-", out, s"--warc=$dir",
+      s"--robots=$polDir/pol", "--min-quality=0.0", "--rate=1.0"))
+    val report = PipelineApp.run(spark, c).toMap
+    // 20 + 1 ok.com pages survive: blocked.com robots-filtered, the
+    // 404 status-filtered
+    assert(report("ingest_docs") === 21L)
+    assert(PipelineApp.readManifest(out).keySet ===
+      Set("ingest", "dedup", "curate"))
+    val docs = spark.read.parquet(s"$out/ingest/docs")
+    assert(docs.columns.sorted.toSeq ===
+      Seq("doc_id", "domain", "n_chars", "text", "url"))
+    assert(docs.where(col("domain") === "blocked.com").count() === 0)
+    // main-content extraction dropped the nav link farm
+    assert(!docs.select("text").as[String].head().contains("navlinkfarm"))
+    // dedup consumed the ingest docs (7 distinct texts among 21 pages)
+    assert(report("dedup_n_docs") === 21L)
+    assert(report("dedup_n_removed") === 14L) // 21 pages, 7 texts
+    // resume: ingest stage skips wholesale (docs untouched)
+    val t0 = mtime(s"$out/ingest/docs")
+    PipelineApp.run(spark, c.copy(resume = true))
+    assert(mtime(s"$out/ingest/docs") === t0)
+  }
+
   test("kill between stages: missing curate stage reruns on --resume; " +
     "dedup artifacts untouched; content identical to a fresh run") {
     val out = java.nio.file.Files
