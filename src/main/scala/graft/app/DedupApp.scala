@@ -29,7 +29,17 @@ import graft.llmops.Dedup
   *   runMain graft.app.DedupApp <documentsParquet> <outDir>
   *     [--id-col=doc_id] [--text-col=text] [--score-col=n_chars]
   *     [--threshold=0.8] [--shingle=3] [--hashes=8] [--band-rows=4]
-  *     [--resume]
+  *     [--max-band-pop=256] [--resume]
+  *
+  * --max-band-pop is the HOT-BUCKET cap, ON by default (256): a real
+  * crawl has bands where thousands of near-identical pages collide,
+  * and the uncapped candidate self-join is O(pop^2) on exactly those
+  * buckets — a 2M-near-identical corpus never finishes (measured this
+  * round before the default). Capped buckets sub-split into
+  * ceil(pop/cap) deterministic groups, bounding pair volume by
+  * pop x cap; the recall trade is one-sided and tiny (a dup pair split
+  * across sub-groups can still meet in any of the other k/bandRows
+  * bands).
   */
 object DedupApp {
 
@@ -37,14 +47,15 @@ object DedupApp {
       idCol: String = "doc_id", textCol: String = "text",
       scoreCol: String = "n_chars", threshold: Double = 0.8,
       shingleN: Int = 3, k: Int = 8, bandRows: Int = 4,
+      maxBandPop: Int = 256,
       resume: Boolean = false, sourceCol: Option[String] = None,
       incremental: Option[String] = None)
 
   def parse(args: Array[String]): Config = {
     require(args.length >= 2, "usage: DedupApp <documentsParquet> <outDir>" +
       " [--id-col=] [--text-col=] [--score-col=] [--threshold=]" +
-      " [--shingle=] [--hashes=] [--band-rows=] [--resume]" +
-      " [--source-col=] [--incremental=<priorRunDir>]")
+      " [--shingle=] [--hashes=] [--band-rows=] [--max-band-pop=]" +
+      " [--resume] [--source-col=] [--incremental=<priorRunDir>]")
     def flag(name: String): Option[String] =
       args.collectFirst { case s if s.startsWith(s"--$name=") =>
         s.stripPrefix(s"--$name=") }
@@ -56,6 +67,7 @@ object DedupApp {
       shingleN = flag("shingle").map(_.toInt).getOrElse(3),
       k = flag("hashes").map(_.toInt).getOrElse(8),
       bandRows = flag("band-rows").map(_.toInt).getOrElse(4),
+      maxBandPop = flag("max-band-pop").map(_.toInt).getOrElse(256),
       resume = args.contains("--resume"),
       sourceCol = flag("source-col"),
       incremental = flag("incremental"))
@@ -113,7 +125,7 @@ object DedupApp {
         .drop("content_hash", "cluster_size", "is_rep")
       val pairs = Dedup.minhashPairs(exactReps, cfg.idCol, cfg.textCol,
         shingleN = cfg.shingleN, k = cfg.k, bandRows = cfg.bandRows,
-        threshold = cfg.threshold)
+        threshold = cfg.threshold, maxBandPop = cfg.maxBandPop)
       val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
       Dedup.nearDupSurvivorsBy(exactReps, cfg.idCol, cfg.scoreCol, clusters)
     }
@@ -155,7 +167,7 @@ object DedupApp {
     val pairs = stage("pairs") {
       Dedup.minhashPairs(docs, cfg.idCol, cfg.textCol,
         shingleN = cfg.shingleN, k = cfg.k, bandRows = cfg.bandRows,
-        threshold = cfg.threshold)
+        threshold = cfg.threshold, maxBandPop = cfg.maxBandPop)
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 1000000).cast("long").as("jaccard_micro"))
     }

@@ -49,7 +49,7 @@ object PipelineApp {
 
   private val dedupFlags = Seq("--id-col=", "--text-col=", "--score-col=",
     "--threshold=", "--shingle=", "--hashes=", "--band-rows=",
-    "--source-col=")
+    "--max-band-pop=", "--source-col=")
   private val curateFlags = Seq("--benchmark=", "--min-quality=", "--rate=",
     "--shard-tokens=", "--epoch=")
   // crawl front door: <documentsParquet> is ignored as data when --warc
@@ -103,7 +103,7 @@ object PipelineApp {
   def dedupParams(c: DedupApp.Config): String =
     s"id=${c.idCol};text=${c.textCol};score=${c.scoreCol};" +
       s"thr=${c.threshold};sh=${c.shingleN};k=${c.k};br=${c.bandRows};" +
-      s"src=${c.sourceCol.getOrElse("-")}"
+      s"cap=${c.maxBandPop};src=${c.sourceCol.getOrElse("-")}"
   def curateParams(c: CurateApp.Config): String =
     s"bench=${c.benchmark.getOrElse("-")};minq=${c.minQuality};" +
       s"rate=${c.rate};shard=${c.shardTokens};epoch=${c.epoch}"

@@ -522,6 +522,62 @@ object PlanCheck {
         "robots policy table must broadcast, never sort-merge")
       println("robots policy table: broadcast join, corpus side " +
         "never shuffles")
+
+      // r17: the transcoding crawl front end — byte-transparent parse
+      // -> charset sniff -> CharsetDecoder transcode -> WET render —
+      // must ALSO be a shuffle-free map-side chain (it replaces the
+      // UTF-8 chain 1:1 at the scan stage).
+      val arcB17 = docs12.select(col("doc_id"), concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "https://ex.com/p/").cast("binary"),
+        col("doc_id").cast("string").cast("binary"),
+        lit("\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          "<p>").cast("binary"),
+        col("text").cast("binary"),
+        lit("</p>\r\n\r\n").cast("binary")).as("arc"))
+      val transFront = {
+        val recs = graft.llmops.Warc.withWarcRecords(arcB17, "arc",
+          byteTransparent = true)
+          .where(col("warc_type") === "response")
+        val sniffed = graft.llmops.Web.withCharset(recs,
+          "http_content_type", "warc_body")
+        val txt = graft.llmops.Web.withTranscodedBody(sniffed,
+          "warc_body", "charset")
+        graft.llmops.Warc.toWet(txt,
+          graft.llmops.Web.htmlTextUdf(col("text_utf8")))
+      }
+      val tfStr = transFront.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      require(occ(tfStr, "Exchange") == 0 && occ(tfStr, "Join") == 0,
+        "transcoding crawl front end must be a shuffle-free map-side chain")
+      println("transcode front end (transparent warc->sniff->decode->" +
+        "wet): exchanges=0, joins=0")
+
+      // r17: crawl-delay policy join must broadcast like the verdict
+      // join, and the per-domain schedule window must be the ONLY
+      // exchange it adds (hashpartitioning by domain — never a global
+      // sort).
+      val sched = graft.llmops.Web.frontierSchedule(
+        graft.llmops.Web.withCrawlDelayByPolicy(
+          docs12.select(col("doc_id"),
+            concat(lit("d"), pmod(col("doc_id"), lit(4)).cast("string"),
+              lit(".com")).as("domain"),
+            concat(lit("https://u/"), col("doc_id").cast("string"))
+              .as("url"), col("doc_id").as("n_refs")),
+          "domain", pol16, "domain", "robots_txt", "bot"),
+        "domain", "url", "n_refs", "robots_delay_ms")
+      val scStr = sched.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      require(occ(scStr, "BroadcastHashJoin") >= 1 &&
+        occ(scStr, "SortMergeJoin") == 0,
+        "crawl-delay policy join must broadcast")
+      val corpusExch = scStr.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("domain"))
+      require(corpusExch <= 1,
+        s"frontier schedule must add at most the one domain-partitioned" +
+          s" window exchange; got $corpusExch")
+      println("frontier schedule: broadcast delay join + 1 " +
+        "domain-partitioned window exchange (no global sort)")
     }
     spark.stop()
   }

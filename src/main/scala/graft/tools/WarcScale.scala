@@ -123,7 +123,15 @@ object WarcScale {
     // parallel shard generation: each task streams its records straight
     // to one .warc file (and its .warc.gz twin)
     val t0 = System.nanoTime()
-    val written = if (reuseDir.isDefined) {
+    // --dir reuses only when the corpus is actually there — an empty
+    // (or fresh) dir generates into it, so a known path can be built
+    // on first run and reused on later ones
+    val reusable = reuseDir.isDefined && {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.exists(p) &&
+        java.nio.file.Files.list(p).anyMatch(_.toString.endsWith(".warc"))
+    }
+    val written = if (reusable) {
       val sz = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
         .filter(_.toString.endsWith(".warc"))
         .mapToLong(java.nio.file.Files.size).sum()

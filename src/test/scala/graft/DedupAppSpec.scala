@@ -85,9 +85,35 @@ class DedupAppSpec extends SparkSpec {
     val c = DedupApp.parse(Array("in.parquet", "/tmp/o",
       "--id-col=id", "--text-col=body", "--score-col=quality",
       "--threshold=0.7", "--shingle=2", "--hashes=16",
-      "--band-rows=8", "--resume", "--source-col=src"))
+      "--band-rows=8", "--max-band-pop=64", "--resume",
+      "--source-col=src"))
     assert(c === DedupApp.Config("in.parquet", "/tmp/o", "id", "body",
-      "quality", 0.7, 2, 16, 8, resume = true, sourceCol = Some("src")))
+      "quality", 0.7, 2, 16, 8, maxBandPop = 64, resume = true,
+      sourceCol = Some("src")))
+  }
+
+  test("hot-bucket cap is ON by default: a near-identical corpus " +
+    "completes with bounded pairs and one survivor family") {
+    import spark.implicits._
+    // 3,000 near-identical docs (the shape that put every doc in one
+    // LSH bucket and hung the uncapped 2M CLI run this round): with
+    // the default cap the candidate volume is bounded by pop x cap and
+    // keep-best leaves far fewer survivors than docs
+    // 200 distinct shared tokens -> ~200 shared shingles vs ~3
+    // doc-specific ones: jaccard ~0.985, every doc in one hot bucket
+    val shared = (1 to 200).map(w => s"word$w").mkString(" ")
+    val docs = (1L to 3000L).map(i =>
+      (i, s"$shared record $i", shared.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_cap").toString
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val cfg = DedupApp.Config(s"$dir/docs", s"$dir/out")
+    val report = DedupApp.run(spark, cfg).toMap
+    val pairs = spark.read.parquet(s"$dir/out/pairs").count()
+    assert(pairs > 0)
+    assert(pairs <= 3000L * cfg.maxBandPop) // bounded, never O(n^2)
+    assert(report("n_removed") > 2000L) // the family truly collapses
   }
 
   test("--source-col lands the overlap/ artifact consistent with " +
