@@ -107,7 +107,7 @@ object DedupApp {
     val flags = stage("flags") {
       Dedup.incrementalDedupFlags(docs, prior, cfg.idCol, cfg.textCol,
         shingleN = cfg.shingleN, k = cfg.k, bandRows = cfg.bandRows,
-        threshold = cfg.threshold)
+        threshold = cfg.threshold, maxRefBandPop = cfg.maxBandPop)
     }
     val additions = stage("additions") {
       val novel = docs.join(flags.where(!col("dup_exact") && !col("dup_near"))

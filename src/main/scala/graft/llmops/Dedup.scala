@@ -1038,10 +1038,21 @@ object Dedup {
     * only), then verifies exact Jaccard on the candidate pairs. No side
     * is ever broadcast unconditionally -- AQE picks broadcast when the
     * new batch's band keys are small enough.
+    *
+    * `maxRefBandPop` caps the REFERENCE side per band key (default 256,
+    * deterministic md5(id) pick): a hot band in the at-rest corpus —
+    * thousands of retained near-identical pages sharing a signature —
+    * would otherwise multiply every colliding new doc by the family
+    * size in the candidate join. Detection only needs ONE verified
+    * match, so keeping `cap` family representatives per band preserves
+    * it; the residual miss (all kept members verify below threshold
+    * while a dropped one would not) is the same one-sided trade as
+    * [[minhashPairs]]' sub-split cap, retried across every band.
     */
   def incrementalDedupFlags(newDf: DataFrame, refDf: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 8,
-      bandRows: Int = 4, threshold: Double = 0.8): DataFrame = {
+      bandRows: Int = 4, threshold: Double = 0.8,
+      maxRefBandPop: Int = 256): DataFrame = {
     val refHashes = refDf.select(md5(col(textCol)).as("__h")).distinct()
     val exactIds = newDf
       .select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
@@ -1049,8 +1060,16 @@ object Dedup {
       .select(col("id"))
     val newBands = minhashBandKeys(newDf, idCol, textCol, shingleN, k,
       bandRows)
-    val refBands = minhashBandKeys(refDf, idCol, textCol, shingleN, k,
+    val refBands0 = minhashBandKeys(refDf, idCol, textCol, shingleN, k,
       bandRows)
+    val refBands = if (maxRefBandPop == Int.MaxValue) refBands0 else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "band_hash")
+        .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
+      refBands0.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= maxRefBandPop)
+        .drop("__rn")
+    }
     val candidates = newBands.as("l")
       .join(refBands.as("r"),
         col("l.band") === col("r.band") &&

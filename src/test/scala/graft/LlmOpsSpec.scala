@@ -1241,6 +1241,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(flags.size == 3)
   }
 
+  test("incremental dedup: hot reference family capped per band, " +
+    "detection preserved by the kept representatives") {
+    import spark.implicits._
+    // 600 near-identical retained pages share every band key; capping
+    // the ref side at 8 bounds the candidate join at 8 per band while
+    // a colliding new doc still verifies against a kept representative
+    val shared = (1 to 100).map(w => s"tok$w").mkString(" ")
+    val hotRef = (1L to 600L).map(i => (i, s"$shared tail$i"))
+      .toDF("id", "text")
+    val newB = Seq(
+      (9001L, s"$shared tailX"), // near dup of the whole family
+      (9002L, "completely different text with no shared tokens at all"))
+      .toDF("id", "text")
+    val flags = Dedup.incrementalDedupFlags(newB, hotRef, "id", "text",
+      maxRefBandPop = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags(9001L) === true)
+    assert(flags(9002L) === false)
+  }
+
   test("hashed classifier: integer-exact, empty-doc safe, sign label") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta alpha"), (2L, ";;;")).toDF("id", "text")
