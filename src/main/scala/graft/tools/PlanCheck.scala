@@ -571,13 +571,21 @@ object PlanCheck {
       require(occ(scStr, "BroadcastHashJoin") >= 1 &&
         occ(scStr, "SortMergeJoin") == 0,
         "crawl-delay policy join must broadcast")
-      val corpusExch = scStr.linesIterator.count(l =>
+      // two domain-keyed hash exchanges are the budget: the POLICY
+      // side's dedup groupBy (policy-sized — rows are domains with a
+      // robots.txt, not corpus) and the corpus-side window partition.
+      // Anything more, or ANY range partitioning, is a global-sort
+      // regression.
+      val domExch = scStr.linesIterator.count(l =>
         l.contains("Exchange hashpartitioning") && l.contains("domain"))
-      require(corpusExch <= 1,
-        s"frontier schedule must add at most the one domain-partitioned" +
-          s" window exchange; got $corpusExch")
-      println("frontier schedule: broadcast delay join + 1 " +
-        "domain-partitioned window exchange (no global sort)")
+      require(domExch <= 2,
+        s"frontier schedule budget is policy-agg + window domain " +
+          s"exchanges; got $domExch")
+      require(occ(scStr, "Exchange rangepartitioning") == 0,
+        "frontier schedule must never globally sort")
+      println("frontier schedule: broadcast delay join, " +
+        s"$domExch domain hash exchanges (policy agg + window), " +
+        "no range partitioning")
     }
     spark.stop()
   }
