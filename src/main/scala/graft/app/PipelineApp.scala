@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.app.PipelineApp <documentsParquet|-> <outDir>
   *     [crawl: --warc=<warcDir> --robots=<policyParquet> --ua=
-  *      --warc-text=main|all]
+  *      --warc-text=main|all --psl=<publicSuffixListFile>]
   *     [dedup: --id-col= --text-col= --score-col= --threshold=
   *      --shingle= --hashes= --band-rows= --source-col=]
   *     [curate: --benchmark= --min-quality= --rate= --shard-tokens=
@@ -45,7 +45,8 @@ object PipelineApp {
       dedup: DedupApp.Config, curate: CurateApp.Config,
       resume: Boolean,
       warc: Option[String] = None, robots: Option[String] = None,
-      ua: String = "GraftBot/1.0", warcText: String = "main")
+      ua: String = "GraftBot/1.0", warcText: String = "main",
+      psl: Option[String] = None)
 
   private val dedupFlags = Seq("--id-col=", "--text-col=", "--score-col=",
     "--threshold=", "--shingle=", "--hashes=", "--band-rows=",
@@ -56,7 +57,7 @@ object PipelineApp {
   // is given (pass '-'); the ingest stage writes <outDir>/ingest/docs
   // and the dedup stage reads that instead
   private val warcFlags = Seq("--warc=", "--robots=", "--ua=",
-    "--warc-text=")
+    "--warc-text=", "--psl=")
 
   def parse(args: Array[String]): Config = {
     require(args.length >= 2,
@@ -94,7 +95,8 @@ object PipelineApp {
       (curateFlags :+ "--resume").exists(f.startsWith)))
     Config(docs, outDir, d, c, resume = args.contains("--resume"),
       warc = flag("warc"), robots = flag("robots"),
-      ua = flag("ua").getOrElse("GraftBot/1.0"), warcText = warcText)
+      ua = flag("ua").getOrElse("GraftBot/1.0"), warcText = warcText,
+      psl = flag("psl"))
   }
 
   /** Canonical parameter strings — strict string equality decides
@@ -217,16 +219,29 @@ object PipelineApp {
       case Some(warcDir) =>
         val ingestOut = s"${cfg.outDir}/ingest"
         val ip = s"warc=$warcDir;robots=${cfg.robots.getOrElse("-")};" +
-          s"ua=${cfg.ua};text=${cfg.warcText}"
+          s"ua=${cfg.ua};text=${cfg.warcText};" +
+          s"psl=${cfg.psl.getOrElse("-")}"
         val arts = Seq(s"$ingestOut/docs", s"$ingestOut/report")
         if (!skippable(spark, cfg.outDir, "ingest", ip, warcDir, arts)) {
           record(cfg.outDir, "ingest", ip, warcDir, ingestOut, "started")
           val recs = graft.llmops.Warc.readWarcDir(spark, warcDir)
             .where(col("warc_type") === "response" &&
               (col("http_status").isNull || col("http_status") === 200))
-          val parts = graft.llmops.Web.withUrlParts(recs, "warc_url")
-            .withColumn("domain",
+          // registered-domain key: the PSL rule table when --psl names
+          // a publicsuffix.org-format file (loaded driver-side,
+          // broadcast — the robots-policy shape), else the two-level
+          // heuristic fallback
+          val parts0 = graft.llmops.Web.withUrlParts(recs, "warc_url")
+          val parts = cfg.psl match {
+            case Some(pf) =>
+              val rules = graft.llmops.Web.parsePsl(new String(
+                java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(pf)), "UTF-8"))
+              graft.llmops.Web.withRegisteredDomainPsl(parts0,
+                "url_host", rules)
+            case None => parts0.withColumn("domain",
               graft.llmops.Web.registeredDomainCol(col("url_host")))
+          }
           val polite = cfg.robots match {
             case None => parts
             case Some(pp) =>

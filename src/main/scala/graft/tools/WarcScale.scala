@@ -232,6 +232,33 @@ object WarcScale {
         "Content-Length validates (byte-exact render round trip)")
     }
 
+    // --transcode: the byte-transparent r17 path head-to-head with the
+    // plain UTF-8 read — gz decode (latin1) -> charset sniff ->
+    // CharsetDecoder transcode. The corpus is ASCII, so output equals
+    // the plain read's text (asserted on totals) and the delta prices
+    // the transparent mode + per-row decode kernel at crawl scale.
+    if (flags.contains("--transcode")) {
+      val tt = System.nanoTime()
+      val trans = graft.llmops.Web.withTranscodedBody(
+        graft.llmops.Web.withCharset(
+          Warc.readWarcGz(spark, s"$dir/*.warc.gz",
+            byteTransparent = true),
+          "http_content_type", "warc_body"),
+        "warc_body", "charset")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("declared_len_ok"), 0L).otherwise(1L)).as("bad"),
+          sum(length(col("text_utf8"))).as("chars")).head()
+      val tSecs = (System.nanoTime() - tt) / 1e9
+      require(trans.getLong(0) == nRecords,
+        s"transcode: ${trans.getLong(0)} records, expected $nRecords")
+      require(trans.getLong(1) == 0,
+        s"transcode: ${trans.getLong(1)} bad lengths (transparent mode)")
+      println(f"[warc] transcode  $tSecs%7.1f s  " +
+        f"${nRecords / tSecs}%,.0f rec/s  ${gb / tSecs * 1000}%,.0f MB/s  " +
+        f"(transparent gz read + sniff + CharsetDecoder, " +
+        f"${trans.getLong(2) / 1e9}%.2f G chars out)")
+    }
+
     // per-file contiguity + sampled body check on the splittable read
     val d = Warc.readWarc(spark, s"$dir/*.warc")
     val contig = d.groupBy("source_file")

@@ -94,6 +94,24 @@ class PipelineAppSpec extends SparkSpec {
     val t0 = mtime(s"$out/ingest/docs")
     PipelineApp.run(spark, c.copy(resume = true))
     assert(mtime(s"$out/ingest/docs") === t0)
+    // --psl: the registered-domain key follows the rule table (ok.com
+    // unchanged, but a github.io-style private registry would split);
+    // also proves the ingest identity string invalidates on the flag
+    val out2 = java.nio.file.Files
+      .createTempDirectory("pipe_warc_psl").toString
+    val pslFile = dir.resolve("psl.dat")
+    java.nio.file.Files.write(pslFile,
+      "// test psl\ncom\nok.com\n".getBytes("UTF-8"))
+    val c2 = PipelineApp.parse(Array("-", out2, s"--warc=$dir",
+      s"--psl=$pslFile", "--min-quality=0.0", "--rate=1.0"))
+    PipelineApp.run(spark, c2)
+    val domains2 = spark.read.parquet(s"$out2/ingest/docs")
+      .select("domain").distinct().as[String].collect().toSet
+    // rule 'ok.com' makes ok.com itself a public suffix (no
+    // registrable part -> null domain), while blocked.com registers
+    // under the plain 'com' rule — the heuristic would have said
+    // 'ok.com' for both shapes
+    assert(domains2 === Set(null: String, "blocked.com"))
   }
 
   test("kill between stages: missing curate stage reruns on --resume; " +

@@ -111,4 +111,46 @@ class StreamingCrawlSpec extends SparkSpec {
     assert(back.length === 1 && back.head.declared_len_ok)
     assert(back.head.warc_body === prose)
   }
+
+  test("byte-transparent STREAMING read: Shift_JIS payload bytes " +
+    "survive the micro-batch and transcode to real text") {
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("crawl3_in").toString
+    val out = java.nio.file.Files.createTempDirectory("crawl3_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("crawl3_ck").toString
+    // "日本" in Shift_JIS inside a meta-labeled page — built at the
+    // BYTE level (the string-template resp() would mangle it)
+    val sjis = Array(0x93, 0xFA, 0x96, 0x7B).map(_.toByte)
+    val html = "<html><head><meta charset=\"shift_jis\"></head><body>"
+      .getBytes("ISO-8859-1") ++ sjis ++
+      "</body></html>".getBytes("ISO-8859-1")
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+      .getBytes("ISO-8859-1") ++ html
+    val arc = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://jp/\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(arc); g.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(in, "jp.warc.gz"), bo.toByteArray)
+    val stream = graft.llmops.Web.withTranscodedBody(
+      graft.llmops.Web.withCharset(
+        Warc.readWarcStream(spark, in, byteTransparent = true),
+        "http_content_type", "warc_body"),
+      "warc_body", "charset")
+      .select("warc_url", "charset", "text_utf8", "declared_len_ok")
+    val q = stream.writeStream.format("parquet")
+      .option("path", s"$out/t")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = spark.read.parquet(s"$out/t").collect()
+    assert(res.length === 1)
+    assert(res(0).getString(1) === "shift_jis")
+    assert(res(0).getString(2).contains("日本"))
+    assert(res(0).getBoolean(3)) // byte-count Content-Length validates
+  }
 }
