@@ -403,8 +403,20 @@ object Web {
             }
           } else {
             if (name == "a") {
+              // XML-empty detection must not misfire on an UNQUOTED
+              // href whose value ends in '/': `<a href=/foo/>` OPENS
+              // an anchor (the '/' is the value's last char), while
+              // `<a/>`, `<a />` and `<a href="x"/>` are self-closed —
+              // the '/' marker only counts when it follows the bare
+              // tag name, whitespace, or a closing quote
+              val selfClosed = inner.endsWith("/") && {
+                val prev = if (inner.length >= 2)
+                  inner.charAt(inner.length - 2) else ' '
+                inner == "a/" || prev.isWhitespace ||
+                  prev == '"' || prev == '\''
+              }
               if (closing) aDepth = math.max(0, aDepth - 1)
-              else if (!inner.endsWith("/")) aDepth += 1
+              else if (!selfClosed) aDepth += 1
             }
             if (blockTags.contains(name)) flush() else emit(' ')
             i = close + 1
@@ -550,11 +562,16 @@ object Web {
     def nonEmpty(c: Column): Column = when(c === "", null).otherwise(c)
     val fromHeader = nonEmpty(lower(regexp_extract(contentType,
       "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_.:-]+)", 1)))
+    // delimiter-before-attribute boundary (the linksCol rule): a
+    // data-charset= or xcharset= must not declare an encoding, while
+    // charset after earlier attributes still matches
     val fromMeta = nonEmpty(lower(regexp_extract(html,
-      "(?i)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1)))
+      "(?i)<meta\\s(?:[^>]*[\\s\"'])?charset\\s*=\\s*[\"']?" +
+        "([A-Za-z0-9_.:-]+)", 1)))
     val fromEquiv = nonEmpty(lower(regexp_extract(html,
-      "(?i)<meta\\s+http-equiv\\s*=\\s*[\"']?content-type[\"']?" +
-        "\\s+content\\s*=\\s*[\"'][^\"']*charset=([A-Za-z0-9_.:-]+)", 1)))
+      "(?i)<meta\\s(?:[^>]*[\\s\"'])?http-equiv\\s*=\\s*[\"']?" +
+        "content-type[\"']?[^>]*[\\s\"']content\\s*=\\s*" +
+        "[\"'][^\"']*charset=([A-Za-z0-9_.:-]+)", 1)))
     coalesce(fromHeader, fromMeta, fromEquiv)
   }
 

@@ -742,11 +742,16 @@ class LlmOpsSpec extends SparkSpec {
         "content='text/html; charset=Shift_JIS'>"),
       (4L, "text/html", "<body>nothing declared</body>"),
       (5L, "text/html;charset=utf-8", ""),
-      (6L, null: String, null: String)).toDF("id", "ct", "html")
+      (6L, null: String, null: String),
+      // attribute boundary: data-charset is NOT a declaration; a
+      // charset after earlier attributes IS
+      (7L, "text/html", "<meta data-charset=\"koi8-r\">"),
+      (8L, "text/html", "<meta id=\"enc\" charset=\"gbk\">"))
+      .toDF("id", "ct", "html")
     val out = Web.withCharset(df, "ct", "html").orderBy("id")
       .select("charset").collect().map(r => Option(r.getString(0)))
     assert(out.toSeq === Seq(Some("iso-8859-1"), Some("windows-1251"),
-      Some("shift_jis"), None, Some("utf-8"), None))
+      Some("shift_jis"), None, Some("utf-8"), None, None, Some("gbk")))
   }
 
   test("url resolution: the RFC 3986 section 5.4 golden vectors " +

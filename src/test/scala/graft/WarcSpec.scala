@@ -325,6 +325,16 @@ class WarcSpec extends SparkSpec {
     // 59 non-link + 30 link: 3*30 = 90 > 89 -> dropped
     assert(extractMainContent(
       s"<p>${"x" * 59}<a>$link</a></p>") === "")
+    // self-closing detection: an UNQUOTED href ending in '/' OPENS an
+    // anchor (the slash is the value's last char — 30 link chars at 59
+    // non-link drops the block), while a real XML-empty `<a ... />`
+    // contributes no link depth (the same 30 chars count as prose and
+    // the block survives)
+    assert(extractMainContent(
+      s"<p>${"x" * 59}<a href=/foo/>${"y" * 30}</a></p>") === "")
+    assert(extractMainContent(
+      s"<p>${"x" * 59}<a href='/foo'/>${"y" * 30}</a></p>") ===
+      "x" * 59 + " " + "y" * 30)
     // script content never leaks into a block; entities decode
     assert(extractMainContent(
       s"<p><script>var no = 'leak';</script>$prose &amp; more</p>") ===
