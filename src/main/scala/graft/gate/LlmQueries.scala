@@ -2236,6 +2236,76 @@ object LlmQueries {
           col("fetch_time_ms"))
     }),
 
+    // The COMPLETE between-rounds crawler DAG, composing every r16/r17
+    // frontier operator in one plan: link extraction -> RFC 3986
+    // resolve -> canon, UNIONed with sitemap urlset seeds (entity
+    // decode included), reference-count aggregate, anti-join the
+    // crawled set, per-domain robots policy-table verdicts (allow-all,
+    // path-prefix block, UA-specific Allow-override), then Crawl-delay
+    // politeness slots. The oracle replays link algebra, sitemap
+    // synthesis, the RFC decision per policy family, and the schedule
+    // window end-to-end.
+    "llm_pipeline13" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t1 = pmod(col("doc_id") * 7 + 1, lit(100)).cast("string")
+      val t2 = pmod(col("doc_id") * 13 + 2, lit(100)).cast("string")
+      val t3 = pmod(col("doc_id") * 31 + 5, lit(100))
+      val k2 = pmod(t3, lit(7)).cast("string")
+      val host = concat(lit("ex"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".com"))
+      val pageUrl = concat(lit("https://"), host, lit("/p/"),
+        col("doc_id").cast("string"))
+      val html = concat(
+        lit("<html><body><a href=\"g"), t1,
+        lit("\">r</a> <a href=\"/p/"), t2,
+        lit("?utm_source=x\">q</a> <a href='//ex"), k2,
+        lit(".com/p/"), t3.cast("string"),
+        lit("#f'>s</a></body></html>"))
+      val pages = docs.select(col("doc_id"), pageUrl.as("url"),
+        html.as("html"))
+      val linkTargets = Web.withResolvedLinks(
+        Web.withExtractedLinks(pages, "html"), "url", "links")
+        .select(explode(col("resolved_links")).as("link"))
+        .select(Web.urlCanonCol(col("link")).as("url"))
+      val xml = when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(null: String))
+        .otherwise(concat(
+          lit("<urlset><url><loc>https://"), host, lit("/p/"), t2,
+          lit("</loc></url><url><loc>https://"), host,
+          lit("/q?a=1&amp;b="), t1, lit("</loc></url></urlset>")))
+      val seeds = Web.withSitemapEntries(
+        docs.select(col("doc_id"), xml.as("xml")), "xml")
+        .where(!col("is_index"))
+        .select(Web.urlCanonCol(col("loc")).as("url"))
+      val frontier = linkTargets.union(seeds)
+        .groupBy("url").agg(count(lit(1)).as("n_refs"))
+        .join(pages.select(Web.urlCanonCol(col("url")).as("url")),
+          Seq("url"), "left_anti")
+      val pol = s.range(0, 4).toDF("pid")
+        .withColumn("domain", concat(lit("ex"),
+          col("pid").cast("string"), lit(".com")))
+        .withColumn("robots_txt",
+          when(col("pid") === 0, lit("User-agent: *\nDisallow: /\n"))
+          .when(col("pid") === 1, lit("User-agent: *\nDisallow: /q\n"))
+          .when(col("pid") === 2,
+            lit("User-agent: *\nCrawl-delay: 2.5\n"))
+          .otherwise(lit("User-agent: graftbot\nAllow: /p/*\n" +
+            "Disallow: /\nCrawl-delay: 10\n")))
+      val parts = Web.withUrlParts(frontier, "url")
+        .withColumn("domain", col("url_host"))
+      val allowed = Web.withRobotsAllowedByPolicy(parts, "domain",
+        "url_path", pol, "domain", "robots_txt", "GraftBot/1.0")
+        .where(col("robots_allowed"))
+      val delayed = Web.withCrawlDelayByPolicy(allowed, "domain", pol,
+        "domain", "robots_txt", "GraftBot/1.0",
+        defaultDelayMillis = 1000L)
+      Web.frontierSchedule(delayed, "domain", "url", "n_refs",
+        "robots_delay_ms")
+        .select(col("url"), col("domain"), col("n_refs"),
+          col("robots_delay_ms"), col("fetch_slot"),
+          col("fetch_time_ms"))
+    }),
+
     // Robots policies as a TABLE (the 100 TB shape: per-domain
     // robots.txt is data, not config): four domain families, three
     // with distinct policies (block-all; block ids ending 3; Allow
@@ -4837,6 +4907,66 @@ object LlmQueries {
                ORDER BY n_refs DESC, url ASC) - 1 AS BIGINT) AS fetch_slot
            FROM f)
          SELECT url, n_refs, domain, robots_delay_ms, fetch_slot,
+           fetch_slot * robots_delay_ms AS fetch_time_ms
+         FROM dd""",
+    // Full frontier-round replay: the five url families (three link
+    // classes + two sitemap loc families with the &amp; decoded),
+    // counted, anti-joined, then the RFC verdict per policy family
+    // written out directly (ex0 blocks all, ex1 blocks /q prefixes,
+    // ex3's UA Allow /p/* overrides its Disallow /), delays and the
+    // schedule window replayed.
+    "llm_pipeline13" ->
+      """WITH l AS (
+           SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.com/p/g' || CAST((doc_id * 7 + 1) % 100 AS VARCHAR) AS url
+           FROM documents
+           UNION ALL
+           SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.com/p/' || CAST((doc_id * 13 + 2) % 100 AS VARCHAR)
+           FROM documents
+           UNION ALL
+           SELECT 'https://ex' ||
+             CAST(((doc_id * 31 + 5) % 100) % 7 AS VARCHAR) ||
+             '.com/p/' || CAST((doc_id * 31 + 5) % 100 AS VARCHAR)
+           FROM documents
+           UNION ALL
+           SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.com/p/' || CAST((doc_id * 13 + 2) % 100 AS VARCHAR)
+           FROM documents WHERE doc_id % 3 <> 0
+           UNION ALL
+           SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.com/q?a=1&b=' || CAST((doc_id * 7 + 1) % 100 AS VARCHAR)
+           FROM documents WHERE doc_id % 3 <> 0),
+         agg AS (
+           SELECT url, CAST(COUNT(*) AS BIGINT) AS n_refs
+           FROM l GROUP BY url),
+         crawled AS (
+           SELECT DISTINCT 'https://ex' || CAST(doc_id % 7 AS VARCHAR)
+             || '.com/p/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         f AS (
+           SELECT a.url, a.n_refs,
+             regexp_extract(a.url, '^https://([^/]+)', 1) AS domain,
+             regexp_extract(a.url, '^https://[^/]+(/[^?#]*)', 1) AS path
+           FROM agg a
+           WHERE a.url NOT IN (SELECT url FROM crawled)),
+         al AS (
+           SELECT url, domain, n_refs FROM f WHERE
+             CASE domain
+               WHEN 'ex0.com' THEN FALSE
+               WHEN 'ex1.com' THEN path NOT LIKE '/q%'
+               WHEN 'ex3.com' THEN path LIKE '/p/%'
+               ELSE TRUE END),
+         dd AS (
+           SELECT url, domain, n_refs,
+             CAST(CASE domain WHEN 'ex2.com' THEN 2500
+               WHEN 'ex3.com' THEN 10000 ELSE 1000 END AS BIGINT)
+               AS robots_delay_ms,
+             CAST(ROW_NUMBER() OVER (PARTITION BY domain
+               ORDER BY n_refs DESC, url ASC) - 1 AS BIGINT)
+               AS fetch_slot
+           FROM al)
+         SELECT url, domain, n_refs, robots_delay_ms, fetch_slot,
            fetch_slot * robots_delay_ms AS fetch_time_ms
          FROM dd""",
     // The RFC's answer per ref class, written out directly.
