@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.app.PipelineApp <documentsParquet|-> <outDir>
   *     [crawl: --warc=<warcDir> --robots=<policyParquet> --ua=
-  *      --warc-text=main|all --psl=<publicSuffixListFile>]
+  *      --warc-text=main|all --psl=<publicSuffixListFile> --frontier]
   *     [dedup: --id-col= --text-col= --score-col= --threshold=
   *      --shingle= --hashes= --band-rows= --source-col=]
   *     [curate: --benchmark= --min-quality= --rate= --shard-tokens=
@@ -38,6 +38,10 @@ import org.apache.spark.sql.functions._
   * extraction -> <outDir>/ingest/docs with doc_id/url/domain/text/
   * n_chars), and dedup reads that — the whole 100 TB crawl-to-corpus
   * story as ONE command with manifest resume across all three stages.
+  * `--frontier` additionally writes <outDir>/ingest/frontier: the NEXT
+  * crawl round's fetch schedule (outlinks resolved + canonicalized,
+  * counted, anti-joined against what this crawl fetched, robots-
+  * permitted, Crawl-delay slotted) — the full crawler loop in one run.
   */
 object PipelineApp {
 
@@ -46,7 +50,7 @@ object PipelineApp {
       resume: Boolean,
       warc: Option[String] = None, robots: Option[String] = None,
       ua: String = "GraftBot/1.0", warcText: String = "main",
-      psl: Option[String] = None)
+      psl: Option[String] = None, frontier: Boolean = false)
 
   private val dedupFlags = Seq("--id-col=", "--text-col=", "--score-col=",
     "--threshold=", "--shingle=", "--hashes=", "--band-rows=",
@@ -73,7 +77,7 @@ object PipelineApp {
     // DedupApp-level composition (point its --incremental= at
     // <priorPipeline>/dedup), not a pipeline mode.
     args.drop(2).foreach { a =>
-      require(a == "--resume" ||
+      require(a == "--resume" || a == "--frontier" ||
         (dedupFlags ++ curateFlags ++ warcFlags).exists(a.startsWith),
         if (a.startsWith("--incremental="))
           "PipelineApp does not take --incremental=; run DedupApp " +
@@ -88,7 +92,7 @@ object PipelineApp {
     require(warcText == "main" || warcText == "all",
       s"--warc-text must be main or all, got: $warcText")
     val d = DedupApp.parse(Array(docs, s"$outDir/dedup") ++
-      args.drop(2).filterNot(f =>
+      args.drop(2).filterNot(f => f == "--frontier" ||
         (curateFlags ++ warcFlags).exists(f.startsWith)))
     val c = CurateApp.parse(Array(s"$outDir/dedup/survivors",
       s"$outDir/curate") ++ args.drop(2).filter(f =>
@@ -96,7 +100,7 @@ object PipelineApp {
     Config(docs, outDir, d, c, resume = args.contains("--resume"),
       warc = flag("warc"), robots = flag("robots"),
       ua = flag("ua").getOrElse("GraftBot/1.0"), warcText = warcText,
-      psl = flag("psl"))
+      psl = flag("psl"), frontier = args.contains("--frontier"))
   }
 
   /** Canonical parameter strings — strict string equality decides
@@ -220,8 +224,9 @@ object PipelineApp {
         val ingestOut = s"${cfg.outDir}/ingest"
         val ip = s"warc=$warcDir;robots=${cfg.robots.getOrElse("-")};" +
           s"ua=${cfg.ua};text=${cfg.warcText};" +
-          s"psl=${cfg.psl.getOrElse("-")}"
-        val arts = Seq(s"$ingestOut/docs", s"$ingestOut/report")
+          s"psl=${cfg.psl.getOrElse("-")};frontier=${cfg.frontier}"
+        val arts = Seq(s"$ingestOut/docs", s"$ingestOut/report") ++
+          (if (cfg.frontier) Seq(s"$ingestOut/frontier") else Seq.empty)
         if (!skippable(spark, cfg.outDir, "ingest", ip, warcDir, arts)) {
           record(cfg.outDir, "ingest", ip, warcDir, ingestOut, "started")
           val recs = graft.llmops.Warc.readWarcDir(spark, warcDir)
@@ -230,18 +235,21 @@ object PipelineApp {
           // registered-domain key: the PSL rule table when --psl names
           // a publicsuffix.org-format file (loaded driver-side,
           // broadcast — the robots-policy shape), else the two-level
-          // heuristic fallback
-          val parts0 = graft.llmops.Web.withUrlParts(recs, "warc_url")
-          val parts = cfg.psl match {
-            case Some(pf) =>
-              val rules = graft.llmops.Web.parsePsl(new String(
-                java.nio.file.Files.readAllBytes(
-                  java.nio.file.Paths.get(pf)), "UTF-8"))
-              graft.llmops.Web.withRegisteredDomainPsl(parts0,
-                "url_host", rules)
-            case None => parts0.withColumn("domain",
+          // heuristic fallback. ONE derivation shared by the docs path
+          // and the frontier schedule so their robots keys agree.
+          val pslRules = cfg.psl.map(pf =>
+            graft.llmops.Web.parsePsl(new String(
+              java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(pf)), "UTF-8")))
+          def withDomain(df: org.apache.spark.sql.DataFrame)
+              : org.apache.spark.sql.DataFrame = pslRules match {
+            case Some(rules) => graft.llmops.Web
+              .withRegisteredDomainPsl(df, "url_host", rules)
+            case None => df.withColumn("domain",
               graft.llmops.Web.registeredDomainCol(col("url_host")))
           }
+          val parts = withDomain(
+            graft.llmops.Web.withUrlParts(recs, "warc_url"))
           val polite = cfg.robots match {
             case None => parts
             case Some(pp) =>
@@ -264,6 +272,47 @@ object PipelineApp {
               col("warc_url").as("url"), col("domain"), col("text"),
               length(col("text")).cast("long").as("n_chars"))
           docs.write.mode("overwrite").parquet(s"$ingestOut/docs")
+          // --frontier: the NEXT crawl round's fetch schedule as a
+          // sibling artifact — link extraction over the (already
+          // politeness-filtered) pages -> RFC 3986 resolve -> canon ->
+          // reference counts -> anti-join what this crawl fetched ->
+          // per-domain Crawl-delay slots. Second pass over the decode
+          // (the HTML never rides into docs/), scan-stage shaped.
+          if (cfg.frontier) {
+            val links = graft.llmops.Web.withResolvedLinks(
+              graft.llmops.Web.withExtractedLinks(polite, "warc_body"),
+              "warc_url", "links")
+              .select(explode(col("resolved_links")).as("link"))
+              .select(graft.llmops.Web.urlCanonCol(col("link")).as("url"))
+            val crawled = polite.select(
+              graft.llmops.Web.urlCanonCol(col("warc_url")).as("url"))
+              .distinct()
+            val fresh = links.groupBy("url")
+              .agg(count(lit(1)).as("n_refs"))
+              .join(crawled, Seq("url"), "left_anti")
+            val fParts = withDomain(
+              graft.llmops.Web.withUrlParts(fresh, "url"))
+            // never schedule a fetch the policy forbids: verdict THEN
+            // delay, both broadcast joins against the same table
+            val delayed = cfg.robots match {
+              case Some(pp) =>
+                val pol = spark.read.parquet(pp)
+                val permitted = graft.llmops.Web
+                  .withRobotsAllowedByPolicy(fParts, "domain",
+                    "url_path", pol, "domain", "robots_txt", cfg.ua)
+                  .where(col("robots_allowed"))
+                graft.llmops.Web.withCrawlDelayByPolicy(permitted,
+                  "domain", pol, "domain", "robots_txt", cfg.ua)
+              case None =>
+                fParts.withColumn("robots_delay_ms", lit(1000L))
+            }
+            graft.llmops.Web.frontierSchedule(delayed, "domain", "url",
+              "n_refs", "robots_delay_ms")
+              .select(col("url"), col("domain"), col("n_refs"),
+                col("robots_delay_ms"), col("fetch_slot"),
+                col("fetch_time_ms"))
+              .write.mode("overwrite").parquet(s"$ingestOut/frontier")
+          }
           spark.read.parquet(s"$ingestOut/docs")
             .agg(count(lit(1)).as("docs"))
             .coalesce(1).write.mode("overwrite")

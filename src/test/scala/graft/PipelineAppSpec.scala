@@ -74,7 +74,8 @@ class PipelineAppSpec extends SparkSpec {
     val out = java.nio.file.Files
       .createTempDirectory("pipe_warc_out").toString
     val c = PipelineApp.parse(Array("-", out, s"--warc=$dir",
-      s"--robots=$polDir/pol", "--min-quality=0.0", "--rate=1.0"))
+      s"--robots=$polDir/pol", "--frontier", "--min-quality=0.0",
+      "--rate=1.0"))
     val report = PipelineApp.run(spark, c).toMap
     // 20 + 1 ok.com pages survive: blocked.com robots-filtered, the
     // 404 status-filtered
@@ -90,6 +91,17 @@ class PipelineAppSpec extends SparkSpec {
     // dedup consumed the ingest docs (7 distinct texts among 21 pages)
     assert(report("dedup_n_docs") === 21L)
     assert(report("dedup_n_removed") === 14L) // 21 pages, 7 texts
+    // --frontier: the next round's fetch schedule — the one outlink
+    // (/x on ok.com, never fetched) lands with every page's reference,
+    // slot 0 at the default delay; blocked.com's links never appear
+    // because its pages were politeness-filtered upstream
+    val frontier = spark.read.parquet(s"$out/ingest/frontier").collect()
+    assert(frontier.length === 1)
+    val fr = frontier.head
+    assert(fr.getAs[String]("url") === "https://ok.com/x")
+    assert(fr.getAs[Long]("n_refs") === 21L)
+    assert(fr.getAs[Long]("robots_delay_ms") === 1000L)
+    assert(fr.getAs[Long]("fetch_slot") === 0L)
     // resume: ingest stage skips wholesale (docs untouched)
     val t0 = mtime(s"$out/ingest/docs")
     PipelineApp.run(spark, c.copy(resume = true))
