@@ -681,15 +681,20 @@ object Warc {
     * (parallel across files — the Common Crawl sharding), everything
     * else through the splittable plain reader. One union DataFrame in
     * the shared record schema — the one-call front door PipelineApp's
-    * --warc mode uses. Listing is driver-side (file COUNT, not data).
+    * --warc mode uses. Listing is driver-side (file COUNT, not data)
+    * and RECURSIVE: real crawl dumps nest
+    * (`segments/<id>/warc/...`, the Common Crawl layout).
     */
   def readWarcDir(spark: SparkSession, dir: String,
       byteTransparent: Boolean = false): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(_.isFile)
-      .map(_.getPath.toString)
-      .filter(f => f.contains(".warc") || f.contains(".wet"))
+    val files = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) buf += it.next().getPath.toString
+      buf.toSeq
+    }.filter(f => f.contains(".warc") || f.contains(".wet"))
     require(files.nonEmpty, s"no .warc/.wet files under $dir")
     val (gz, plain) = files.partition(_.endsWith(".gz"))
     val parts = Seq(

@@ -64,8 +64,12 @@ class PipelineAppSpec extends SparkSpec {
     val b = (20 until 38).map(i => rec(i, "blocked.com")).mkString +
       rec(38, "ok.com") + rec(39, "ok.com", status = 404)
     java.nio.file.Files.write(dir.resolve("a.warc"), a.getBytes("UTF-8"))
+    // the gz shard NESTS (segments/<id>/warc/..., the Common Crawl
+    // layout) — readWarcDir must list recursively
+    val nested = java.nio.file.Files.createDirectories(
+      dir.resolve("segments").resolve("s0").resolve("warc"))
     val gz = new java.util.zip.GZIPOutputStream(
-      java.nio.file.Files.newOutputStream(dir.resolve("b.warc.gz")))
+      java.nio.file.Files.newOutputStream(nested.resolve("b.warc.gz")))
     gz.write(b.getBytes("UTF-8")); gz.close()
     val polDir = java.nio.file.Files.createTempDirectory("pipe_pol")
     Seq(("blocked.com", "User-agent: *\nDisallow: /\n"))
