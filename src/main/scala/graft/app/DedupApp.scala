@@ -47,7 +47,7 @@ object DedupApp {
       idCol: String = "doc_id", textCol: String = "text",
       scoreCol: String = "n_chars", threshold: Double = 0.8,
       shingleN: Int = 3, k: Int = 8, bandRows: Int = 4,
-      maxBandPop: Int = 256,
+      maxBandPop: Int = graft.llmops.Dedup.DefaultHotCap,
       resume: Boolean = false, sourceCol: Option[String] = None,
       incremental: Option[String] = None)
 
@@ -67,7 +67,8 @@ object DedupApp {
       shingleN = flag("shingle").map(_.toInt).getOrElse(3),
       k = flag("hashes").map(_.toInt).getOrElse(8),
       bandRows = flag("band-rows").map(_.toInt).getOrElse(4),
-      maxBandPop = flag("max-band-pop").map(_.toInt).getOrElse(256),
+      maxBandPop = flag("max-band-pop").map(_.toInt)
+        .getOrElse(graft.llmops.Dedup.DefaultHotCap),
       resume = args.contains("--resume"),
       sourceCol = flag("source-col"),
       incremental = flag("incremental"))

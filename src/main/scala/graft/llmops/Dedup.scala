@@ -15,6 +15,17 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  /** Library-wide DEFAULT hot-bucket cap for every quadratic candidate
+    * generator (minhash bands, simhash chunks, semantic cells): buckets
+    * whose population exceeds this sub-split deterministically,
+    * bounding pair volume by pop*cap. 256 keeps the largest per-bucket
+    * self-join at ~32k pairs while leaving any real (non-boilerplate)
+    * bucket untouched — gate corpora observe pops of 3-4. Callers that
+    * want exact uncapped semantics pass `Int.MaxValue` explicitly; the
+    * r17 2M-doc CLI run proved inherited-uncapped is the fatal default.
+    */
+  val DefaultHotCap: Int = 256
+
   /** Exact dedup by content hash: one row per distinct hash with the
     * canonical (min) id and the duplicate count. `keep` joins back to
     * select survivors.
@@ -139,10 +150,16 @@ object Dedup {
     * is one-sided: capped candidates are a subset, and hot buckets are
     * exactly the near-duplicate piles where any retained pair collapses
     * the same cluster.
+    *
+    * The cap DEFAULTS ON (256, [[DefaultHotCap]]) as of r18: the r17
+    * 2M-document CLI run proved the uncapped path is not survivable (a
+    * bare caller inherited Int.MaxValue and the pairs stage never
+    * finished). Pass `maxBandPop = Int.MaxValue` explicitly for exact
+    * uncapped semantics on corpora known to be boilerplate-free.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bandRows: Int = 4,
-      threshold: Double = 0.7, maxBandPop: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.7, maxBandPop: Int = DefaultHotCap): DataFrame = {
     require(maxBandPop > 0, "maxBandPop must be positive")
     // persisted: consumed by BOTH verification attach joins on different
     // keys (id_a / id_b), which exchange reuse can't cover (round-7
@@ -217,7 +234,7 @@ object Dedup {
   def sourceOverlapMatrix(df: DataFrame, idCol: String, srcCol: String,
       textCol: String, shingleN: Int = 3, k: Int = 32, bandRows: Int = 4,
       threshold: Double = 0.7,
-      maxBandPop: Int = Int.MaxValue): DataFrame =
+      maxBandPop: Int = DefaultHotCap): DataFrame =
     sourceOverlapMatrixFrom(
       minhashPairs(df, idCol, textCol, shingleN, k, bandRows, threshold,
         maxBandPop),
@@ -313,7 +330,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 64, bandBits: Int = 16, maxHamming: Int = 3,
-      maxBucketPop: Int = Int.MaxValue): DataFrame = {
+      maxBucketPop: Int = DefaultHotCap): DataFrame = {
     require(maxBucketPop > 0, "maxBucketPop must be positive")
     // scoped-persisted: the simhash-UDF corpus scan (one md5 per token)
     // has multiple consumers -- both self-join sides plus the capped
@@ -546,7 +563,7 @@ object Dedup {
 
   def semanticDupFlags(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], thresholdMicro: Long,
-      maxCellPop: Int = Int.MaxValue): DataFrame = {
+      maxCellPop: Int = DefaultHotCap): DataFrame = {
     val keyed = semanticKeyed(df, idCol, vecCol, centroids, maxCellPop)
     val base = keyed.drop("__sub")
     val dups = keyed.as("l").join(keyed.as("r"),
@@ -1052,7 +1069,7 @@ object Dedup {
   def incrementalDedupFlags(newDf: DataFrame, refDf: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 8,
       bandRows: Int = 4, threshold: Double = 0.8,
-      maxRefBandPop: Int = 256): DataFrame = {
+      maxRefBandPop: Int = DefaultHotCap): DataFrame = {
     val refHashes = refDf.select(md5(col(textCol)).as("__h")).distinct()
     val exactIds = newDf
       .select(col(idCol).as("id"), md5(col(textCol)).as("__h"))

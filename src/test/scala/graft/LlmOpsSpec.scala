@@ -930,6 +930,28 @@ class LlmOpsSpec extends SparkSpec {
     capped.foreach { case (a, b, h) => assert(byPair((a, b)) == h) }
   }
 
+  test("minhashPairs: a BARE caller inherits the hot-bucket cap (r18 " +
+    "library default) — pair volume bounded, never inflated") {
+    import spark.implicits._
+    // 600 identical documents: every band bucket has pop 600 > 256, the
+    // exact boilerplate pile that killed the uncapped 2M CLI run in r17.
+    // With the library default the bucket sub-splits ceil(600/256)=3
+    // ways, so distinct pairs ~= 3*C(200,2) ~= 60k, not C(600,2)=179,700.
+    val df = (1L to 600L)
+      .map(i => (i, "common boilerplate navigation footer text block"))
+      .toDF("id", "text")
+    val n = Dedup.minhashPairs(df, "id", "text",
+      shingleN = 3, k = 8, bandRows = 4, threshold = 0.8).count()
+    assert(n > 0, "capped buckets must still produce within-sub pairs")
+    assert(n < 100000L,
+      s"bare caller produced $n pairs — the default cap is not applied")
+    // explicit opt-out still yields the full quadratic set
+    val un = Dedup.minhashPairs(df, "id", "text",
+      shingleN = 3, k = 8, bandRows = 4, threshold = 0.8,
+      maxBandPop = Int.MaxValue).count()
+    assert(un == 600L * 599L / 2L)
+  }
+
   test("wav header roundtrip property: build -> parse inverts for any params") {
     val rnd = new scala.util.Random(42)
     def le16(v: Int) = f"$v%04X".grouped(2).toSeq.reverse.mkString
