@@ -551,22 +551,50 @@ object Warc {
     * changes locality, not the memory bound, and the collected report
     * stays O(splits × cap) instead of O(splits × split-size).
     */
+  /** `byteTransparent` also applies to the SPLITTABLE path (r18): the
+    * "WARC/1.0\r\n" record delimiter is pure ASCII, so TextInputFormat
+    * re-sync is byte-oblivious to the payload encoding, and decoding
+    * each chunk's raw bytes as ISO-8859-1 (one char per byte) instead
+    * of Text.toString's UTF-8-with-replacement makes the whole
+    * carry/splice machinery byte-exact — chars == bytes, so the carry
+    * cap, Content-Length validation and fallback all measure bytes.
+    * Plain `.warc` therefore keeps split-level parallelism even when
+    * the caller needs byte fidelity for charset transcoding.
+    */
   def readWarc(spark: SparkSession, path: String,
       hadoopConf: Map[String, String] = Map.empty,
-      maxCarryChars: Int = 1 << 20): DataFrame = {
+      maxCarryChars: Int = 1 << 20,
+      byteTransparent: Boolean = false): DataFrame =
+    readWarcFiles(spark, Seq(path), hadoopConf, maxCarryChars,
+      byteTransparent)
+
+  /** Multi-file form of [[readWarc]]. Paths are registered per-Path
+    * through FileInputFormat (which escapes its own separators), never
+    * comma-joined — a legal HDFS/S3 object name containing a comma
+    * reads as ONE path instead of splitting into two nonexistent ones.
+    * Each entry may still be a glob.
+    */
+  def readWarcFiles(spark: SparkSession, paths: Seq[String],
+      hadoopConf: Map[String, String] = Map.empty,
+      maxCarryChars: Int = 1 << 20,
+      byteTransparent: Boolean = false): DataFrame = {
+    require(paths.nonEmpty, "readWarcFiles: empty path list")
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", "WARC/1.0\r\n")
     hadoopConf.foreach { case (k, v) => conf.set(k, v) }
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(conf)
+    org.apache.hadoop.mapreduce.lib.input.FileInputFormat.setInputPaths(
+      job, paths.map(p => new org.apache.hadoop.fs.Path(p)): _*)
+    val jobConf = job.getConfiguration
 
     def scan[U: scala.reflect.ClassTag](
         f: (String, Long, Boolean, Iterator[String]) => Iterator[U]) =
-      spark.sparkContext.newAPIHadoopFile(
-        path,
+      spark.sparkContext.newAPIHadoopRDD(
+        jobConf,
         classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
         classOf[org.apache.hadoop.io.LongWritable],
-        classOf[org.apache.hadoop.io.Text],
-        conf)
+        classOf[org.apache.hadoop.io.Text])
         .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[
           org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text]]
         .mapPartitionsWithInputSplit { (split, iter) =>
@@ -576,7 +604,14 @@ object Warc {
           val file = new java.net.URI(u.getScheme,
             Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
             .toString
-          f(file, fs.getStart, fs.getStart == 0L, iter.map(_._2.toString))
+          // transparent mode decodes the chunk's raw bytes latin1 so
+          // chars==bytes end to end; default keeps Text's UTF-8
+          val decode: org.apache.hadoop.io.Text => String =
+            if (byteTransparent) t => new String(t.getBytes, 0,
+              t.getLength, java.nio.charset.StandardCharsets.ISO_8859_1)
+            else _.toString
+          f(file, fs.getStart, fs.getStart == 0L, iter.map(kv =>
+            decode(kv._2)))
         }
 
     // Reassemble the split's text: the delimiter is stripped between
@@ -652,27 +687,69 @@ object Warc {
         case Some((base, carry)) =>
           val (_, recs) = chunkArchive(splitText(head, iter) + carry)
           recs.iterator.zipWithIndex.map { case (chunk, i) =>
-            recordRow(file, base + i, parseOne(chunk))
+            recordRow(file, base + i, parseOne(chunk, byteTransparent))
           }
       }
     }
     val normal = spark.createDataFrame(rows, recordSchema)
     if (fallbackFiles.isEmpty) normal
-    else {
-      val fb = spark.sparkContext
-        .binaryFiles(fallbackFiles.mkString(","), fallbackFiles.size)
-        .flatMap { case (file0, pds) =>
-          val u = new org.apache.hadoop.fs.Path(file0).toUri
-          val file = new java.net.URI(u.getScheme,
-            Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
-            .toString
-          val text = new String(pds.toArray(),
-            java.nio.charset.StandardCharsets.UTF_8)
-          chunkArchive(text)._2.iterator.zipWithIndex.map {
-            case (chunk, i) => recordRow(file, i.toLong, parseOne(chunk))
-          }
+    else
+      normal.union(wholeFileRows(spark, fallbackFiles.toSeq, conf,
+        byteTransparent))
+  }
+
+  /** Whole-file reads for the over-cap fallback: one task per file
+    * (such a record must reassemble in one task anyway), each path
+    * opened directly through its FileSystem — never comma-joined, and
+    * honoring the caller's `byteTransparent` so an over-cap file keeps
+    * the same byte fidelity as the spliced path.
+    */
+  private def wholeFileRows(spark: SparkSession, files: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration,
+      byteTransparent: Boolean): DataFrame = {
+    val sconf = new SerializableHadoopConf(conf)
+    val bt = byteTransparent
+    val rows = spark.sparkContext.parallelize(files, files.size)
+      .flatMap { f =>
+        val hp = new org.apache.hadoop.fs.Path(f)
+        val hfs = hp.getFileSystem(sconf.value)
+        val u = hp.toUri
+        val file = new java.net.URI(u.getScheme,
+          Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
+          .toString
+        val len = hfs.getFileStatus(hp).getLen
+        require(len <= Int.MaxValue,
+          s"over-cap fallback file exceeds 2 GB single-buffer read: $f")
+        val bytes = new Array[Byte](len.toInt)
+        val in = hfs.open(hp)
+        try org.apache.hadoop.io.IOUtils.readFully(in, bytes, 0, len.toInt)
+        finally in.close()
+        val text = new String(bytes,
+          if (bt) java.nio.charset.StandardCharsets.ISO_8859_1
+          else java.nio.charset.StandardCharsets.UTF_8)
+        chunkArchive(text)._2.iterator.zipWithIndex.map {
+          case (chunk, i) => recordRow(file, i.toLong, parseOne(chunk, bt))
         }
-      normal.union(spark.createDataFrame(fb, recordSchema))
+      }
+    spark.createDataFrame(rows, recordSchema)
+  }
+
+  /** Hadoop Configuration is not Serializable; this minimal wrapper
+    * ships it to executors via its own Writable form (the standard
+    * pattern — Spark's internal equivalent is private[spark]).
+    */
+  private final class SerializableHadoopConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
     }
   }
 
@@ -683,8 +760,15 @@ object Warc {
     * the shared record schema — the one-call front door PipelineApp's
     * --warc mode uses. Listing is driver-side (file COUNT, not data)
     * and RECURSIVE: real crawl dumps nest
-    * (`segments/<id>/warc/...`, the Common Crawl layout).
+    * (`segments/<id>/warc/...`, the Common Crawl layout). Only files
+    * whose NAME ends in a known archive suffix are read — sidecars a
+    * crawl dir legitimately contains (`.crc` checksums the local FS
+    * writes next to [[writeWet]] output, `warc.paths` listings,
+    * `_SUCCESS` markers, dot-hidden files) must not reach a parser.
     */
+  private val archiveSuffixes =
+    Seq(".warc", ".warc.gz", ".wet", ".wet.gz")
+
   def readWarcDir(spark: SparkSession, dir: String,
       byteTransparent: Boolean = false): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -692,50 +776,29 @@ object Warc {
     val files = {
       val it = fs.listFiles(p, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) buf += it.next().getPath.toString
+      while (it.hasNext) {
+        val fp = it.next().getPath
+        val name = fp.getName
+        if (!name.startsWith(".") && !name.startsWith("_") &&
+            archiveSuffixes.exists(name.endsWith)) buf += fp.toString
+      }
       buf.toSeq
-    }.filter(f => f.contains(".warc") || f.contains(".wet"))
+    }
     require(files.nonEmpty, s"no .warc/.wet files under $dir")
     val (gz, plain) = files.partition(_.endsWith(".gz"))
     val parts = Seq(
       if (gz.nonEmpty)
-        Some(readWarcGz(spark, gz.mkString(","),
+        Some(readWarcGzFiles(spark, gz,
           byteTransparent = byteTransparent))
       else None,
-      if (plain.nonEmpty) {
-        // the splittable path has no transparent mode (Hadoop Text is
-        // UTF-8 by contract); plain .warc falls back to whole-file
-        // transparent reads via binaryFiles when bytes must survive
-        if (byteTransparent)
-          Some(transparentWholeFiles(spark, plain))
-        else Some(readWarc(spark, plain.mkString(",")))
-      } else None).flatten
+      if (plain.nonEmpty)
+        // the splittable reader handles BOTH fidelity modes (latin1
+        // chunk decode under byteTransparent, r18) — plain .warc keeps
+        // split-level parallelism either way
+        Some(readWarcFiles(spark, plain,
+          byteTransparent = byteTransparent))
+      else None).flatten
     parts.reduce(_ union _)
-  }
-
-  /** Whole-file byte-transparent reads for plain `.warc` (each file one
-    * task — the price of byte fidelity without a byte-level splitter).
-    */
-  private def transparentWholeFiles(spark: SparkSession,
-      files: Seq[String]): DataFrame = {
-    val rows = spark.sparkContext
-      .binaryFiles(files.mkString(","), files.size)
-      .flatMap { case (file0, pds) =>
-        val u = new org.apache.hadoop.fs.Path(file0).toUri
-        val file = new java.net.URI(u.getScheme,
-          Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
-          .toString
-        val reader = new java.io.InputStreamReader(pds.open(),
-          java.nio.charset.StandardCharsets.ISO_8859_1)
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ =>
-            try reader.close() catch { case _: Exception => () }))
-        var idx = -1L
-        streamRecords(reader, byteTransparent = true).map { r =>
-          idx += 1; recordRow(file, idx, r)
-        }
-      }
-    spark.createDataFrame(rows, recordSchema)
   }
 
   /** Structured Streaming WARC source: crawl segments ARRIVE
@@ -861,6 +924,47 @@ object Warc {
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ =>
             try reader.close() catch { case _: Exception => () }))
+        closing.map { r => idx += 1; recordRow(file, idx, r) }
+      }
+    spark.createDataFrame(rows, recordSchema)
+  }
+
+  /** Multi-file form of [[readWarcGz]]: one task per file (gzip is not
+    * splittable; parallelism across files is the production shape),
+    * each path opened directly through its FileSystem — comma-safe,
+    * same contract as [[readWarcFiles]]. Streaming decode through
+    * [[streamRecords]], so task memory stays bounded by the largest
+    * record.
+    */
+  def readWarcGzFiles(spark: SparkSession, paths: Seq[String],
+      byteTransparent: Boolean = false): DataFrame = {
+    require(paths.nonEmpty, "readWarcGzFiles: empty path list")
+    val sconf = new SerializableHadoopConf(
+      new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration))
+    val bt = byteTransparent
+    val rows = spark.sparkContext.parallelize(paths, paths.size)
+      .flatMap { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val hfs = hp.getFileSystem(sconf.value)
+        val file = hp.toString // same rendering as the glob form's keys
+        val reader = new java.io.InputStreamReader(
+          new java.util.zip.GZIPInputStream(hfs.open(hp), 1 << 16),
+          if (bt) java.nio.charset.StandardCharsets.ISO_8859_1
+          else java.nio.charset.StandardCharsets.UTF_8)
+        val base = streamRecords(reader, byteTransparent = bt)
+        val closing = new scala.collection.AbstractIterator[WarcRecord] {
+          override def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h) reader.close()
+            h
+          }
+          override def next(): WarcRecord = base.next()
+        }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try reader.close() catch { case _: Exception => () }))
+        var idx = -1L
         closing.map { r => idx += 1; recordRow(file, idx, r) }
       }
     spark.createDataFrame(rows, recordSchema)

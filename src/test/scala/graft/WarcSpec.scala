@@ -153,6 +153,100 @@ class WarcSpec extends SparkSpec {
     assert(capped.forall(_._5)) // every Content-Length validates
   }
 
+  private def respBytes(url: String, body: Array[Byte]): Array[Byte] = {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+      .getBytes("ISO-8859-1") ++ body
+    (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  test("splittable byte-transparent: non-UTF-8 payload bytes survive " +
+    "on BOTH the carry-splice path and the over-cap fallback path") {
+    val sjis = Array(0x93, 0xFA, 0x96, 0x7B).map(_.toByte) // 日本
+    // big.warc: a record whose payload embeds a false delimiter and
+    // spans ~4 forced 512-byte splits -> over-cap -> whole-file
+    // fallback; its payload carries the SJIS bytes
+    val bigBody = "x\r\nWARC/1.0\r\nnot a header ".getBytes("ISO-8859-1") ++
+      sjis ++ ("y" * 2200).getBytes("ISO-8859-1")
+    val big = respBytes("http://big/", bigBody) ++
+      respBytes("http://after/", "<p>tail</p>".getBytes("ISO-8859-1"))
+    // clean.warc: several records, SJIS bytes in one payload, no
+    // over-cap lead -> carry-splice path under forced splits
+    val clean = (0 until 6).map(i => respBytes(s"http://clean/$i",
+      ("<p>c ".getBytes("ISO-8859-1") ++ sjis ++
+        s" $i</p>".getBytes("ISO-8859-1")))).reduce(_ ++ _)
+    val dir = java.nio.file.Files.createTempDirectory("warcbt")
+    java.nio.file.Files.write(dir.resolve("big.warc"), big)
+    java.nio.file.Files.write(dir.resolve("clean.warc"), clean)
+    val conf = Map(
+      "mapreduce.input.fileinputformat.split.maxsize" -> "512",
+      "mapreduce.input.fileinputformat.split.minsize" -> "512")
+    val rows = Warc.readWarc(spark, dir.toString, hadoopConf = conf,
+      maxCarryChars = 64, byteTransparent = true)
+      .select("source_file", "rec_idx", "warc_url", "warc_body",
+        "declared_len_ok")
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1),
+        r.getString(2), r.getString(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.count(_._1 == "big.warc") === 2)
+    assert(rows.count(_._1 == "clean.warc") === 6)
+    // byte fidelity: latin1 round-trip recovers the exact SJIS bytes
+    // on the fallback (big) AND splice (clean) paths, and Content-
+    // Length validates byte-exactly everywhere
+    val bigBody0 = rows.filter(_._1 == "big.warc").head._4
+    assert(bigBody0.getBytes("ISO-8859-1").containsSlice(sjis))
+    rows.filter(_._1 == "clean.warc").foreach { t =>
+      assert(t._4.getBytes("ISO-8859-1").containsSlice(sjis)) }
+    assert(rows.forall(_._5))
+    // and the transcode kernel recovers the real code points
+    assert(graft.llmops.Web.transcode(
+      bigBody0.getBytes("ISO-8859-1"), "shift_jis").contains("日本"))
+  }
+
+  test("comma-named archive files read as ONE path, never split in two") {
+    val dir = java.nio.file.Files.createTempDirectory("warccomma")
+    java.nio.file.Files.write(dir.resolve("seg,a.warc"),
+      resp("http://plain/", "<p>plain</p>").getBytes("UTF-8"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("seg,b.warc.gz")))
+    gz.write(resp("http://gzed/", "<p>gz</p>").getBytes("UTF-8"))
+    gz.close()
+    // the dir front door routes each through its comma-safe reader
+    val urls = Warc.readWarcDir(spark, dir.toString)
+      .select("warc_url").collect().map(_.getString(0)).sorted
+    assert(urls.toSeq === Seq("http://gzed/", "http://plain/"))
+    // explicit multi-file form too
+    val plainUrls = Warc.readWarcFiles(spark,
+      Seq(dir.resolve("seg,a.warc").toString))
+      .select("warc_url").collect().map(_.getString(0))
+    assert(plainUrls.toSeq === Seq("http://plain/"))
+    val gzUrls = Warc.readWarcGzFiles(spark,
+      Seq(dir.resolve("seg,b.warc.gz").toString))
+      .select("warc_url").collect().map(_.getString(0))
+    assert(gzUrls.toSeq === Seq("http://gzed/"))
+  }
+
+  test("readWarcDir skips sidecars: .crc checksums, listings, markers " +
+    "and hidden files never reach a parser") {
+    val dir = java.nio.file.Files.createTempDirectory("warcside")
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      resp("http://real/", "<p>r</p>").getBytes("UTF-8"))
+    // the sidecars a real crawl/output dir contains
+    java.nio.file.Files.write(dir.resolve(".a.warc.wet.gz.crc"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+    java.nio.file.Files.write(dir.resolve("warc.paths"),
+      "segments/a.warc\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve(".hidden.warc"),
+      resp("http://hidden/", "<p>h</p>").getBytes("UTF-8"))
+    val urls = Warc.readWarcDir(spark, dir.toString)
+      .select("warc_url").collect().map(_.getString(0))
+    assert(urls.toSeq === Seq("http://real/"))
+  }
+
   test("byte-transparent read + transcode: Shift_JIS/cp1251 bytes " +
     "survive latin1 decode and recover real text") {
     import graft.llmops.Web
