@@ -50,7 +50,8 @@ object PipelineApp {
       resume: Boolean,
       warc: Option[String] = None, robots: Option[String] = None,
       ua: String = "GraftBot/1.0", warcText: String = "main",
-      psl: Option[String] = None, frontier: Boolean = false)
+      psl: Option[String] = None, frontier: Boolean = false,
+      transcode: Boolean = true)
 
   private val dedupFlags = Seq("--id-col=", "--text-col=", "--score-col=",
     "--threshold=", "--shingle=", "--hashes=", "--band-rows=",
@@ -61,7 +62,7 @@ object PipelineApp {
   // is given (pass '-'); the ingest stage writes <outDir>/ingest/docs
   // and the dedup stage reads that instead
   private val warcFlags = Seq("--warc=", "--robots=", "--ua=",
-    "--warc-text=", "--psl=")
+    "--warc-text=", "--psl=", "--transcode=")
 
   def parse(args: Array[String]): Config = {
     require(args.length >= 2,
@@ -91,6 +92,11 @@ object PipelineApp {
     val warcText = flag("warc-text").getOrElse("main")
     require(warcText == "main" || warcText == "all",
       s"--warc-text must be main or all, got: $warcText")
+    // transcoding defaults ON: 5-10% of a real crawl is non-UTF-8, and
+    // without it those pages enter the corpus as mojibake
+    val transcode = flag("transcode").getOrElse("on")
+    require(transcode == "on" || transcode == "off",
+      s"--transcode must be on or off, got: $transcode")
     val d = DedupApp.parse(Array(docs, s"$outDir/dedup") ++
       args.drop(2).filterNot(f => f == "--frontier" ||
         (curateFlags ++ warcFlags).exists(f.startsWith)))
@@ -100,7 +106,8 @@ object PipelineApp {
     Config(docs, outDir, d, c, resume = args.contains("--resume"),
       warc = flag("warc"), robots = flag("robots"),
       ua = flag("ua").getOrElse("GraftBot/1.0"), warcText = warcText,
-      psl = flag("psl"), frontier = args.contains("--frontier"))
+      psl = flag("psl"), frontier = args.contains("--frontier"),
+      transcode = transcode == "on")
   }
 
   /** Canonical parameter strings — strict string equality decides
@@ -218,20 +225,39 @@ object PipelineApp {
     // one broadcast policy join when --robots is given); doc ids are
     // content-independent (hash of source file + record index) so
     // keep-best ties stay deterministic across re-runs.
-    val docsInput: String = cfg.warc match {
-      case None => cfg.docs
+    // (docsPath, docsIdentity): the PATH dedup reads from, and the
+    // IDENTITY string the manifest compares (path + the ingest params
+    // that produced it, so a re-ingest under different knobs
+    // invalidates downstream). Carried as a tuple — the old
+    // path@params string-encoding truncated any path legitimately
+    // containing '@' (legal in URIs).
+    val (docsPath, docsIdentity): (String, String) = cfg.warc match {
+      case None => (cfg.docs, cfg.docs)
       case Some(warcDir) =>
         val ingestOut = s"${cfg.outDir}/ingest"
         val ip = s"warc=$warcDir;robots=${cfg.robots.getOrElse("-")};" +
           s"ua=${cfg.ua};text=${cfg.warcText};" +
-          s"psl=${cfg.psl.getOrElse("-")};frontier=${cfg.frontier}"
+          s"psl=${cfg.psl.getOrElse("-")};frontier=${cfg.frontier};" +
+          s"transcode=${cfg.transcode}"
         val arts = Seq(s"$ingestOut/docs", s"$ingestOut/report") ++
           (if (cfg.frontier) Seq(s"$ingestOut/frontier") else Seq.empty)
         if (!skippable(spark, cfg.outDir, "ingest", ip, warcDir, arts)) {
           record(cfg.outDir, "ingest", ip, warcDir, ingestOut, "started")
-          val recs = graft.llmops.Warc.readWarcDir(spark, warcDir)
+          // --transcode (default on): byte-transparent decode -> sniff
+          // charset (header + meta) -> CharsetDecoder transcode, so a
+          // correctly-labeled Shift_JIS/windows-1251 page enters the
+          // corpus as real text instead of mojibake. All map-side; a
+          // UTF-8-only crawl round-trips byte-identically.
+          val raw = graft.llmops.Warc.readWarcDir(spark, warcDir,
+              byteTransparent = cfg.transcode)
             .where(col("warc_type") === "response" &&
               (col("http_status").isNull || col("http_status") === 200))
+          val recs = if (cfg.transcode)
+            graft.llmops.Web.withTranscodedBody(
+              graft.llmops.Web.withCharset(raw,
+                "http_content_type", "warc_body"),
+              "warc_body", "charset", "html_utf8")
+          else raw.withColumn("html_utf8", col("warc_body"))
           // registered-domain key: the PSL rule table when --psl names
           // a publicsuffix.org-format file (loaded driver-side,
           // broadcast — the robots-policy shape), else the two-level
@@ -259,8 +285,8 @@ object PipelineApp {
                 .where(col("robots_allowed"))
           }
           val textCol = if (cfg.warcText == "all")
-            graft.llmops.Web.htmlTextUdf(col("warc_body"))
-          else graft.llmops.Web.mainContentUdf(col("warc_body"))
+            graft.llmops.Web.htmlTextUdf(col("html_utf8"))
+          else graft.llmops.Web.mainContentUdf(col("html_utf8"))
           val docs = polite
             .withColumn("text", textCol)
             .where(length(col("text")) > 0)
@@ -280,7 +306,7 @@ object PipelineApp {
           // (the HTML never rides into docs/), scan-stage shaped.
           if (cfg.frontier) {
             val links = graft.llmops.Web.withResolvedLinks(
-              graft.llmops.Web.withExtractedLinks(polite, "warc_body"),
+              graft.llmops.Web.withExtractedLinks(polite, "html_utf8"),
               "warc_url", "links")
               .select(explode(col("resolved_links")).as("link"))
               .select(graft.llmops.Web.urlCanonCol(col("link")).as("url"))
@@ -319,9 +345,9 @@ object PipelineApp {
             .parquet(s"$ingestOut/report")
           record(cfg.outDir, "ingest", ip, warcDir, ingestOut, "done")
         }
-        s"$ingestOut/docs@$ip" // identity chains into dedup's input
+        // identity chains the ingest params into dedup's manifest input
+        (s"$ingestOut/docs", s"$ingestOut/docs@$ip")
     }
-    val docsPath = docsInput.split('@').head
 
     val dedupOut = s"${cfg.outDir}/dedup"
     val dedupCfg = cfg.dedup.copy(docs = docsPath, outDir = dedupOut,
@@ -335,11 +361,11 @@ object PipelineApp {
     def innerResume(stage: String, params: String, input: String): Boolean =
       cfg.resume && readManifest(cfg.outDir).get(stage)
         .exists { case (p, i, _) => p == params && i == input }
-    if (!skippable(spark, cfg.outDir, "dedup", dp, docsInput, dedupArts)) {
-      val r = innerResume("dedup", dp, docsInput)
-      record(cfg.outDir, "dedup", dp, docsInput, dedupOut, "started")
+    if (!skippable(spark, cfg.outDir, "dedup", dp, docsIdentity, dedupArts)) {
+      val r = innerResume("dedup", dp, docsIdentity)
+      record(cfg.outDir, "dedup", dp, docsIdentity, dedupOut, "started")
       DedupApp.run(spark, dedupCfg.copy(resume = r))
-      record(cfg.outDir, "dedup", dp, docsInput, dedupOut, "done")
+      record(cfg.outDir, "dedup", dp, docsIdentity, dedupOut, "done")
     }
 
     val curateOut = s"${cfg.outDir}/curate"

@@ -130,6 +130,60 @@ class PipelineAppSpec extends SparkSpec {
     assert(domains2 === Set(null: String, "blocked.com"))
   }
 
+  test("--warc front door transcodes by default: a Shift_JIS page's " +
+    "real code points reach ingest/docs; --transcode=off ships mojibake") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def recBytes(url: String, html: Array[Byte],
+        ctype: String = "text/html"): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ html
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ http ++
+        "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val prose = "Plenty of plain prose so the page body clears any " +
+      "length threshold with room to spare. "
+    // Shift_JIS page declared via <meta charset>
+    val sjHtml = ("<html><head><meta charset=\"shift_jis\"></head>" +
+      s"<body><p>$prose").getBytes("ISO-8859-1") ++
+      "日本語のテキスト".getBytes("Shift_JIS") ++
+      "</p></body></html>".getBytes("ISO-8859-1")
+    // windows-1251 page declared via the HTTP Content-Type header
+    val cpHtml = (s"<html><body><p>$prose").getBytes("ISO-8859-1") ++
+      "Привет мир".getBytes("windows-1251") ++
+      "</p></body></html>".getBytes("ISO-8859-1")
+    // plain UTF-8 page, no declaration — must round-trip untouched
+    val utfHtml = (s"<html><body><p>$prose utf-8 café naïve" +
+      "</p></body></html>").getBytes("UTF-8")
+    val dir = java.nio.file.Files.createTempDirectory("pipe_tc")
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      recBytes("https://jp.example/p", sjHtml) ++
+        recBytes("https://ru.example/p", cpHtml,
+          ctype = "text/html; charset=windows-1251") ++
+        recBytes("https://en.example/p", utfHtml))
+    def texts(out: String, extra: String*): Map[String, String] = {
+      val c = PipelineApp.parse(Array("-", out, s"--warc=$dir",
+        "--warc-text=all", "--min-quality=0.0", "--rate=1.0") ++ extra)
+      PipelineApp.run(spark, c)
+      spark.read.parquet(s"$out/ingest/docs")
+        .select("url", "text").as[(String, String)].collect().toMap
+    }
+    val on = texts(java.nio.file.Files
+      .createTempDirectory("pipe_tc_on").toString)
+    assert(on("https://jp.example/p").contains("日本語のテキスト"))
+    assert(on("https://ru.example/p").contains("Привет мир"))
+    assert(on("https://en.example/p").contains("café naïve"))
+    val off = texts(java.nio.file.Files
+      .createTempDirectory("pipe_tc_off").toString, "--transcode=off")
+    // UTF-8-with-replacement decode destroyed the non-UTF-8 pages
+    assert(!off("https://jp.example/p").contains("日本語のテキスト"))
+    assert(!off("https://ru.example/p").contains("Привет"))
+    assert(off("https://en.example/p").contains("café naïve"))
+  }
+
   test("kill between stages: missing curate stage reruns on --resume; " +
     "dedup artifacts untouched; content identical to a fresh run") {
     val out = java.nio.file.Files
