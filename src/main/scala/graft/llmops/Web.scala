@@ -835,12 +835,15 @@ object Web {
       isIndex: Boolean)
 
   // sitemap XML entity decode: the protocol REQUIRES entity-escaping of
-  // URLs (sitemaps.org), so &amp; in a loc is the rule, not the corner
+  // URLs (sitemaps.org), so &amp; in a loc is the rule, not the corner.
+  // &amp; decodes LAST (standard ordering): decoding it first would
+  // double-decode doubly-escaped input ('&amp;lt;' must yield the
+  // literal '&lt;', not '<').
   private def decodeXmlEntities(s: String): String =
     if (!s.contains('&')) s
-    else s.replace("&amp;", "&").replace("&lt;", "<")
-      .replace("&gt;", ">").replace("&quot;", "\"")
-      .replace("&apos;", "'")
+    else s.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'")
+      .replace("&amp;", "&")
 
   /** sitemap.xml / sitemapindex parser (sitemaps.org protocol) — the
     * frontier-seeding companion to [[robotsSitemaps]], which surfaces
@@ -1124,11 +1127,22 @@ object Web {
     * to the domain's first fetch). One window partitioned by domain:
     * frames are per-domain frontier slices — the quota shape AQE
     * skew-splits at crawl scale, never a corpus-wide ordering.
+    *
+    * Rows whose PSL registered domain is NULL (the host IS a public
+    * suffix, so it has no registrable part) must not collapse into one
+    * shared politeness queue: the scheduling key falls back to the raw
+    * host when a `hostCol` is present in the frame (`url_host`, the
+    * withUrlParts name), else to the url itself — unrelated hosts
+    * never serialize behind one delay.
     */
   def frontierSchedule(df: DataFrame, domainCol: String, urlCol: String,
       priorityCol: String, delayMsCol: String): DataFrame = {
+    val schedKey =
+      if (df.columns.contains("url_host") && domainCol != "url_host")
+        coalesce(col(domainCol), col("url_host"))
+      else coalesce(col(domainCol), col(urlCol))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(domainCol))
+      .partitionBy(schedKey)
       .orderBy(col(priorityCol).desc, col(urlCol).asc)
     df.withColumn("fetch_slot", row_number().over(w).cast("long") - 1)
       .withColumn("fetch_time_ms",

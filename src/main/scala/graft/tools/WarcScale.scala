@@ -126,15 +126,19 @@ object WarcScale {
     // --dir reuses only when the corpus is actually there — an empty
     // (or fresh) dir generates into it, so a known path can be built
     // on first run and reused on later ones
+    // Files.list streams hold a directory fd until closed — leak-free
+    // via Using (repeated tool runs in one JVM otherwise accumulate)
     val reusable = reuseDir.isDefined && {
       val p = java.nio.file.Paths.get(dir)
       java.nio.file.Files.exists(p) &&
-        java.nio.file.Files.list(p).anyMatch(_.toString.endsWith(".warc"))
+        scala.util.Using.resource(java.nio.file.Files.list(p))(
+          _.anyMatch(_.toString.endsWith(".warc")))
     }
     val written = if (reusable) {
-      val sz = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-        .filter(_.toString.endsWith(".warc"))
-        .mapToLong(java.nio.file.Files.size).sum()
+      val sz = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(dir)))(
+        _.filter(_.toString.endsWith(".warc"))
+          .mapToLong(java.nio.file.Files.size).sum())
       println(f"[warc] reusing $dir ($sz%,d raw bytes)")
       sz
     } else spark.range(0, shards, 1, shards).map { s =>

@@ -638,6 +638,12 @@ class LlmOpsSpec extends SparkSpec {
     assert(Web.sitemapEntries("not xml at all") === Vector.empty)
     assert(Web.sitemapEntries("<urlset><url><loc></loc></url></urlset>")
       === Vector.empty) // empty loc skipped
+    // standard entity-decode ordering: &amp; decodes LAST, so a
+    // doubly-escaped '&amp;lt;' yields the literal '&lt;', never '<'
+    val dbl = Web.sitemapEntries(
+      "<urlset><url><loc>https://a.com/p?q=&amp;lt;tag&amp;gt;</loc>" +
+        "</url></urlset>")
+    assert(dbl.head.loc === "https://a.com/p?q=&lt;tag&gt;")
   }
 
   test("public-suffix list: rule kinds, precedence, no-registrable " +

@@ -249,6 +249,30 @@ class RobotsSpec extends SparkSpec {
       ("https://c.com/1", 700L, 0L, 0L))) // missing policy -> default
   }
 
+  test("frontierSchedule: NULL registered domains (host IS a public " +
+    "suffix) schedule per host, never one shared politeness queue") {
+    import spark.implicits._
+    // two unrelated public-suffix hosts with null domain, plus a
+    // normal domain — each must get its OWN slot sequence
+    val frontier = Seq(
+      (null: String, "github.io", "https://github.io/a", 5L),
+      (null: String, "github.io", "https://github.io/b", 3L),
+      (null: String, "ck", "https://ck/x", 9L),
+      ("a.com", "a.com", "https://a.com/1", 1L))
+      .toDF("domain", "url_host", "url", "n_refs")
+      .withColumn("robots_delay_ms", org.apache.spark.sql.functions
+        .lit(1000L))
+    val out = Web.frontierSchedule(frontier, "domain", "url",
+      "n_refs", "robots_delay_ms")
+      .orderBy("url").select("url", "fetch_slot").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(
+      ("https://a.com/1", 0L),
+      ("https://ck/x", 0L), // own queue, not behind github.io
+      ("https://github.io/a", 0L),
+      ("https://github.io/b", 1L)))
+  }
+
   test("withRobotsAllowed: per-UA verdict columns over a DataFrame") {
     import spark.implicits._
     val df = Seq(
