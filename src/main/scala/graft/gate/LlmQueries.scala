@@ -2306,6 +2306,67 @@ object LlmQueries {
           col("fetch_time_ms"))
     }),
 
+    // Recrawl-recency capstone — the consumer sitemap `lastmod` was
+    // parsed for (r17's parse-but-don't-consume residual): urlset
+    // seeds in three lastmod families (date-only, full W3C datetime,
+    // none) aggregate per url (LATEST lastmod, seed count), anti-join
+    // the crawled set, pick up per-domain Crawl-delay, and the
+    // schedule ranks by (lastmod DATE desc NULLS LAST, n_refs desc,
+    // url) — fresh content first, popularity fallback for the undated
+    // tail. The oracle re-synthesizes the XML fields and replays the
+    // max/count aggregate, the day-granular date parse (substr 10 ->
+    // DATE) and the recency window arithmetic.
+    "llm_pipeline14" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val host = concat(lit("ex"),
+        pmod(col("doc_id"), lit(5)).cast("string"), lit(".com"))
+      val p1 = pmod(col("doc_id") * 13 + 2, lit(50)).cast("string")
+      val p2 = pmod(col("doc_id") * 7 + 1, lit(50)).cast("string")
+      val lmDay = (pmod(col("doc_id"), lit(9)) + 1).cast("string")
+      val lmHour = pmod(col("doc_id"), lit(4)).cast("string")
+      val c = pmod(col("doc_id"), lit(3))
+      val xml = concat(
+        lit("<urlset><url><loc>https://"), host, lit("/p/"), p1,
+        lit("</loc>"),
+        when(c === 0, concat(lit("<lastmod>2024-02-0"), lmDay,
+          lit("</lastmod>")))
+          .when(c === 1, concat(lit("<lastmod>2024-03-0"), lmDay,
+            lit("T0"), lmHour, lit(":30:00Z</lastmod>")))
+          .otherwise(lit("")),
+        lit("</url><url><loc>https://"), host, lit("/q?a=1&amp;b="),
+        p2, lit("</loc></url></urlset>"))
+      val seeds = Web.withSitemapEntries(
+        docs.select(col("doc_id"), xml.as("xml")), "xml")
+        .where(!col("is_index"))
+        .select(Web.urlCanonCol(col("loc")).as("url"), col("lastmod"))
+      val agg = seeds.groupBy("url")
+        .agg(max(col("lastmod")).as("lastmod"),
+          count(lit(1)).as("n_refs"))
+      val crawled = docs.select(concat(lit("https://ex"),
+        pmod(col("doc_id"), lit(5)).cast("string"), lit(".com/p/"),
+        col("doc_id").cast("string")).as("url")).distinct()
+      val fresh = agg.join(crawled, Seq("url"), "left_anti")
+      val parts = Web.withUrlParts(fresh, "url")
+        .withColumn("domain", col("url_host"))
+      val pol = s.range(0, 3).toDF("pid")
+        .withColumn("domain", concat(lit("ex"),
+          col("pid").cast("string"), lit(".com")))
+        .withColumn("robots_txt", concat(
+          lit("User-agent: *\nCrawl-delay: "),
+          when(col("pid") === 0, lit("1"))
+            .when(col("pid") === 1, lit("0.5"))
+            .otherwise(lit("3")),
+          lit("\n")))
+      val delayed = Web.withCrawlDelayByPolicy(parts, "domain", pol,
+        "domain", "robots_txt", "GraftBot/1.0",
+        defaultDelayMillis = 2000L)
+      Web.frontierScheduleRecency(delayed, "domain", "url", "lastmod",
+        "n_refs", "robots_delay_ms")
+        .select(col("url"), col("domain"), col("lastmod"),
+          col("n_refs"), col("robots_delay_ms"), col("fetch_slot"),
+          col("fetch_time_ms"))
+    }),
+
     // Robots policies as a TABLE (the 100 TB shape: per-domain
     // robots.txt is data, not config): four domain families, three
     // with distinct policies (block-all; block ids ending 3; Allow
@@ -4968,6 +5029,52 @@ object LlmQueries {
            FROM al)
          SELECT url, domain, n_refs, robots_delay_ms, fetch_slot,
            fetch_slot * robots_delay_ms AS fetch_time_ms
+         FROM dd""",
+    // Recrawl-recency replay: the two seed families re-synthesized
+    // (entities decoded), latest-lastmod/count aggregate, anti-join,
+    // delay CASE, then DuckDB's own window ranks by the day-granular
+    // date parse DESC NULLS LAST with the popularity fallback.
+    "llm_pipeline14" ->
+      """WITH s AS (
+           SELECT 'https://ex' || CAST(doc_id % 5 AS VARCHAR) ||
+             '.com/p/' || CAST((doc_id * 13 + 2) % 50 AS VARCHAR) AS url,
+             CASE WHEN doc_id % 3 = 0 THEN
+                 '2024-02-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+               WHEN doc_id % 3 = 1 THEN
+                 '2024-03-0' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
+                   'T0' || CAST(doc_id % 4 AS VARCHAR) || ':30:00Z'
+               ELSE NULL END AS lastmod
+           FROM documents
+           UNION ALL
+           SELECT 'https://ex' || CAST(doc_id % 5 AS VARCHAR) ||
+             '.com/q?a=1&b=' || CAST((doc_id * 7 + 1) % 50 AS VARCHAR),
+             NULL
+           FROM documents),
+         agg AS (
+           SELECT url, max(lastmod) AS lastmod,
+             CAST(COUNT(*) AS BIGINT) AS n_refs
+           FROM s GROUP BY url),
+         crawled AS (
+           SELECT DISTINCT 'https://ex' || CAST(doc_id % 5 AS VARCHAR)
+             || '.com/p/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         f AS (
+           SELECT a.url, a.lastmod, a.n_refs,
+             regexp_extract(a.url, '^https://([^/]+)', 1) AS domain
+           FROM agg a
+           WHERE a.url NOT IN (SELECT url FROM crawled)),
+         dd AS (
+           SELECT url, domain, lastmod, n_refs,
+             CAST(CASE domain WHEN 'ex0.com' THEN 1000
+               WHEN 'ex1.com' THEN 500 WHEN 'ex2.com' THEN 3000
+               ELSE 2000 END AS BIGINT) AS robots_delay_ms,
+             CAST(ROW_NUMBER() OVER (PARTITION BY domain
+               ORDER BY try_cast(substr(lastmod, 1, 10) AS DATE)
+                 DESC NULLS LAST, n_refs DESC, url ASC) - 1 AS BIGINT)
+               AS fetch_slot
+           FROM f)
+         SELECT url, domain, lastmod, n_refs, robots_delay_ms,
+           fetch_slot, fetch_slot * robots_delay_ms AS fetch_time_ms
          FROM dd""",
     // The RFC's answer per ref class, written out directly.
     "llm_url_resolve" ->

@@ -1136,14 +1136,40 @@ object Web {
     * never serialize behind one delay.
     */
   def frontierSchedule(df: DataFrame, domainCol: String, urlCol: String,
-      priorityCol: String, delayMsCol: String): DataFrame = {
+      priorityCol: String, delayMsCol: String): DataFrame =
+    frontierScheduleBy(df, domainCol, urlCol, delayMsCol,
+      col(priorityCol).desc, col(urlCol).asc)
+
+  /** Recency-ranked schedule — the consumer sitemap `lastmod` existed
+    * for (the r16 Crawl-delay pattern: a parsed field must have its
+    * consumer): seeds rank within their politeness queue by (lastmod
+    * DATE desc NULLS LAST, `nRefsCol` desc, url asc), so a recrawl
+    * round fetches the freshest known content first and falls back to
+    * link popularity for undated urls. `lastmodCol` holds the sitemap's
+    * W3C datetime STRING (date-only or full); ranking is day-granular —
+    * the first 10 chars parse as a date, anything unparseable ranks
+    * with the undated tail. Same per-domain window shape as
+    * [[frontierSchedule]].
+    */
+  def frontierScheduleRecency(df: DataFrame, domainCol: String,
+      urlCol: String, lastmodCol: String, nRefsCol: String,
+      delayMsCol: String): DataFrame = {
+    val lmDate = to_date(try_to_timestamp(
+      substring(col(lastmodCol), 1, 10), lit("yyyy-MM-dd")))
+    frontierScheduleBy(df, domainCol, urlCol, delayMsCol,
+      lmDate.desc_nulls_last, col(nRefsCol).desc, col(urlCol).asc)
+  }
+
+  private def frontierScheduleBy(df: DataFrame, domainCol: String,
+      urlCol: String, delayMsCol: String,
+      order: Column*): DataFrame = {
     val schedKey =
       if (df.columns.contains("url_host") && domainCol != "url_host")
         coalesce(col(domainCol), col("url_host"))
       else coalesce(col(domainCol), col(urlCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(schedKey)
-      .orderBy(col(priorityCol).desc, col(urlCol).asc)
+      .orderBy(order: _*)
     df.withColumn("fetch_slot", row_number().over(w).cast("long") - 1)
       .withColumn("fetch_time_ms",
         col("fetch_slot") * col(delayMsCol))

@@ -249,6 +249,35 @@ class RobotsSpec extends SparkSpec {
       ("https://c.com/1", 700L, 0L, 0L))) // missing policy -> default
   }
 
+  test("frontierScheduleRecency: lastmod freshness outranks " +
+    "popularity; day-granular ties fall back to n_refs; undated last") {
+    import spark.implicits._
+    val frontier = Seq(
+      // undated but most-referenced: ranks AFTER every dated seed
+      ("a.com", "https://a.com/hot", null: String, 99L),
+      // full W3C datetime vs date-only on the SAME day: tie at day
+      // granularity -> n_refs decides
+      ("a.com", "https://a.com/d1", "2024-03-05T23:59:59Z", 1L),
+      ("a.com", "https://a.com/d2", "2024-03-05", 7L),
+      // fresher date wins regardless of popularity
+      ("a.com", "https://a.com/new", "2024-03-06", 0L),
+      // unparseable lastmod ranks with the undated tail (by n_refs)
+      ("a.com", "https://a.com/bad", "not-a-date", 5L))
+      .toDF("domain", "url", "lastmod", "n_refs")
+      .withColumn("robots_delay_ms",
+        org.apache.spark.sql.functions.lit(100L))
+    val out = Web.frontierScheduleRecency(frontier, "domain", "url",
+      "lastmod", "n_refs", "robots_delay_ms")
+      .orderBy("fetch_slot").select("url").collect()
+      .map(_.getString(0))
+    assert(out.toSeq === Seq(
+      "https://a.com/new",   // 2024-03-06
+      "https://a.com/d2",    // 03-05, n_refs 7
+      "https://a.com/d1",    // 03-05, n_refs 1
+      "https://a.com/hot",   // undated, n_refs 99
+      "https://a.com/bad"))  // unparseable, n_refs 5
+  }
+
   test("frontierSchedule: NULL registered domains (host IS a public " +
     "suffix) schedule per host, never one shared politeness queue") {
     import spark.implicits._
