@@ -243,6 +243,29 @@ object PipelineApp {
           (if (cfg.frontier) Seq(s"$ingestOut/frontier") else Seq.empty)
         if (!skippable(spark, cfg.outDir, "ingest", ip, warcDir, arts)) {
           record(cfg.outDir, "ingest", ip, warcDir, ingestOut, "started")
+          // Ops guidance BEFORE the long run, not from a postmortem:
+          // r17's 8M-record fresh run (9.96 GB) died in the dedup
+          // pairs stage at the default 8 GB single-JVM heap. Input
+          // size is a one-listing driver-side sum; warn when the heap
+          // is not comfortably above it.
+          locally {
+            val wp = new org.apache.hadoop.fs.Path(warcDir)
+            val wfs = wp.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            var bytes = 0L
+            val it = wfs.listFiles(wp, true)
+            while (it.hasNext) bytes += it.next().getLen
+            val heap = Runtime.getRuntime.maxMemory()
+            if (bytes > heap * 3 / 4) {
+              val gb = math.ceil(2.0 * bytes / (1L << 30)).toLong
+              println(s"[pipeline] WARN: crawl input is " +
+                f"${bytes / 1048576.0}%,.0f MB but max heap is " +
+                f"${heap / 1048576.0}%,.0f MB — a single-JVM run of " +
+                "this size has died in the dedup pairs stage before; " +
+                s"consider SPARK_DRIVER_MEM=${gb}g (build.sbt knob) " +
+                "or a real cluster")
+            }
+          }
           // --transcode (default on): byte-transparent decode -> sniff
           // charset (header + meta) -> CharsetDecoder transcode, so a
           // correctly-labeled Shift_JIS/windows-1251 page enters the
@@ -287,31 +310,44 @@ object PipelineApp {
           val textCol = if (cfg.warcText == "all")
             graft.llmops.Web.htmlTextUdf(col("html_utf8"))
           else graft.llmops.Web.mainContentUdf(col("html_utf8"))
-          val docs = polite
-            .withColumn("text", textCol)
-            .where(length(col("text")) > 0)
-            .select(
-              // 63-bit mask: curation's composite sort keys require
-              // non-negative ids (%019d lexicographic rendering)
-              xxhash64(col("source_file"), col("rec_idx"))
-                .bitwiseAND(lit(Long.MaxValue)).as("doc_id"),
-              col("warc_url").as("url"), col("domain"), col("text"),
-              length(col("text")).cast("long").as("n_chars"))
-          docs.write.mode("overwrite").parquet(s"$ingestOut/docs")
-          // --frontier: the NEXT crawl round's fetch schedule as a
-          // sibling artifact — link extraction over the (already
-          // politeness-filtered) pages -> RFC 3986 resolve -> canon ->
-          // reference counts -> anti-join what this crawl fetched ->
-          // per-domain Crawl-delay slots. Second pass over the decode
-          // (the HTML never rides into docs/), scan-stage shaped.
+          // 63-bit mask: curation's composite sort keys require
+          // non-negative ids (%019d lexicographic rendering)
+          val docIdCol = xxhash64(col("source_file"), col("rec_idx"))
+            .bitwiseAND(lit(Long.MaxValue)).as("doc_id")
+          // --frontier: ONE decode pass (r18). The WARC decode is the
+          // expensive stage (gunzip + parse + transcode + robots join),
+          // so when the frontier is requested the single pass writes a
+          // `pages` intermediate — doc columns PLUS the resolved
+          // outlinks of every polite page (including empty-text hub
+          // pages, whose links matter even though they never become
+          // docs) — and both docs/ and frontier/ derive from cheap
+          // column-pruned parquet reads of it. The intermediate
+          // duplicates text at corpus scale, so it is dropped once
+          // both outputs are committed. Without --frontier, docs
+          // writes straight from the live plan as before.
           if (cfg.frontier) {
-            val links = graft.llmops.Web.withResolvedLinks(
+            val pages = graft.llmops.Web.withResolvedLinks(
               graft.llmops.Web.withExtractedLinks(polite, "html_utf8"),
               "warc_url", "links")
+              .withColumn("text", textCol)
+              .select(docIdCol,
+                col("warc_url").as("url"), col("domain"), col("text"),
+                length(col("text")).cast("long").as("n_chars"),
+                col("resolved_links"))
+            pages.write.mode("overwrite").parquet(s"$ingestOut/pages")
+            val pagesDf = spark.read.parquet(s"$ingestOut/pages")
+            pagesDf.where(col("n_chars") > 0)
+              .select("doc_id", "url", "domain", "text", "n_chars")
+              .write.mode("overwrite").parquet(s"$ingestOut/docs")
+            // link extraction -> RFC 3986 resolve already happened in
+            // the decode pass; from here on the frontier reads ONLY
+            // (url, resolved_links) — parquet column pruning keeps the
+            // text out of this scan entirely
+            val links = pagesDf
               .select(explode(col("resolved_links")).as("link"))
               .select(graft.llmops.Web.urlCanonCol(col("link")).as("url"))
-            val crawled = polite.select(
-              graft.llmops.Web.urlCanonCol(col("warc_url")).as("url"))
+            val crawled = pagesDf.select(
+              graft.llmops.Web.urlCanonCol(col("url")).as("url"))
               .distinct()
             val fresh = links.groupBy("url")
               .agg(count(lit(1)).as("n_refs"))
@@ -338,6 +374,20 @@ object PipelineApp {
                 col("robots_delay_ms"), col("fetch_slot"),
                 col("fetch_time_ms"))
               .write.mode("overwrite").parquet(s"$ingestOut/frontier")
+            // both outputs committed — drop the text-bearing
+            // intermediate (it would double corpus storage)
+            val pagesPath =
+              new org.apache.hadoop.fs.Path(s"$ingestOut/pages")
+            pagesPath.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+              .delete(pagesPath, true)
+          } else {
+            polite.withColumn("text", textCol)
+              .where(length(col("text")) > 0)
+              .select(docIdCol,
+                col("warc_url").as("url"), col("domain"), col("text"),
+                length(col("text")).cast("long").as("n_chars"))
+              .write.mode("overwrite").parquet(s"$ingestOut/docs")
           }
           spark.read.parquet(s"$ingestOut/docs")
             .agg(count(lit(1)).as("docs"))
