@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.app.PipelineApp <documentsParquet|-> <outDir>
   *     [crawl: --warc=<warcDir> --robots=<policyParquet> --ua=
-  *      --warc-text=main|all --psl=<publicSuffixListFile> --frontier]
+  *      --warc-text=main|all --psl=<publicSuffixListFile>
+  *      --transcode=on|off --frontier --crawled=<priorDocsParquet>]
   *     [dedup: --id-col= --text-col= --score-col= --threshold=
   *      --shingle= --hashes= --band-rows= --source-col=]
   *     [curate: --benchmark= --min-quality= --rate= --shard-tokens=
@@ -42,6 +43,9 @@ import org.apache.spark.sql.functions._
   * crawl round's fetch schedule (outlinks resolved + canonicalized,
   * counted, anti-joined against what this crawl fetched, robots-
   * permitted, Crawl-delay slotted) — the full crawler loop in one run.
+  * On round N+1, pass `--crawled=<roundN>/ingest/docs` (repeatable via
+  * a unioned parquet) so the frontier also excludes every url a PRIOR
+  * round fetched — the recurring-crawler contract.
   */
 object PipelineApp {
 
@@ -51,7 +55,7 @@ object PipelineApp {
       warc: Option[String] = None, robots: Option[String] = None,
       ua: String = "GraftBot/1.0", warcText: String = "main",
       psl: Option[String] = None, frontier: Boolean = false,
-      transcode: Boolean = true)
+      transcode: Boolean = true, crawled: Option[String] = None)
 
   private val dedupFlags = Seq("--id-col=", "--text-col=", "--score-col=",
     "--threshold=", "--shingle=", "--hashes=", "--band-rows=",
@@ -62,7 +66,7 @@ object PipelineApp {
   // is given (pass '-'); the ingest stage writes <outDir>/ingest/docs
   // and the dedup stage reads that instead
   private val warcFlags = Seq("--warc=", "--robots=", "--ua=",
-    "--warc-text=", "--psl=", "--transcode=")
+    "--warc-text=", "--psl=", "--transcode=", "--crawled=")
 
   def parse(args: Array[String]): Config = {
     require(args.length >= 2,
@@ -107,7 +111,7 @@ object PipelineApp {
       warc = flag("warc"), robots = flag("robots"),
       ua = flag("ua").getOrElse("GraftBot/1.0"), warcText = warcText,
       psl = flag("psl"), frontier = args.contains("--frontier"),
-      transcode = transcode == "on")
+      transcode = transcode == "on", crawled = flag("crawled"))
   }
 
   /** Canonical parameter strings — strict string equality decides
@@ -238,167 +242,192 @@ object PipelineApp {
         val ip = s"warc=$warcDir;robots=${cfg.robots.getOrElse("-")};" +
           s"ua=${cfg.ua};text=${cfg.warcText};" +
           s"psl=${cfg.psl.getOrElse("-")};frontier=${cfg.frontier};" +
-          s"transcode=${cfg.transcode}"
+          s"transcode=${cfg.transcode};" +
+          s"crawled=${cfg.crawled.getOrElse("-")}"
         val arts = Seq(s"$ingestOut/docs", s"$ingestOut/report") ++
           (if (cfg.frontier) Seq(s"$ingestOut/frontier") else Seq.empty)
         if (!skippable(spark, cfg.outDir, "ingest", ip, warcDir, arts)) {
           record(cfg.outDir, "ingest", ip, warcDir, ingestOut, "started")
-          // Ops guidance BEFORE the long run, not from a postmortem:
-          // r17's 8M-record fresh run (9.96 GB) died in the dedup
-          // pairs stage at the default 8 GB single-JVM heap. Input
-          // size is a one-listing driver-side sum; warn when the heap
-          // is not comfortably above it.
-          locally {
-            val wp = new org.apache.hadoop.fs.Path(warcDir)
-            val wfs = wp.getFileSystem(
-              spark.sparkContext.hadoopConfiguration)
-            var bytes = 0L
-            val it = wfs.listFiles(wp, true)
-            while (it.hasNext) bytes += it.next().getLen
-            val heap = Runtime.getRuntime.maxMemory()
-            if (bytes > heap * 3 / 4) {
-              val gb = math.ceil(2.0 * bytes / (1L << 30)).toLong
-              println(s"[pipeline] WARN: crawl input is " +
-                f"${bytes / 1048576.0}%,.0f MB but max heap is " +
-                f"${heap / 1048576.0}%,.0f MB — a single-JVM run of " +
-                "this size has died in the dedup pairs stage before; " +
-                s"consider SPARK_DRIVER_MEM=${gb}g (build.sbt knob) " +
-                "or a real cluster")
-            }
-          }
-          // --transcode (default on): byte-transparent decode -> sniff
-          // charset (header + meta) -> CharsetDecoder transcode, so a
-          // correctly-labeled Shift_JIS/windows-1251 page enters the
-          // corpus as real text instead of mojibake. All map-side; a
-          // UTF-8-only crawl round-trips byte-identically.
-          val raw = graft.llmops.Warc.readWarcDir(spark, warcDir,
-              byteTransparent = cfg.transcode)
-            .where(col("warc_type") === "response" &&
-              (col("http_status").isNull || col("http_status") === 200))
-          val recs = if (cfg.transcode)
-            graft.llmops.Web.withTranscodedBody(
-              graft.llmops.Web.withCharset(raw,
-                "http_content_type", "warc_body"),
-              "warc_body", "charset", "html_utf8")
-          else raw.withColumn("html_utf8", col("warc_body"))
-          // registered-domain key: the PSL rule table when --psl names
-          // a publicsuffix.org-format file (loaded driver-side,
-          // broadcast — the robots-policy shape), else the two-level
-          // heuristic fallback. ONE derivation shared by the docs path
-          // and the frontier schedule so their robots keys agree.
-          val pslRules = cfg.psl.map(pf =>
-            graft.llmops.Web.parsePsl(new String(
-              java.nio.file.Files.readAllBytes(
-                java.nio.file.Paths.get(pf)), "UTF-8")))
-          def withDomain(df: org.apache.spark.sql.DataFrame)
-              : org.apache.spark.sql.DataFrame = pslRules match {
-            case Some(rules) => graft.llmops.Web
-              .withRegisteredDomainPsl(df, "url_host", rules)
-            case None => df.withColumn("domain",
-              graft.llmops.Web.registeredDomainCol(col("url_host")))
-          }
-          val parts = withDomain(
-            graft.llmops.Web.withUrlParts(recs, "warc_url"))
-          val polite = cfg.robots match {
-            case None => parts
-            case Some(pp) =>
-              graft.llmops.Web.withRobotsAllowedByPolicy(parts,
-                "domain", "url_path", spark.read.parquet(pp),
-                "domain", "robots_txt", cfg.ua)
-                .where(col("robots_allowed"))
-          }
-          val textCol = if (cfg.warcText == "all")
-            graft.llmops.Web.htmlTextUdf(col("html_utf8"))
-          else graft.llmops.Web.mainContentUdf(col("html_utf8"))
-          // 63-bit mask: curation's composite sort keys require
-          // non-negative ids (%019d lexicographic rendering)
-          val docIdCol = xxhash64(col("source_file"), col("rec_idx"))
-            .bitwiseAND(lit(Long.MaxValue)).as("doc_id")
-          // --frontier: ONE decode pass (r18). The WARC decode is the
-          // expensive stage (gunzip + parse + transcode + robots join),
-          // so when the frontier is requested the single pass writes a
-          // `pages` intermediate — doc columns PLUS the resolved
-          // outlinks of every polite page (including empty-text hub
-          // pages, whose links matter even though they never become
-          // docs) — and both docs/ and frontier/ derive from cheap
-          // column-pruned parquet reads of it. The intermediate
-          // duplicates text at corpus scale, so it is dropped once
-          // both outputs are committed. Without --frontier, docs
-          // writes straight from the live plan as before.
-          if (cfg.frontier) {
-            val pages = graft.llmops.Web.withResolvedLinks(
-              graft.llmops.Web.withExtractedLinks(polite, "html_utf8"),
-              "warc_url", "links")
-              .withColumn("text", textCol)
-              .select(docIdCol,
-                col("warc_url").as("url"), col("domain"), col("text"),
-                length(col("text")).cast("long").as("n_chars"),
-                col("resolved_links"))
-            pages.write.mode("overwrite").parquet(s"$ingestOut/pages")
-            val pagesDf = spark.read.parquet(s"$ingestOut/pages")
-            pagesDf.where(col("n_chars") > 0)
-              .select("doc_id", "url", "domain", "text", "n_chars")
-              .write.mode("overwrite").parquet(s"$ingestOut/docs")
-            // link extraction -> RFC 3986 resolve already happened in
-            // the decode pass; from here on the frontier reads ONLY
-            // (url, resolved_links) — parquet column pruning keeps the
-            // text out of this scan entirely
-            val links = pagesDf
-              .select(explode(col("resolved_links")).as("link"))
-              .select(graft.llmops.Web.urlCanonCol(col("link")).as("url"))
-            val crawled = pagesDf.select(
-              graft.llmops.Web.urlCanonCol(col("url")).as("url"))
-              .distinct()
-            val fresh = links.groupBy("url")
-              .agg(count(lit(1)).as("n_refs"))
-              .join(crawled, Seq("url"), "left_anti")
-            val fParts = withDomain(
-              graft.llmops.Web.withUrlParts(fresh, "url"))
-            // never schedule a fetch the policy forbids: verdict THEN
-            // delay, both broadcast joins against the same table
-            val delayed = cfg.robots match {
-              case Some(pp) =>
-                val pol = spark.read.parquet(pp)
-                val permitted = graft.llmops.Web
-                  .withRobotsAllowedByPolicy(fParts, "domain",
-                    "url_path", pol, "domain", "robots_txt", cfg.ua)
-                  .where(col("robots_allowed"))
-                graft.llmops.Web.withCrawlDelayByPolicy(permitted,
-                  "domain", pol, "domain", "robots_txt", cfg.ua)
-              case None =>
-                fParts.withColumn("robots_delay_ms", lit(1000L))
-            }
-            graft.llmops.Web.frontierSchedule(delayed, "domain", "url",
-              "n_refs", "robots_delay_ms")
-              .select(col("url"), col("domain"), col("n_refs"),
-                col("robots_delay_ms"), col("fetch_slot"),
-                col("fetch_time_ms"))
-              .write.mode("overwrite").parquet(s"$ingestOut/frontier")
-            // both outputs committed — drop the text-bearing
-            // intermediate (it would double corpus storage)
-            val pagesPath =
-              new org.apache.hadoop.fs.Path(s"$ingestOut/pages")
-            pagesPath.getFileSystem(
-              spark.sparkContext.hadoopConfiguration)
-              .delete(pagesPath, true)
-          } else {
-            polite.withColumn("text", textCol)
-              .where(length(col("text")) > 0)
-              .select(docIdCol,
-                col("warc_url").as("url"), col("domain"), col("text"),
-                length(col("text")).cast("long").as("n_chars"))
-              .write.mode("overwrite").parquet(s"$ingestOut/docs")
-          }
-          spark.read.parquet(s"$ingestOut/docs")
-            .agg(count(lit(1)).as("docs"))
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$ingestOut/report")
+          runIngest(spark, cfg, warcDir, ingestOut)
           record(cfg.outDir, "ingest", ip, warcDir, ingestOut, "done")
         }
         // identity chains the ingest params into dedup's manifest input
         (s"$ingestOut/docs", s"$ingestOut/docs@$ip")
     }
+    runStages(spark, cfg, docsPath, docsIdentity)
+  }
 
+  /** The ingest stage body — crawl dir in, docs/ (+ frontier/) and
+    * report/ out. Package-private so the scale harness
+    * ([[graft.tools.FrontierScale]]) can run and time the stage in
+    * isolation from dedup/curate.
+    */
+  private[graft] def runIngest(spark: SparkSession, cfg: Config,
+      warcDir: String, ingestOut: String): Unit = {
+    // Ops guidance BEFORE the long run, not from a postmortem:
+    // r17's 8M-record fresh run (9.96 GB) died in the dedup
+    // pairs stage at the default 8 GB single-JVM heap. Input
+    // size is a one-listing driver-side sum; warn when the heap
+    // is not comfortably above it.
+    locally {
+      val wp = new org.apache.hadoop.fs.Path(warcDir)
+      val wfs = wp.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      var bytes = 0L
+      val it = wfs.listFiles(wp, true)
+      while (it.hasNext) bytes += it.next().getLen
+      val heap = Runtime.getRuntime.maxMemory()
+      if (bytes > heap * 3 / 4) {
+        val gb = math.ceil(2.0 * bytes / (1L << 30)).toLong
+        println(s"[pipeline] WARN: crawl input is " +
+          f"${bytes / 1048576.0}%,.0f MB but max heap is " +
+          f"${heap / 1048576.0}%,.0f MB — a single-JVM run of " +
+          "this size has died in the dedup pairs stage before; " +
+          s"consider SPARK_DRIVER_MEM=${gb}g (build.sbt knob) " +
+          "or a real cluster")
+      }
+    }
+    // --transcode (default on): byte-transparent decode -> sniff
+    // charset (header + meta) -> CharsetDecoder transcode, so a
+    // correctly-labeled Shift_JIS/windows-1251 page enters the
+    // corpus as real text instead of mojibake. All map-side; a
+    // UTF-8-only crawl round-trips byte-identically.
+    val raw = graft.llmops.Warc.readWarcDir(spark, warcDir,
+        byteTransparent = cfg.transcode)
+      .where(col("warc_type") === "response" &&
+        (col("http_status").isNull || col("http_status") === 200))
+    val recs = if (cfg.transcode)
+      graft.llmops.Web.withTranscodedBody(
+        graft.llmops.Web.withCharset(raw,
+          "http_content_type", "warc_body"),
+        "warc_body", "charset", "html_utf8")
+    else raw.withColumn("html_utf8", col("warc_body"))
+    // registered-domain key: the PSL rule table when --psl names
+    // a publicsuffix.org-format file (loaded driver-side,
+    // broadcast — the robots-policy shape), else the two-level
+    // heuristic fallback. ONE derivation shared by the docs path
+    // and the frontier schedule so their robots keys agree.
+    val pslRules = cfg.psl.map(pf =>
+      graft.llmops.Web.parsePsl(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(pf)), "UTF-8")))
+    def withDomain(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = pslRules match {
+      case Some(rules) => graft.llmops.Web
+        .withRegisteredDomainPsl(df, "url_host", rules)
+      case None => df.withColumn("domain",
+        graft.llmops.Web.registeredDomainCol(col("url_host")))
+    }
+    val parts = withDomain(
+      graft.llmops.Web.withUrlParts(recs, "warc_url"))
+    val polite = cfg.robots match {
+      case None => parts
+      case Some(pp) =>
+        graft.llmops.Web.withRobotsAllowedByPolicy(parts,
+          "domain", "url_path", spark.read.parquet(pp),
+          "domain", "robots_txt", cfg.ua)
+          .where(col("robots_allowed"))
+    }
+    val textCol = if (cfg.warcText == "all")
+      graft.llmops.Web.htmlTextUdf(col("html_utf8"))
+    else graft.llmops.Web.mainContentUdf(col("html_utf8"))
+    // 63-bit mask: curation's composite sort keys require
+    // non-negative ids (%019d lexicographic rendering)
+    val docIdCol = xxhash64(col("source_file"), col("rec_idx"))
+      .bitwiseAND(lit(Long.MaxValue)).as("doc_id")
+    // --frontier: ONE decode pass (r18). The WARC decode is the
+    // expensive stage (gunzip + parse + transcode + robots join),
+    // so when the frontier is requested the single pass writes a
+    // `pages` intermediate — doc columns PLUS the resolved
+    // outlinks of every polite page (including empty-text hub
+    // pages, whose links matter even though they never become
+    // docs) — and both docs/ and frontier/ derive from cheap
+    // column-pruned parquet reads of it. The intermediate
+    // duplicates text at corpus scale, so it is dropped once
+    // both outputs are committed. Without --frontier, docs
+    // writes straight from the live plan as before.
+    if (cfg.frontier) {
+      val pages = graft.llmops.Web.withResolvedLinks(
+        graft.llmops.Web.withExtractedLinks(polite, "html_utf8"),
+        "warc_url", "links")
+        .withColumn("text", textCol)
+        .select(docIdCol,
+          col("warc_url").as("url"), col("domain"), col("text"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("resolved_links"))
+      pages.write.mode("overwrite").parquet(s"$ingestOut/pages")
+      val pagesDf = spark.read.parquet(s"$ingestOut/pages")
+      pagesDf.where(col("n_chars") > 0)
+        .select("doc_id", "url", "domain", "text", "n_chars")
+        .write.mode("overwrite").parquet(s"$ingestOut/docs")
+      // link extraction -> RFC 3986 resolve already happened in
+      // the decode pass; from here on the frontier reads ONLY
+      // (url, resolved_links) — parquet column pruning keeps the
+      // text out of this scan entirely
+      val links = pagesDf
+        .select(explode(col("resolved_links")).as("link"))
+        .select(graft.llmops.Web.urlCanonCol(col("link")).as("url"))
+      // this round's fetches, plus — for a RECURRING crawler —
+      // every PRIOR round's (--crawled= names any parquet with a
+      // url column, e.g. a previous run's ingest/docs): the loop
+      // must never re-schedule a url any round already fetched
+      val crawled = cfg.crawled.foldLeft(
+        pagesDf.select(
+          graft.llmops.Web.urlCanonCol(col("url")).as("url"))) {
+        (acc, prior) => acc.union(spark.read.parquet(prior).select(
+          graft.llmops.Web.urlCanonCol(col("url")).as("url")))
+      }.distinct()
+      val fresh = links.groupBy("url")
+        .agg(count(lit(1)).as("n_refs"))
+        .join(crawled, Seq("url"), "left_anti")
+      val fParts = withDomain(
+        graft.llmops.Web.withUrlParts(fresh, "url"))
+      // never schedule a fetch the policy forbids: verdict THEN
+      // delay, both broadcast joins against the same table
+      val delayed = cfg.robots match {
+        case Some(pp) =>
+          val pol = spark.read.parquet(pp)
+          val permitted = graft.llmops.Web
+            .withRobotsAllowedByPolicy(fParts, "domain",
+              "url_path", pol, "domain", "robots_txt", cfg.ua)
+            .where(col("robots_allowed"))
+          graft.llmops.Web.withCrawlDelayByPolicy(permitted,
+            "domain", pol, "domain", "robots_txt", cfg.ua)
+        case None =>
+          fParts.withColumn("robots_delay_ms", lit(1000L))
+      }
+      graft.llmops.Web.frontierSchedule(delayed, "domain", "url",
+        "n_refs", "robots_delay_ms")
+        .select(col("url"), col("domain"), col("n_refs"),
+          col("robots_delay_ms"), col("fetch_slot"),
+          col("fetch_time_ms"))
+        .write.mode("overwrite").parquet(s"$ingestOut/frontier")
+      // both outputs committed — drop the text-bearing
+      // intermediate (it would double corpus storage)
+      val pagesPath =
+        new org.apache.hadoop.fs.Path(s"$ingestOut/pages")
+      pagesPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(pagesPath, true)
+    } else {
+      polite.withColumn("text", textCol)
+        .where(length(col("text")) > 0)
+        .select(docIdCol,
+          col("warc_url").as("url"), col("domain"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$ingestOut/docs")
+    }
+    spark.read.parquet(s"$ingestOut/docs")
+      .agg(count(lit(1)).as("docs"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$ingestOut/report")
+  }
+
+  /** Dedup + curate over an already-resolved docs path (the tail of
+    * [[run]] after the optional ingest stage).
+    */
+  private def runStages(spark: SparkSession, cfg: Config,
+      docsPath: String, docsIdentity: String): Seq[(String, Long)] = {
     val dedupOut = s"${cfg.outDir}/dedup"
     val dedupCfg = cfg.dedup.copy(docs = docsPath, outDir = dedupOut,
       resume = cfg.resume)

@@ -31,9 +31,18 @@ object WarcScale {
     sb.toString
   }
 
-  def record(i: Long, payloadBytes: Int): String = {
+  /** `links` > 0 embeds that many relative anchors per page (target
+    * ids deterministic from i), so frontier-shaped experiments get a
+    * real link graph; the default 0 keeps legacy corpora byte-stable
+    * for warm-vs-warm reader comparisons.
+    */
+  def record(i: Long, payloadBytes: Int, links: Int = 0): String = {
     val crlf = "\r\n"
-    val html = s"<html><body><p>${payloadText(i, payloadBytes)}</p></body></html>"
+    val anchors = (0 until links).map(k =>
+      s"""<a href="/p/${(i * 7 + k * 131 + 3) % 3000000}">l$k</a> """)
+      .mkString
+    val html = s"<html><body>$anchors" +
+      s"<p>${payloadText(i, payloadBytes)}</p></body></html>"
     val http = s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf$html"
     s"WARC/1.0${crlf}WARC-Type: response$crlf" +
       s"WARC-Target-URI: https://ex${i % 1000}.com/p/$i$crlf" +

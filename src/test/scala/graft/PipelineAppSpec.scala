@@ -184,6 +184,83 @@ class PipelineAppSpec extends SparkSpec {
     assert(off("https://en.example/p").contains("café naïve"))
   }
 
+  test("crawler loop closes across two rounds: round 2 fetches " +
+    "round 1's frontier in schedule order, and --crawled= keeps " +
+    "round-1 urls out of round 2's frontier") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prose = "Plenty of plain prose here so the extracted body " +
+      "text clears the main-content length threshold comfortably. "
+    def rec(url: String, hrefs: Seq[String]): String = {
+      val html = s"<html><body>" +
+        hrefs.map(h => s"""<a href="$h">x</a> """).mkString +
+        s"<p>$prose</p></body></html>"
+      val http =
+        s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+      s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+        http + "\r\n\r\n"
+    }
+    // ---- round 1: 4 pages on a.com; /n/1 referenced by 3 pages,
+    // /n/2 by 2, /n/3 by 1; internal links (/p/*) are all crawled ----
+    val segA = java.nio.file.Files.createTempDirectory("loop_a")
+    java.nio.file.Files.write(segA.resolve("a.warc"), (
+      rec("https://a.com/p/0", Seq("/n/1", "/n/2", "/p/1")) +
+        rec("https://a.com/p/1", Seq("/n/1", "/n/2", "/p/2")) +
+        rec("https://a.com/p/2", Seq("/n/1", "/n/3", "/p/0")) +
+        rec("https://a.com/p/3", Seq("/p/0"))).getBytes("UTF-8"))
+    val out1 = java.nio.file.Files
+      .createTempDirectory("loop_out1").toString
+    PipelineApp.run(spark, PipelineApp.parse(Array("-", out1,
+      s"--warc=$segA", "--frontier", "--min-quality=0.0", "--rate=1.0")))
+    val f1 = spark.read.parquet(s"$out1/ingest/frontier")
+      .orderBy("fetch_slot")
+      .select("url", "n_refs", "fetch_slot", "fetch_time_ms")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // anti-join: no crawled url appears; schedule order follows
+    // n_refs desc; fetch times are slot x default delay
+    assert(f1.map(_._1).toSeq === Seq("https://a.com/n/1",
+      "https://a.com/n/2", "https://a.com/n/3"))
+    assert(f1.map(_._2).toSeq === Seq(3L, 2L, 1L))
+    assert(f1.map(_._4).toSeq === Seq(0L, 1000L, 2000L))
+    // ---- round 2: the fetcher honors the schedule — segment B is
+    // round 1's frontier IN fetch_time ORDER; fetched pages link
+    // back to round-1 urls AND to brand-new /m/* urls ----
+    val segB = java.nio.file.Files.createTempDirectory("loop_b")
+    val fetchList = f1.sortBy(_._4).map(_._1) // fetch_time order
+    java.nio.file.Files.write(segB.resolve("b.warc"),
+      fetchList.zipWithIndex.map { case (u, i) =>
+        rec(u, Seq("/p/0", "/p/1", s"/m/$i", "/m/9"))
+      }.mkString.getBytes("UTF-8"))
+    val out2 = java.nio.file.Files
+      .createTempDirectory("loop_out2").toString
+    PipelineApp.run(spark, PipelineApp.parse(Array("-", out2,
+      s"--warc=$segB", "--frontier", s"--crawled=$out1/ingest/docs",
+      "--min-quality=0.0", "--rate=1.0")))
+    val f2 = spark.read.parquet(s"$out2/ingest/frontier")
+      .select("url", "n_refs").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // round-1 urls (/p/*) are excluded via --crawled even though
+    // round 2 never fetched them; round 2's own fetches (/n/*)
+    // excluded by the in-run anti-join; only the new /m/* remain
+    assert(f2.keySet === Set("https://a.com/m/0", "https://a.com/m/1",
+      "https://a.com/m/2", "https://a.com/m/9"))
+    assert(f2("https://a.com/m/9") === 3L) // referenced by all three
+    // without --crawled, round-1 urls WOULD re-enter the frontier —
+    // the flag is what closes the loop
+    val out3 = java.nio.file.Files
+      .createTempDirectory("loop_out3").toString
+    PipelineApp.run(spark, PipelineApp.parse(Array("-", out3,
+      s"--warc=$segB", "--frontier", "--min-quality=0.0",
+      "--rate=1.0")))
+    val f3 = spark.read.parquet(s"$out3/ingest/frontier")
+      .select("url").as[String].collect().toSet
+    assert(f3.contains("https://a.com/p/0"))
+  }
+
   test("kill between stages: missing curate stage reruns on --resume; " +
     "dedup artifacts untouched; content identical to a fresh run") {
     val out = java.nio.file.Files
