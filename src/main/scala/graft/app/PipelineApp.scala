@@ -275,7 +275,13 @@ object PipelineApp {
         spark.sparkContext.hadoopConfiguration)
       var bytes = 0L
       val it = wfs.listFiles(wp, true)
-      while (it.hasNext) bytes += it.next().getLen
+      while (it.hasNext) {
+        val st = it.next()
+        // heap pressure tracks DECODED size — count gz at a nominal
+        // 5x expansion (HTML compresses ~4-6x), else at-rest bytes
+        bytes += st.getLen *
+          (if (st.getPath.getName.endsWith(".gz")) 5 else 1)
+      }
       val heap = Runtime.getRuntime.maxMemory()
       if (bytes > heap * 3 / 4) {
         val gb = math.ceil(2.0 * bytes / (1L << 30)).toLong

@@ -80,6 +80,11 @@ object FrontierScale {
         f"shards in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     } else println(s"[frontier] reusing corpus at $dir")
 
+    if (flags.contains("--gen-only")) { // corpus factory for other runs
+      println(s"[frontier] gen-only: corpus at $dir")
+      spark.stop(); return
+    }
+
     def timed[A](f: => A): (A, Double) = {
       val t = System.nanoTime()
       val a = f
