@@ -587,6 +587,41 @@ object PlanCheck {
         s"$domExch domain hash exchanges (policy agg + window), " +
         "no range partitioning")
     }
+
+    // r18: the single-decode --frontier contract — the frontier's
+    // link scan over the `pages` intermediate must COLUMN-PRUNE the
+    // text away (read only url + resolved_links), or the "one decode,
+    // cheap re-reads" story silently re-reads the whole corpus text.
+    locally {
+      val dir = java.nio.file.Files
+        .createTempDirectory("plan_pages").toString
+      spark.range(0, 100).selectExpr("id AS doc_id",
+        "concat('https://ex', CAST(id % 3 AS STRING), '.com/p/', " +
+          "CAST(id AS STRING)) AS url",
+        "'x' AS domain", "repeat('t', 100) AS text",
+        "CAST(100 AS LONG) AS n_chars",
+        "array(concat('https://ex', CAST(id % 3 AS STRING), " +
+          "'.com/n/', CAST(id AS STRING))) AS resolved_links")
+        .write.mode("overwrite").parquet(dir)
+      val pagesDf = spark.read.parquet(dir)
+      val links = pagesDf
+        .select(explode(col("resolved_links")).as("link"))
+        .select(graft.llmops.Web.urlCanonCol(col("link")).as("url"))
+        .groupBy("url").agg(count(lit(1)).as("n_refs"))
+        .join(pagesDf.select(graft.llmops.Web
+          .urlCanonCol(col("url")).as("url")).distinct(),
+          Seq("url"), "left_anti")
+      val lStr = links.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      val reads = lStr.linesIterator.filter(_.contains("ReadSchema"))
+        .toSeq
+      require(reads.nonEmpty, "expected parquet scans in frontier plan")
+      require(reads.forall(!_.contains("text")),
+        "frontier derivation must never read the text column:\n" +
+          reads.mkString("\n"))
+      println("single-decode frontier: " + reads.size +
+        " pruned pages scans, text column never read")
+    }
     spark.stop()
   }
 }
