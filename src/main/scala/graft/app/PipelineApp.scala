@@ -55,7 +55,8 @@ object PipelineApp {
       warc: Option[String] = None, robots: Option[String] = None,
       ua: String = "GraftBot/1.0", warcText: String = "main",
       psl: Option[String] = None, frontier: Boolean = false,
-      transcode: Boolean = true, crawled: Option[String] = None)
+      transcode: Boolean = true, crawled: Option[String] = None,
+      robotsWarc: Option[String] = None)
 
   private val dedupFlags = Seq("--id-col=", "--text-col=", "--score-col=",
     "--threshold=", "--shingle=", "--hashes=", "--band-rows=",
@@ -66,7 +67,8 @@ object PipelineApp {
   // is given (pass '-'); the ingest stage writes <outDir>/ingest/docs
   // and the dedup stage reads that instead
   private val warcFlags = Seq("--warc=", "--robots=", "--ua=",
-    "--warc-text=", "--psl=", "--transcode=", "--crawled=")
+    "--warc-text=", "--psl=", "--transcode=", "--crawled=",
+    "--robots-warc=")
 
   def parse(args: Array[String]): Config = {
     require(args.length >= 2,
@@ -101,6 +103,9 @@ object PipelineApp {
     val transcode = flag("transcode").getOrElse("on")
     require(transcode == "on" || transcode == "off",
       s"--transcode must be on or off, got: $transcode")
+    require(flag("robots").isEmpty || flag("robots-warc").isEmpty,
+      "--robots= (prepared parquet) and --robots-warc= (robots.txt " +
+        "WARC dir) are mutually exclusive")
     val d = DedupApp.parse(Array(docs, s"$outDir/dedup") ++
       args.drop(2).filterNot(f => f == "--frontier" ||
         (curateFlags ++ warcFlags).exists(f.startsWith)))
@@ -111,7 +116,8 @@ object PipelineApp {
       warc = flag("warc"), robots = flag("robots"),
       ua = flag("ua").getOrElse("GraftBot/1.0"), warcText = warcText,
       psl = flag("psl"), frontier = args.contains("--frontier"),
-      transcode = transcode == "on", crawled = flag("crawled"))
+      transcode = transcode == "on", crawled = flag("crawled"),
+      robotsWarc = flag("robots-warc"))
   }
 
   /** Canonical parameter strings — strict string equality decides
@@ -243,7 +249,8 @@ object PipelineApp {
           s"ua=${cfg.ua};text=${cfg.warcText};" +
           s"psl=${cfg.psl.getOrElse("-")};frontier=${cfg.frontier};" +
           s"transcode=${cfg.transcode};" +
-          s"crawled=${cfg.crawled.getOrElse("-")}"
+          s"crawled=${cfg.crawled.getOrElse("-")};" +
+          s"robotsWarc=${cfg.robotsWarc.getOrElse("-")}"
         val arts = Seq(s"$ingestOut/docs", s"$ingestOut/report") ++
           (if (cfg.frontier) Seq(s"$ingestOut/frontier") else Seq.empty)
         if (!skippable(spark, cfg.outDir, "ingest", ip, warcDir, arts)) {
@@ -326,12 +333,41 @@ object PipelineApp {
     }
     val parts = withDomain(
       graft.llmops.Web.withUrlParts(recs, "warc_url"))
-    val polite = cfg.robots match {
+    // Robots policy table, two sources: --robots= names a prepared
+    // parquet (domain, robots_txt); --robots-warc= names a WARC dir
+    // of robots.txt FETCHES (the Common Crawl robotstxt/-segment
+    // layout — a real crawler's policies come from fetched files, not
+    // hand-built tables), decoded through the same transcode/domain
+    // chain as the corpus, with the LATEST fetch per domain winning
+    // (warc_date order via the gated max_by policy dedup). Both are
+    // policy-sized — rows are domains, never corpus.
+    val policy: Option[(org.apache.spark.sql.DataFrame, Option[String])] =
+      (cfg.robots, cfg.robotsWarc) match {
+        case (Some(pp), _) => Some((spark.read.parquet(pp), None))
+        case (None, Some(rw)) =>
+          val rraw = graft.llmops.Warc.readWarcDir(spark, rw,
+              byteTransparent = cfg.transcode)
+            .where(col("warc_type") === "response" &&
+              (col("http_status").isNull || col("http_status") === 200))
+          val rtxt = if (cfg.transcode)
+            graft.llmops.Web.withTranscodedBody(
+              graft.llmops.Web.withCharset(rraw,
+                "http_content_type", "warc_body"),
+              "warc_body", "charset", "robots_txt")
+          else rraw.withColumn("robots_txt", col("warc_body"))
+          Some((withDomain(
+            graft.llmops.Web.withUrlParts(rtxt, "warc_url"))
+            .where(col("url_path") === "/robots.txt")
+            .select(col("domain"), col("robots_txt"), col("warc_date")),
+            Some("warc_date")))
+        case (None, None) => None
+      }
+    val polite = policy match {
       case None => parts
-      case Some(pp) =>
+      case Some((pol, ord)) =>
         graft.llmops.Web.withRobotsAllowedByPolicy(parts,
-          "domain", "url_path", spark.read.parquet(pp),
-          "domain", "robots_txt", cfg.ua)
+          "domain", "url_path", pol,
+          "domain", "robots_txt", cfg.ua, policyOrderCol = ord)
           .where(col("robots_allowed"))
     }
     val textCol = if (cfg.warcText == "all")
@@ -341,6 +377,13 @@ object PipelineApp {
     // non-negative ids (%019d lexicographic rendering)
     val docIdCol = xxhash64(col("source_file"), col("rec_idx"))
       .bitwiseAND(lit(Long.MaxValue)).as("doc_id")
+    // A fetched sitemap is a FRONTIER document, not a corpus
+    // document: its root tag sits in the first few KB (bounded scan,
+    // never a full-body search). Its <url> entries seed the next
+    // round with their lastmod riding along for recency ranking.
+    val head4k = substring(col("html_utf8"), 1, 4096)
+    val isSitemapCol = (head4k.contains("<urlset") ||
+      head4k.contains("<sitemapindex")).as("is_sitemap")
     // --frontier: ONE decode pass (r18). The WARC decode is the
     // expensive stage (gunzip + parse + transcode + robots join),
     // so when the frontier is requested the single pass writes a
@@ -360,10 +403,13 @@ object PipelineApp {
         .select(docIdCol,
           col("warc_url").as("url"), col("domain"), col("text"),
           length(col("text")).cast("long").as("n_chars"),
-          col("resolved_links"))
+          col("resolved_links"), isSitemapCol,
+          when(isSitemapCol,
+            graft.llmops.Web.sitemapEntriesUdf(col("html_utf8")))
+            .as("sitemap_seeds"))
       pages.write.mode("overwrite").parquet(s"$ingestOut/pages")
       val pagesDf = spark.read.parquet(s"$ingestOut/pages")
-      pagesDf.where(col("n_chars") > 0)
+      pagesDf.where(col("n_chars") > 0 && !col("is_sitemap"))
         .select("doc_id", "url", "domain", "text", "n_chars")
         .write.mode("overwrite").parquet(s"$ingestOut/docs")
       // link extraction -> RFC 3986 resolve already happened in
@@ -383,29 +429,44 @@ object PipelineApp {
         (acc, prior) => acc.union(spark.read.parquet(prior).select(
           graft.llmops.Web.urlCanonCol(col("url")).as("url")))
       }.distinct()
-      val fresh = links.groupBy("url")
-        .agg(count(lit(1)).as("n_refs"))
+      // sitemap seeds (urlset pages AND sitemapindex children — both
+      // are fetch targets) join the link refs with their lastmod;
+      // per url the frontier keeps (ref count, LATEST lastmod)
+      val seeds = pagesDf.where(col("is_sitemap"))
+        .select(explode(col("sitemap_seeds")).as("e"))
+        .select(graft.llmops.Web.urlCanonCol(col("e._1")).as("url"),
+          col("e._2").as("lastmod"))
+      val fresh = links
+        .withColumn("lastmod", lit(null).cast("string"))
+        .union(seeds)
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_refs"), max("lastmod").as("lastmod"))
         .join(crawled, Seq("url"), "left_anti")
       val fParts = withDomain(
         graft.llmops.Web.withUrlParts(fresh, "url"))
       // never schedule a fetch the policy forbids: verdict THEN
       // delay, both broadcast joins against the same table
-      val delayed = cfg.robots match {
-        case Some(pp) =>
-          val pol = spark.read.parquet(pp)
+      val delayed = policy match {
+        case Some((pol, ord)) =>
           val permitted = graft.llmops.Web
             .withRobotsAllowedByPolicy(fParts, "domain",
-              "url_path", pol, "domain", "robots_txt", cfg.ua)
+              "url_path", pol, "domain", "robots_txt", cfg.ua,
+              policyOrderCol = ord)
             .where(col("robots_allowed"))
           graft.llmops.Web.withCrawlDelayByPolicy(permitted,
-            "domain", pol, "domain", "robots_txt", cfg.ua)
+            "domain", pol, "domain", "robots_txt", cfg.ua,
+            policyOrderCol = ord)
         case None =>
           fParts.withColumn("robots_delay_ms", lit(1000L))
       }
-      graft.llmops.Web.frontierSchedule(delayed, "domain", "url",
-        "n_refs", "robots_delay_ms")
-        .select(col("url"), col("domain"), col("n_refs"),
-          col("robots_delay_ms"), col("fetch_slot"),
+      // recency-ranked schedule: freshest lastmod first, link
+      // popularity for the undated tail — with no sitemaps in the
+      // crawl every lastmod is null and this degrades EXACTLY to the
+      // (n_refs desc, url) order
+      graft.llmops.Web.frontierScheduleRecency(delayed, "domain",
+        "url", "lastmod", "n_refs", "robots_delay_ms")
+        .select(col("url"), col("domain"), col("lastmod"),
+          col("n_refs"), col("robots_delay_ms"), col("fetch_slot"),
           col("fetch_time_ms"))
         .write.mode("overwrite").parquet(s"$ingestOut/frontier")
       // both outputs committed — drop the text-bearing
@@ -417,7 +478,7 @@ object PipelineApp {
         .delete(pagesPath, true)
     } else {
       polite.withColumn("text", textCol)
-        .where(length(col("text")) > 0)
+        .where(length(col("text")) > 0 && !isSitemapCol)
         .select(docIdCol,
           col("warc_url").as("url"), col("domain"), col("text"),
           length(col("text")).cast("long").as("n_chars"))

@@ -905,9 +905,18 @@ object Web {
     * `is_index`. Map-side kernel, no shuffle — seeds then flow through
     * urlCanonCol -> anti-join crawled, the pipeline11 shape.
     */
-  def withSitemapEntries(df: DataFrame, xmlCol: String): DataFrame = {
-    val k = udf((xml: String) => sitemapEntries(xml)
+  /** Array form of the sitemap kernel: `array<struct<_1:loc, _2:
+    * lastmod, _3:is_index>>` per document — the shape a wide scan
+    * stores when entries must ride a row (PipelineApp's pages
+    * intermediate) instead of exploding in place.
+    */
+  val sitemapEntriesUdf
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((xml: String) => sitemapEntries(xml)
       .map(e => (e.loc, e.lastmod, e.isIndex)))
+
+  def withSitemapEntries(df: DataFrame, xmlCol: String): DataFrame = {
+    val k = sitemapEntriesUdf
     df.withColumn("__sm", k(col(xmlCol)))
       .select(col("*"), posexplode(col("__sm")).as(Seq("sitemap_idx", "__e")))
       .withColumn("loc", col("__e._1"))

@@ -172,9 +172,15 @@ object FrontierScale {
       oneSec = math.min(oneSec, a); twoSec = math.min(twoSec, b)
     }
 
-    // ---- identity: same frontier rows, both directions ----
+    // ---- identity: same frontier rows, both directions (the shipped
+    // path also carries a lastmod column — all-null on a sitemap-free
+    // corpus — so compare on the r17 shape's columns) ----
+    val cmpCols = Seq("url", "domain", "n_refs", "robots_delay_ms",
+      "fetch_slot", "fetch_time_ms").map(col)
     val fA = spark.read.parquet(s"$outA/ingest/frontier")
+      .select(cmpCols: _*)
     val fB = spark.read.parquet(s"$outB/ingest/frontier")
+      .select(cmpCols: _*)
     val (nA, nB) = (fA.count(), fB.count())
     require(nA == nB, s"frontier row counts differ: $nA vs $nB")
     require(fA.exceptAll(fB).isEmpty && fB.exceptAll(fA).isEmpty,

@@ -261,6 +261,88 @@ class PipelineAppSpec extends SparkSpec {
     assert(f3.contains("https://a.com/p/0"))
   }
 
+  test("--robots-warc derives the policy table from fetched " +
+    "robots.txt (latest wins) and sitemap pages seed the frontier " +
+    "with lastmod recency ranking") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prose = "Plenty of plain prose here so the extracted body " +
+      "text clears the main-content length threshold comfortably. "
+    def recRaw(url: String, body: String, ctype: String,
+        date: String): String = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n$body"
+      s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $url\r\nWARC-Date: $date\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+        http + "\r\n\r\n"
+    }
+    def page(url: String, hrefs: Seq[String]): String =
+      recRaw(url, "<html><body>" +
+        hrefs.map(h => s"""<a href="$h">x</a> """).mkString +
+        s"<p>$prose</p></body></html>", "text/html",
+        "2024-01-01T00:00:00Z")
+    // robots segment (the Common Crawl robotstxt/ layout): TWO
+    // fetches of blocked.com's robots.txt — the older allows
+    // everything, the newer disallows all; latest must win
+    val robotsDir = java.nio.file.Files.createTempDirectory("rw_rob")
+    java.nio.file.Files.write(robotsDir.resolve("r.warc"), (
+      recRaw("https://blocked.com/robots.txt", "User-agent: *\nAllow: /\n",
+        "text/plain", "2024-01-01T00:00:00Z") +
+        recRaw("https://blocked.com/robots.txt",
+          "User-agent: *\nDisallow: /\n",
+          "text/plain", "2024-02-01T00:00:00Z") +
+        recRaw("https://ok.com/robots.txt",
+          "User-agent: *\nCrawl-delay: 2\n",
+          "text/plain", "2024-01-01T00:00:00Z")).getBytes("UTF-8"))
+    // crawl segment: ok.com pages (one links /f/1), one blocked.com
+    // page (must be politeness-filtered by the DERIVED policy), and
+    // ok.com's sitemap with dated + undated seeds
+    val segDir = java.nio.file.Files.createTempDirectory("rw_seg")
+    val sitemap = """<?xml version="1.0"?><urlset>
+      <url><loc>https://ok.com/s/fresh</loc>
+        <lastmod>2024-03-02</lastmod></url>
+      <url><loc>https://ok.com/s/stale</loc>
+        <lastmod>2024-01-02</lastmod></url>
+      <url><loc>https://ok.com/p/0</loc>
+        <lastmod>2024-03-05</lastmod></url>
+      </urlset>"""
+    java.nio.file.Files.write(segDir.resolve("s.warc"), (
+      page("https://ok.com/p/0", Seq("/f/1", "/f/1")) +
+        page("https://ok.com/p/1", Seq("/f/1")) +
+        page("https://blocked.com/p/9", Seq("/x/1")) +
+        recRaw("https://ok.com/sitemap.xml", sitemap,
+          "application/xml", "2024-01-01T00:00:00Z"))
+      .getBytes("UTF-8"))
+    val out = java.nio.file.Files
+      .createTempDirectory("rw_out").toString
+    PipelineApp.run(spark, PipelineApp.parse(Array("-", out,
+      s"--warc=$segDir", s"--robots-warc=$robotsDir", "--frontier",
+      "--min-quality=0.0", "--rate=1.0")))
+    val docs = spark.read.parquet(s"$out/ingest/docs")
+    // latest robots fetch wins: blocked.com page filtered out;
+    // the sitemap XML itself never becomes a corpus doc
+    assert(docs.where(col("domain") === "blocked.com").count() === 0)
+    assert(docs.where(col("url").endsWith("sitemap.xml")).count() === 0)
+    assert(docs.count() === 2L)
+    val fr = spark.read.parquet(s"$out/ingest/frontier")
+      .orderBy("fetch_slot")
+      .select("url", "lastmod", "n_refs", "robots_delay_ms",
+        "fetch_slot").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // ok.com/p/0 was CRAWLED: its sitemap entry must not re-enter;
+    // blocked.com's outlink /x/1 never appears (page filtered
+    // upstream); recency ranks fresh (03-02) over stale (01-02) over
+    // the undated-but-popular link target /f/1; the crawl-derived
+    // Crawl-delay (2 s) prices the slots
+    assert(fr.map(_._1).toSeq === Seq("https://ok.com/s/fresh",
+      "https://ok.com/s/stale", "https://ok.com/f/1"))
+    assert(fr.map(_._2).toSeq === Seq("2024-03-02", "2024-01-02", null))
+    assert(fr.map(_._3).toSeq === Seq(1L, 1L, 3L))
+    assert(fr.forall(_._4 == 2000L))
+    assert(fr.map(_._5).toSeq === Seq(0L, 1L, 2L))
+  }
+
   test("kill between stages: missing curate stage reruns on --resume; " +
     "dedup artifacts untouched; content identical to a fresh run") {
     val out = java.nio.file.Files
