@@ -2367,6 +2367,65 @@ object LlmQueries {
           col("fetch_time_ms"))
     }),
 
+    // Robots policies from FETCH RECORDS (the --robots-warc CLI
+    // semantics, r18): each domain has TWO dated robots.txt fetches
+    // whose policies DISAGREE — verdicts and Crawl-delays must follow
+    // the LATEST fetch (max_by(text, warc_date) policy dedup). An
+    // implementation that picks the old fetch, or joins both rows,
+    // produces different verdicts/delays/row counts and hash-fails.
+    // The oracle writes out the winner policy's RFC decision per
+    // (domain, path) family and replays the schedule window.
+    "llm_pipeline15" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val host = concat(lit("ex"),
+        pmod(col("doc_id"), lit(4)).cast("string"), lit(".com"))
+      val urls = docs.select(concat(lit("https://"), host, lit("/p/"),
+          pmod(col("doc_id") * 13 + 2, lit(80)).cast("string")).as("url"))
+        .union(docs.select(concat(lit("https://"), host, lit("/q/"),
+          pmod(col("doc_id") * 7 + 1, lit(80)).cast("string")).as("url")))
+        .groupBy("url").agg(count(lit(1)).as("n_refs"))
+      def pol(pid: Int, old: Boolean): String = (pid, old) match {
+        case (0, true) => "User-agent: *\nDisallow: /\n"
+        case (0, false) => "User-agent: *\nDisallow: /q\n"
+        case (1, true) => "User-agent: *\nDisallow: /p\n"
+        case (1, false) => "User-agent: *\nAllow: /\n"
+        case (2, true) => "User-agent: *\nCrawl-delay: 9\n"
+        case (2, false) => "User-agent: *\nCrawl-delay: 2.5\n"
+        case (3, true) => "User-agent: *\nAllow: /\n"
+        case (_, _) =>
+          "User-agent: graftbot\nAllow: /p/\nDisallow: /\n"
+      }
+      val fetches = s.range(0, 4).toDF("pid")
+        .withColumn("domain", concat(lit("ex"),
+          col("pid").cast("string"), lit(".com")))
+        .select(col("domain"), col("pid"), explode(array(
+          lit("2024-01-01T00:00:00Z"), lit("2024-02-01T00:00:00Z")))
+          .as("warc_date"))
+        .withColumn("robots_txt",
+          (0 to 3).foldLeft(lit(null: String)) { (acc, p) =>
+            when(col("pid") === p &&
+              col("warc_date").startsWith("2024-01"), lit(pol(p, true)))
+              .when(col("pid") === p, lit(pol(p, false)))
+              .otherwise(acc)
+          })
+        .select(col("domain"), col("warc_date"), col("robots_txt"))
+      val parts = Web.withUrlParts(urls, "url")
+        .withColumn("domain", col("url_host"))
+      val allowed = Web.withRobotsAllowedByPolicy(parts, "domain",
+        "url_path", fetches, "domain", "robots_txt", "GraftBot/1.0",
+        policyOrderCol = Some("warc_date"))
+        .where(col("robots_allowed"))
+      val delayed = Web.withCrawlDelayByPolicy(allowed, "domain",
+        fetches, "domain", "robots_txt", "GraftBot/1.0",
+        defaultDelayMillis = 1000L,
+        policyOrderCol = Some("warc_date"))
+      Web.frontierSchedule(delayed, "domain", "url", "n_refs",
+        "robots_delay_ms")
+        .select(col("url"), col("domain"), col("n_refs"),
+          col("robots_delay_ms"), col("fetch_slot"),
+          col("fetch_time_ms"))
+    }),
+
     // Robots policies as a TABLE (the 100 TB shape: per-domain
     // robots.txt is data, not config): four domain families, three
     // with distinct policies (block-all; block ids ending 3; Allow
@@ -5075,6 +5134,43 @@ object LlmQueries {
            FROM f)
          SELECT url, domain, lastmod, n_refs, robots_delay_ms,
            fetch_slot, fetch_slot * robots_delay_ms AS fetch_time_ms
+         FROM dd""",
+    // Latest-fetch-wins replay: the oracle applies ONLY the 2024-02
+    // policies (the newer fetch per domain) — verdict CASE per
+    // (domain, path family), delay CASE, schedule window.
+    "llm_pipeline15" ->
+      """WITH l AS (
+           SELECT 'https://ex' || CAST(doc_id % 4 AS VARCHAR) ||
+             '.com/p/' || CAST((doc_id * 13 + 2) % 80 AS VARCHAR) AS url
+           FROM documents
+           UNION ALL
+           SELECT 'https://ex' || CAST(doc_id % 4 AS VARCHAR) ||
+             '.com/q/' || CAST((doc_id * 7 + 1) % 80 AS VARCHAR)
+           FROM documents),
+         agg AS (
+           SELECT url, CAST(COUNT(*) AS BIGINT) AS n_refs
+           FROM l GROUP BY url),
+         f AS (
+           SELECT url, n_refs,
+             regexp_extract(url, '^https://([^/]+)', 1) AS domain,
+             regexp_extract(url, '^https://[^/]+(/.*)', 1) AS path
+           FROM agg),
+         al AS (
+           SELECT url, domain, n_refs FROM f WHERE
+             CASE domain
+               WHEN 'ex0.com' THEN path NOT LIKE '/q%'
+               WHEN 'ex3.com' THEN path LIKE '/p/%'
+               ELSE TRUE END),
+         dd AS (
+           SELECT url, domain, n_refs,
+             CAST(CASE domain WHEN 'ex2.com' THEN 2500
+               ELSE 1000 END AS BIGINT) AS robots_delay_ms,
+             CAST(ROW_NUMBER() OVER (PARTITION BY domain
+               ORDER BY n_refs DESC, url ASC) - 1 AS BIGINT)
+               AS fetch_slot
+           FROM al)
+         SELECT url, domain, n_refs, robots_delay_ms, fetch_slot,
+           fetch_slot * robots_delay_ms AS fetch_time_ms
          FROM dd""",
     // The RFC's answer per ref class, written out directly.
     "llm_url_resolve" ->
