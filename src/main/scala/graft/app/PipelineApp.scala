@@ -355,10 +355,13 @@ object PipelineApp {
                 "http_content_type", "warc_body"),
               "warc_body", "charset", "robots_txt")
           else rraw.withColumn("robots_txt", col("warc_body"))
-          Some((withDomain(
+          // pinned: the table feeds up to THREE broadcast joins
+          // (politeness + frontier verdict + delay) — without the
+          // persist each would re-decode the robots WARC dir
+          Some((graft.core.Caches.scoped(withDomain(
             graft.llmops.Web.withUrlParts(rtxt, "warc_url"))
             .where(col("url_path") === "/robots.txt")
-            .select(col("domain"), col("robots_txt"), col("warc_date")),
+            .select(col("domain"), col("robots_txt"), col("warc_date"))),
             Some("warc_date")))
         case (None, None) => None
       }
