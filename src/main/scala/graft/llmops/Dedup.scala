@@ -198,9 +198,16 @@ object Dedup {
   private[graft] def minhashKeyed(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int, k: Int, bandRows: Int,
       maxBandPop: Int): DataFrame = {
-    val banded0 = minhashBandKeys(df, idCol, textCol, shingleN, k, bandRows)
-    if (maxBandPop == Int.MaxValue) banded0.withColumn("__sub", lit(0L))
+    val banded00 =
+      minhashBandKeys(df, idCol, textCol, shingleN, k, bandRows)
+    if (maxBandPop == Int.MaxValue) banded00.withColumn("__sub", lit(0L))
     else {
+      // pinned: the capped path consumes the signature scan (k x
+      // shingles md5s per row — the operator's compute) from TWO
+      // subtrees (hot-bucket histogram + the keyed join side), which
+      // exchange reuse cannot cover; without the persist the scan runs
+      // twice. Narrow (id, band, band_hash) rows, disk-spillable.
+      val banded0 = graft.core.Caches.scoped(banded00)
       val hot = banded0.groupBy("band", "band_hash")
         .agg(count(lit(1)).as("__pop"))
         .where(col("__pop") > maxBandPop)
