@@ -547,10 +547,15 @@ object Dedup {
       vecCol: String, centroids: Array[Array[Double]],
       maxCellPop: Int): DataFrame = {
     require(maxCellPop > 0, "maxCellPop must be positive")
-    val base = Ann.withIvfCentroidCell(
+    // pinned: the centroid-cell assignment (a full distance sweep per
+    // row) feeds the cell histogram AND the keyed output — and the
+    // caller self-joins the keyed frame besides. Map-side work has no
+    // exchange for ReuseExchange to catch, so without the persist the
+    // sweep reruns per consumer.
+    val base = graft.core.Caches.scoped(Ann.withIvfCentroidCell(
       df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("__v")),
-      "__v", centroids)
+      "__v", centroids))
     if (maxCellPop == Int.MaxValue) base.withColumn("__sub", lit(0L))
     else {
       // Cell histogram is bounded by nCells -> broadcastable by
@@ -571,7 +576,10 @@ object Dedup {
   def semanticDupFlags(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], thresholdMicro: Long,
       maxCellPop: Int = DefaultHotCap): DataFrame = {
-    val keyed = semanticKeyed(df, idCol, vecCol, centroids, maxCellPop)
+    // keyed is consumed THREE times (both self-join sides + the
+    // flag attach) — same pin rationale as semanticKeyed's base
+    val keyed = graft.core.Caches.scoped(
+      semanticKeyed(df, idCol, vecCol, centroids, maxCellPop))
     val base = keyed.drop("__sub")
     val dups = keyed.as("l").join(keyed.as("r"),
         col("l.cell") === col("r.cell") &&
