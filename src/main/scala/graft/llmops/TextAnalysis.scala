@@ -14,10 +14,100 @@ object TextAnalysis {
   def withLangId(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", langId(col(textCol)))
 
+  /** All integer inputs of the quality features from ONE walk over the
+    * text — the compiled replacement for the column-expression form's
+    * ~7 independent tokenize/regex passes per document (each an
+    * interpreted higher-order function: the r19 profile measured the
+    * old `withQuality` at 484 s for 2M docs, 99% of the curate
+    * runner's wall; this struct costs one char scan). Semantics are
+    * bit-replicas of [[graft.functions.TextFunctions.qualityFeatures]]:
+    *
+    *  - `alpha`     = count of a-z UTF-16 units in `text.toLowerCase`
+    *                  (= length of regexp_replace(lower, "[^a-z]", ""))
+    *  - `digit`     = count of 0-9 units in the ORIGINAL text
+    *  - `punct`     = count of CODEPOINTS not in [a-zA-Z0-9] or ASCII
+    *                  whitespace (Java regex \s) in the original
+    *  - `nTokens` / `sumTokLen` / `stopHits` over maximal [a-z0-9]
+    *    runs of the lowered text (the TextFunctions.tokens split),
+    *    stop-matching against [[TextFunctions.qualityStopwords]]
+    *
+    * TextAnalysisSpec asserts column-level equality against the old
+    * expression form (incl. unicode/empty/null rows), and every
+    * quality gate hash-matches its DuckDB oracle unchanged.
+    */
+  final case class QualityCounts(alpha: Int, digit: Int, punct: Int,
+      nTokens: Int, sumTokLen: Int, stopHits: Int)
+
+  private val qualityStopSet: Set[String] = qualityStopwords.toSet
+
+  val qualityCountsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => if (s == null) None else Some {
+      var digit = 0; var punct = 0
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        if (cp >= '0' && cp <= '9') digit += 1
+        else if (!((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+          cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+          cp == '\f' || cp == '\r')) punct += 1
+        i += Character.charCount(cp)
+      }
+      val lo = s.toLowerCase
+      var alpha = 0; var nTok = 0; var sumLen = 0; var stops = 0
+      var j = 0; var runStart = -1
+      def closeRun(end: Int): Unit = if (runStart >= 0) {
+        nTok += 1; sumLen += end - runStart
+        if (qualityStopSet.contains(lo.substring(runStart, end))) stops += 1
+        runStart = -1
+      }
+      while (j < lo.length) {
+        val c = lo.charAt(j)
+        val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        if (c >= 'a' && c <= 'z') alpha += 1
+        if (alnum) { if (runStart < 0) runStart = j }
+        else closeRun(j)
+        j += 1
+      }
+      closeRun(lo.length)
+      QualityCounts(alpha, digit, punct, nTok, sumLen, stops)
+    })
+
+  /** Same columns, names, positions, and VALUES as the original
+    * expression form (`qualityFeatures` + `qualityScore` — kept in
+    * TextFunctions as the parity reference and for single-feature
+    * composition): the counts come from [[qualityCountsUdf]]'s one
+    * pass, the ratios and the score stay Column arithmetic with the
+    * exact original shape, so doubles are bit-identical.
+    */
   def withQuality(df: DataFrame, textCol: String): DataFrame = {
-    val feats = qualityFeatures(col(textCol))
-    feats.foldLeft(df) { case (acc, (name, c)) => acc.withColumn(name, c) }
-      .withColumn("quality_score", qualityScore(col(textCol)))
+    val txt = col(textCol)
+    val nChars = length(txt)
+    def ratio(num: Column): Column =
+      when(nChars === 0, 0.0)
+        .otherwise(num.cast("double") / nChars.cast("double"))
+    val nTok = col("__qc.nTokens")
+    val meanTok = when(nTok === 0, 0.0)
+      .otherwise(col("__qc.sumTokLen").cast("double") / nTok.cast("double"))
+    val stopR = when(nTok === 0, 0.0)
+      .otherwise(col("__qc.stopHits").cast("double") / nTok.cast("double"))
+    val alphaR = ratio(col("__qc.alpha"))
+    val digitR = ratio(col("__qc.digit"))
+    val lengthTerm = least(nTok.cast("double") / 100.0, lit(1.0))
+    val score = lit(0.25) * lengthTerm +
+      lit(0.35) * alphaR +
+      lit(0.25) * least(stopR * 5.0, lit(1.0)) +
+      lit(0.15) * (lit(1.0) - least(digitR * 5.0, lit(1.0)))
+    df.withColumn("__qc", qualityCountsUdf(txt))
+      .withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_token_len", meanTok)
+      .withColumn("alpha_ratio", alphaR)
+      .withColumn("digit_ratio", digitR)
+      .withColumn("punct_ratio", ratio(col("__qc.punct")))
+      .withColumn("stopword_ratio", stopR)
+      .withColumn("quality_score",
+        least(greatest(score, lit(0.0)), lit(1.0)))
+      .drop("__qc")
   }
 
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame =

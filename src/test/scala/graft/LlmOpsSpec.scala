@@ -410,6 +410,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("withQuality (compiled single-pass counts) is bit-identical " +
+    "to the expression form on corpus + adversarial rows") {
+    import spark.implicits._
+    // the old column-expression form (qualityFeatures + qualityScore,
+    // kept in TextFunctions as the parity reference) vs the r19
+    // single-pass UDF rewrite — every feature AND the float score must
+    // match bit-for-bit, including unicode, empty, whitespace-only,
+    // and null rows
+    val weird = Seq(
+      (9000001L, ""), (9000002L, "   \t\n "),
+      (9000003L, "ÜBER Straße 42!!! ΣΟΦΙΑ"),
+      (9000004L, "the and of to 12345 ++--** the"),
+      (9000005L, "😀 emoji 𝔘ni code 99"),
+      (9000006L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"), col("text")).limit(200)
+      .unionByName(weird)
+    val cols = Seq("n_chars", "n_tokens", "mean_token_len",
+      "alpha_ratio", "digit_ratio", "punct_ratio", "stopword_ratio",
+      "quality_score")
+    val neu = TextAnalysis.withQuality(base, "text")
+      .orderBy("doc_id").select("doc_id", cols: _*).collect()
+    val old = {
+      val feats = qualityFeatures(col("text"))
+      feats.foldLeft(base) { case (acc, (n, c)) => acc.withColumn(n, c) }
+        .withColumn("quality_score", qualityScore(col("text")))
+    }.orderBy("doc_id").select("doc_id", cols: _*).collect()
+    assert(neu.toSeq == old.toSeq)
+  }
+
   test("token counts: bpeish >= ws tokens on plain text") {
     val out = TextAnalysis.withTokenCounts(docs.limit(50), "text").collect()
     out.foreach { r =>
