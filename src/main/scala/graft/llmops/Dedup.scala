@@ -147,9 +147,16 @@ object Dedup {
     * (pop > cap) ride the broadcast — tiny by definition at any corpus
     * size, unlike the full bucket histogram, whose key space here is
     * unbounded (md5 band hashes, not fixed-width chunks). Recall trade
-    * is one-sided: capped candidates are a subset, and hot buckets are
-    * exactly the near-duplicate piles where any retained pair collapses
-    * the same cluster.
+    * is one-sided: capped candidates are a SUBSET of the uncapped
+    * candidates. Note the approximation honestly: a bucket of N docs
+    * sub-splits into ceil(N/cap) components with NO cross-sub pairs, so
+    * a cluster wholly inside one hot bucket may come out as up to
+    * ceil(N/cap) clusters (cluster dedup then retains one survivor per
+    * SUB-cluster, and [[sourceOverlapMatrix]] undercounts cross-source
+    * pairs accordingly). When the cap engages, the operator logs how
+    * many buckets sub-split (slf4j "graft.llmops.Dedup") so a
+    * measurement consumer can see the approximation; when no bucket
+    * exceeds the cap the output is EXACTLY the uncapped output.
     *
     * The cap DEFAULTS ON (256, [[DefaultHotCap]]) as of r18: the r17
     * 2M-document CLI run proved the uncapped path is not survivable (a
@@ -214,13 +221,32 @@ object Dedup {
         .select(col("band"), col("band_hash"),
           ceil(col("__pop").cast("double") / maxBandPop).cast("long")
             .as("__k"))
-      banded0.join(broadcast(hot), Seq("band", "band_hash"), "left")
-        .withColumn("__sub",
-          when(col("__k").isNull, lit(0L))
-            .otherwise(pmod(
-              conv(substring(md5(col("id").cast("string")), 1, 14),
-                16, 10).cast("long"), col("__k"))))
-        .drop("__k")
+      // empty-hot short-circuit (r19): the histogram is a bounded
+      // aggregate over the persisted scan; when NO bucket exceeds the
+      // cap, the sub-split machinery is a no-op by construction (__k
+      // null everywhere → __sub = 0), so skip the broadcast join and
+      // the md5-mod expression entirely. One tiny driver action on an
+      // already-aggregated frame; byte-identical output either way —
+      // and it reclaims most of the cap-default overhead on clean
+      // corpora (llm_minhash_pairs was 1.46× its pre-cap time). When
+      // the cap DOES engage, say so: sub-splitting is a recall
+      // approximation (clusters may split ceil(pop/cap) ways) that a
+      // measurement consumer must be able to see in the log.
+      val nHot = hot.count()
+      if (nHot == 0L) banded0.withColumn("__sub", lit(0L))
+      else {
+        org.slf4j.LoggerFactory.getLogger("graft.llmops.Dedup").warn(
+          s"minhash hot-bucket cap engaged: $nHot bucket(s) exceed " +
+            s"maxBandPop=$maxBandPop and sub-split; capped pairs are a " +
+            "subset (clusters may split ceil(pop/cap) ways)")
+        banded0.join(broadcast(hot), Seq("band", "band_hash"), "left")
+          .withColumn("__sub",
+            when(col("__k").isNull, lit(0L))
+              .otherwise(pmod(
+                conv(substring(md5(col("id").cast("string")), 1, 14),
+                  16, 10).cast("long"), col("__k"))))
+          .drop("__k")
+      }
     }
   }
 
@@ -237,6 +263,15 @@ object Dedup {
     * -- AQE broadcasts the pair side when it is small, and at 100 TB the
     * pair frame is still orders of magnitude smaller than the corpus.
     * The final matrix aggregate is at most |sources|^2 rows.
+    *
+    * MEASUREMENT CAVEAT: this is a measurement API riding the CAPPED
+    * pair chain, so with the default `maxBandPop` a hot bucket's
+    * sub-split drops its cross-sub pairs and the matrix UNDERCOUNTS
+    * overlap for sources whose duplicates pile into hot buckets (the
+    * operator logs when that happens). The default stays capped because
+    * the uncapped plan is not survivable on a real crawl (the r17 2M
+    * postmortem); pass `maxBandPop = Int.MaxValue` explicitly for an
+    * exact matrix on corpora known to be boilerplate-free.
     */
   def sourceOverlapMatrix(df: DataFrame, idCol: String, srcCol: String,
       textCol: String, shingleN: Int = 3, k: Int = 32, bandRows: Int = 4,
