@@ -2426,6 +2426,76 @@ object LlmQueries {
           col("fetch_time_ms"))
     }),
 
+    // RFC 9309 §2.3.1 fetch-STATUS semantics (the r19 --robots-warc
+    // upgrade): eight domains whose robots.txt fetches cover every
+    // status family — 200 (body governs), old-200-then-503 (newest
+    // fetch wins: COMPLETE DISALLOW, the whole domain vanishes),
+    // old-503-then-200 (recovers to the new body), 404 (unavailable =
+    // allow-all), 301→fetched-target (the target's body governs),
+    // 302→never-fetched (unavailable = allow-all), 500 (complete
+    // disallow), and a two-hop 302→301→200 chain. The oracle hardcodes
+    // the RFC verdict per (domain, path family); an implementation
+    // that keeps only 200s, ignores Location, or lets an older 200
+    // outrank a newer 5xx hash-fails.
+    "llm_pipeline16" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val host = concat(lit("ex"),
+        pmod(col("doc_id"), lit(8)).cast("string"), lit(".com"))
+      val urls = docs.select(concat(lit("https://"), host, lit("/p/"),
+          pmod(col("doc_id") * 13 + 2, lit(80)).cast("string")).as("url"))
+        .union(docs.select(concat(lit("https://"), host, lit("/q/"),
+          pmod(col("doc_id") * 7 + 1, lit(80)).cast("string")).as("url")))
+        .groupBy("url").agg(count(lit(1)).as("n_refs"))
+      val fetches = Seq[(String, String, Int, Option[String],
+          Option[String], String)](
+        ("ex0.com", "https://ex0.com/robots.txt", 200, None,
+          Some("User-agent: *\nDisallow: /q\n"), "2024-02-01T00:00:00Z"),
+        ("ex1.com", "https://ex1.com/robots.txt", 200, None,
+          Some("User-agent: *\nAllow: /\n"), "2024-01-01T00:00:00Z"),
+        ("ex1.com", "https://ex1.com/robots.txt", 503, None,
+          Some("Service Unavailable"), "2024-02-01T00:00:00Z"),
+        ("ex2.com", "https://ex2.com/robots.txt", 503, None,
+          Some("Service Unavailable"), "2024-01-01T00:00:00Z"),
+        ("ex2.com", "https://ex2.com/robots.txt", 200, None,
+          Some("User-agent: *\nAllow: /\n"), "2024-02-01T00:00:00Z"),
+        ("ex3.com", "https://ex3.com/robots.txt", 404, None,
+          Some("Not Found"), "2024-02-01T00:00:00Z"),
+        ("ex4.com", "https://ex4.com/robots.txt", 301,
+          Some("https://ex4.com/real-robots.txt"), None,
+          "2024-02-01T00:00:00Z"),
+        ("ex4.com", "https://ex4.com/real-robots.txt", 200, None,
+          Some("User-agent: *\nDisallow: /p\n"), "2024-02-01T00:00:00Z"),
+        ("ex5.com", "https://ex5.com/robots.txt", 302,
+          Some("https://ex5.com/gone.txt"), None, "2024-02-01T00:00:00Z"),
+        ("ex6.com", "https://ex6.com/robots.txt", 500, None,
+          Some("Internal Server Error"), "2024-02-01T00:00:00Z"),
+        ("ex7.com", "https://ex7.com/robots.txt", 302,
+          Some("https://ex7.com/hop1"), None, "2024-02-01T00:00:00Z"),
+        ("ex7.com", "https://ex7.com/hop1", 301,
+          Some("https://ex7.com/hop2"), None, "2024-02-01T00:00:00Z"),
+        ("ex7.com", "https://ex7.com/hop2", 200, None,
+          Some("User-agent: *\nDisallow: /q\n"), "2024-02-01T00:00:00Z")
+      ).toDF("domain", "warc_url", "http_status", "http_location",
+        "robots_txt", "warc_date")
+      val fparts = Web.withUrlParts(fetches, "warc_url")
+      val pol = Web.robotsPoliciesFromFetches(
+        fparts.where(col("url_path") === "/robots.txt"),
+        "domain", "warc_url", "http_status", "http_location",
+        "robots_txt", "warc_date", targets = Some(fparts))
+      val parts = Web.withUrlParts(urls, "url")
+        .withColumn("domain", col("url_host"))
+      val allowed = Web.withRobotsAllowedByPolicy(parts, "domain",
+        "url_path", pol, "domain", "robots_txt", "GraftBot/1.0",
+        policyOrderCol = Some("warc_date"))
+        .where(col("robots_allowed"))
+        .withColumn("robots_delay_ms", lit(1000L))
+      Web.frontierSchedule(allowed, "domain", "url", "n_refs",
+        "robots_delay_ms")
+        .select(col("url"), col("domain"), col("n_refs"),
+          col("fetch_slot"), col("fetch_time_ms"))
+    }),
+
     // Robots policies as a TABLE (the 100 TB shape: per-domain
     // robots.txt is data, not config): four domain families, three
     // with distinct policies (block-all; block ids ending 3; Allow
@@ -5171,6 +5241,49 @@ object LlmQueries {
            FROM al)
          SELECT url, domain, n_refs, robots_delay_ms, fetch_slot,
            fetch_slot * robots_delay_ms AS fetch_time_ms
+         FROM dd""",
+    // RFC 9309 §2.3.1 status verdicts written out per domain family:
+    // the oracle KNOWS which fetch wins each domain and what its
+    // status implies (200 body / newest-5xx disallow-all / 404
+    // allow-all / redirect-target body / unresolved-redirect
+    // allow-all), so it filters by the final per-path verdict and
+    // replays the schedule window — no robots parsing anywhere.
+    "llm_pipeline16" ->
+      """WITH l AS (
+           SELECT 'https://ex' || CAST(doc_id % 8 AS VARCHAR) ||
+             '.com/p/' || CAST((doc_id * 13 + 2) % 80 AS VARCHAR) AS url
+           FROM documents
+           UNION ALL
+           SELECT 'https://ex' || CAST(doc_id % 8 AS VARCHAR) ||
+             '.com/q/' || CAST((doc_id * 7 + 1) % 80 AS VARCHAR)
+           FROM documents),
+         agg AS (
+           SELECT url, CAST(COUNT(*) AS BIGINT) AS n_refs
+           FROM l GROUP BY url),
+         f AS (
+           SELECT url, n_refs,
+             regexp_extract(url, '^https://([^/]+)', 1) AS domain,
+             regexp_extract(url, '^https://[^/]+(/.*)', 1) AS path
+           FROM agg),
+         al AS (
+           SELECT url, domain, n_refs FROM f WHERE
+             CASE domain
+               WHEN 'ex0.com' THEN path NOT LIKE '/q%'
+               WHEN 'ex1.com' THEN FALSE
+               WHEN 'ex2.com' THEN TRUE
+               WHEN 'ex3.com' THEN TRUE
+               WHEN 'ex4.com' THEN path NOT LIKE '/p%'
+               WHEN 'ex5.com' THEN TRUE
+               WHEN 'ex6.com' THEN FALSE
+               ELSE path NOT LIKE '/q%' END),
+         dd AS (
+           SELECT url, domain, n_refs,
+             CAST(ROW_NUMBER() OVER (PARTITION BY domain
+               ORDER BY n_refs DESC, url ASC) - 1 AS BIGINT)
+               AS fetch_slot
+           FROM al)
+         SELECT url, domain, n_refs, fetch_slot,
+           fetch_slot * 1000 AS fetch_time_ms
          FROM dd""",
     // The RFC's answer per ref class, written out directly.
     "llm_url_resolve" ->

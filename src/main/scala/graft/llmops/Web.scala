@@ -1127,6 +1127,81 @@ object Web {
       .drop("__cd_dom", "__cd_ms")
   }
 
+  /** RFC 9309 §2.3.1 fetch-STATUS semantics over robots.txt fetch
+    * records — the `--robots-warc` front door's policy builder. A real
+    * crawler's policies come from fetch attempts whose HTTP status
+    * matters, not just from bodies. Per RECORD:
+    *
+    *  - 2xx (or a headerless record): the fetched body IS the policy.
+    *  - 3xx: follow `locationCol` through the fetch set (canonical-url
+    *    equality, up to `maxHops` hops — the RFC's "at least five
+    *    consecutive hops"); the final 2xx target's body becomes THIS
+    *    domain's policy. A chain that leaves the fetch set, loops, or
+    *    exceeds maxHops is treated as unavailable → allow-all.
+    *  - 4xx: "unavailable" → allow-all — the EMPTY policy (§2.3.1.3).
+    *  - 5xx: "unreachable" → COMPLETE DISALLOW (§2.3.1.4) — the
+    *    synthesized policy `User-agent: *\nDisallow: /`.
+    *
+    * The mapping runs per record, BEFORE latest-fetch-wins dedup
+    * ([[withRobotsAllowedByPolicy]]'s `policyOrderCol`): a domain whose
+    * NEWEST robots fetch 503'd is fully blocked even if an older 200
+    * fetch allowed everything — the newest evidence governs. `dateCol`
+    * stays the ORIGINAL fetch's timestamp through redirect hops for the
+    * same reason.
+    *
+    * `targets` (default: `fetches` itself) is the lookup set Locations
+    * resolve against — pass the whole decoded robots WARC set when the
+    * origin rows were path-filtered, so a `/robots.txt → /r.txt` hop
+    * still resolves. Scale shape: both frames are policy-sized (rows
+    * are fetches, never corpus); resolution is `maxHops` equi-joins
+    * with the lookup side pre-aggregated to one row per url and
+    * scoped-persisted (one kernel, maxHops join consumers).
+    *
+    * @return (domainCol, textCol = effective policy body, dateCol)
+    */
+  def robotsPoliciesFromFetches(fetches: DataFrame, domainCol: String,
+      urlCol: String, statusCol: String, locationCol: String,
+      textCol: String, dateCol: String,
+      targets: Option[DataFrame] = None, maxHops: Int = 5): DataFrame = {
+    val disallowAll = "User-agent: *\nDisallow: /\n"
+    def isRedirect(s: Column) = s.isNotNull && s >= 300 && s < 400
+    // one row per canonical target url, latest fetch wins — a target
+    // fetched twice must resolve deterministically
+    val lookup = graft.core.Caches.scoped(targets.getOrElse(fetches)
+      .groupBy(urlCanonCol(col(urlCol)).as("__t_url"))
+      .agg(max_by(struct(
+        col(statusCol).cast("int").as("s"),
+        col(locationCol).as("l"),
+        col(textCol).as("b")), col(dateCol)).as("__t")))
+    var cur = fetches.select(col(domainCol), col(dateCol),
+      col(statusCol).cast("int").as("__s"),
+      col(locationCol).as("__l"), col(textCol).as("__b"))
+    for (_ <- 1 to maxHops) {
+      cur = cur.join(lookup,
+          isRedirect(col("__s")) && col("__l").isNotNull &&
+            urlCanonCol(col("__l")) === col("__t_url"), "left")
+        .select(col(domainCol), col(dateCol),
+          when(col("__t").isNotNull, col("__t").getField("s"))
+            // a redirect whose Location was never fetched: sentinel -1
+            // = unavailable-by-redirect → allow-all in the final map
+            .when(isRedirect(col("__s")), lit(-1))
+            .otherwise(col("__s")).as("__s"),
+          when(col("__t").isNotNull, col("__t").getField("l"))
+            .otherwise(col("__l")).as("__l"),
+          when(col("__t").isNotNull, col("__t").getField("b"))
+            .otherwise(col("__b")).as("__b"))
+    }
+    cur.select(col(domainCol),
+      when(col("__s").isNull ||
+          (col("__s") >= 200 && col("__s") < 300),
+        coalesce(col("__b"), lit("")))
+        .when(col("__s") >= 500, lit(disallowAll))
+        // 4xx, the -1 sentinel, and any 3xx still unresolved after
+        // maxHops (a loop): unavailable → the empty allow-all policy
+        .otherwise(lit("")).as(textCol),
+      col(dateCol))
+  }
+
   /** Politeness schedule — the consumer Crawl-delay existed for: a
     * polite crawler fetches ONE url per domain per delay window, so
     * the frontier's urls get per-domain fetch SLOTS in priority order
