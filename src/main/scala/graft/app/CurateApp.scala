@@ -20,39 +20,70 @@ import graft.llmops.{Curation, TextAnalysis}
   * Each stage reads the previous stage's parquet; --resume reuses
   * completed artifacts (the DedupApp contract).
   *
+  * `--shard-tokens` defaults to AUTO (r19): the fixed 16384 default
+  * over a real crawl's ~190-token docs planned 502,631 shards for the
+  * 8M run — at 100 TB that is a billions-of-output-files plan for
+  * whatever writer consumes it. Auto sizes the target from the kept
+  * corpus itself, `max(16384, ceil(total_tokens / --shard-files))`,
+  * bounding the PLANNED file count (default 512) at any corpus size
+  * while small corpora keep the old granularity. Pass an explicit
+  * `--shard-tokens=<n>` for fixed-size shards.
+  *
   *   runMain graft.app.CurateApp <documentsParquet> <outDir>
   *     [--benchmark=<parquet>] [--min-quality=0.5] [--rate=1.0]
-  *     [--shard-tokens=16384] [--epoch=1] [--resume]
+  *     [--shard-tokens=auto] [--shard-files=512] [--epoch=1] [--resume]
   */
 object CurateApp {
 
   final case class Config(docs: String, outDir: String,
       benchmark: Option[String] = None, minQuality: Double = 0.5,
-      rate: Double = 1.0, shardTokens: Long = 16384L, epoch: Int = 1,
+      rate: Double = 1.0, shardTokens: Option[Long] = None,
+      shardFiles: Int = 512, epoch: Int = 1,
       resume: Boolean = false)
 
   def parse(args: Array[String]): Config = {
     require(args.length >= 2, "usage: CurateApp <documentsParquet> " +
       "<outDir> [--benchmark=] [--min-quality=] [--rate=]" +
-      " [--shard-tokens=] [--epoch=] [--resume]")
+      " [--shard-tokens=auto|<n>] [--shard-files=] [--epoch=]" +
+      " [--resume]")
     def flag(name: String): Option[String] =
       args.collectFirst { case s if s.startsWith(s"--$name=") =>
         s.stripPrefix(s"--$name=") }
+    val shardFiles = flag("shard-files").map(_.toInt).getOrElse(512)
+    require(shardFiles > 0, "--shard-files must be positive")
     Config(args(0), args(1),
       benchmark = flag("benchmark"),
       minQuality = flag("min-quality").map(_.toDouble).getOrElse(0.5),
       rate = flag("rate").map(_.toDouble).getOrElse(1.0),
-      shardTokens = flag("shard-tokens").map(_.toLong).getOrElse(16384L),
+      shardTokens = flag("shard-tokens").filter(_ != "auto")
+        .map(_.toLong),
+      shardFiles = shardFiles,
       epoch = flag("epoch").map(_.toInt).getOrElse(1),
       resume = args.contains("--resume"))
   }
 
+  /** The shard-size target a config resolves to over a kept set with
+    * `totalTokens` tokens: the explicit `--shard-tokens` when given,
+    * else the auto bound. Exposed for the spec and PipelineApp's
+    * manifest params.
+    */
+  def resolveShardTokens(cfg: Config, totalTokens: Long): Long =
+    cfg.shardTokens.getOrElse(
+      math.max(16384L, (totalTokens + cfg.shardFiles - 1) / cfg.shardFiles))
+
   def run(spark: SparkSession, cfg: Config): Seq[(String, Long)] = {
     val docs = spark.read.parquet(cfg.docs)
     def stage(name: String)(build: => org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame =
-      graft.core.StageIo.stage(spark, s"${cfg.outDir}/$name", cfg.resume)(
-        build)
+        : org.apache.spark.sql.DataFrame = {
+      val t0 = System.nanoTime()
+      val out = graft.core.StageIo.stage(spark,
+        s"${cfg.outDir}/$name", cfg.resume)(build)
+      // per-stage wall print: the 8M crawl run spent 81% of its wall in
+      // this runner and the log had no way to say WHICH stage
+      println(f"[curate] stage $name%-8s " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      out
+    }
 
     val scored = stage("scored") {
       // quality cut compares INTEGER micros (floor(score*1e6)) so the
@@ -76,8 +107,20 @@ object CurateApp {
         salt = s"curate:${cfg.epoch}")
     }
     val shards = stage("shards") {
-      Curation.shardPlan(kept.select(col("doc_id"), col("n_chars")),
-        "doc_id", "n_chars", cfg.shardTokens, cfg.epoch)
+      val narrow = kept.select(col("doc_id"), col("n_chars"))
+      // auto sizing reads ONE aggregate over the narrow kept
+      // projection (column-pruned parquet scan of the committed
+      // stage artifact — never the text)
+      val target = cfg.shardTokens.getOrElse {
+        val total = narrow.agg(coalesce(sum("n_chars"), lit(0L)))
+          .head().getLong(0)
+        val t = resolveShardTokens(cfg, total)
+        println(s"[curate] shard-tokens auto: $total tokens kept -> " +
+          s"target $t (~<=${cfg.shardFiles} shards)")
+        t
+      }
+      Curation.shardPlan(narrow,
+        "doc_id", "n_chars", target, cfg.epoch)
         .select("doc_id", "shard_id", "shard_offset")
     }
     stage("report") {

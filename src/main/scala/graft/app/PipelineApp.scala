@@ -62,7 +62,7 @@ object PipelineApp {
     "--threshold=", "--shingle=", "--hashes=", "--band-rows=",
     "--max-band-pop=", "--source-col=")
   private val curateFlags = Seq("--benchmark=", "--min-quality=", "--rate=",
-    "--shard-tokens=", "--epoch=")
+    "--shard-tokens=", "--shard-files=", "--epoch=")
   // crawl front door: <documentsParquet> is ignored as data when --warc
   // is given (pass '-'); the ingest stage writes <outDir>/ingest/docs
   // and the dedup stage reads that instead
@@ -129,7 +129,9 @@ object PipelineApp {
       s"cap=${c.maxBandPop};src=${c.sourceCol.getOrElse("-")}"
   def curateParams(c: CurateApp.Config): String =
     s"bench=${c.benchmark.getOrElse("-")};minq=${c.minQuality};" +
-      s"rate=${c.rate};shard=${c.shardTokens};epoch=${c.epoch}"
+      s"rate=${c.rate};" +
+      s"shard=${c.shardTokens.map(_.toString).getOrElse("auto")};" +
+      s"files=${c.shardFiles};epoch=${c.epoch}"
 
   def manifestPath(outDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(outDir, "manifest.jsonl")
@@ -345,24 +347,39 @@ object PipelineApp {
       (cfg.robots, cfg.robotsWarc) match {
         case (Some(pp), _) => Some((spark.read.parquet(pp), None))
         case (None, Some(rw)) =>
+          // ALL response statuses enter: RFC 9309 §2.3.1 makes the
+          // fetch status itself semantic (2xx → body; 3xx → follow
+          // http_location through the fetch set; 4xx → allow-all;
+          // 5xx → complete disallow). The per-record mapping happens
+          // in robotsPoliciesFromFetches BEFORE latest-fetch-wins, so
+          // a domain whose newest robots fetch 503'd is fully blocked
+          // even if an older 200 fetch allowed everything.
           val rraw = graft.llmops.Warc.readWarcDir(spark, rw,
               byteTransparent = cfg.transcode)
-            .where(col("warc_type") === "response" &&
-              (col("http_status").isNull || col("http_status") === 200))
+            .where(col("warc_type") === "response")
           val rtxt = if (cfg.transcode)
             graft.llmops.Web.withTranscodedBody(
               graft.llmops.Web.withCharset(rraw,
                 "http_content_type", "warc_body"),
               "warc_body", "charset", "robots_txt")
           else rraw.withColumn("robots_txt", col("warc_body"))
-          // pinned: the table feeds up to THREE broadcast joins
-          // (politeness + frontier verdict + delay) — without the
-          // persist each would re-decode the robots WARC dir
-          Some((graft.core.Caches.scoped(withDomain(
+          // pinned: origins AND the redirect-target lookup both read
+          // this frame — without the persist each would re-decode the
+          // robots WARC dir (policy-sized, never corpus)
+          val rparts = graft.core.Caches.scoped(withDomain(
             graft.llmops.Web.withUrlParts(rtxt, "warc_url"))
-            .where(col("url_path") === "/robots.txt")
-            .select(col("domain"), col("robots_txt"), col("warc_date"))),
-            Some("warc_date")))
+            .select(col("domain"), col("warc_url"), col("url_path"),
+              col("http_status"), col("http_location"),
+              col("robots_txt"), col("warc_date")))
+          // targets = the WHOLE fetch set (any path), so a
+          // /robots.txt → /r.txt redirect hop still resolves
+          val rpol = graft.llmops.Web.robotsPoliciesFromFetches(
+            rparts.where(col("url_path") === "/robots.txt"),
+            "domain", "warc_url", "http_status", "http_location",
+            "robots_txt", "warc_date", targets = Some(rparts))
+          // pinned: the table feeds up to THREE broadcast joins
+          // (politeness + frontier verdict + delay)
+          Some((graft.core.Caches.scoped(rpol), Some("warc_date")))
         case (None, None) => None
       }
     val polite = policy match {

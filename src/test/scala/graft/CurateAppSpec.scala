@@ -16,7 +16,7 @@ class CurateAppSpec extends SparkSpec {
     val out = java.nio.file.Files
       .createTempDirectory("graft_curate_app").toString
     val cfg = CurateApp.Config(s"$sf/documents.parquet", out,
-      minQuality = 0.5, rate = 0.5, shardTokens = 8192L)
+      minQuality = 0.5, rate = 0.5, shardTokens = Some(8192L))
     val report = CurateApp.run(spark, cfg).toMap
 
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -51,6 +51,32 @@ class CurateAppSpec extends SparkSpec {
     assert(offs.forall(o => o >= 0L && o < 8192L))
     val total = kept.agg(sum("n_chars")).head().getLong(0)
     assert(report("n_shards") === (total + 8191L) / 8192L)
+  }
+
+  test("shard-tokens auto bounds the planned shard count and keeps " +
+    "the packing invariants") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curate_auto").toString
+    // defaults: shardTokens = None (auto), shardFiles = 512
+    val cfg = CurateApp.Config(s"$sf/documents.parquet", out,
+      minQuality = 0.0)
+    val report = CurateApp.run(spark, cfg).toMap
+    val kept = spark.read.parquet(s"$out/kept")
+    val shards = spark.read.parquet(s"$out/shards")
+    val total = kept.agg(sum("n_chars")).head().getLong(0)
+    val target = CurateApp.resolveShardTokens(cfg, total)
+    // sf0.001 is tiny, so auto floors at the old 16384 granularity;
+    // the resolved target must reproduce the artifact exactly
+    assert(target === math.max(16384L,
+      (total + cfg.shardFiles - 1) / cfg.shardFiles))
+    assert(report("n_shards") === (total + target - 1) / target)
+    assert(report("n_shards") <= cfg.shardFiles + 1)
+    assert(shards.count() === kept.count())
+    val offs = shards.select("shard_offset").collect().map(_.getLong(0))
+    assert(offs.forall(o => o >= 0L && o < target))
+    val ids = shards.select("shard_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until report("n_shards")).toSeq)
   }
 
   test("rate=1.0 skips sampling; benchmark decontamination drops " +
