@@ -301,6 +301,17 @@ object PipelineApp {
           s"consider SPARK_DRIVER_MEM=${gb}g (build.sbt knob) " +
           "or a real cluster")
       }
+      // the advisory covers DISK too, not just heap: --frontier's
+      // single-decode design writes a text-bearing `pages`
+      // intermediate that coexists with docs/ until both outputs
+      // commit, so the run transiently needs roughly twice the final
+      // corpus parquet (bounded above by the decoded input size)
+      if (cfg.frontier) {
+        println(s"[pipeline] note: --frontier stages a transient " +
+          "pages/ intermediate holding the corpus text a second " +
+          f"time — budget up to ~${bytes / 1048576.0}%,.0f MB extra " +
+          "scratch space until ingest commits (deleted automatically)")
+      }
     }
     // --transcode (default on): byte-transparent decode -> sniff
     // charset (header + meta) -> CharsetDecoder transcode, so a
@@ -401,9 +412,17 @@ object PipelineApp {
     // document: its root tag sits in the first few KB (bounded scan,
     // never a full-body search). Its <url> entries seed the next
     // round with their lastmod riding along for recency ranking.
+    // The sniff requires an XML-ish DOCUMENT START (leading <?xml or
+    // the root tag itself after whitespace), not just a substring
+    // hit: an ordinary HTML page that mentions '<urlset' in a code
+    // sample must stay a corpus document, not get silently dropped
+    // and fed to the sitemap-entry parser.
     val head4k = substring(col("html_utf8"), 1, 4096)
-    val isSitemapCol = (head4k.contains("<urlset") ||
-      head4k.contains("<sitemapindex")).as("is_sitemap")
+    val headTrim = ltrim(head4k)
+    val isSitemapCol = ((head4k.contains("<urlset") ||
+      head4k.contains("<sitemapindex")) &&
+      (headTrim.startsWith("<?xml") || headTrim.startsWith("<urlset") ||
+        headTrim.startsWith("<sitemapindex"))).as("is_sitemap")
     // --frontier: ONE decode pass (r18). The WARC decode is the
     // expensive stage (gunzip + parse + transcode + robots join),
     // so when the frontier is requested the single pass writes a
@@ -484,7 +503,8 @@ object PipelineApp {
       // crawl every lastmod is null and this degrades EXACTLY to the
       // (n_refs desc, url) order
       graft.llmops.Web.frontierScheduleRecency(delayed, "domain",
-        "url", "lastmod", "n_refs", "robots_delay_ms")
+        "url", "lastmod", "n_refs", "robots_delay_ms",
+        hostCol = Some("url_host"))
         .select(col("url"), col("domain"), col("lastmod"),
           col("n_refs"), col("robots_delay_ms"), col("fetch_slot"),
           col("fetch_time_ms"))

@@ -2311,11 +2311,13 @@ object LlmQueries {
     // seeds in three lastmod families (date-only, full W3C datetime,
     // none) aggregate per url (LATEST lastmod, seed count), anti-join
     // the crawled set, pick up per-domain Crawl-delay, and the
-    // schedule ranks by (lastmod DATE desc NULLS LAST, n_refs desc,
-    // url) — fresh content first, popularity fallback for the undated
-    // tail. The oracle re-synthesizes the XML fields and replays the
-    // max/count aggregate, the day-granular date parse (substr 10 ->
-    // DATE) and the recency window arithmetic.
+    // schedule ranks by (lastmod DATE desc NULLS LAST, lexical W3C
+    // time field desc NULLS LAST (r19 — same-day different-hour seeds
+    // order by hour, date-only seeds rank after timestamped same-day
+    // ones), n_refs desc, url). The oracle re-synthesizes the XML
+    // fields and replays the max/count aggregate, the date parse
+    // (substr 10 -> DATE), the substr-12 time tiebreak, and the
+    // recency window arithmetic.
     "llm_pipeline14" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val host = concat(lit("ex"),
@@ -5199,7 +5201,10 @@ object LlmQueries {
                ELSE 2000 END AS BIGINT) AS robots_delay_ms,
              CAST(ROW_NUMBER() OVER (PARTITION BY domain
                ORDER BY try_cast(substr(lastmod, 1, 10) AS DATE)
-                 DESC NULLS LAST, n_refs DESC, url ASC) - 1 AS BIGINT)
+                 DESC NULLS LAST,
+               CASE WHEN length(lastmod) > 10 THEN substr(lastmod, 12)
+                 ELSE NULL END DESC NULLS LAST,
+               n_refs DESC, url ASC) - 1 AS BIGINT)
                AS fetch_slot
            FROM f)
          SELECT url, domain, lastmod, n_refs, robots_delay_ms,

@@ -785,7 +785,15 @@ object Warc {
       buf.toSeq
     }
     require(files.nonEmpty, s"no .warc/.wet files under $dir")
-    val (gz, plain) = files.partition(_.endsWith(".gz"))
+    // de-twin (r19): a dir holding the SAME archive as both `x.warc`
+    // and `x.warc.gz` (what an archive transcoder leaves behind) must
+    // not read every record twice through the union — prefer the gz
+    // twin (one task per file either way; the gz is the at-rest form
+    // a crawl dir keeps)
+    val have = files.toSet
+    val detwinned = files.filterNot(f =>
+      !f.endsWith(".gz") && have.contains(f + ".gz"))
+    val (gz, plain) = detwinned.partition(_.endsWith(".gz"))
     val parts = Seq(
       if (gz.nonEmpty)
         Some(readWarcGzFiles(spark, gz,
@@ -945,9 +953,18 @@ object Warc {
     val bt = byteTransparent
     val rows = spark.sparkContext.parallelize(paths, paths.size)
       .flatMap { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val hfs = hp.getFileSystem(sconf.value)
-        val file = hp.toString // same rendering as the glob form's keys
+        val hp0 = new org.apache.hadoop.fs.Path(p)
+        val hfs = hp0.getFileSystem(sconf.value)
+        // qualify + rebuild without query/fragment, the EXACT key
+        // rendering readWarcFiles derives from its FileSplit — so
+        // doc_id = xxhash64(source_file, rec_idx) is stable across
+        // reader entry points for the same file (an unqualified
+        // '/tmp/x.warc.gz' used to render differently here)
+        val hp = hfs.makeQualified(hp0)
+        val u = hp.toUri
+        val file = new java.net.URI(u.getScheme,
+          Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
+          .toString
         val reader = new java.io.InputStreamReader(
           new java.util.zip.GZIPInputStream(hfs.open(hp), 1 << 16),
           if (bt) java.nio.charset.StandardCharsets.ISO_8859_1

@@ -1214,14 +1214,18 @@ object Web {
     *
     * Rows whose PSL registered domain is NULL (the host IS a public
     * suffix, so it has no registrable part) must not collapse into one
-    * shared politeness queue: the scheduling key falls back to the raw
-    * host when a `hostCol` is present in the frame (`url_host`, the
-    * withUrlParts name), else to the url itself — unrelated hosts
-    * never serialize behind one delay.
+    * shared politeness queue NOR fan out one-queue-per-url (same-host
+    * urls scheduled concurrently — the opposite politeness failure):
+    * the scheduling key falls back to `hostCol` when the caller names
+    * one (explicit, r19 — no more column-name sniffing), else to the
+    * HOST DERIVED FROM THE URL (the withUrlParts extraction), so
+    * same-host urls share a queue and unrelated hosts never serialize
+    * behind one delay.
     */
   def frontierSchedule(df: DataFrame, domainCol: String, urlCol: String,
-      priorityCol: String, delayMsCol: String): DataFrame =
-    frontierScheduleBy(df, domainCol, urlCol, delayMsCol,
+      priorityCol: String, delayMsCol: String,
+      hostCol: Option[String] = None): DataFrame =
+    frontierScheduleBy(df, domainCol, urlCol, delayMsCol, hostCol,
       col(priorityCol).desc, col(urlCol).asc)
 
   /** Recency-ranked schedule — the consumer sitemap `lastmod` existed
@@ -1230,27 +1234,39 @@ object Web {
     * DATE desc NULLS LAST, `nRefsCol` desc, url asc), so a recrawl
     * round fetches the freshest known content first and falls back to
     * link popularity for undated urls. `lastmodCol` holds the sitemap's
-    * W3C datetime STRING (date-only or full); ranking is day-granular —
-    * the first 10 chars parse as a date, anything unparseable ranks
-    * with the undated tail. Same per-domain window shape as
-    * [[frontierSchedule]].
+    * W3C datetime STRING (date-only or full). Ranking is day-first —
+    * the first 10 chars parse as a date; anything unparseable ranks
+    * with the undated tail — then, within the same day, by the LEXICAL
+    * time field (everything after the 'T', r19): W3C datetimes with a
+    * consistent suffix format (the overwhelmingly common all-'Z'
+    * sitemap case) order lexically = chronologically, both engines
+    * replay substr() identically, and date-only entries (no time
+    * field) rank after any timestamped same-day entry. Same per-domain
+    * window shape as [[frontierSchedule]].
     */
   def frontierScheduleRecency(df: DataFrame, domainCol: String,
       urlCol: String, lastmodCol: String, nRefsCol: String,
-      delayMsCol: String): DataFrame = {
+      delayMsCol: String, hostCol: Option[String] = None): DataFrame = {
     val lmDate = to_date(try_to_timestamp(
       substring(col(lastmodCol), 1, 10), lit("yyyy-MM-dd")))
-    frontierScheduleBy(df, domainCol, urlCol, delayMsCol,
-      lmDate.desc_nulls_last, col(nRefsCol).desc, col(urlCol).asc)
+    val lmTime = when(length(col(lastmodCol)) > 10,
+      substring(col(lastmodCol), 12, 64))
+    frontierScheduleBy(df, domainCol, urlCol, delayMsCol, hostCol,
+      lmDate.desc_nulls_last, lmTime.desc_nulls_last,
+      col(nRefsCol).desc, col(urlCol).asc)
   }
 
   private def frontierScheduleBy(df: DataFrame, domainCol: String,
-      urlCol: String, delayMsCol: String,
+      urlCol: String, delayMsCol: String, hostCol: Option[String],
       order: Column*): DataFrame = {
-    val schedKey =
-      if (df.columns.contains("url_host") && domainCol != "url_host")
-        coalesce(col(domainCol), col("url_host"))
-      else coalesce(col(domainCol), col(urlCol))
+    // null-domain fallback: the caller's host column when named, else
+    // the host extracted from the url (the withUrlParts regex) — one
+    // politeness queue per HOST, never per url and never one shared
+    // catch-all
+    val fallback = hostCol.map(h => col(h)).getOrElse(
+      lower(regexp_extract(col(urlCol),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)))
+    val schedKey = coalesce(col(domainCol), fallback)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(schedKey)
       .orderBy(order: _*)

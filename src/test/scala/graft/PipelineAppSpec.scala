@@ -343,6 +343,78 @@ class PipelineAppSpec extends SparkSpec {
     assert(fr.map(_._5).toSeq === Seq(0L, 1L, 2L))
   }
 
+  test("--robots-warc applies RFC 9309 status semantics: newest 5xx " +
+    "blocks the domain, 3xx follows Location, 4xx allows; an HTML " +
+    "page mentioning '<urlset' stays a corpus doc; --frontier " +
+    "advisory mentions the transient pages/ scratch") {
+    import org.apache.spark.sql.functions._
+    val prose = "Plenty of plain prose here so the extracted body " +
+      "text clears the main-content length threshold comfortably. "
+    def rec(url: String, body: String, ctype: String, date: String,
+        status: Int = 200, location: Option[String] = None): String = {
+      val loc = location.map(l => s"Location: $l\r\n").getOrElse("")
+      val http = s"HTTP/1.1 $status X\r\nContent-Type: $ctype\r\n" +
+        loc + s"\r\n$body"
+      s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $url\r\nWARC-Date: $date\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+        http + "\r\n\r\n"
+    }
+    def page(url: String, extra: String = ""): String =
+      rec(url, s"<html><body><p>$prose$extra</p></body></html>",
+        "text/html", "2024-01-01T00:00:00Z")
+    val robotsDir = java.nio.file.Files.createTempDirectory("rfc_rob")
+    java.nio.file.Files.write(robotsDir.resolve("r.warc"), (
+      // err.com: old 200 allow-all, NEWER 503 — complete disallow wins
+      rec("https://err.com/robots.txt", "User-agent: *\nAllow: /\n",
+        "text/plain", "2024-01-01T00:00:00Z") +
+        rec("https://err.com/robots.txt", "oops", "text/plain",
+          "2024-02-01T00:00:00Z", status = 503) +
+        // redir.com: 301 to a fetched target whose policy blocks /q
+        rec("https://redir.com/robots.txt", "", "text/plain",
+          "2024-01-01T00:00:00Z", status = 301,
+          location = Some("https://redir.com/real.txt")) +
+        rec("https://redir.com/real.txt", "User-agent: *\nDisallow: /q\n",
+          "text/plain", "2024-01-01T00:00:00Z") +
+        // gone.com: 404 — unavailable = allow-all
+        rec("https://gone.com/robots.txt", "nope", "text/plain",
+          "2024-01-01T00:00:00Z", status = 404))
+      .getBytes("UTF-8"))
+    val segDir = java.nio.file.Files.createTempDirectory("rfc_seg")
+    java.nio.file.Files.write(segDir.resolve("s.warc"), (
+      page("https://err.com/p/1") +
+        page("https://redir.com/p/1") +
+        page("https://redir.com/q/1") +
+        page("https://gone.com/p/1") +
+        // mentions the sitemap root tag mid-document: must remain a
+        // corpus doc, not be sniffed as a sitemap and dropped
+        page("https://gone.com/docs/sitemaps",
+          "Example: a sitemap begins with &lt;?xml and &lt;urlset " +
+            "— the literal string <urlset> appears here in prose."))
+      .getBytes("UTF-8"))
+    val out = java.nio.file.Files
+      .createTempDirectory("rfc_out").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      PipelineApp.run(spark, PipelineApp.parse(Array("-", out,
+        s"--warc=$segDir", s"--robots-warc=$robotsDir", "--frontier",
+        "--min-quality=0.0", "--rate=1.0")))
+    }
+    val docs = spark.read.parquet(s"$out/ingest/docs")
+    val urls = docs.select("url").collect().map(_.getString(0)).toSet
+    assert(!urls.exists(_.startsWith("https://err.com/")),
+      "newest 503 robots fetch must block the whole domain")
+    assert(urls.contains("https://redir.com/p/1"))
+    assert(!urls.contains("https://redir.com/q/1"),
+      "redirect target's Disallow /q must govern redir.com")
+    assert(urls.contains("https://gone.com/p/1"),
+      "404 robots = allow-all")
+    assert(urls.contains("https://gone.com/docs/sitemaps"),
+      "prose mentioning <urlset is not a sitemap")
+    assert(buf.toString("UTF-8").contains("pages/ intermediate"),
+      "--frontier advisory must mention the transient disk footprint")
+  }
+
   test("kill between stages: missing curate stage reruns on --resume; " +
     "dedup artifacts untouched; content identical to a fresh run") {
     val out = java.nio.file.Files

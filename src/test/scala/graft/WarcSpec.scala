@@ -229,6 +229,42 @@ class WarcSpec extends SparkSpec {
     assert(gzUrls.toSeq === Seq("http://gzed/"))
   }
 
+  test("twin archives (x.warc beside x.warc.gz) read ONCE, gz " +
+    "preferred; untwinned plain files still read") {
+    val dir = java.nio.file.Files.createTempDirectory("warctwin")
+    val arc = resp("http://twin/", "<p>t</p>")
+    java.nio.file.Files.write(dir.resolve("x.warc"),
+      arc.getBytes("UTF-8"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("x.warc.gz")))
+    gz.write(arc.getBytes("UTF-8")); gz.close()
+    java.nio.file.Files.write(dir.resolve("solo.warc"),
+      resp("http://solo/", "<p>s</p>").getBytes("UTF-8"))
+    val rows = Warc.readWarcDir(spark, dir.toString)
+      .select("warc_url", "source_file").collect()
+    // the twin's records appear once (from the gz), not twice
+    assert(rows.map(_.getString(0)).sorted.toSeq ===
+      Seq("http://solo/", "http://twin/"))
+    assert(rows.find(_.getString(0) == "http://twin/").get
+      .getString(1).endsWith("x.warc.gz"))
+  }
+
+  test("source_file keys are entry-point independent: an unqualified " +
+    "path through readWarcGzFiles renders the qualified-dir key") {
+    val dir = java.nio.file.Files.createTempDirectory("warckey")
+    val f = dir.resolve("k.warc.gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(f))
+    gz.write(resp("http://k/", "<p>k</p>").getBytes("UTF-8")); gz.close()
+    val viaDir = Warc.readWarcDir(spark, dir.toString)
+      .select("source_file").head().getString(0)
+    val viaGz = Warc.readWarcGzFiles(spark, Seq(f.toString))
+      .select("source_file").head().getString(0)
+    // doc_id = xxhash64(source_file, rec_idx) must not depend on which
+    // reader entry point opened the file
+    assert(viaDir === viaGz)
+  }
+
   test("readWarcDir skips sidecars: .crc checksums, listings, markers " +
     "and hidden files never reach a parser") {
     val dir = java.nio.file.Files.createTempDirectory("warcside")
