@@ -250,14 +250,17 @@ class RobotsSpec extends SparkSpec {
   }
 
   test("frontierScheduleRecency: lastmod freshness outranks " +
-    "popularity; day-granular ties fall back to n_refs; undated last") {
+    "popularity; same-day ranks by time-of-day, date-only after " +
+    "timestamped; undated last") {
     import spark.implicits._
     val frontier = Seq(
       // undated but most-referenced: ranks AFTER every dated seed
       ("a.com", "https://a.com/hot", null: String, 99L),
-      // full W3C datetime vs date-only on the SAME day: tie at day
-      // granularity -> n_refs decides
+      // same day: later time first, earlier time second, date-only
+      // (no time field) after ANY timestamped same-day entry —
+      // popularity never outranks a same-day time difference
       ("a.com", "https://a.com/d1", "2024-03-05T23:59:59Z", 1L),
+      ("a.com", "https://a.com/d0", "2024-03-05T04:00:00Z", 9L),
       ("a.com", "https://a.com/d2", "2024-03-05", 7L),
       // fresher date wins regardless of popularity
       ("a.com", "https://a.com/new", "2024-03-06", 0L),
@@ -272,8 +275,9 @@ class RobotsSpec extends SparkSpec {
       .map(_.getString(0))
     assert(out.toSeq === Seq(
       "https://a.com/new",   // 2024-03-06
-      "https://a.com/d2",    // 03-05, n_refs 7
-      "https://a.com/d1",    // 03-05, n_refs 1
+      "https://a.com/d1",    // 03-05 T23:59:59
+      "https://a.com/d0",    // 03-05 T04:00:00
+      "https://a.com/d2",    // 03-05 date-only (no time field)
       "https://a.com/hot",   // undated, n_refs 99
       "https://a.com/bad"))  // unparseable, n_refs 5
   }
