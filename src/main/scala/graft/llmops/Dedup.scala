@@ -215,12 +215,17 @@ object Dedup {
       // exchange reuse cannot cover; without the persist the scan runs
       // twice. Narrow (id, band, band_hash) rows, disk-spillable.
       val banded0 = graft.core.Caches.scoped(banded00)
-      val hot = banded0.groupBy("band", "band_hash")
-        .agg(count(lit(1)).as("__pop"))
-        .where(col("__pop") > maxBandPop)
-        .select(col("band"), col("band_hash"),
-          ceil(col("__pop").cast("double") / maxBandPop).cast("long")
-            .as("__k"))
+      // the hot frame is itself pinned: the driver count below AND the
+      // broadcast join both consume it, and without the persist the
+      // non-empty branch would pay the histogram aggregation TWICE
+      // (the r19 bench caught exactly that: llm_minhash_capped 1.43x)
+      val hot = graft.core.Caches.scoped(
+        banded0.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("__pop"))
+          .where(col("__pop") > maxBandPop)
+          .select(col("band"), col("band_hash"),
+            ceil(col("__pop").cast("double") / maxBandPop).cast("long")
+              .as("__k")))
       // empty-hot short-circuit (r19): the histogram is a bounded
       // aggregate over the persisted scan; when NO bucket exceeds the
       // cap, the sub-split machinery is a no-op by construction (__k
