@@ -11,8 +11,64 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  /** The shared compiled tokenizer: maximal [a-z0-9] runs of the
+    * lowercased text — exactly [[graft.functions.TextFunctions.tokens]]
+    * (`split(lower(text), "[^a-z0-9]+")` + empty filter), one char walk
+    * instead of an interpreted regex split per consumer. Every
+    * compiled scan UDF in this file tokenizes through here, and the
+    * TextAnalysisSpec parity tests pin the equivalence.
+    */
+  private[graft] def alnumTokens(s: String): Array[String] = {
+    val lo = s.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0; var start = -1
+    while (i < lo.length) {
+      val c = lo.charAt(i)
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) { out += lo.substring(start, i); start = -1 }
+      i += 1
+    }
+    if (start >= 0) out += lo.substring(start, lo.length)
+    out.toArray
+  }
+
+  private val langMarkerSets: Seq[(String, Set[String])] =
+    graft.functions.TextFunctions.langMarkers
+      .map { case (l, m) => (l, m.toSet) }
+
+  /** Compiled language ID: one tokenize + one marker-set lookup per
+    * token per language, replacing the interpreted per-language
+    * filter/array_contains HOF walk (58 s -> ~4 s for 2M docs,
+    * tools/ScanProf). Decision rule is a bit-replica of
+    * [[graft.functions.TextFunctions.langId]]: score = hits/n as one
+    * double division, fold in langMarkers order, replacement requires
+    * STRICTLY greater, zero scores -> "und".
+    */
+  val langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => if (s == null) "und" else {
+      // null text scores null against every language, so the fold's
+      // init struct survives — the expression form answers "und"
+      val toks = alnumTokens(s)
+      if (toks.isEmpty) "und"
+      else {
+        var bestLang = "und"; var bestScore = 0.0
+        langMarkerSets.foreach { case (lang, ms) =>
+          var hits = 0
+          var i = 0
+          while (i < toks.length) {
+            if (ms.contains(toks(i))) hits += 1
+            i += 1
+          }
+          val sc = hits.toDouble / toks.length.toDouble
+          if (sc > bestScore) { bestScore = sc; bestLang = lang }
+        }
+        bestLang
+      }
+    })
+
   def withLangId(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("lang_pred", langId(col(textCol)))
+    df.withColumn("lang_pred", langIdUdf(col(textCol)))
 
   /** All integer inputs of the quality features from ONE walk over the
     * text — the compiled replacement for the column-expression form's
@@ -110,12 +166,72 @@ object TextAnalysis {
       .drop("__qc")
   }
 
+  /** Compiled token accounting, replacing two interpreted regex
+    * passes (56 s -> ~3 s for 2M docs, tools/ScanProf). Bit-replicas
+    * of the TextFunctions column forms:
+    *  - `ws` = maximal non-\s runs of the ORIGINAL text (Java \s =
+    *    the 6 ASCII whitespace chars);
+    *  - `bpe` = regexp_count(lower(text), "[a-z]+|[0-9]|[^a-z0-9\s]"):
+    *    each a-z run counts once; each digit once; each OTHER
+    *    non-whitespace CODEPOINT once (astral chars are one match, so
+    *    the walk steps by codepoint there).
+    */
+  val tokenCountsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => if (s == null) None else Some {
+      def isWs(c: Int): Boolean = c == ' ' || c == '\t' || c == '\n' ||
+        c == 0x0b || c == '\f' || c == '\r'
+      var ws = 0; var i = 0; var inRun = false
+      while (i < s.length) {
+        if (!isWs(s.charAt(i))) { if (!inRun) { ws += 1; inRun = true } }
+        else inRun = false
+        i += 1
+      }
+      val lo = s.toLowerCase
+      var bpe = 0; i = 0; var inAz = false
+      while (i < lo.length) {
+        val c = lo.charAt(i)
+        if (c >= 'a' && c <= 'z') {
+          if (!inAz) { bpe += 1; inAz = true }
+          i += 1
+        } else {
+          inAz = false
+          if (c >= '0' && c <= '9') { bpe += 1; i += 1 }
+          else {
+            val cp = lo.codePointAt(i)
+            if (!isWs(cp)) bpe += 1
+            i += Character.charCount(cp)
+          }
+        }
+      }
+      (ws, bpe)
+    })
+
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("ws_tokens", whitespaceTokenCount(col(textCol)))
-      .withColumn("bpeish_tokens", bpeishTokenCount(col(textCol)))
+    df.withColumn("__tc", tokenCountsUdf(col(textCol)))
+      .withColumn("ws_tokens", col("__tc._1"))
+      .withColumn("bpeish_tokens", col("__tc._2"))
+      .drop("__tc")
+
+  /** Compiled fingerprint (md5 of space-joined sorted distinct
+    * tokens): tokens are pure ASCII so JVM string order == the
+    * UTF8String binary order array_sort uses; a null or empty text
+    * fingerprints as md5("") exactly like the column form (concat_ws
+    * drops the null array).
+    */
+  val fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => {
+      val joined =
+        if (s == null) ""
+        else alnumTokens(s).distinct.sorted.mkString(" ")
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(joined.getBytes("UTF-8"))
+      val sb = new StringBuilder(32)
+      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.toString
+    })
 
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("fingerprint", fingerprint(col(textCol)))
+    df.withColumn("fingerprint", fingerprintUdf(col(textCol)))
 
   /** Gopher-style rule-based quality filter (Rae et al. 2021, "Scaling
     * Language Models", appendix A1.1 heuristics), re-expressed over alnum
@@ -137,15 +253,38 @@ object TextAnalysis {
     *    repeat a tiny vocabulary)
     *  - `keep` = all of the above. Empty documents fail `rule_len`.
     */
+  /** Compiled inputs of the gopher rules — one tokenize + one
+    * HashSet-distinct pass per doc instead of four interpreted HOF
+    * walks (9.3 s -> ~2 s for 2M docs, tools/ScanProf). Same counts as
+    * the expression form: n, sum of token lengths, stopword hits,
+    * distinct tokens.
+    */
+  private val gopherStopSet: Set[String] = qualityStopwords.toSet
+  val gopherCountsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => if (s == null) None else Some {
+      val toks = alnumTokens(s)
+      var sumLen = 0L; var stops = 0
+      val uniq = scala.collection.mutable.HashSet.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        sumLen += t.length
+        if (gopherStopSet.contains(t)) stops += 1
+        uniq += t
+        i += 1
+      }
+      (toks.length.toLong, sumLen, stops, uniq.size.toLong)
+    })
+
   def gopherRules(df: DataFrame, textCol: String, minTokens: Int = 50,
       maxTokens: Int = 100000, minStopHits: Int = 2,
       repMilli: Int = 300): DataFrame = {
-    val stopArr = array(qualityStopwords.map(lit): _*)
-    val out = bind(tokens(col(textCol))) { toks =>
-      val n = size(toks).cast("long")
-      val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-      val stops = size(filter(toks, t => array_contains(stopArr, t)))
-      val uniq = size(array_distinct(toks)).cast("long")
+    val out = graft.functions.TextFunctions.bind(
+      gopherCountsUdf(col(textCol))) { c =>
+      val n = c.getField("_1")
+      val sumLen = c.getField("_2")
+      val stops = c.getField("_3")
+      val uniq = c.getField("_4")
       struct(
         n.as("n_tokens"),
         (n >= minTokens && n <= maxTokens).as("rule_len"),
@@ -324,33 +463,38 @@ object TextAnalysis {
     * re-evaluation hazard: six field references would otherwise inline
     * six copies of the counting pass).
     */
-  private val repetitionOnce = udf((ws: Seq[String]) => {
-    val tokC = scala.collection.mutable.HashMap.empty[String, Int]
-    ws.foreach(t => tokC.update(t, tokC.getOrElse(t, 0) + 1))
-    val topTok = if (tokC.isEmpty) 0 else tokC.valuesIterator.max
-    val biC = scala.collection.mutable.HashMap.empty[String, Int]
-    var i = 0
-    while (i + 1 < ws.length) {
-      val b = ws(i) + " " + ws(i + 1)
-      biC.update(b, biC.getOrElse(b, 0) + 1)
-      i += 1
-    }
-    val topBi = if (biC.isEmpty) 0 else biC.valuesIterator.max
-    val triSet = scala.collection.mutable.HashSet.empty[String]
-    i = 0
-    while (i + 2 < ws.length) {
-      triSet += (ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
-      i += 1
-    }
-    (topTok, ws.length, topBi, math.max(ws.length - 1, 0),
-      triSet.size, math.max(ws.length - 2, 0))
-  }).asNondeterministic()
+  private val repetitionOnce = udf((s: String) => if (s == null) None
+    else Some {
+      // tokenize INSIDE the pass (r19): the interpreted tokens() HOF
+      // feeding this UDF was 3/4 of its wall (33 s -> ~8 s for 2M
+      // docs, tools/ScanProf); counts unchanged
+      val ws = alnumTokens(s)
+      val tokC = scala.collection.mutable.HashMap.empty[String, Int]
+      ws.foreach(t => tokC.update(t, tokC.getOrElse(t, 0) + 1))
+      val topTok = if (tokC.isEmpty) 0 else tokC.valuesIterator.max
+      val biC = scala.collection.mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i + 1 < ws.length) {
+        val b = ws(i) + " " + ws(i + 1)
+        biC.update(b, biC.getOrElse(b, 0) + 1)
+        i += 1
+      }
+      val topBi = if (biC.isEmpty) 0 else biC.valuesIterator.max
+      val triSet = scala.collection.mutable.HashSet.empty[String]
+      i = 0
+      while (i + 2 < ws.length) {
+        triSet += (ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+        i += 1
+      }
+      (topTok, ws.length, topBi, math.max(ws.length - 1, 0),
+        triSet.size, math.max(ws.length - 2, 0))
+    }).asNondeterministic()
 
   def withRepetition(df: DataFrame, textCol: String): DataFrame = {
     def frac(num: Column, den: Column): Column =
       when(den === 0, 0.0)
         .otherwise(num.cast("double") / den.cast("double"))
-    df.withColumn("__rep", repetitionOnce(tokens(col(textCol))))
+    df.withColumn("__rep", repetitionOnce(col(textCol)))
       .withColumn("top_token_frac", frac(col("__rep._1"), col("__rep._2")))
       .withColumn("top_bigram_frac", frac(col("__rep._3"), col("__rep._4")))
       .withColumn("dup_trigram_frac",

@@ -440,6 +440,69 @@ class LlmOpsSpec extends SparkSpec {
     assert(neu.toSeq == old.toSeq)
   }
 
+  test("compiled scan family (langid/tokcounts/fingerprint/gopher) " +
+    "is bit-identical to the expression forms") {
+    import spark.implicits._
+    val weird = Seq(
+      (9000001L, ""), (9000002L, "   \t\n "),
+      (9000003L, "ÜBER Straße 42!!! ΣΟΦΙΑ der die und ist"),
+      (9000004L, "the and of to 12345 ++--** the le la les de et"),
+      (9000005L, "😀 emoji 𝔘ni code 99 el la de que y en"),
+      (9000006L, null.asInstanceOf[String]),
+      (9000007L, "one"), (9000008L, "a b a b a b a b a b"))
+      .toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"), col("text")).limit(200)
+      .unionByName(weird)
+
+    // tokenizer: the shared compiled walk vs the regex-split column
+    val tokUdf = udf((s: String) =>
+      if (s == null) None else Some(TextAnalysis.alnumTokens(s).toSeq))
+    val tokRows = base.select(tokens(col("text")).as("a"),
+      tokUdf(col("text")).as("b")).collect()
+    tokRows.foreach(r => assert(r.get(0) == r.get(1)))
+
+    // langId: compiled vs expression argmax
+    val lidRows = base.select(langId(col("text")).as("a"),
+      TextAnalysis.langIdUdf(col("text")).as("b")).collect()
+    lidRows.foreach(r => assert(r.get(0) == r.get(1)))
+
+    // token counts: compiled pair vs the two regex columns
+    val tcRows = base.select(
+      whitespaceTokenCount(col("text")).as("a1"),
+      bpeishTokenCount(col("text")).as("a2"),
+      TextAnalysis.tokenCountsUdf(col("text")).as("b")).collect()
+    tcRows.foreach { r =>
+      val b = Option(r.getStruct(2))
+      assert(r.get(0) == b.map(_.get(0)).orNull)
+      assert(r.get(1) == b.map(_.get(1)).orNull)
+    }
+
+    // fingerprint: compiled md5 vs the column chain (null -> md5(""))
+    val fpRows = base.select(fingerprint(col("text")).as("a"),
+      TextAnalysis.fingerprintUdf(col("text")).as("b")).collect()
+    fpRows.foreach(r => assert(r.get(0) == r.get(1)))
+
+    // gopher rules: compiled counts vs the original HOF expression
+    val stopArr = array(qualityStopwords.map(lit): _*)
+    val oldG = bind(tokens(col("text"))) { toks =>
+      val n = size(toks).cast("long")
+      val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      val stops = size(filter(toks, t => array_contains(stopArr, t)))
+      val uniq = size(array_distinct(toks)).cast("long")
+      struct(n, (n >= 50 && n <= 100000).as("rl"),
+        (n > 0 && lit(3L) * n <= sumLen && sumLen <= lit(10L) * n)
+          .as("rm"),
+        (stops >= 2).as("rs"),
+        (n > 0 && lit(1000L) * uniq >= lit(300L) * n).as("rr"))
+    }
+    val gNew = TextAnalysis.gopherRules(base, "text")
+      .select("doc_id", "n_tokens", "rule_len", "rule_mean",
+        "rule_stop", "rule_rep").orderBy("doc_id").collect()
+    val gOld = base.withColumn("g", oldG)
+      .select(col("doc_id"), col("g.*")).orderBy("doc_id").collect()
+    assert(gNew.map(_.toSeq).toSeq == gOld.map(_.toSeq).toSeq)
+  }
+
   test("token counts: bpeish >= ws tokens on plain text") {
     val out = TextAnalysis.withTokenCounts(docs.limit(50), "text").collect()
     out.foreach { r =>
