@@ -314,20 +314,50 @@ object TextAnalysis {
     * (exact integer), `clf_score_micro` (floor of score * 1e6) and
     * `clf_keep` (score > 0).
     */
-  def withClassifier(df: DataFrame, textCol: String, dims: Int = 64,
-      seed: String = "clf"): DataFrame = {
-    val withSum = df
-      .withColumn("clf_weight_sum",
-        hashedWeightSum(tokens(col(textCol)), dims, seed))
-      .withColumn("__n", size(tokens(col(textCol))))
-    withSum
-      .withColumn("clf_score_micro",
-        when(col("__n") === 0, 0L).otherwise(
-          floor(col("clf_weight_sum").cast("double") * 1000000.0 /
-            (col("__n").cast("double") * 1000.0)).cast("long")))
-      .withColumn("clf_keep", col("clf_weight_sum") > 0)
-      .drop("__n")
+  /** hex8 of the column form, compiled: the first 4 md5 bytes as an
+    * unsigned 32-bit value == conv(md5(s).substr(1,8), 16, 10).
+    */
+  private def hex8Jvm(md: java.security.MessageDigest,
+      s: String): Long = {
+    val d = md.digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
+
+  /** Compiled classifier pass: the bucket-weight table has only `dims`
+    * entries, so it precomputes ONCE in the closure (the expression
+    * form re-derived md5(seed:bucket) per TOKEN — two interpreted
+    * digests per token per doc); per token one digest + one lookup.
+    * Returns (weight_sum, n_tokens); same integers as
+    * hashedWeightSum + size(tokens).
+    */
+  def classifierCountsUdf(dims: Int, seed: String)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val md0 = java.security.MessageDigest.getInstance("MD5")
+    val weights =
+      Array.tabulate(dims)(b => hex8Jvm(md0, s"$seed:$b") % 2001 - 1000)
+    udf((s: String) => if (s == null) None else Some {
+      val toks = alnumTokens(s)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var sum = 0L; var i = 0
+      while (i < toks.length) {
+        sum += weights((hex8Jvm(md, toks(i)) % dims).toInt)
+        i += 1
+      }
+      (sum, toks.length)
+    })
+  }
+
+  def withClassifier(df: DataFrame, textCol: String, dims: Int = 64,
+      seed: String = "clf"): DataFrame =
+    df.withColumn("__cc", classifierCountsUdf(dims, seed)(col(textCol)))
+      .withColumn("clf_weight_sum", col("__cc._1"))
+      .withColumn("clf_score_micro",
+        when(col("__cc._2") === 0, 0L).otherwise(
+          floor(col("clf_weight_sum").cast("double") * 1000000.0 /
+            (col("__cc._2").cast("double") * 1000.0)).cast("long")))
+      .withColumn("clf_keep", col("clf_weight_sum") > 0)
+      .drop("__cc")
 
   /** Split documents into overlapping token windows (training-sample
     * chunking): rows (original cols..., chunk_idx, chunk_text,

@@ -60,6 +60,7 @@ object ScanProf {
     timed("fingerprint") { TextAnalysis.withFingerprint(docs, "text") }
     timed("pii") { docs.withColumn("red",
       graft.functions.TextFunctions.redactPii(col("text"))) }
+    timed("classifier") { TextAnalysis.withClassifier(docs, "text") }
     spark.stop()
   }
 }

@@ -482,6 +482,21 @@ class LlmOpsSpec extends SparkSpec {
       TextAnalysis.fingerprintUdf(col("text")).as("b")).collect()
     fpRows.foreach(r => assert(r.get(0) == r.get(1)))
 
+    // classifier: compiled weight-table pass vs the per-token
+    // expression chain
+    val clfRows = base.select(
+      hashedWeightSum(tokens(col("text")), 64, "clf").as("a1"),
+      size(tokens(col("text"))).as("a2"),
+      TextAnalysis.classifierCountsUdf(64, "clf")(col("text")).as("b"))
+      .collect()
+    clfRows.foreach { r =>
+      val b = Option(r.getStruct(2))
+      assert(r.get(0) == b.map(_.get(0)).orNull)
+      // size(null) is -1 under the legacy default; the struct is null
+      // for null text — both mean "no tokens", asserted via sum only
+      if (b.nonEmpty) assert(r.get(1) == b.get.get(1))
+    }
+
     // gopher rules: compiled counts vs the original HOF expression
     val stopArr = array(qualityStopwords.map(lit): _*)
     val oldG = bind(tokens(col("text"))) { toks =>
