@@ -29,9 +29,17 @@ import graft.llmops.{Curation, TextAnalysis}
   * while small corpora keep the old granularity. Pass an explicit
   * `--shard-tokens=<n>` for fixed-size shards.
   *
+  * `--export` additionally materializes `export/`: the kept documents
+  * physically laid out for training — at most `--shard-files` output
+  * files, each holding WHOLE shards sorted by (shard_id,
+  * shard_offset), so any file streams its shards' documents in
+  * epoch-shuffled pack order. Bounded file count by construction (one
+  * shuffle on shard_id mod shardFiles), never one file per shard.
+  *
   *   runMain graft.app.CurateApp <documentsParquet> <outDir>
   *     [--benchmark=<parquet>] [--min-quality=0.5] [--rate=1.0]
-  *     [--shard-tokens=auto] [--shard-files=512] [--epoch=1] [--resume]
+  *     [--shard-tokens=auto] [--shard-files=512] [--epoch=1]
+  *     [--export] [--resume]
   */
 object CurateApp {
 
@@ -39,6 +47,7 @@ object CurateApp {
       benchmark: Option[String] = None, minQuality: Double = 0.5,
       rate: Double = 1.0, shardTokens: Option[Long] = None,
       shardFiles: Int = 512, epoch: Int = 1,
+      export: Boolean = false,
       resume: Boolean = false)
 
   def parse(args: Array[String]): Config = {
@@ -59,6 +68,7 @@ object CurateApp {
         .map(_.toLong),
       shardFiles = shardFiles,
       epoch = flag("epoch").map(_.toInt).getOrElse(1),
+      export = args.contains("--export"),
       resume = args.contains("--resume"))
   }
 
@@ -122,6 +132,20 @@ object CurateApp {
       Curation.shardPlan(narrow,
         "doc_id", "n_chars", target, cfg.epoch)
         .select("doc_id", "shard_id", "shard_offset")
+    }
+    // --export: the PHYSICAL training-shard materialization the plan
+    // exists for. One shuffle on a BOUNDED key (shard_id mod
+    // shardFiles — never one-file-per-shard, the r18 file-count
+    // explosion), each output file holding whole shards sorted by
+    // (shard_id, shard_offset), so a reader streams any file and sees
+    // every document of its shards in epoch-shuffled pack order. At
+    // 1000 executors this is the same bounded write; file CONTENT is
+    // deterministic (hash partition on shard_id + in-file sort).
+    if (cfg.export) stage("export") {
+      shards.join(kept.drop("shard_id", "shard_offset"), Seq("doc_id"))
+        .repartition(cfg.shardFiles,
+          pmod(col("shard_id"), lit(cfg.shardFiles.toLong)))
+        .sortWithinPartitions("shard_id", "shard_offset")
     }
     stage("report") {
       import spark.implicits._

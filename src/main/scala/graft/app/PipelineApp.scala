@@ -62,7 +62,7 @@ object PipelineApp {
     "--threshold=", "--shingle=", "--hashes=", "--band-rows=",
     "--max-band-pop=", "--source-col=")
   private val curateFlags = Seq("--benchmark=", "--min-quality=", "--rate=",
-    "--shard-tokens=", "--shard-files=", "--epoch=")
+    "--shard-tokens=", "--shard-files=", "--epoch=", "--export")
   // crawl front door: <documentsParquet> is ignored as data when --warc
   // is given (pass '-'); the ingest stage writes <outDir>/ingest/docs
   // and the dedup stage reads that instead
@@ -131,7 +131,7 @@ object PipelineApp {
     s"bench=${c.benchmark.getOrElse("-")};minq=${c.minQuality};" +
       s"rate=${c.rate};" +
       s"shard=${c.shardTokens.map(_.toString).getOrElse("auto")};" +
-      s"files=${c.shardFiles};epoch=${c.epoch}"
+      s"files=${c.shardFiles};epoch=${c.epoch};export=${c.export}"
 
   def manifestPath(outDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(outDir, "manifest.jsonl")
@@ -558,7 +558,8 @@ object PipelineApp {
     val curateCfg = cfg.curate.copy(docs = s"$dedupOut/survivors",
       outDir = curateOut, resume = cfg.resume)
     val cp = curateParams(curateCfg)
-    val curateArts = Seq("scored", "kept", "shards", "report")
+    val curateArts = (Seq("scored", "kept", "shards", "report") ++
+      (if (curateCfg.export) Seq("export") else Seq.empty))
       .map(a => s"$curateOut/$a")
     // curate's input identity includes the dedup params that produced
     // the survivors — a dedup re-run must invalidate downstream even

@@ -79,6 +79,43 @@ class CurateAppSpec extends SparkSpec {
     assert(ids.toSeq === (0L until report("n_shards")).toSeq)
   }
 
+  test("--export materializes bounded physical shards: whole shards " +
+    "per file, in-file (shard_id, shard_offset) order, full " +
+    "conservation") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curate_export").toString
+    val cfg = CurateApp.Config(s"$sf/documents.parquet", out,
+      minQuality = 0.0, shardTokens = Some(4096L), shardFiles = 7,
+      export = true)
+    val report = CurateApp.run(spark, cfg).toMap
+    val kept = spark.read.parquet(s"$out/kept")
+    val export = spark.read.parquet(s"$out/export")
+    // conservation: every kept doc exported exactly once, text intact
+    assert(export.count() === kept.count())
+    assert(export.select("doc_id").distinct().count() === kept.count())
+    assert(export.join(kept.select("doc_id", "text"), Seq("doc_id"))
+      .where(export("text") =!= kept("text")).count() === 0L)
+    // bounded file count; whole shards per file; in-file pack order
+    val files = new java.io.File(s"$out/export").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length <= 7)
+    assert(report("n_shards") > 7,
+      "fixture must plan more shards than files to prove grouping")
+    val shardToFile = scala.collection.mutable.Map.empty[Long, String]
+    files.foreach { f =>
+      val rows = spark.read.parquet(f)
+        .select("shard_id", "shard_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // sorted by (shard_id, shard_offset) within the file
+      assert(rows.toSeq == rows.toSeq.sorted)
+      rows.map(_._1).distinct.foreach { sid =>
+        assert(!shardToFile.contains(sid) || shardToFile(sid) == f,
+          s"shard $sid split across files")
+        shardToFile(sid) = f
+      }
+    }
+  }
+
   test("rate=1.0 skips sampling; benchmark decontamination drops " +
     "contaminated docs") {
     val out = java.nio.file.Files
