@@ -331,22 +331,33 @@ object TextAnalysis {
     * Returns (weight_sum, n_tokens); same integers as
     * hashedWeightSum + size(tokens).
     */
+  // memoized per (dims, seed): the UDF must be the SAME function
+  // instance across query constructions, or two builds of the same
+  // logical query stop canonicalizing equal — which silently defeats
+  // CacheManager's plan-match substitution for any persisted frame
+  // containing the classifier (a re-built pipeline re-ran its whole
+  // upstream funnel: llm_pipeline2 warm 0.38 -> 1.31 s until this)
+  private val clfUdfCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   def classifierCountsUdf(dims: Int, seed: String)
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val md0 = java.security.MessageDigest.getInstance("MD5")
-    val weights =
-      Array.tabulate(dims)(b => hex8Jvm(md0, s"$seed:$b") % 2001 - 1000)
-    udf((s: String) => if (s == null) None else Some {
-      val toks = alnumTokens(s)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      var sum = 0L; var i = 0
-      while (i < toks.length) {
-        sum += weights((hex8Jvm(md, toks(i)) % dims).toInt)
-        i += 1
-      }
-      (sum, toks.length)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    clfUdfCache.computeIfAbsent((dims, seed), { key =>
+      val (d0, s0) = key
+      val md0 = java.security.MessageDigest.getInstance("MD5")
+      val weights =
+        Array.tabulate(d0)(b => hex8Jvm(md0, s"$s0:$b") % 2001 - 1000)
+      udf((s: String) => if (s == null) None else Some {
+        val toks = alnumTokens(s)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var sum = 0L; var i = 0
+        while (i < toks.length) {
+          sum += weights((hex8Jvm(md, toks(i)) % d0).toInt)
+          i += 1
+        }
+        (sum, toks.length)
+      })
     })
-  }
 
   def withClassifier(df: DataFrame, textCol: String, dims: Int = 64,
       seed: String = "clf"): DataFrame =
