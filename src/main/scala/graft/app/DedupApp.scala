@@ -102,9 +102,16 @@ object DedupApp {
     val docs = spark.read.parquet(cfg.docs)
     val prior = spark.read.parquet(s"$priorDir/survivors")
     def stage(name: String)(build: => org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame =
-      graft.core.StageIo.stage(spark, s"${cfg.outDir}/$name", cfg.resume)(
-        build)
+        : org.apache.spark.sql.DataFrame = {
+      val t0 = System.nanoTime()
+      val out = graft.core.StageIo.stage(spark,
+        s"${cfg.outDir}/$name", cfg.resume)(build)
+      // per-stage wall print (the CurateApp pattern): dedup is the
+      // dominant pipeline stage and its log should say which sub-stage
+      println(f"[dedup] stage $name%-10s " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      out
+    }
     val flags = stage("flags") {
       Dedup.incrementalDedupFlags(docs, prior, cfg.idCol, cfg.textCol,
         shingleN = cfg.shingleN, k = cfg.k, bandRows = cfg.bandRows,
@@ -161,9 +168,16 @@ object DedupApp {
     }
     val docs = spark.read.parquet(cfg.docs)
     def stage(name: String)(build: => org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame =
-      graft.core.StageIo.stage(spark, s"${cfg.outDir}/$name", cfg.resume)(
-        build)
+        : org.apache.spark.sql.DataFrame = {
+      val t0 = System.nanoTime()
+      val out = graft.core.StageIo.stage(spark,
+        s"${cfg.outDir}/$name", cfg.resume)(build)
+      // per-stage wall print (the CurateApp pattern): dedup is the
+      // dominant pipeline stage and its log should say which sub-stage
+      println(f"[dedup] stage $name%-10s " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      out
+    }
 
     val pairs = stage("pairs") {
       Dedup.minhashPairs(docs, cfg.idCol, cfg.textCol,
