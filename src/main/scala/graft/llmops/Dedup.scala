@@ -79,31 +79,57 @@ object Dedup {
     */
   private def bandKeysF(k: Int, bandRows: Int): Seq[String] => Seq[String] = {
     (sh: Seq[String]) => {
+      // This loop is THE dominant compute of the dedup pipeline (k x
+      // shingles digests per document; 69% of the 16M crawl run's
+      // wall), so it avoids every repeatable allocation while keeping
+      // the output byte-identical to hex(md5(seed + ":" + shingle)):
+      //  - shingle UTF-8 bytes encode ONCE, not once per seed;
+      //  - the per-seed minimum compares raw digests UNSIGNED, which
+      //    orders exactly like the hex strings (the nibble->char map
+      //    is monotone), so only the k winners ever hex-render.
       val md = java.security.MessageDigest.getInstance("MD5")
-      def hex(s: String): String = {
-        val d = md.digest(s.getBytes("UTF-8"))
+      val hexd = "0123456789abcdef"
+      def hexOf(d: Array[Byte]): String = {
         val out = new Array[Char](32)
         var i = 0
         while (i < 16) {
-          out(2 * i) = "0123456789abcdef" ((d(i) >> 4) & 0xf)
-          out(2 * i + 1) = "0123456789abcdef" (d(i) & 0xf)
+          out(2 * i) = hexd((d(i) >> 4) & 0xf)
+          out(2 * i + 1) = hexd(d(i) & 0xf)
           i += 1
         }
         new String(out)
       }
+      def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+        var i = 0
+        while (i < 16) {
+          val ai = a(i) & 0xff; val bi = b(i) & 0xff
+          if (ai != bi) return ai < bi
+          i += 1
+        }
+        false
+      }
+      val shBytes = new Array[Array[Byte]](sh.length)
+      var j = 0
+      sh.foreach { x => shBytes(j) = x.getBytes("UTF-8"); j += 1 }
       val sig = new Array[String](k)
       var s = 0
       while (s < k) {
-        var m: String = null
-        sh.foreach { x =>
-          val h = hex(s.toString + ":" + x)
-          if (m == null || h < m) m = h
+        val prefix = (s.toString + ":").getBytes("UTF-8")
+        var m: Array[Byte] = null
+        var i = 0
+        while (i < shBytes.length) {
+          md.update(prefix)
+          md.update(shBytes(i))
+          val h = md.digest()
+          if (m == null || lessUnsigned(h, m)) m = h
+          i += 1
         }
-        sig(s) = m
+        sig(s) = hexOf(m)
         s += 1
       }
       (0 until k / bandRows).map { b =>
-        hex(sig.slice(b * bandRows, b * bandRows + bandRows).mkString(","))
+        hexOf(md.digest(sig.slice(b * bandRows, b * bandRows + bandRows)
+          .mkString(",").getBytes("UTF-8")))
       }
     }
   }
