@@ -77,6 +77,78 @@ object Dedup {
     * Byte-identical to the column-expression primitives in TextFunctions
     * (same md5 hex strings, same lexicographic mins).
     */
+  /** Compiled n-gram shingler: word windows of the shared compiled
+    * tokenizer, space-joined — byte-equal to
+    * `shingles(tokens(text), n)` (fewer than n tokens → EMPTY; null
+    * text → empty too, which every call site's size-filter treated
+    * identically). The interpreted HOF form fed the signature UDF and
+    * was the real bottleneck of the 16M dedup stage once the digest
+    * loop was tightened.
+    */
+  private[graft] def shingleArr(s: String, n: Int): Array[String] = {
+    if (s == null) return Array.empty
+    val toks = TextAnalysis.alnumTokens(s)
+    if (toks.length < n) Array.empty
+    else {
+      val out = new Array[String](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+  }
+
+  // Both parameterized UDFs are MEMOIZED: a fresh lambda per query
+  // construction would defeat CacheManager's canonicalized plan-match
+  // substitution (the llm_pipeline2 lesson) — persisted minhash stages
+  // must canonicalize equal across rebuilds.
+  private val distinctShinglesUdfCache =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+
+  /** array_distinct(shingles(tokens(text), n)) compiled: first-
+    * occurrence order preserved (the array_distinct contract).
+    */
+  private[graft] def distinctShinglesUdf(n: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    distinctShinglesUdfCache.computeIfAbsent(n, { nn =>
+      udf((s: String) => {
+        val all = shingleArr(s, nn)
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < all.length) {
+          if (seen.add(all(i))) out += all(i)
+          i += 1
+        }
+        out.toSeq
+      })
+    })
+
+  private val bandKeysUdfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int),
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+
+  private def bandKeysUdf(shingleN: Int, k: Int, bandRows: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    bandKeysUdfCache.computeIfAbsent((shingleN, k, bandRows), { key =>
+      val f = bandKeysF(key._2, key._3)
+      udf((text: String) => {
+        val sh = shingleArr(text, key._1)
+        // no shingles -> no bands (the old pre-UDF size filter)
+        if (sh.isEmpty) Seq.empty[String] else f(sh)
+      })
+    })
+
   private def bandKeysF(k: Int, bandRows: Int): Seq[String] => Seq[String] = {
     (sh: Seq[String]) => {
       // This loop is THE dominant compute of the dedup pipeline (k x
@@ -139,7 +211,7 @@ object Dedup {
     */
   def minhashBandKeys(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bandRows: Int): DataFrame = {
-    val keysUdf = udf(bandKeysF(k, bandRows))
+    val keysUdf = bandKeysUdf(shingleN, k, bandRows)
     // The signature loop is compute-bound (k x shingles md5s per row);
     // single-row-group files would otherwise pin it to one task. Spread a
     // NARROW (id, text) projection, hash-partitioned by id -- never the
@@ -151,10 +223,11 @@ object Dedup {
     // sides share this exact subtree so ReuseExchange runs it once.
     val spread = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    // tokenize + shingle + sign in ONE compiled pass (the empty-shingle
+    // filter lives inside the UDF: empty -> no bands, so posexplode
+    // drops the row exactly like the old size() pre-filter)
     spread.select(col("id"),
-      shingles(tokens(col("__text")), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("band", "band_hash")))
+      posexplode(keysUdf(col("__text"))).as(Seq("band", "band_hash")))
   }
 
   /** MinHash+LSH near-dup pairs.
@@ -199,7 +272,7 @@ object Dedup {
     // measurement, same rationale as ngramJaccardPairs.ordered).
     val base = graft.core.Caches.scoped(
       df.select(col(idCol).as("id"),
-        array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+        distinctShinglesUdf(shingleN)(col(textCol)).as("sh"))
         .where(size(col("sh")) > 0))
     // candidate ids first (narrow self-join on the band keys), shingle
     // arrays attached once per side AFTER pair dedup -- the wide arrays
@@ -504,7 +577,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val base = df.select(col(idCol).as("id"),
-      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+      distinctShinglesUdf(shingleN)(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
     val toks = base.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("tok"))
@@ -1176,7 +1249,7 @@ object Dedup {
       .dropDuplicates("id", "ref_id")
     def shingleSide(df: DataFrame, out: String): DataFrame =
       df.select(col(idCol).as(out),
-        array_distinct(shingles(tokens(col(textCol)), shingleN))
+        distinctShinglesUdf(shingleN)(col(textCol))
           .as(s"__sh_$out"))
     val nearIds = candidates
       .join(shingleSide(newDf, "id"), Seq("id"))
