@@ -457,6 +457,51 @@ object Dedup {
     })
   }
 
+  // memoized text-level simhash: tokenize INSIDE the pass (the
+  // interpreted tokens() HOF was most of the scan's cost at crawl
+  // scale) and keep the UDF a single instance per bits so rebuilt
+  // plans stay plan-cache substitutable
+  private val simhashTextUdfCache =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+
+  /** [[simhashUdfFor]] from the raw TEXT (shared compiled tokenizer);
+    * same bit string for the same document.
+    */
+  def simhashTextUdf(bits: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(bits > 0 && bits % 4 == 0 && bits <= 128,
+      s"bits must be a positive multiple of 4 <= 128, got $bits")
+    simhashTextUdfCache.computeIfAbsent(bits, { b =>
+      udf((text: String) => {
+        val toks =
+          if (text == null) Array.empty[String]
+          else TextAnalysis.alnumTokens(text)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val votes = new Array[Int](b)
+        var i = 0
+        while (i < toks.length) {
+          val d = md.digest(toks(i).getBytes("UTF-8"))
+          var j = 0
+          while (j < b) {
+            val nibIdx = j / 4
+            val nib = (d(nibIdx / 2) >> (4 * (1 - nibIdx % 2))) & 0xf
+            votes(j) += (((nib >> (3 - j % 4)) & 1) * 2) - 1
+            j += 1
+          }
+          i += 1
+        }
+        val out = new Array[Char](b)
+        var j = 0
+        while (j < b) {
+          out(j) = if (votes(j) > 0) '1' else '0'
+          j += 1
+        }
+        new String(out)
+      })
+    })
+  }
+
   /** SimHash near-dup pairs: `bits`-bit simhash, banded into bits/bandBits
     * chunks for candidate generation, hamming-distance verification.
     *
@@ -485,7 +530,7 @@ object Dedup {
     // in the operator; same rationale as minhashPairs' base pin.
     val base = graft.core.Caches.scoped(
       df.select(col(idCol).as("id"),
-        simhashUdfFor(bits)(tokens(col(textCol))).as("sh")))
+        simhashTextUdf(bits)(col(textCol)).as("sh")))
     val nBands = bits / bandBits
     val banded0 = base.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(nBands - 1)), b =>

@@ -1461,11 +1461,16 @@ class LlmOpsSpec extends SparkSpec {
       simhash(tokens(col("text")), 16).as("expr16"),
       graft.llmops.Dedup.simhashUdfFor(16)(tokens(col("text"))).as("udf16"),
       simhash(tokens(col("text")), 64).as("expr64"),
-      graft.llmops.Dedup.simhashUdfFor(64)(tokens(col("text"))).as("udf64"))
+      graft.llmops.Dedup.simhashUdfFor(64)(tokens(col("text"))).as("udf64"),
+      // the text-level form (tokenizes inside, the r19 hot path)
+      graft.llmops.Dedup.simhashTextUdf(16)(col("text")).as("txt16"),
+      graft.llmops.Dedup.simhashTextUdf(64)(col("text")).as("txt64"))
       .collect()
     both.foreach { r =>
       assert(r.getString(0) == r.getString(1))
       assert(r.getString(2) == r.getString(3))
+      assert(r.getString(0) == r.getString(4))
+      assert(r.getString(2) == r.getString(5))
     }
   }
 
