@@ -211,8 +211,8 @@ object Curation {
     // minhash/simhash base pins.
     val docSh = graft.core.Caches.scoped(
       df.select(col(idCol).as("id"),
-        explode(array_distinct(
-          t.shingles(t.tokens(col(textCol)), shingleN))).as("sh")))
+        explode(graft.llmops.Dedup.distinctShinglesUdf(shingleN)(
+          col(textCol))).as("sh")))
     val corpus = docSh.groupBy("sh").agg(count(lit(1)).as("cnt"))
     val perDoc = docSh.join(corpus, Seq("sh"))
       .groupBy("id")
@@ -279,19 +279,16 @@ object Curation {
 
   private def distinctShingles(df: DataFrame, textCol: String,
       shingleN: Int): DataFrame =
-    df.select(explode(array_distinct(
-      graft.functions.TextFunctions.shingles(
-      graft.functions.TextFunctions.tokens(col(textCol)), shingleN)))
-      .as("sh"))
+    df.select(explode(graft.llmops.Dedup.distinctShinglesUdf(shingleN)(
+      col(textCol))).as("sh"))
       .distinct()
 
   private def contaminationHitsOn(docs: DataFrame,
       benchShingles: DataFrame, idCol: String, textCol: String,
       shingleN: Int, minHits: Int, hintBroadcast: Boolean): DataFrame = {
     val docShingles = docs.select(col(idCol).as("id"),
-      explode(array_distinct(
-        graft.functions.TextFunctions.shingles(
-        graft.functions.TextFunctions.tokens(col(textCol)), shingleN))).as("sh"))
+      explode(graft.llmops.Dedup.distinctShinglesUdf(shingleN)(
+        col(textCol))).as("sh"))
     docShingles
       .join(if (hintBroadcast) broadcast(benchShingles) else benchShingles,
         Seq("sh"))
@@ -331,9 +328,8 @@ object Curation {
         val bloomHits = udf((sh: Seq[String]) =>
           sh.count(s => Sketches.bloomHit(bc.value, bloomBits, bloomK,
             "decontam", s)))
-        val candidates = docs.where(bloomHits(array_distinct(
-          graft.functions.TextFunctions.shingles(
-          graft.functions.TextFunctions.tokens(col(textCol)), shingleN)))
+        val candidates = docs.where(bloomHits(
+          graft.llmops.Dedup.distinctShinglesUdf(shingleN)(col(textCol)))
           >= minHits)
         contaminationHitsOn(candidates, benchShingles, idCol, textCol,
           shingleN, minHits, hintBroadcast = false)
@@ -361,7 +357,7 @@ object Curation {
   private def dsirBucketCounts(df: DataFrame, textCol: String,
       shingleN: Int, buckets: Int): Map[Int, Long] = {
     val t = graft.functions.TextFunctions
-    df.select(explode(t.shingles(t.tokens(col(textCol)), shingleN)).as("s"))
+    df.select(explode(graft.llmops.Dedup.shinglesUdf(shingleN)(col(textCol))).as("s"))
       .select(dsirBucketCol(col("s"), buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -423,7 +419,7 @@ object Curation {
     val w = broadcast(
       weights.map(x => (x.bucket, x.llrMicro)).toDF("bucket", "llr_micro"))
     val sh = raw.select(col(idCol).as("id"),
-        explode(t.shingles(t.tokens(col(textCol)), shingleN)).as("s"))
+        explode(graft.llmops.Dedup.shinglesUdf(shingleN)(col(textCol))).as("s"))
       .select(col("id"), dsirBucketCol(col("s"), buckets).as("bucket"))
     val agg = sh.join(w, Seq("bucket"))
       .groupBy("id")
@@ -471,11 +467,11 @@ object Curation {
     require(buckets > 0, "buckets must be positive")
     val t = graft.functions.TextFunctions
     val counts = target
-      .select(explode(t.shingles(t.tokens(col(textCol)), shingleN)).as("s"))
+      .select(explode(graft.llmops.Dedup.shinglesUdf(shingleN)(col(textCol))).as("s"))
       .select(dsirBucketCol(col("s"), buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("__c"))
     val sh = raw.select(col(idCol).as("id"),
-        explode(t.shingles(t.tokens(col(textCol)), shingleN)).as("s"))
+        explode(graft.llmops.Dedup.shinglesUdf(shingleN)(col(textCol))).as("s"))
       .select(col("id"), dsirBucketCol(col("s"), buckets).as("bucket"))
     val agg = sh.join(broadcast(counts), Seq("bucket"), "left")
       .select(col("id"),
@@ -676,12 +672,15 @@ object Curation {
     */
   def sourceStats(df: DataFrame, idCol: String, textCol: String,
       groupCol: String): DataFrame = {
-    val t = graft.functions.TextFunctions
-    val base = df.select(col(groupCol), col(idCol),
-      md5(col(textCol)).as("__h"),
-      size(t.tokens(col(textCol))).cast("long").as("__ntok"),
-      floor(t.qualityScore(col(textCol)) * 1000000.0).cast("long")
-        .as("__qm"))
+    // compiled counts + the shared score arithmetic (identical doubles
+    // to the TextFunctions expression form — the withQuality parity)
+    val base = df
+      .withColumn("__qc", TextAnalysis.qualityCountsUdf(col(textCol)))
+      .select(col(groupCol), col(idCol),
+        md5(col(textCol)).as("__h"),
+        col("__qc.nTokens").cast("long").as("__ntok"),
+        floor(TextAnalysis.qualityScoreFromCounts(col("__qc"),
+          length(col(textCol))) * 1000000.0).cast("long").as("__qm"))
     val dupCounts = base.groupBy("__h").agg(count(lit(1)).as("__cnt"))
     base.join(dupCounts, Seq("__h"))
       .groupBy(col(groupCol))

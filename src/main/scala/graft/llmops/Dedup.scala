@@ -134,6 +134,20 @@ object Dedup {
       })
     })
 
+  private val shinglesUdfCache =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+
+  /** shingles(tokens(text), n) compiled: ALL shingles in order,
+    * duplicates kept — the raw form the frequency-counting consumers
+    * (DSIR, exact-rep) explode.
+    */
+  private[graft] def shinglesUdf(n: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    shinglesUdfCache.computeIfAbsent(n, { nn =>
+      udf((s: String) => shingleArr(s, nn).toSeq)
+    })
+
   private val bandKeysUdfCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int),
       org.apache.spark.sql.expressions.UserDefinedFunction]()

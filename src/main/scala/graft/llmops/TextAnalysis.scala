@@ -135,6 +135,29 @@ object TextAnalysis {
     * pass, the ratios and the score stay Column arithmetic with the
     * exact original shape, so doubles are bit-identical.
     */
+  /** The composite quality score from a [[qualityCountsUdf]] struct and
+    * the text's length column — the EXACT TextFunctions.qualityScore
+    * arithmetic over the compiled counts, factored out so every score
+    * consumer (withQuality, Curation.sourceStats) derives the
+    * identical double.
+    */
+  def qualityScoreFromCounts(qc: Column, nChars: Column): Column = {
+    def ratio(num: Column): Column =
+      when(nChars === 0, 0.0)
+        .otherwise(num.cast("double") / nChars.cast("double"))
+    val nTok = qc.getField("nTokens")
+    val stopR = when(nTok === 0, 0.0)
+      .otherwise(qc.getField("stopHits").cast("double") /
+        nTok.cast("double"))
+    val lengthTerm = least(nTok.cast("double") / 100.0, lit(1.0))
+    val score = lit(0.25) * lengthTerm +
+      lit(0.35) * ratio(qc.getField("alpha")) +
+      lit(0.25) * least(stopR * 5.0, lit(1.0)) +
+      lit(0.15) * (lit(1.0) -
+        least(ratio(qc.getField("digit")) * 5.0, lit(1.0)))
+    least(greatest(score, lit(0.0)), lit(1.0))
+  }
+
   def withQuality(df: DataFrame, textCol: String): DataFrame = {
     val txt = col(textCol)
     val nChars = length(txt)
@@ -146,23 +169,16 @@ object TextAnalysis {
       .otherwise(col("__qc.sumTokLen").cast("double") / nTok.cast("double"))
     val stopR = when(nTok === 0, 0.0)
       .otherwise(col("__qc.stopHits").cast("double") / nTok.cast("double"))
-    val alphaR = ratio(col("__qc.alpha"))
-    val digitR = ratio(col("__qc.digit"))
-    val lengthTerm = least(nTok.cast("double") / 100.0, lit(1.0))
-    val score = lit(0.25) * lengthTerm +
-      lit(0.35) * alphaR +
-      lit(0.25) * least(stopR * 5.0, lit(1.0)) +
-      lit(0.15) * (lit(1.0) - least(digitR * 5.0, lit(1.0)))
     df.withColumn("__qc", qualityCountsUdf(txt))
       .withColumn("n_chars", nChars)
       .withColumn("n_tokens", nTok)
       .withColumn("mean_token_len", meanTok)
-      .withColumn("alpha_ratio", alphaR)
-      .withColumn("digit_ratio", digitR)
+      .withColumn("alpha_ratio", ratio(col("__qc.alpha")))
+      .withColumn("digit_ratio", ratio(col("__qc.digit")))
       .withColumn("punct_ratio", ratio(col("__qc.punct")))
       .withColumn("stopword_ratio", stopR)
       .withColumn("quality_score",
-        least(greatest(score, lit(0.0)), lit(1.0)))
+        qualityScoreFromCounts(col("__qc"), nChars))
       .drop("__qc")
   }
 
