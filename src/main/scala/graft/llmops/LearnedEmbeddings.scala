@@ -38,21 +38,41 @@ object LearnedEmbeddings {
     * for token position i, every j != i with |i-j| <= window emits
     * (toks[i], toks[j]). Pure narrow projection + explode.
     */
+  // memoized (the UDF-identity plan-cache rule): one compiled pass
+  // emits the pair multiset the interpreted nested-HOF expression
+  // built per document — same (i, j) enumeration, same pairs
+  private val skipGramUdfCache =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+
+  private def skipGramUdf(window: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    skipGramUdfCache.computeIfAbsent(window, { w =>
+      udf((s: String) => {
+        val toks =
+          if (s == null) Array.empty[String]
+          else TextAnalysis.alnumTokens(s)
+        val out =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var i = 0
+        while (i < toks.length) {
+          var j = math.max(0, i - w)
+          val hi = math.min(toks.length - 1, i + w)
+          while (j <= hi) {
+            if (j != i) out += ((toks(i), toks(j)))
+            j += 1
+          }
+          i += 1
+        }
+        out.toSeq
+      })
+    })
+
   def skipGramPairs(df: DataFrame, textCol: String,
       window: Int): DataFrame = {
     require(window > 0, "window must be positive")
-    val prs = bind(tokens(col(textCol))) { toks =>
-      val n = size(toks)
-      when(n === 0, array().cast("array<struct<t:string,c:string>>"))
-        .otherwise(flatten(transform(sequence(lit(1), n), i =>
-          transform(
-            filter(sequence(greatest(lit(1), i - window),
-              least(n, i + window)), j => j =!= i),
-            j => struct(element_at(toks, i).as("t"),
-              element_at(toks, j).as("c"))))))
-    }
-    df.select(explode(prs).as("p"))
-      .select(col("p.t").as("t"), col("p.c").as("c"))
+    df.select(explode(skipGramUdf(window)(col(textCol))).as("p"))
+      .select(col("p._1").as("t"), col("p._2").as("c"))
   }
 
   /** Top-`vocabSize` tokens by corpus count (ties break on the token,
@@ -61,7 +81,7 @@ object LearnedEmbeddings {
   def topVocab(df: DataFrame, textCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
-    df.select(explode(tokens(col(textCol))).as("token"))
+    df.select(explode(TextAnalysis.tokensUdf(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("token")).limit(vocabSize)
       .select("token")

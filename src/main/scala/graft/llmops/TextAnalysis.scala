@@ -33,6 +33,14 @@ object TextAnalysis {
     out.toArray
   }
 
+  /** The compiled tokenizer as a column UDF — swap-in for
+    * `explode(tokens(col))` scans (null text → null array, which
+    * explode drops exactly like the expression form).
+    */
+  val tokensUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) =>
+      if (s == null) None else Some(alnumTokens(s).toSeq))
+
   private val langMarkerSets: Seq[(String, Set[String])] =
     graft.functions.TextFunctions.langMarkers
       .map { case (l, m) => (l, m.toSet) }
@@ -419,7 +427,7 @@ object TextAnalysis {
     */
   def vocabulary(df: DataFrame, textCol: String,
       idCol: Option[String] = None): DataFrame =
-    df.select(explode(tokens(col(textCol))).as("token"),
+    df.select(explode(tokensUdf(col(textCol))).as("token"),
       idCol.map(col).getOrElse(md5(col(textCol))).as("doc_key"))
       .groupBy("token")
       .agg(count(lit(1)).as("total_count"),
