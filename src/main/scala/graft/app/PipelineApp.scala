@@ -105,7 +105,7 @@ object PipelineApp {
       s"--transcode must be on or off, got: $transcode")
     require(flag("robots").isEmpty || flag("robots-warc").isEmpty,
       "--robots= (prepared parquet) and --robots-warc= (robots.txt " +
-        "WARC dir) are mutually exclusive")
+        "WARC dir(s), comma-separated) are mutually exclusive")
     val d = DedupApp.parse(Array(docs, s"$outDir/dedup") ++
       args.drop(2).filterNot(f => f == "--frontier" ||
         (curateFlags ++ warcFlags).exists(f.startsWith)))
@@ -365,8 +365,15 @@ object PipelineApp {
           // in robotsPoliciesFromFetches BEFORE latest-fetch-wins, so
           // a domain whose newest robots fetch 503'd is fully blocked
           // even if an older 200 fetch allowed everything.
-          val rraw = graft.llmops.Warc.readWarcDir(spark, rw,
-              byteTransparent = cfg.transcode)
+          // comma-separated dirs UNION (r20): a robots.txt that
+          // redirects to a host fetched in a DIFFERENT WARC segment
+          // (a CDN policy host) only resolves if that segment's
+          // fetches are in the lookup set — one dir alone maps the
+          // chain to unavailable/allow-all
+          val rraw = rw.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(d => graft.llmops.Warc.readWarcDir(spark, d,
+              byteTransparent = cfg.transcode))
+            .reduce(_.unionByName(_))
             .where(col("warc_type") === "response")
           val rtxt = if (cfg.transcode)
             graft.llmops.Web.withTranscodedBody(

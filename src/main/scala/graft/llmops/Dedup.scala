@@ -276,6 +276,11 @@ object Dedup {
     * bare caller inherited Int.MaxValue and the pairs stage never
     * finished). Pass `maxBandPop = Int.MaxValue` explicitly for exact
     * uncapped semantics on corpora known to be boilerplate-free.
+    *
+    * With a finite cap, plan CONSTRUCTION is eager: deciding the
+    * empty-hot short-circuit runs the bounded hot-bucket histogram as
+    * a driver-blocking job before this method returns (see
+    * [[minhashKeyed]]).
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bandRows: Int = 4,
@@ -314,6 +319,15 @@ object Dedup {
     * band_hash, __sub) with the hot-band md5 sub-split — exposed so the
     * ScaleCurve harness derives capped candidate volume from exactly
     * the keys the join uses (the [[Ann.knnKeyed]] pattern).
+    *
+    * EAGER when `maxBandPop` is finite (the default): CONSTRUCTING the
+    * returned DataFrame runs one driver-blocking Spark job — the
+    * hot-bucket histogram count that decides the empty-hot
+    * short-circuit. The counted frame is bounded (post-aggregation,
+    * over-cap buckets only), but a caller building plans speculatively
+    * (a notebook, a planner) pays the full tokenize+shingle+sign scan
+    * at construction, not at first action. Pass
+    * `maxBandPop = Int.MaxValue` for a fully lazy (uncapped) plan.
     */
   private[graft] def minhashKeyed(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int, k: Int, bandRows: Int,

@@ -16,7 +16,7 @@ object TextAnalysis {
     * (`split(lower(text), "[^a-z0-9]+")` + empty filter), one char walk
     * instead of an interpreted regex split per consumer. Every
     * compiled scan UDF in this file tokenizes through here, and the
-    * TextAnalysisSpec parity tests pin the equivalence.
+    * LlmOpsSpec parity tests pin the equivalence.
     */
   private[graft] def alnumTokens(s: String): Array[String] = {
     val lo = s.toLowerCase
@@ -95,7 +95,7 @@ object TextAnalysis {
     *    runs of the lowered text (the TextFunctions.tokens split),
     *    stop-matching against [[TextFunctions.qualityStopwords]]
     *
-    * TextAnalysisSpec asserts column-level equality against the old
+    * LlmOpsSpec asserts column-level equality against the old
     * expression form (incl. unicode/empty/null rows), and every
     * quality gate hash-matches its DuckDB oracle unchanged.
     */

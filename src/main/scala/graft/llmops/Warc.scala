@@ -791,6 +791,20 @@ object Warc {
     // twin (one task per file either way; the gz is the at-rest form
     // a crawl dir keeps)
     val have = files.toSet
+    val twins = files.filter(f =>
+      !f.endsWith(".gz") && have.contains(f + ".gz"))
+    if (twins.nonEmpty) {
+      // say which plain files were skipped: if a twin pair legitimately
+      // DIFFERS (partial transcode, re-crawl under the same stem) the
+      // plain file's records are intentionally not read — an operator
+      // must be able to see that from the log rather than discover
+      // missing records downstream
+      org.slf4j.LoggerFactory.getLogger("graft.llmops.Warc").warn(
+        s"readWarcDir: skipping ${twins.size} plain archive(s) whose " +
+          s".gz twin exists in the same dir (gz wins; first: " +
+          s"${twins.head}). If a twin pair is NOT a transcode of the " +
+          "same archive, read the plain file explicitly.")
+    }
     val detwinned = files.filterNot(f =>
       !f.endsWith(".gz") && have.contains(f + ".gz"))
     val (gz, plain) = detwinned.partition(_.endsWith(".gz"))

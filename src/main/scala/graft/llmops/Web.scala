@@ -1133,11 +1133,14 @@ object Web {
     * matters, not just from bodies. Per RECORD:
     *
     *  - 2xx (or a headerless record): the fetched body IS the policy.
-    *  - 3xx: follow `locationCol` through the fetch set (canonical-url
-    *    equality, up to `maxHops` hops — the RFC's "at least five
-    *    consecutive hops"); the final 2xx target's body becomes THIS
-    *    domain's policy. A chain that leaves the fetch set, loops, or
-    *    exceeds maxHops is treated as unavailable → allow-all.
+    *  - 3xx: follow `locationCol` through the fetch set (each Location
+    *    first RESOLVED against the url of the response that carried it
+    *    — RFC 9110 §10.2.2 allows relative references — then matched by
+    *    canonical-url equality, up to `maxHops` hops, the RFC's "at
+    *    least five consecutive hops"); the final 2xx target's body
+    *    becomes THIS domain's policy. A chain that leaves the fetch
+    *    set, loops, or exceeds maxHops is treated as unavailable →
+    *    allow-all.
     *  - 4xx: "unavailable" → allow-all — the EMPTY policy (§2.3.1.3).
     *  - 5xx: "unreachable" → COMPLETE DISALLOW (§2.3.1.4) — the
     *    synthesized policy `User-agent: *\nDisallow: /`.
@@ -1166,21 +1169,38 @@ object Web {
     val disallowAll = "User-agent: *\nDisallow: /\n"
     def isRedirect(s: Column) = s.isNotNull && s >= 300 && s < 400
     // one row per canonical target url, latest fetch wins — a target
-    // fetched twice must resolve deterministically
+    // fetched twice must resolve deterministically. Rows whose url is
+    // crawl-garbage (canon '') are excluded: a '' lookup key must never
+    // equi-match a '' resolution on the probe side.
     val lookup = graft.core.Caches.scoped(targets.getOrElse(fetches)
-      .groupBy(urlCanonCol(col(urlCol)).as("__t_url"))
+      .withColumn("__t_url", urlCanonCol(col(urlCol)))
+      .where(col("__t_url") =!= "")
+      .groupBy("__t_url")
       .agg(max_by(struct(
         col(statusCol).cast("int").as("s"),
         col(locationCol).as("l"),
         col(textCol).as("b")), col(dateCol)).as("__t")))
     var cur = fetches.select(col(domainCol), col(dateCol),
+      col(urlCol).cast("string").as("__u"),
       col(statusCol).cast("int").as("__s"),
       col(locationCol).as("__l"), col(textCol).as("__b"))
     for (_ <- 1 to maxHops) {
+      // Location is an RFC 3986 reference, not necessarily absolute —
+      // real servers send `Location: /robots-v2.txt`. Resolve it against
+      // the url of the response that CARRIED it (RFC 9110 §10.2.2)
+      // before canonicalizing; a reference that still doesn't resolve
+      // to a parseable absolute url ('' canon) never joins and falls to
+      // the -1 unavailable-by-redirect sentinel.
+      val resolved = resolveUrlUdf(col("__u"), col("__l"))
       cur = cur.join(lookup,
           isRedirect(col("__s")) && col("__l").isNotNull &&
-            urlCanonCol(col("__l")) === col("__t_url"), "left")
+            urlCanonCol(resolved) =!= "" &&
+            urlCanonCol(resolved) === col("__t_url"), "left")
         .select(col(domainCol), col(dateCol),
+          // the NEXT hop's Location resolves against the url we just
+          // followed to — thread it; terminal rows keep theirs (unused)
+          when(col("__t").isNotNull, resolved)
+            .otherwise(col("__u")).as("__u"),
           when(col("__t").isNotNull, col("__t").getField("s"))
             // a redirect whose Location was never fetched: sentinel -1
             // = unavailable-by-redirect → allow-all in the final map
@@ -1262,11 +1282,14 @@ object Web {
     // null-domain fallback: the caller's host column when named, else
     // the host extracted from the url (the withUrlParts regex) — one
     // politeness queue per HOST, never per url and never one shared
-    // catch-all
-    val fallback = hostCol.map(h => col(h)).getOrElse(
-      lower(regexp_extract(col(urlCol),
-        "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)))
-    val schedKey = coalesce(col(domainCol), fallback)
+    // catch-all. regexp_extract returns '' (not null) on a scheme-less
+    // url, which would coalesce every such row onto ONE shared ''
+    // queue — nullif it so the final fallback (the url itself: a queue
+    // of one, politeness-safe) takes over.
+    val fallback = hostCol.map(h => nullif(col(h), lit(""))).getOrElse(
+      nullif(lower(regexp_extract(col(urlCol),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)), lit("")))
+    val schedKey = coalesce(col(domainCol), fallback, col(urlCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(schedKey)
       .orderBy(order: _*)

@@ -415,6 +415,54 @@ class PipelineAppSpec extends SparkSpec {
       "--frontier advisory must mention the transient disk footprint")
   }
 
+  test("--robots-warc takes comma-separated dirs: a robots redirect " +
+    "whose target lives in a SECOND segment dir still resolves") {
+    import org.apache.spark.sql.functions._
+    val prose = "Plenty of plain prose here so the extracted body " +
+      "text clears the main-content length threshold comfortably. "
+    def rec(url: String, body: String, ctype: String, date: String,
+        status: Int = 200, location: Option[String] = None): String = {
+      val loc = location.map(l => s"Location: $l\r\n").getOrElse("")
+      val http = s"HTTP/1.1 $status X\r\nContent-Type: $ctype\r\n" +
+        loc + s"\r\n$body"
+      s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $url\r\nWARC-Date: $date\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+        http + "\r\n\r\n"
+    }
+    def page(url: String): String =
+      rec(url, s"<html><body><p>$prose</p></body></html>",
+        "text/html", "2024-01-01T00:00:00Z")
+    // dir 1: cdn.com's robots.txt 301s to a policy host fetched in
+    // dir 2 (RELATIVE Location — exercises the RFC 9110 resolution
+    // through the multi-dir union too)
+    val robDir1 = java.nio.file.Files.createTempDirectory("mdir_rob1")
+    java.nio.file.Files.write(robDir1.resolve("r1.warc"),
+      rec("https://cdn.com/robots.txt", "", "text/plain",
+        "2024-01-01T00:00:00Z", status = 301,
+        location = Some("/policies/robots.txt")).getBytes("UTF-8"))
+    val robDir2 = java.nio.file.Files.createTempDirectory("mdir_rob2")
+    java.nio.file.Files.write(robDir2.resolve("r2.warc"),
+      rec("https://cdn.com/policies/robots.txt",
+        "User-agent: *\nDisallow: /q\n", "text/plain",
+        "2024-01-01T00:00:00Z").getBytes("UTF-8"))
+    val segDir = java.nio.file.Files.createTempDirectory("mdir_seg")
+    java.nio.file.Files.write(segDir.resolve("s.warc"), (
+      page("https://cdn.com/p/1") + page("https://cdn.com/q/1"))
+      .getBytes("UTF-8"))
+    val out = java.nio.file.Files
+      .createTempDirectory("mdir_out").toString
+    PipelineApp.run(spark, PipelineApp.parse(Array("-", out,
+      s"--warc=$segDir", s"--robots-warc=$robDir1,$robDir2",
+      "--min-quality=0.0", "--rate=1.0")))
+    val urls = spark.read.parquet(s"$out/ingest/docs")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls.contains("https://cdn.com/p/1"),
+      "allowed path must survive the cross-dir-resolved policy")
+    assert(!urls.contains("https://cdn.com/q/1"),
+      "the second dir's Disallow /q must govern cdn.com")
+  }
+
   test("kill between stages: missing curate stage reruns on --resume; " +
     "dedup artifacts untouched; content identical to a fresh run") {
     val out = java.nio.file.Files

@@ -306,6 +306,78 @@ class RobotsSpec extends SparkSpec {
       ("https://github.io/b", 1L)))
   }
 
+  test("robotsPoliciesFromFetches: RELATIVE Location resolves against " +
+    "the carrying url (RFC 9110); garbage urls never '' -join; " +
+    "unresolvable relative chain maps to allow-all") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fetches = Seq(
+      // rel.com: 301 with a ROOT-RELATIVE Location — must resolve to
+      // https://rel.com/real.txt and pick up its Disallow body
+      ("rel.com", "https://rel.com/robots.txt", 301,
+        Some("/real.txt"), None: Option[String], "2024-02-01T00:00:00Z"),
+      ("rel.com", "https://rel.com/real.txt", 200, None,
+        Some("User-agent: *\nDisallow: /r\n"), "2024-02-01T00:00:00Z"),
+      // dot.com: relative-path Location with dot segments through a
+      // TWO-hop chain ( ../v2/robots.txt from /a/robots.txt → /v2/… )
+      ("dot.com", "https://dot.com/a/robots.txt", 302,
+        Some("../v2/robots.txt"), None, "2024-02-01T00:00:00Z"),
+      ("dot.com", "https://dot.com/v2/robots.txt", 200, None,
+        Some("User-agent: *\nDisallow: /d\n"), "2024-02-01T00:00:00Z"),
+      // lost.com: relative Location whose target was never fetched —
+      // unavailable-by-redirect → allow-all (empty policy)
+      ("lost.com", "https://lost.com/robots.txt", 301,
+        Some("/nowhere.txt"), None, "2024-02-01T00:00:00Z"),
+      // junk.com: a GARBAGE url row in the TARGET set (canon '');
+      // junk2.com: a redirect whose base is garbage so resolution
+      // yields '' — if either side '' -joins, junk2 would pick up
+      // junk.com's 200 body instead of mapping to allow-all
+      ("junk.com", "not a url at all", 200, None,
+        Some("User-agent: *\nDisallow: /j\n"), "2024-02-01T00:00:00Z"),
+      ("junk2.com", "also-not-a-url", 301, Some("/x.txt"),
+        None, "2024-02-01T00:00:00Z"))
+      .toDF("domain", "url", "status", "location", "body", "ts")
+    val pol = Web.robotsPoliciesFromFetches(
+      fetches.where(col("url").contains("robots.txt") ||
+        col("url") === "also-not-a-url"),
+      "domain", "url", "status", "location", "body", "ts",
+      targets = Some(fetches))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(pol("rel.com") === "User-agent: *\nDisallow: /r\n")
+    assert(pol("lost.com") === "")
+    // garbage-base redirect: resolution is '' → never joins the ''
+    // canon target → unavailable-by-redirect → allow-all
+    assert(pol("junk2.com") === "")
+    val dotPol = Web.robotsPoliciesFromFetches(
+      fetches.where(col("url") === "https://dot.com/a/robots.txt"),
+      "domain", "url", "status", "location", "body", "ts",
+      targets = Some(fetches))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(dotPol("dot.com") === "User-agent: *\nDisallow: /d\n")
+  }
+
+  test("frontierSchedule: scheme-less urls with null domain get their " +
+    "OWN queues (url fallback), never one shared '' catch-all") {
+    import spark.implicits._
+    val frontier = Seq(
+      // no scheme → host regex extracts '' → must fall back to the
+      // url itself: each is a queue of ONE (slot 0), not serialized
+      // behind each other on a shared '' key
+      (null: String, "mailto:x@example.com", 5L),
+      (null: String, "garbage-no-scheme", 3L),
+      (null: String, "another one", 9L),
+      ("a.com", "https://a.com/1", 1L))
+      .toDF("domain", "url", "n_refs")
+      .withColumn("robots_delay_ms",
+        org.apache.spark.sql.functions.lit(1000L))
+    val out = Web.frontierSchedule(frontier, "domain", "url",
+      "n_refs", "robots_delay_ms")
+      .select("url", "fetch_slot").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.values.forall(_ == 0L),
+      s"every scheme-less url must head its own queue, got $out")
+  }
+
   test("withRobotsAllowed: per-UA verdict columns over a DataFrame") {
     import spark.implicits._
     val df = Seq(
