@@ -20,14 +20,17 @@ import graft.llmops.{Curation, TextAnalysis}
   * Each stage reads the previous stage's parquet; --resume reuses
   * completed artifacts (the DedupApp contract).
   *
-  * `--shard-tokens` defaults to AUTO (r19): the fixed 16384 default
-  * over a real crawl's ~190-token docs planned 502,631 shards for the
-  * 8M run — at 100 TB that is a billions-of-output-files plan for
-  * whatever writer consumes it. Auto sizes the target from the kept
-  * corpus itself, `max(16384, ceil(total_tokens / --shard-files))`,
-  * bounding the PLANNED file count (default 512) at any corpus size
-  * while small corpora keep the old granularity. Pass an explicit
-  * `--shard-tokens=<n>` for fixed-size shards.
+  * `--shard-tokens` defaults to the TRAINING-SIZED 16384 (r20,
+  * reverting r19's corpus-scaled auto): a logical shard is the unit of
+  * epoch shuffle and pack order, so it must stay training-sized at any
+  * corpus scale — auto's `ceil(total/512)` meant ~48B-token shards and
+  * 512-unit epoch shuffles at 100 TB. The physical file count is NOT
+  * the logical shard count's problem anymore: `--export` groups whole
+  * shards into at most `--shard-files` files, so a 100 TB corpus plans
+  * billions of 16k-token logical shards while still writing a bounded
+  * file set. (`--shard-tokens=auto` is accepted and resolves to the
+  * default; a consumer that writes one file PER LOGICAL SHARD from the
+  * shards/ plan must size `--shard-tokens` itself.)
   *
   * `--export` additionally materializes `export/`: the kept documents
   * physically laid out for training — at most `--shard-files` output
@@ -35,10 +38,16 @@ import graft.llmops.{Curation, TextAnalysis}
   * shard_offset), so any file streams its shards' documents in
   * epoch-shuffled pack order. Bounded file count by construction (one
   * shuffle on shard_id mod shardFiles), never one file per shard.
+  * With `--export`, shard assignment happens INSIDE the kept stage
+  * (one wide pass over rows that stage writes anyway — kept/ then
+  * carries shard_id/shard_offset), so the export stage pays exactly
+  * ONE wide shuffle of the corpus text (the file grouping) instead of
+  * re-joining the text to a separate narrow plan first (r20: the join
+  * was a second full-corpus text shuffle — real money at 100 TB).
   *
   *   runMain graft.app.CurateApp <documentsParquet> <outDir>
   *     [--benchmark=<parquet>] [--min-quality=0.5] [--rate=1.0]
-  *     [--shard-tokens=auto] [--shard-files=512] [--epoch=1]
+  *     [--shard-tokens=16384] [--shard-files=512] [--epoch=1]
   *     [--export] [--resume]
   */
 object CurateApp {
@@ -53,7 +62,7 @@ object CurateApp {
   def parse(args: Array[String]): Config = {
     require(args.length >= 2, "usage: CurateApp <documentsParquet> " +
       "<outDir> [--benchmark=] [--min-quality=] [--rate=]" +
-      " [--shard-tokens=auto|<n>] [--shard-files=] [--epoch=]" +
+      " [--shard-tokens=<n>|auto] [--shard-files=] [--epoch=]" +
       " [--resume]")
     def flag(name: String): Option[String] =
       args.collectFirst { case s if s.startsWith(s"--$name=") =>
@@ -72,14 +81,18 @@ object CurateApp {
       resume = args.contains("--resume"))
   }
 
-  /** The shard-size target a config resolves to over a kept set with
-    * `totalTokens` tokens: the explicit `--shard-tokens` when given,
-    * else the auto bound. Exposed for the spec and PipelineApp's
-    * manifest params.
+  /** The training-sized logical-shard default: the unit of epoch
+    * shuffle / pack order, independent of corpus size (the physical
+    * file count is bounded separately by `--export` + `--shard-files`).
     */
-  def resolveShardTokens(cfg: Config, totalTokens: Long): Long =
-    cfg.shardTokens.getOrElse(
-      math.max(16384L, (totalTokens + cfg.shardFiles - 1) / cfg.shardFiles))
+  val DefaultShardTokens = 16384L
+
+  /** The shard-size target a config resolves to: the explicit
+    * `--shard-tokens` when given, else [[DefaultShardTokens]]. Exposed
+    * for the spec and PipelineApp's manifest params.
+    */
+  def resolveShardTokens(cfg: Config): Long =
+    cfg.shardTokens.getOrElse(DefaultShardTokens)
 
   def run(spark: SparkSession, cfg: Config): Seq[(String, Long)] = {
     val docs = spark.read.parquet(cfg.docs)
@@ -104,6 +117,7 @@ object CurateApp {
         .drop("quality_score", "mean_token_len", "alpha_ratio",
           "stopword_ratio")
     }
+    val target = resolveShardTokens(cfg)
     val kept = stage("kept") {
       val q = scored.where(
         col("quality_micro") >= math.floor(cfg.minQuality * 1000000).toLong)
@@ -112,26 +126,28 @@ object CurateApp {
           spark.read.parquet(b), "doc_id", "text")
         case None => q
       }
-      if (cfg.rate >= 1.0) clean
-      else Curation.deterministicSample(clean, "doc_id", cfg.rate,
-        salt = s"curate:${cfg.epoch}")
+      val sampled =
+        if (cfg.rate >= 1.0) clean
+        else Curation.deterministicSample(clean, "doc_id", cfg.rate,
+          salt = s"curate:${cfg.epoch}")
+      // --export: shard assignment rides the kept stage (r20). The
+      // prefix-sum plan runs over the rows this stage WRITES anyway,
+      // so the text pays its first wide exchange here (the per-range
+      // pack window) instead of a doc_id re-join in the export stage —
+      // export then pays exactly one wide shuffle (the file grouping).
+      // Without --export the plan stays a narrow side-computation in
+      // the shards stage and kept keeps its r19 schema.
+      if (!cfg.export) sampled
+      else Curation.shardPlan(sampled, "doc_id", "n_chars",
+        target, cfg.epoch)
     }
     val shards = stage("shards") {
-      val narrow = kept.select(col("doc_id"), col("n_chars"))
-      // auto sizing reads ONE aggregate over the narrow kept
-      // projection (column-pruned parquet scan of the committed
-      // stage artifact — never the text)
-      val target = cfg.shardTokens.getOrElse {
-        val total = narrow.agg(coalesce(sum("n_chars"), lit(0L)))
-          .head().getLong(0)
-        val t = resolveShardTokens(cfg, total)
-        println(s"[curate] shard-tokens auto: $total tokens kept -> " +
-          s"target $t (~<=${cfg.shardFiles} shards)")
-        t
-      }
-      Curation.shardPlan(narrow,
-        "doc_id", "n_chars", target, cfg.epoch)
-        .select("doc_id", "shard_id", "shard_offset")
+      if (kept.columns.contains("shard_id"))
+        kept.select("doc_id", "shard_id", "shard_offset")
+      else
+        Curation.shardPlan(kept.select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", target, cfg.epoch)
+          .select("doc_id", "shard_id", "shard_offset")
     }
     // --export: the PHYSICAL training-shard materialization the plan
     // exists for. One shuffle on a BOUNDED key (shard_id mod
@@ -142,8 +158,14 @@ object CurateApp {
     // 1000 executors this is the same bounded write; file CONTENT is
     // deterministic (hash partition on shard_id + in-file sort).
     if (cfg.export) stage("export") {
-      shards.join(kept.drop("shard_id", "shard_offset"), Seq("doc_id"))
-        .repartition(cfg.shardFiles,
+      // kept already carries shard_id/shard_offset (assigned in the
+      // kept stage) — ONE wide shuffle. The join fallback covers a
+      // --resume over a pre-r20 kept artifact without the columns.
+      val src =
+        if (kept.columns.contains("shard_id")) kept
+        else shards.join(kept.drop("shard_id", "shard_offset"),
+          Seq("doc_id"))
+      src.repartition(cfg.shardFiles,
           pmod(col("shard_id"), lit(cfg.shardFiles.toLong)))
         .sortWithinPartitions("shard_id", "shard_offset")
     }

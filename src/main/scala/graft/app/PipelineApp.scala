@@ -130,7 +130,7 @@ object PipelineApp {
   def curateParams(c: CurateApp.Config): String =
     s"bench=${c.benchmark.getOrElse("-")};minq=${c.minQuality};" +
       s"rate=${c.rate};" +
-      s"shard=${c.shardTokens.map(_.toString).getOrElse("auto")};" +
+      s"shard=${CurateApp.resolveShardTokens(c)};" +
       s"files=${c.shardFiles};epoch=${c.epoch};export=${c.export}"
 
   def manifestPath(outDir: String): java.nio.file.Path =

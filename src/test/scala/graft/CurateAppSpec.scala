@@ -53,25 +53,29 @@ class CurateAppSpec extends SparkSpec {
     assert(report("n_shards") === (total + 8191L) / 8192L)
   }
 
-  test("shard-tokens auto bounds the planned shard count and keeps " +
-    "the packing invariants") {
+  test("default shard-tokens is the training-sized 16384 (logical " +
+    "shard size decoupled from --shard-files) and keeps the packing " +
+    "invariants") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_curate_auto").toString
-    // defaults: shardTokens = None (auto), shardFiles = 512
+    // defaults: shardTokens = None -> 16384, shardFiles bounds only
+    // the PHYSICAL export files, never the logical shard size
     val cfg = CurateApp.Config(s"$sf/documents.parquet", out,
       minQuality = 0.0)
     val report = CurateApp.run(spark, cfg).toMap
     val kept = spark.read.parquet(s"$out/kept")
     val shards = spark.read.parquet(s"$out/shards")
     val total = kept.agg(sum("n_chars")).head().getLong(0)
-    val target = CurateApp.resolveShardTokens(cfg, total)
-    // sf0.001 is tiny, so auto floors at the old 16384 granularity;
-    // the resolved target must reproduce the artifact exactly
-    assert(target === math.max(16384L,
-      (total + cfg.shardFiles - 1) / cfg.shardFiles))
+    val target = CurateApp.resolveShardTokens(cfg)
+    assert(target === CurateApp.DefaultShardTokens)
+    // the resolved target must reproduce the artifact exactly, and a
+    // tiny --shard-files must NOT inflate the logical shard size
+    assert(CurateApp.resolveShardTokens(cfg.copy(shardFiles = 2))
+      === CurateApp.DefaultShardTokens)
     assert(report("n_shards") === (total + target - 1) / target)
-    assert(report("n_shards") <= cfg.shardFiles + 1)
     assert(shards.count() === kept.count())
+    // non-export run: kept keeps its narrow schema (no shard cols)
+    assert(!kept.columns.contains("shard_id"))
     val offs = shards.select("shard_offset").collect().map(_.getLong(0))
     assert(offs.forall(o => o >= 0L && o < target))
     val ids = shards.select("shard_id").distinct()
@@ -90,6 +94,14 @@ class CurateAppSpec extends SparkSpec {
     val report = CurateApp.run(spark, cfg).toMap
     val kept = spark.read.parquet(s"$out/kept")
     val export = spark.read.parquet(s"$out/export")
+    // r20: shard assignment rides the kept stage in export mode (the
+    // export then pays exactly one wide shuffle), and the shards/ plan
+    // is the narrow projection of the kept artifact
+    assert(kept.columns.contains("shard_id") &&
+      kept.columns.contains("shard_offset"))
+    assert(spark.read.parquet(s"$out/shards")
+      .except(kept.select("doc_id", "shard_id", "shard_offset"))
+      .count() === 0L)
     // conservation: every kept doc exported exactly once, text intact
     assert(export.count() === kept.count())
     assert(export.select("doc_id").distinct().count() === kept.count())
