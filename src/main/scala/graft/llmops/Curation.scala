@@ -675,7 +675,7 @@ object Curation {
     // compiled counts + the shared score arithmetic (identical doubles
     // to the TextFunctions expression form — the withQuality parity)
     val base = df
-      .withColumn("__qc", TextAnalysis.qualityCountsUdf(col(textCol)))
+      .withColumn("__qc", graft.functions.QualityCountsExpr(col(textCol)))
       .select(col(groupCol), col(idCol),
         md5(col(textCol)).as("__h"),
         col("__qc.nTokens").cast("long").as("__ntok"),

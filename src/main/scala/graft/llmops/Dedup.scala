@@ -152,7 +152,11 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int),
       org.apache.spark.sql.expressions.UserDefinedFunction]()
 
-  private def bandKeysUdf(shingleN: Int, k: Int, bandRows: Int)
+  /** Parity reference for [[graft.functions.MinhashBandKeys]] (the
+    * native expression the scan now runs through) — LlmOpsSpec asserts
+    * column-level equality including unicode/empty/null rows.
+    */
+  private[graft] def bandKeysUdf(shingleN: Int, k: Int, bandRows: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     bandKeysUdfCache.computeIfAbsent((shingleN, k, bandRows), { key =>
       val f = bandKeysF(key._2, key._3)
@@ -225,7 +229,6 @@ object Dedup {
     */
   def minhashBandKeys(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bandRows: Int): DataFrame = {
-    val keysUdf = bandKeysUdf(shingleN, k, bandRows)
     // The signature loop is compute-bound (k x shingles md5s per row);
     // single-row-group files would otherwise pin it to one task. Spread a
     // NARROW (id, text) projection, hash-partitioned by id -- never the
@@ -237,11 +240,14 @@ object Dedup {
     // sides share this exact subtree so ReuseExchange runs it once.
     val spread = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
-    // tokenize + shingle + sign in ONE compiled pass (the empty-shingle
-    // filter lives inside the UDF: empty -> no bands, so posexplode
-    // drops the row exactly like the old size() pre-filter)
+    // tokenize + shingle + sign in ONE native-expression pass over the
+    // row's UTF8String bytes (r20 — no per-row String transcode; the
+    // empty-shingle handling lives inside the kernel: empty -> no
+    // bands, so posexplode drops the row exactly like the old size()
+    // pre-filter; bandKeysUdf stays as the parity reference)
     spread.select(col("id"),
-      posexplode(keysUdf(col("__text"))).as(Seq("band", "band_hash")))
+      posexplode(graft.functions.MinhashBandKeys(col("__text"),
+        shingleN, k, bandRows)).as(Seq("band", "band_hash")))
   }
 
   /** MinHash+LSH near-dup pairs.

@@ -104,37 +104,43 @@ object TextAnalysis {
 
   private val qualityStopSet: Set[String] = qualityStopwords.toSet
 
+  /** The String-level counts kernel — shared by [[qualityCountsUdf]]
+    * (the parity reference) and the non-ASCII fallback of the native
+    * [[graft.functions.QualityCountsExpr]].
+    */
+  private[graft] def qualityCountsOf(s: String): QualityCounts = {
+    var digit = 0; var punct = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp >= '0' && cp <= '9') digit += 1
+      else if (!((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+        cp == '\f' || cp == '\r')) punct += 1
+      i += Character.charCount(cp)
+    }
+    val lo = s.toLowerCase
+    var alpha = 0; var nTok = 0; var sumLen = 0; var stops = 0
+    var j = 0; var runStart = -1
+    def closeRun(end: Int): Unit = if (runStart >= 0) {
+      nTok += 1; sumLen += end - runStart
+      if (qualityStopSet.contains(lo.substring(runStart, end))) stops += 1
+      runStart = -1
+    }
+    while (j < lo.length) {
+      val c = lo.charAt(j)
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (c >= 'a' && c <= 'z') alpha += 1
+      if (alnum) { if (runStart < 0) runStart = j }
+      else closeRun(j)
+      j += 1
+    }
+    closeRun(lo.length)
+    QualityCounts(alpha, digit, punct, nTok, sumLen, stops)
+  }
+
   val qualityCountsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((s: String) => if (s == null) None else Some {
-      var digit = 0; var punct = 0
-      var i = 0
-      while (i < s.length) {
-        val cp = s.codePointAt(i)
-        if (cp >= '0' && cp <= '9') digit += 1
-        else if (!((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
-          cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
-          cp == '\f' || cp == '\r')) punct += 1
-        i += Character.charCount(cp)
-      }
-      val lo = s.toLowerCase
-      var alpha = 0; var nTok = 0; var sumLen = 0; var stops = 0
-      var j = 0; var runStart = -1
-      def closeRun(end: Int): Unit = if (runStart >= 0) {
-        nTok += 1; sumLen += end - runStart
-        if (qualityStopSet.contains(lo.substring(runStart, end))) stops += 1
-        runStart = -1
-      }
-      while (j < lo.length) {
-        val c = lo.charAt(j)
-        val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
-        if (c >= 'a' && c <= 'z') alpha += 1
-        if (alnum) { if (runStart < 0) runStart = j }
-        else closeRun(j)
-        j += 1
-      }
-      closeRun(lo.length)
-      QualityCounts(alpha, digit, punct, nTok, sumLen, stops)
-    })
+    udf((s: String) => if (s == null) None else Some(qualityCountsOf(s)))
 
   /** Same columns, names, positions, and VALUES as the original
     * expression form (`qualityFeatures` + `qualityScore` — kept in
@@ -177,7 +183,8 @@ object TextAnalysis {
       .otherwise(col("__qc.sumTokLen").cast("double") / nTok.cast("double"))
     val stopR = when(nTok === 0, 0.0)
       .otherwise(col("__qc.stopHits").cast("double") / nTok.cast("double"))
-    df.withColumn("__qc", qualityCountsUdf(txt))
+    // native expression (r20): same struct, UTF8String-bytes fast path
+    df.withColumn("__qc", graft.functions.QualityCountsExpr(txt))
       .withColumn("n_chars", nChars)
       .withColumn("n_tokens", nTok)
       .withColumn("mean_token_len", meanTok)

@@ -518,6 +518,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(gNew.map(_.toSeq).toSeq == gOld.map(_.toSeq).toSeq)
   }
 
+  test("native UTF8String kernels (MinhashBandKeys / QualityCountsExpr) " +
+    "are value-identical to the retained UDFs, incl. the unicode " +
+    "slow-path traps") {
+    import spark.implicits._
+    val weird = Seq(
+      (9000001L, ""), (9000002L, "   \t\n "),
+      (9000003L, "ÜBER Straße 42!!! ΣΟΦΙΑ der die und ist"),
+      (9000004L, "the and of to 12345 ++--** the le la les de et"),
+      (9000005L, "😀 emoji 𝔘ni code 99 el la de que y en"),
+      (9000006L, null.asInstanceOf[String]),
+      // Kelvin sign U+212A lowercases to ASCII 'k': the ONE class of
+      // input where a naive byte-walk would tokenize differently from
+      // String.toLowerCase — must take the slow path and still match
+      (9000007L, "temp 300K rising the and"),
+      (9000008L, "UPPER Case MiXeD the of 007"),
+      (9000009L, "one two"), (9000010L, "a"))
+      .toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"), col("text")).limit(200)
+      .unionByName(weird)
+
+    // band keys: native expression vs the parity-reference UDF (null
+    // text -> empty array in BOTH)
+    for ((n, k, br) <- Seq((3, 32, 4), (2, 8, 2))) {
+      val rows = base.select(
+        graft.functions.MinhashBandKeys(col("text"), n, k, br).as("a"),
+        coalesce(graft.llmops.Dedup.bandKeysUdf(n, k, br)(col("text")),
+          array().cast("array<string>")).as("b")).collect()
+      rows.foreach(r => assert(r.get(0) == r.get(1),
+        s"band keys diverged at (n=$n,k=$k,br=$br): ${r.get(0)} vs ${r.get(1)}"))
+    }
+
+    // quality counts: native expression vs the UDF struct (null text ->
+    // null struct in both)
+    val qcRows = base.select(
+      graft.functions.QualityCountsExpr(col("text")).as("a"),
+      TextAnalysis.qualityCountsUdf(col("text")).as("b")).collect()
+    qcRows.foreach { r =>
+      val a = Option(r.getStruct(0)).map(_.toSeq)
+      val b = Option(r.getStruct(1)).map(_.toSeq)
+      assert(a == b, s"quality counts diverged: $a vs $b")
+    }
+  }
+
   test("token counts: bpeish >= ws tokens on plain text") {
     val out = TextAnalysis.withTokenCounts(docs.limit(50), "text").collect()
     out.foreach { r =>
