@@ -236,6 +236,26 @@ object TextFunctions {
         piiIpPattern, "<IP>"),
       piiNumPattern, "<NUM>")
 
+  // the same three patterns pre-compiled for the UDF form below —
+  // java.util.regex is ALSO the engine behind regexp_replace, so the
+  // outputs are bit-identical; the UDF just pays ONE UTF8String <->
+  // String round trip instead of three
+  private lazy val piiEmailRe = java.util.regex.Pattern.compile(piiEmailPattern)
+  private lazy val piiIpRe = java.util.regex.Pattern.compile(piiIpPattern)
+  private lazy val piiNumRe = java.util.regex.Pattern.compile(piiNumPattern)
+
+  /** Compiled [[redactPii]]: the identical three replaceAll passes in
+    * one kernel (parity spec in LlmOpsSpec; same regex engine).
+    */
+  val redactPiiUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) =>
+      if (s == null) null
+      else piiNumRe.matcher(
+        piiIpRe.matcher(
+          piiEmailRe.matcher(s).replaceAll("<EMAIL>"))
+          .replaceAll("<IP>"))
+        .replaceAll("<NUM>"))
+
   /** Match count for one PII pattern (null text counts 0). */
   def piiMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(coalesce(text, lit("")), lit(pattern),
@@ -251,6 +271,23 @@ object TextFunctions {
     piiMatches(text, piiEmailPattern) + piiMatches(text, piiIpPattern) +
       piiMatches(text, piiNumPattern)
 
+  /** Compiled [[piiTotal]]: the same three java.util.regex patterns,
+    * counted with one find() loop each over ONE decoded String —
+    * identical counts (regexp_extract_all collects successive find()
+    * matches of the same engine); null counts 0 like the coalesce in
+    * [[piiMatches]].
+    */
+  val piiTotalUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) =>
+      if (s == null) 0L
+      else {
+        var n = 0L
+        val m1 = piiEmailRe.matcher(s); while (m1.find()) n += 1
+        val m2 = piiIpRe.matcher(s); while (m2.find()) n += 1
+        val m3 = piiNumRe.matcher(s); while (m3.find()) n += 1
+        n
+      })
+
   /** Density-based curation cut: keep documents with at most
     * `maxPerKiloChars` PII matches per 1000 characters. Integer
     * cross-multiply (`total * 1000 <= max * length`), so the cut is
@@ -261,7 +298,7 @@ object TextFunctions {
     */
   def dropPiiDense(df: org.apache.spark.sql.DataFrame, textCol: String,
       maxPerKiloChars: Int): org.apache.spark.sql.DataFrame =
-    df.where(piiTotal(col(textCol)) * lit(1000L) <=
+    df.where(piiTotalUdf(col(textCol)) * lit(1000L) <=
       lit(maxPerKiloChars.toLong) * length(coalesce(col(textCol),
         lit(""))).cast("long"))
 

@@ -709,7 +709,7 @@ object LlmQueries {
           .cast("long").as("n_ips"),
         size(regexp_extract_all(aug, lit(piiNumPattern), lit(0)))
           .cast("long").as("n_nums"),
-        md5(redactPii(aug)).as("redacted_md5"))
+        md5(graft.functions.TextFunctions.redactPiiUdf(aug)).as("redacted_md5"))
     }),
 
     // PII DENSITY cut (dropPiiDense): every doc gets the 3-match
@@ -733,7 +733,7 @@ object LlmQueries {
         Tables.documents(s, d).select(col("doc_id"), aug.as("aug")),
         "aug", maxPerKiloChars = 40)
         .select(col("doc_id"),
-          graft.functions.TextFunctions.piiTotal(col("aug")).as("n_pii"))
+          graft.functions.TextFunctions.piiTotalUdf(col("aug")).as("n_pii"))
     }),
 
     // CAPSTONE 3 (round-8 family composed): synthetic-PII augment ->
@@ -753,7 +753,7 @@ object LlmQueries {
         (pmod(col("doc_id"), lit(250)) + 1).cast("string"),
         lit(" acct 12345678901"))
       val red = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-        redactPii(aug).as("clean"))
+        graft.functions.TextFunctions.redactPiiUdf(aug).as("clean"))
       val scored = Curation.lmScores(red,
         red.where(col("lang") === "en"), "doc_id", "clean",
         shingleN = 2, buckets = 256)

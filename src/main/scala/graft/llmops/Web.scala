@@ -474,6 +474,29 @@ object Web {
     */
   def c4LineClean(df: DataFrame, idCol: String, textCol: String,
       minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    // compiled single-pass kernel (r20) — the interpreted HOF form
+    // (retained below as c4LineCleanExpr, the parity reference) walked
+    // every line through per-element lambdas: 12.2 s -> ~1 s at 2M
+    // docs (ScanProf). Values are identical by construction: ASCII
+    // docs take a char-walk that matches the expression semantics
+    // exactly; any doc with a non-ASCII char replays the expression's
+    // own UTF8String operations line by line.
+    val c = c4Udf(minLineWords, minKeptLines)(col(textCol))
+    df.withColumn("__c4", c)
+      .withColumn("n_lines", col("__c4.nLines"))
+      .withColumn("kept_lines", col("__c4.keptLines"))
+      .withColumn("clean_text", col("__c4.cleanText"))
+      .withColumn("c4_keep", col("__c4.keep"))
+      .drop("__c4")
+  }
+
+  /** The original column-expression form of [[c4LineClean]] — kept as
+    * the parity reference (LlmOpsSpec asserts column-level equality
+    * on corpus + adversarial rows) and for single-rule composition.
+    */
+  private[graft] def c4LineCleanExpr(df: DataFrame, idCol: String,
+      textCol: String, minLineWords: Int = 5,
+      minKeptLines: Int = 3): DataFrame = {
     val lines = split(col(textCol), "\n")
     def lineKeep(l: Column): Column = {
       val t = trim(l)
@@ -490,6 +513,135 @@ object Web {
         size(kept) >= minKeptLines &&
           !contains(lower(col(textCol)), lit("lorem ipsum")) &&
           !contains(col(textCol), lit("{")))
+  }
+
+  final case class C4Result(nLines: Long, keptLines: Long,
+      cleanText: String, keep: Boolean)
+
+  // memoized (the plan-cache substitution rule all parameterized
+  // kernels follow)
+  private val c4UdfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int),
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+
+  private[graft] def c4Udf(minLineWords: Int, minKeptLines: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    c4UdfCache.computeIfAbsent((minLineWords, minKeptLines), { key =>
+      udf((s: String) =>
+        if (s == null) None else Some(c4Clean(s, key._1, key._2)))
+    })
+
+  private val jsU8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString("javascript")
+  private val loremU8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString("lorem ipsum")
+
+  /** One compiled pass over the document. ASCII docs: a char walk
+    * whose trim (' ' only — Spark's trim), \s word split, last-char
+    * test, and case-insensitive scans agree with the expression form
+    * exactly. Docs containing ANY non-ASCII char replay the
+    * expression's own UTF8String operations per line (trim /
+    * substringSQL / toLowerCase / contains), so unicode edge cases
+    * (Kelvin sign, astral chars) cannot diverge.
+    */
+  private[graft] def c4Clean(s: String, minLineWords: Int,
+      minKeptLines: Int): C4Result = {
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) {
+      if (s.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    // manual split('\n', -1): Spark's split keeps trailing empties
+    var nLines = 1
+    i = 0
+    while (i < s.length) { if (s.charAt(i) == '\n') nLines += 1; i += 1 }
+    val sb = new java.lang.StringBuilder
+    var keptN = 0
+    var lineStart = 0
+    var li = 0
+    while (li < nLines) {
+      var lineEnd = s.indexOf('\n', lineStart)
+      if (lineEnd < 0) lineEnd = s.length
+      val keepLine =
+        if (ascii) asciiLineKeep(s, lineStart, lineEnd, minLineWords)
+        else u8LineKeep(s.substring(lineStart, lineEnd), minLineWords)
+      if (keepLine) {
+        if (keptN > 0) sb.append('\n')
+        sb.append(s, lineStart, lineEnd)
+        keptN += 1
+      }
+      lineStart = lineEnd + 1
+      li += 1
+    }
+    val noLorem =
+      if (ascii) !asciiContainsIgnoreCase(s, 0, s.length, "lorem ipsum")
+      else !org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        .toLowerCase.contains(loremU8)
+    val keep = keptN >= minKeptLines && noLorem && s.indexOf('{') < 0
+    C4Result(nLines.toLong, keptN.toLong, sb.toString, keep)
+  }
+
+  private def asciiLineKeep(s: String, start: Int, end: Int,
+      minLineWords: Int): Boolean = {
+    // Spark trim: strip ' ' (space char) only, both ends
+    var a = start; var b = end
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == b) return false
+    val last = s.charAt(b - 1)
+    if (!(last == '.' || last == '!' || last == '?' || last == '"'))
+      return false
+    // words = non-empty \s+-split tokens == runs of non-\s chars
+    var words = 0
+    var p = a
+    var inRun = false
+    while (p < b) {
+      val c = s.charAt(p)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == 0x0b ||
+        c == '\f' || c == '\r'
+      if (!ws) { if (!inRun) { words += 1; inRun = true } }
+      else inRun = false
+      p += 1
+    }
+    words >= minLineWords &&
+      !asciiContainsIgnoreCase(s, a, b, "javascript")
+  }
+
+  /** Case-insensitive ASCII substring scan over s[from,until) —
+    * `needle` must be lowercase ASCII.
+    */
+  private def asciiContainsIgnoreCase(s: String, from: Int, until: Int,
+      needle: String): Boolean = {
+    val n = needle.length
+    var p = from
+    while (p + n <= until) {
+      var j = 0
+      var ok = true
+      while (ok && j < n) {
+        var c = s.charAt(p + j)
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+        if (c != needle.charAt(j)) ok = false
+        j += 1
+      }
+      if (ok) return true
+      p += 1
+    }
+    false
+  }
+
+  /** Non-ASCII line verdict: the expression form's own UTF8String
+    * operations, replayed verbatim.
+    */
+  private def u8LineKeep(line: String, minLineWords: Int): Boolean = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val t = UTF8String.fromString(line).trim()
+    if (t.numChars() == 0) return false
+    val last = t.substringSQL(-1, 1).toString
+    if (!(last == "." || last == "!" || last == "?" || last == "\""))
+      return false
+    val words = t.toString.split("\\s+", -1).count(_.nonEmpty)
+    words >= minLineWords && !t.toLowerCase.contains(jsU8)
   }
 
   /** Outbound links from an HTML column: every `<a ... href="...">`

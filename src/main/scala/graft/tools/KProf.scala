@@ -29,6 +29,8 @@ object KProf {
       }
       println(f"[kprof] $name%-18s $best%7.2f s  ($nDocs%,d docs)")
     }
+    timed("pii_expr")(hash(graft.functions.TextFunctions.redactPii(col("text"))))
+    timed("pii_udf")(hash(graft.functions.TextFunctions.redactPiiUdf(col("text"))))
     timed("qc_expr")(hash(graft.functions.QualityCountsExpr(col("text"))))
     timed("qc_udf")(hash(TextAnalysis.qualityCountsUdf(col("text"))))
     val nB = if (args.length > 1) args(1).toLong else nDocs / 20

@@ -52,7 +52,21 @@ object ScanProf {
           f"${(System.nanoTime() - t0) / 1e9}%7.1f s  ($nDocs%,d docs)")
       }
 
+    // line-structured corpus for the C4 line rules (the flat generator
+    // has no newlines or terminal punctuation, so c4 would be a no-op
+    // scan): ~19 ten-word sentences per doc, each ending in '.',
+    // newline-separated — written once so the transform never rides
+    // the timed probe
+    val c4Path = docsPath + "_c4"
+    docs.withColumn("text",
+        regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1.\n"))
+      .write.mode("overwrite").parquet(c4Path)
+    val c4docs = spark.read.parquet(c4Path)
+
     timed("quality") { TextAnalysis.withQuality(docs, "text") }
+    timed("c4") { graft.llmops.Web.c4LineClean(c4docs, "doc_id", "text") }
+    timed("maincontent") {
+      graft.llmops.Web.withMainContent(c4docs, "text") }
     timed("langid") { TextAnalysis.withLangId(docs, "text") }
     timed("gopher") { TextAnalysis.gopherRules(docs, "text") }
     timed("tokcounts") { TextAnalysis.withTokenCounts(docs, "text") }
@@ -60,6 +74,8 @@ object ScanProf {
     timed("fingerprint") { TextAnalysis.withFingerprint(docs, "text") }
     timed("pii") { docs.withColumn("red",
       graft.functions.TextFunctions.redactPii(col("text"))) }
+    timed("pii_udf") { docs.withColumn("red",
+      graft.functions.TextFunctions.redactPiiUdf(col("text"))) }
     timed("classifier") { TextAnalysis.withClassifier(docs, "text") }
     spark.stop()
   }

@@ -518,6 +518,64 @@ class LlmOpsSpec extends SparkSpec {
     assert(gNew.map(_.toSeq).toSeq == gOld.map(_.toSeq).toSeq)
   }
 
+  test("compiled PII kernels (redactPiiUdf / piiTotalUdf) equal the " +
+    "regexp-chain forms (same java.util.regex engine, one transcode)") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val weird = Seq(
+      (9200001L, ""), (9200002L, null.asInstanceOf[String]),
+      (9200003L, "mail a.b+c@x-y.co.uk or bad@@x..y and 10.0.0.254"),
+      (9200004L, "digits 123456 1234567 12345678901234567890 end"),
+      (9200005L, "ip 999.1.1.1 mixed ünicode@exämple.com 1.2.3.4"),
+      (9200006L, "a@b.co 1.1.1.1 1234567 a@b.co 1.1.1.1 1234567"))
+      .toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"), col("text")).limit(200)
+      .unionByName(weird)
+    val rows = base.select(
+      redactPii(col("text")).as("a"), redactPiiUdf(col("text")).as("b"),
+      piiTotal(coalesce(col("text"), lit(""))).as("c"),
+      piiTotalUdf(col("text")).as("d")).collect()
+    rows.foreach { r =>
+      assert(r.get(0) == r.get(1), s"redact diverged: ${r.get(0)} vs ${r.get(1)}")
+      assert(r.get(2) == r.get(3), s"count diverged: ${r.get(2)} vs ${r.get(3)}")
+    }
+  }
+
+  test("compiled c4LineClean is value-identical to the HOF expression " +
+    "form on corpus + adversarial rows") {
+    import spark.implicits._
+    val weird = Seq(
+      (9100001L, ""), (9100002L, "   \t\n "),
+      (9100003L, "A fine line with six words here.\nshort.\n" +
+        "this line mentions JavaScript libraries quite a lot.\n" +
+        "Ends with bang and has enough words in it!\n" +
+        "  padded line with plenty of words ends right.  \n" +
+        "no terminal punctuation on this long enough line"),
+      (9100004L, "Lorem Ipsum dolor sit amet line one ends here.\n" +
+        "Another perfectly good long line ends with a period."),
+      (9100005L, "Good long line one two three four five six.\n" +
+        "But a { brace } kills the document despite kept lines."),
+      (9100006L, null.asInstanceOf[String]),
+      (9100007L, "Üni code line with enough wörds ends properly.\n" +
+        "second ünicode line also long enough to keep it.\ntail"),
+      (9100008L, "crlf line with enough words should fail here.\r\n" +
+        "tab\tseparated words count as separate words right here."),
+      (9100009L, "ends with quote and has the word count.\"\n\n\n"),
+      (9100010L, "temp 300K line with enough words ends now."))
+      .toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"), col("text")).limit(200)
+      .unionByName(weird)
+    val cols = Seq("n_lines", "kept_lines", "clean_text", "c4_keep")
+    for ((mlw, mkl) <- Seq((5, 3), (3, 1))) {
+      val neu = graft.llmops.Web.c4LineClean(base, "doc_id", "text",
+        mlw, mkl).orderBy("doc_id").select("doc_id", cols: _*).collect()
+      val old = graft.llmops.Web.c4LineCleanExpr(base, "doc_id", "text",
+        mlw, mkl).orderBy("doc_id").select("doc_id", cols: _*).collect()
+      assert(neu.map(_.toSeq).toSeq == old.map(_.toSeq).toSeq,
+        s"c4 parity broke at (minLineWords=$mlw, minKeptLines=$mkl)")
+    }
+  }
+
   test("native UTF8String kernels (MinhashBandKeys / QualityCountsExpr) " +
     "are value-identical to the retained UDFs, incl. the unicode " +
     "slow-path traps") {
