@@ -2333,7 +2333,17 @@ object LlmQueries {
         when(c === 0, concat(lit("<lastmod>2024-02-0"), lmDay,
           lit("</lastmod>")))
           .when(c === 1, concat(lit("<lastmod>2024-03-0"), lmDay,
-            lit("T0"), lmHour, lit(":30:00Z</lastmod>")))
+            lit("T0"), lmHour, lit(":30:00"),
+            // r20: mixed offset suffixes GATE the documented LEXICAL
+            // time tiebreak — 'T03:30:00+02:00' (01:30Z) outranks
+            // 'T02:30:00Z' because the time field compares as a
+            // string (the scaladoc'd choice: DuckDB and Spark replay
+            // substr() identically, where timestamp parsing differs
+            // cross-engine). An engine that normalized offsets
+            // chronologically would reorder these rows and hash-fail.
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("Z"))
+              .otherwise(lit("+02:00")),
+            lit("</lastmod>")))
           .otherwise(lit("")),
         lit("</url><url><loc>https://"), host, lit("/q?a=1&amp;b="),
         p2, lit("</loc></url></urlset>"))
@@ -5173,7 +5183,8 @@ object LlmQueries {
                  '2024-02-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
                WHEN doc_id % 3 = 1 THEN
                  '2024-03-0' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
-                   'T0' || CAST(doc_id % 4 AS VARCHAR) || ':30:00Z'
+                   'T0' || CAST(doc_id % 4 AS VARCHAR) || ':30:00' ||
+                   CASE WHEN doc_id % 2 = 0 THEN 'Z' ELSE '+02:00' END
                ELSE NULL END AS lastmod
            FROM documents
            UNION ALL

@@ -1415,6 +1415,17 @@ object Web {
     * replay substr() identically, and date-only entries (no time
     * field) rank after any timestamped same-day entry. Same per-domain
     * window shape as [[frontierSchedule]].
+    *
+    * MIXED-offset same-day entries order lexically, NOT
+    * chronologically — '08:00+02:00' (06:00Z) outranks '07:00Z'. This
+    * is the DELIBERATE choice (r20, gated in llm_pipeline14's
+    * mixed-suffix family): normalizing offsets needs full timestamp
+    * parsing, whose edge semantics differ between engines (the reason
+    * the tiebreak is lexical at all), and an offset can move the DAY,
+    * so partial normalization would be worse than none. A recrawl
+    * scheduler mis-ordering two same-day seeds by minutes-to-hours is
+    * a priority nuance; a cross-engine hash divergence is a
+    * correctness failure.
     */
   def frontierScheduleRecency(df: DataFrame, domainCol: String,
       urlCol: String, lastmodCol: String, nRefsCol: String,
