@@ -38,12 +38,10 @@ import graft.llmops.{Curation, TextAnalysis}
   * shard_offset), so any file streams its shards' documents in
   * epoch-shuffled pack order. Bounded file count by construction (one
   * shuffle on shard_id mod shardFiles), never one file per shard.
-  * With `--export`, shard assignment happens INSIDE the kept stage
-  * (one wide pass over rows that stage writes anyway — kept/ then
-  * carries shard_id/shard_offset), so the export stage pays exactly
-  * ONE wide shuffle of the corpus text (the file grouping) instead of
-  * re-joining the text to a separate narrow plan first (r20: the join
-  * was a second full-corpus text shuffle — real money at 100 TB).
+  * Export joins the text to the narrow shard plan on doc_id first —
+  * the ALTERNATIVE (assigning shards inside the kept stage so export
+  * repartitions only) was A/B-measured at 8M in r20 and is net SLOWER:
+  * see the note at the shards stage below.
   *
   *   runMain graft.app.CurateApp <documentsParquet> <outDir>
   *     [--benchmark=<parquet>] [--min-quality=0.5] [--rate=1.0]
@@ -126,21 +124,20 @@ object CurateApp {
           spark.read.parquet(b), "doc_id", "text")
         case None => q
       }
-      val sampled =
-        if (cfg.rate >= 1.0) clean
-        else Curation.deterministicSample(clean, "doc_id", cfg.rate,
-          salt = s"curate:${cfg.epoch}")
-      // --export: shard assignment rides the kept stage (r20). The
-      // prefix-sum plan runs over the rows this stage WRITES anyway,
-      // so the text pays its first wide exchange here (the per-range
-      // pack window) instead of a doc_id re-join in the export stage —
-      // export then pays exactly one wide shuffle (the file grouping).
-      // Without --export the plan stays a narrow side-computation in
-      // the shards stage and kept keeps its r19 schema.
-      if (!cfg.export) sampled
-      else Curation.shardPlan(sampled, "doc_id", "n_chars",
-        target, cfg.epoch)
+      if (cfg.rate >= 1.0) clean
+      else Curation.deterministicSample(clean, "doc_id", cfg.rate,
+        salt = s"curate:${cfg.epoch}")
     }
+    // The shard plan stays a NARROW side-computation (doc_id, n_chars)
+    // joined back at export time — r20 A/B-MEASURED against folding
+    // the assignment into the kept stage (prefix sum over the wide
+    // rows, export repartition-only): at 8M docs the fold made kept
+    // 12.5 -> 81.8+ s (the pack window exchanges + persists + writes
+    // the TEXT) while export only dropped 69.8 -> 55.9 s — net ~55 s
+    // SLOWER end-to-end. One narrow plan + one doc_id join + one
+    // bounded file-grouping shuffle is the cheaper shape; the export
+    // below still accepts a kept artifact that carries shard cols
+    // (written during the brief fold design) and then skips the join.
     val shards = stage("shards") {
       if (kept.columns.contains("shard_id"))
         kept.select("doc_id", "shard_id", "shard_offset")
@@ -158,9 +155,6 @@ object CurateApp {
     // 1000 executors this is the same bounded write; file CONTENT is
     // deterministic (hash partition on shard_id + in-file sort).
     if (cfg.export) stage("export") {
-      // kept already carries shard_id/shard_offset (assigned in the
-      // kept stage) — ONE wide shuffle. The join fallback covers a
-      // --resume over a pre-r20 kept artifact without the columns.
       val src =
         if (kept.columns.contains("shard_id")) kept
         else shards.join(kept.drop("shard_id", "shard_offset"),

@@ -13,15 +13,23 @@ import graft.app.CurateApp
   * the measurement harness for fixing it: run once at a given doc count
   * before and after a change, compare stage walls at identical inputs.
   *
-  * Usage: runMain graft.tools.ShardTail [nDocs] [shardTokens|auto] [outRoot]
+  * Usage: runMain graft.tools.ShardTail [nDocs] [shardTokens|auto]
+  *   [outRoot] [--export] [--shard-files=N]
   * Default 2,000,000 docs, the CurateApp default shard sizing.
+  * `--export` also materializes the bounded physical shards and prints
+  * the output file count (the r20 one-wide-shuffle export path).
   */
 object ShardTail {
   def main(args: Array[String]): Unit = {
-    val nDocs = if (args.nonEmpty) args(0).toLong else 2000000L
-    val shardTokens = if (args.length > 1) args(1) else "16384"
-    val root = if (args.length > 2) args(2)
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    val nDocs = if (pos.nonEmpty) pos(0).toLong else 2000000L
+    val shardTokens = if (pos.length > 1) pos(1) else "16384"
+    val root = if (pos.length > 2) pos(2)
       else java.nio.file.Files.createTempDirectory("shard_tail").toString
+    val doExport = flags.contains("--export")
+    val shardFiles = flags.collectFirst {
+      case f if f.startsWith("--shard-files=") =>
+        f.stripPrefix("--shard-files=").toInt }.getOrElse(512)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -43,7 +51,9 @@ object ShardTail {
     // ~190 tokens/doc, ~1.1 KB — the 8M run's doc shape. Deterministic
     // per-id text (hash-derived words) so re-runs compare like for like.
     val docsPath = s"$root/docs"
-    timed("gen") {
+    if (graft.core.StageIo.committed(spark, docsPath))
+      println(s"[shardtail] reusing corpus at $docsPath")
+    else timed("gen") {
       spark.range(nDocs).toDF("doc_id")
         .withColumn("text", concat_ws(" ",
           transform(sequence(lit(0), lit(189)), i =>
@@ -60,9 +70,16 @@ object ShardTail {
     val cfg = CurateApp.Config(docsPath, s"$root/curate",
       minQuality = 0.0,
       shardTokens =
-        if (shardTokens == "auto") None else Some(shardTokens.toLong))
+        if (shardTokens == "auto") None else Some(shardTokens.toLong),
+      shardFiles = shardFiles, export = doExport,
+      resume = flags.contains("--resume"))
     val report = timed("curate") { CurateApp.run(spark, cfg) }
     report.foreach { case (k, v) => println(f"[shardtail] $k%-12s $v") }
+    if (doExport) {
+      val files = new java.io.File(s"$root/curate/export").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      println(s"[shardtail] export files $files (bound $shardFiles)")
+    }
     spark.stop()
   }
 }

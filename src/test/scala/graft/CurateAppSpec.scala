@@ -94,14 +94,10 @@ class CurateAppSpec extends SparkSpec {
     val report = CurateApp.run(spark, cfg).toMap
     val kept = spark.read.parquet(s"$out/kept")
     val export = spark.read.parquet(s"$out/export")
-    // r20: shard assignment rides the kept stage in export mode (the
-    // export then pays exactly one wide shuffle), and the shards/ plan
-    // is the narrow projection of the kept artifact
-    assert(kept.columns.contains("shard_id") &&
-      kept.columns.contains("shard_offset"))
-    assert(spark.read.parquet(s"$out/shards")
-      .except(kept.select("doc_id", "shard_id", "shard_offset"))
-      .count() === 0L)
+    // r20 A/B: the narrow plan + doc_id join stays (folding shard
+    // assignment into kept measured net slower at 8M) — kept keeps
+    // its narrow schema in export mode too
+    assert(!kept.columns.contains("shard_id"))
     // conservation: every kept doc exported exactly once, text intact
     assert(export.count() === kept.count())
     assert(export.select("doc_id").distinct().count() === kept.count())
