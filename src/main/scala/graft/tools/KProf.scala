@@ -34,7 +34,7 @@ object KProf {
     timed("qc_expr")(hash(graft.functions.QualityCountsExpr(col("text"))))
     timed("qc_udf")(hash(TextAnalysis.qualityCountsUdf(col("text"))))
     val nB = if (args.length > 1) args(1).toLong else nDocs / 20
-    val bdocs = docs.limit(nB.toInt).cache()
+    val bdocs = docs.where(col("doc_id") < nB).repartition(32).cache()
     bdocs.count()
     def timedB(name: String)(c: org.apache.spark.sql.Column): Unit = {
       var best = Double.MaxValue
@@ -47,6 +47,23 @@ object KProf {
     }
     timedB("bands_expr")(hash(graft.functions.MinhashBandKeys(col("text"), 3, 32, 4)))
     timedB("bands_udf")(hash(Dedup.bandKeysUdf(3, 32, 4)(col("text"))))
+    timedB("bands8_expr")(hash(graft.functions.MinhashBandKeys(col("text"), 3, 8, 4)))
+    timedB("bands8_udf")(hash(Dedup.bandKeysUdf(3, 8, 4)(col("text"))))
+    val exploded_e = bdocs.select(posexplode(
+      graft.functions.MinhashBandKeys(col("text"), 3, 8, 4)).as(Seq("band", "bh")))
+    val exploded_u = bdocs.select(posexplode(
+      Dedup.bandKeysUdf(3, 8, 4)(col("text"))).as(Seq("band", "bh")))
+    def timedDf(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      var best = Double.MaxValue
+      for (_ <- 1 to 3) {
+        val t0 = System.nanoTime()
+        df.agg(max(xxhash64(col("band"), col("bh")))).head()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[kprof] $name%-18s $best%7.2f s  ($nB%,d docs)")
+    }
+    timedDf("posexp8_expr")(exploded_e)
+    timedDf("posexp8_udf")(exploded_u)
     spark.stop()
   }
 }
