@@ -370,7 +370,10 @@ object PipelineApp {
           // (a CDN policy host) only resolves if that segment's
           // fetches are in the lookup set — one dir alone maps the
           // chain to unavailable/allow-all
-          val rraw = rw.split(",").map(_.trim).filter(_.nonEmpty)
+          val robotsDirs = rw.split(",").map(_.trim).filter(_.nonEmpty)
+          require(robotsDirs.nonEmpty,
+            s"--robots-warc resolved to zero directories: '$rw'")
+          val rraw = robotsDirs
             .map(d => graft.llmops.Warc.readWarcDir(spark, d,
               byteTransparent = cfg.transcode))
             .reduce(_.unionByName(_))

@@ -298,7 +298,7 @@ object TextFunctions {
     */
   def dropPiiDense(df: org.apache.spark.sql.DataFrame, textCol: String,
       maxPerKiloChars: Int): org.apache.spark.sql.DataFrame =
-    df.where(piiTotalUdf(col(textCol)) * lit(1000L) <=
+    df.where(PiiTotalExpr(col(textCol)) * lit(1000L) <=
       lit(maxPerKiloChars.toLong) * length(coalesce(col(textCol),
         lit(""))).cast("long"))
 

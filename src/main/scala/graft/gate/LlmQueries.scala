@@ -702,14 +702,19 @@ object LlmQueries {
         lit("@example.com or 10.0.0."),
         (pmod(col("doc_id"), lit(250)) + 1).cast("string"),
         lit(" acct 12345678901"))
-      Tables.documents(s, d).select(col("doc_id"),
-        size(regexp_extract_all(aug, lit(piiEmailPattern), lit(0)))
-          .cast("long").as("n_emails"),
-        size(regexp_extract_all(aug, lit(piiIpPattern), lit(0)))
-          .cast("long").as("n_ips"),
-        size(regexp_extract_all(aug, lit(piiNumPattern), lit(0)))
-          .cast("long").as("n_nums"),
-        md5(graft.functions.TextFunctions.redactPiiUdf(aug)).as("redacted_md5"))
+      // native single-pass scanners (r21): one counts struct + one
+      // redaction chain per row instead of 4 regexp_extract_all + 3
+      // regexp_replace java.util.regex passes — value-identical
+      // (PiiSpec parity incl. adversarial boundaries; oracle unchanged)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.PiiCountsExpr(aug).as("__pii"),
+          md5(graft.functions.PiiRedactExpr(aug)).as("redacted_md5"))
+        .select(col("doc_id"),
+          col("__pii.n_emails").as("n_emails"),
+          col("__pii.n_ips").as("n_ips"),
+          col("__pii.n_nums").as("n_nums"),
+          col("redacted_md5"))
     }),
 
     // PII DENSITY cut (dropPiiDense): every doc gets the 3-match
@@ -733,7 +738,7 @@ object LlmQueries {
         Tables.documents(s, d).select(col("doc_id"), aug.as("aug")),
         "aug", maxPerKiloChars = 40)
         .select(col("doc_id"),
-          graft.functions.TextFunctions.piiTotalUdf(col("aug")).as("n_pii"))
+          graft.functions.PiiTotalExpr(col("aug")).as("n_pii"))
     }),
 
     // CAPSTONE 3 (round-8 family composed): synthetic-PII augment ->
@@ -753,7 +758,7 @@ object LlmQueries {
         (pmod(col("doc_id"), lit(250)) + 1).cast("string"),
         lit(" acct 12345678901"))
       val red = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-        graft.functions.TextFunctions.redactPiiUdf(aug).as("clean"))
+        graft.functions.PiiRedactExpr(aug).as("clean"))
       val scored = Curation.lmScores(red,
         red.where(col("lang") === "en"), "doc_id", "clean",
         shingleN = 2, buckets = 256)

@@ -120,8 +120,10 @@ object LearnedEmbeddings {
 
   /** Sign of the (context, dim) projection cell: +1 when
     * md5(seed:c:dim)'s leading 8 hex digits are even, else -1.
+    * (private[graft]: LearnedEmbeddingsSpec reproduces the join-based
+    * model construction with it to pin the prefiltered fast path.)
     */
-  private def projSign(c: Column, dim: Column, seed: String): Column =
+  private[graft] def projSign(c: Column, dim: Column, seed: String): Column =
     when(hex8(concat(lit(seed + ":"), c, lit(":"), dim.cast("string")))
       % 2 === 0, lit(1L)).otherwise(lit(-1L))
 
@@ -131,26 +133,59 @@ object LearnedEmbeddings {
     * produce the identical table.
     *
     * This is the SCALE path, so unlike the lazy [[ppmiCells]] it
-    * materializes: without persisting, Catalyst re-executes the
-    * vocab scan and the full pair-generation subtree once per join
-    * branch (vocab twice, cooc three more times for marginals/total) —
-    * ~5 extra corpus passes at 100 TB. vocab and cooc are model-scale
-    * (<= vocabSize / observed-cell rows), so they persist +
-    * materialize, train runs exactly TWO corpus scans (vocab count,
-    * pair stream), and the returned model is a persisted
-    * lineage-truncated leaf (the connectedComponents pattern —
-    * downstream plans see a leaf, the RDD keeps fault tolerance).
-    * Callers owning the lifecycle may `.unpersist()` the result.
+    * materializes: without persisting, Catalyst re-executes the full
+    * pair-generation subtree once per join branch (cooc three more
+    * times for marginals/total) — extra corpus passes at 100 TB. The
+    * vocab (<= vocabSize rows by construction) collects to the driver
+    * and prefilters the pair stream map-side; cooc (observed-cell
+    * rows) persists + materializes; train runs exactly TWO corpus
+    * scans (vocab count, filtered pair stream); and the returned model
+    * (<= vocabSize * dims rows) is a collected local relation — a true
+    * lineage-truncated leaf with no persist to leak.
     */
   def termEmbeddings(df: DataFrame, textCol: String, vocabSize: Int,
       window: Int, dims: Int, seed: String = "emb"): DataFrame = {
     require(dims > 0, "dims must be positive")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val vocab = topVocab(df, textCol, vocabSize).persist(MEMORY_AND_DISK)
-    vocab.count()
-    val cooc = skipGramPairs(df, textCol, window)
-      .join(broadcast(vocab.select(col("token").as("t"))), "t")
-      .join(broadcast(vocab.select(col("token").as("c"))), "c")
+    val spark = df.sparkSession
+    // vocab is <= vocabSize rows BY CONSTRUCTION (a top-k limit), so it
+    // collects to the driver like the model does in [[docEmbeddings]],
+    // and the pair stream is prefiltered MAP-SIDE against the broadcast
+    // set (r21, guide §2.3 "shuffle fewer bytes"): the former shape
+    // exploded ~2*window rows PER TOKEN and dropped the non-vocab
+    // majority in two broadcast hash joins AFTER materializing them —
+    // the filtered UDF emits only in-vocab pairs, so the rows that
+    // reach the (t,c) aggregate shrink by the out-of-vocab ratio and
+    // the joins (plus the vocab persist/count and the two broadcast
+    // builds of it) disappear from the plan. Pair enumeration is
+    // UNCHANGED: window offsets index the FULL token sequence exactly
+    // as before — membership filtering happens after enumeration, which
+    // is precisely what the inner joins computed (vocab is distinct).
+    val vocabSet = topVocab(df, textCol, vocabSize)
+      .collect().map(_.getString(0)).toSet
+    val bcVocab = spark.sparkContext.broadcast(vocabSet)
+    val vocabPairUdf = udf((s: String) => {
+      val v = bcVocab.value
+      val toks = if (s == null) Array.empty[String]
+        else TextAnalysis.alnumTokens(s)
+      val out =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var i = 0
+      while (i < toks.length) {
+        if (v.contains(toks(i))) {
+          var j = math.max(0, i - window)
+          val hi = math.min(toks.length - 1, i + window)
+          while (j <= hi) {
+            if (j != i && v.contains(toks(j))) out += ((toks(i), toks(j)))
+            j += 1
+          }
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    val cooc = df.select(explode(vocabPairUdf(col(textCol))).as("p"))
+      .select(col("p._1").as("t"), col("p._2").as("c"))
       .groupBy("t", "c").agg(count(lit(1)).as("cnt"))
       .persist(MEMORY_AND_DISK)
     cooc.count()
@@ -171,11 +206,14 @@ object LearnedEmbeddings {
       .groupBy("token", "dim")
       .agg(sum(col("ppmi_micro") * projSign(col("c"), col("dim"), seed))
         .as("e_micro"))
-    val model = df.sparkSession
-      .createDataFrame(modelLazy.rdd, modelLazy.schema)
-      .persist(MEMORY_AND_DISK)
-    model.count()
-    vocab.unpersist()
+    // the model is <= vocabSize * dims rows by construction (the same
+    // bound [[docEmbeddings]] already relies on when it collects the
+    // model to broadcast it): collect + local relation IS the
+    // lineage-truncated leaf, without the former .rdd re-evaluation
+    // job, the model persist, or its count action
+    val modelRows = modelLazy.collect()
+    val model = spark.createDataFrame(
+      java.util.Arrays.asList(modelRows: _*), modelLazy.schema)
     cooc.unpersist()
     model
   }

@@ -19,7 +19,10 @@ object TextAnalysis {
     * LlmOpsSpec parity tests pin the equivalence.
     */
   private[graft] def alnumTokens(s: String): Array[String] = {
-    val lo = s.toLowerCase
+    // Locale.ROOT (ADVICE r20): a Turkish/Azeri default locale lowers
+    // 'I' to U+0131, which would diverge from the ASCII byte kernels
+    // (TextKernels.asciiShingleBytes) and make band keys locale-dependent
+    val lo = s.toLowerCase(java.util.Locale.ROOT)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0; var start = -1
     while (i < lo.length) {
@@ -119,7 +122,7 @@ object TextAnalysis {
         cp == '\f' || cp == '\r')) punct += 1
       i += Character.charCount(cp)
     }
-    val lo = s.toLowerCase
+    val lo = s.toLowerCase(java.util.Locale.ROOT) // ADVICE r20: locale-pin
     var alpha = 0; var nTok = 0; var sumLen = 0; var stops = 0
     var j = 0; var runStart = -1
     def closeRun(end: Int): Unit = if (runStart >= 0) {
@@ -217,7 +220,7 @@ object TextAnalysis {
         else inRun = false
         i += 1
       }
-      val lo = s.toLowerCase
+      val lo = s.toLowerCase(java.util.Locale.ROOT) // ADVICE r20: locale-pin
       var bpe = 0; i = 0; var inAz = false
       while (i < lo.length) {
         val c = lo.charAt(i)
@@ -491,7 +494,7 @@ object TextAnalysis {
       queryTerms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val terms = queryTerms.map(_.toLowerCase).distinct
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val docToks = df.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("ws"))
     val docLen = docToks.select(col("doc_id"), size(col("ws")).as("dl"))

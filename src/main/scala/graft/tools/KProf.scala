@@ -65,6 +65,12 @@ object KProf {
       hash(graft.functions.TextFunctions.redactPii(col("text"))))
     timed("pii_udf", nDocs, docs)(
       hash(graft.functions.TextFunctions.redactPiiUdf(col("text"))))
+    timed("pii_scan", nDocs, docs)(
+      hash(graft.functions.PiiRedactExpr(col("text"))))
+    timed("piitot_udf", nDocs, docs)(
+      hash(graft.functions.TextFunctions.piiTotalUdf(col("text"))))
+    timed("piitot_scan", nDocs, docs)(
+      hash(graft.functions.PiiTotalExpr(col("text"))))
     timed("qc_expr", nDocs, docs)(
       hash(graft.functions.QualityCountsExpr(col("text"))))
     timed("qc_udf", nDocs, docs)(

@@ -76,6 +76,8 @@ object ScanProf {
       graft.functions.TextFunctions.redactPii(col("text"))) }
     timed("pii_udf") { docs.withColumn("red",
       graft.functions.TextFunctions.redactPiiUdf(col("text"))) }
+    timed("pii_scan") { docs.withColumn("red",
+      graft.functions.PiiRedactExpr(col("text"))) }
     timed("classifier") { TextAnalysis.withClassifier(docs, "text") }
     spark.stop()
   }

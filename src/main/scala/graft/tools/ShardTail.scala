@@ -50,7 +50,9 @@ object ShardTail {
 
     // ~190 tokens/doc, ~1.1 KB — the 8M run's doc shape. Deterministic
     // per-id text (hash-derived words) so re-runs compare like for like.
-    val docsPath = s"$root/docs"
+    // nDocs in the path (ADVICE r20): re-running at the same outRoot
+    // with a different nDocs must not silently reuse the old corpus
+    val docsPath = s"$root/docs_$nDocs"
     if (graft.core.StageIo.committed(spark, docsPath))
       println(s"[shardtail] reusing corpus at $docsPath")
     else timed("gen") {

@@ -55,6 +55,48 @@ class LearnedEmbeddingsSpec extends SparkSpec {
     assert(rows(docs.coalesce(1)) == base)
   }
 
+  test("termEmbeddings: vocab-prefiltered pair stream equals the " +
+    "join-based relational construction (r21 fast path)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 120)
+    val (vocabSize, window, dims, seed) = (20, 3, 4, "emb")
+    val got = LearnedEmbeddings.termEmbeddings(docs, "text", vocabSize,
+      window, dims)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    // reference: unfiltered skipGramPairs -> inner joins on the
+    // distinct vocab -> the identical PPMI + signed-projection chain
+    val vocab = broadcast(
+      LearnedEmbeddings.topVocab(docs, "text", vocabSize))
+    val cooc = LearnedEmbeddings.skipGramPairs(docs, "text", window)
+      .join(vocab.select(col("token").as("t")), "t")
+      .join(vocab.select(col("token").as("c")), "c")
+      .groupBy("t", "c").agg(count(lit(1)).as("cnt"))
+    val marg = cooc.groupBy("t").agg(sum("cnt").cast("long").as("m"))
+    val tot = cooc.agg(sum("cnt").cast("long").as("tt"))
+    val want = cooc
+      .join(broadcast(marg.select(col("t"), col("m").as("mt"))), "t")
+      .join(broadcast(marg.select(col("t").as("c"), col("m").as("mc"))),
+        "c")
+      .crossJoin(broadcast(tot))
+      .withColumn("ppmi_micro",
+        floor(log((col("cnt").cast("double") * col("tt")) /
+          (col("mt").cast("double") * col("mc"))) * 1000000.0)
+          .cast("long"))
+      .where(col("ppmi_micro") > 0)
+      .select(col("t").as("token"), col("c"), col("ppmi_micro"),
+        explode(sequence(lit(0), lit(dims - 1))).as("dim"))
+      .groupBy("token", "dim")
+      .agg(sum(col("ppmi_micro") *
+        LearnedEmbeddings.projSign(col("c"), col("dim"), seed))
+        .as("e_micro"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("termEmbeddings are LEARNED: same token, different corpus, " +
     "different vector") {
     val corpusA = docsOf(
