@@ -1473,10 +1473,15 @@ object LlmQueries {
     // re-makes synthesis, line filter, NB retraining, scoring AND the
     // sample ranking from the raw table — zero injected constants.
     "llm_pipeline7" -> ((s, d) => {
-      val cleaned = Web.c4LineClean(c4Synth(Tables.documents(s, d)),
-        "doc_id", "text")
-        .where(col("c4_keep"))
-        .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+      // scoped persist (r21): `cleaned` feeds FIVE subtrees (nb doc
+      // tokens, nb id frame, nb seed tokens, nb prior, the outer join)
+      // — unpinned, Catalyst re-ran the c4Synth + c4LineClean scan once
+      // per subtree (5 corpus passes at 100 TB); pinned it runs once
+      val cleaned = graft.core.Caches.scoped(
+        Web.c4LineClean(c4Synth(Tables.documents(s, d)),
+          "doc_id", "text")
+          .where(col("c4_keep"))
+          .select(col("doc_id"), col("lang"), col("clean_text").as("text")))
       val nb = TextAnalysis.nbClassify(cleaned,
         cleaned.where(col("doc_id") % 3 === 0)
           .withColumn("is_en", col("lang") === "en"),

@@ -55,25 +55,29 @@ object Graphs {
     // list, executed by a single action -- no per-iteration
     // materialization (a persist+count per round tripled this
     // operator's wall time at gate scale).
-    var ranks = deg.select(col("src").as("id"),
+    // ranks CARRIES deg (r21): the contribution join needs rank AND
+    // out-degree per src — keeping deg as a column of the rank frame
+    // halves the per-iteration joins (edges ⋈ ranks ⋈ deg was two;
+    // edges ⋈ ranks is one), and the final round drops the column.
+    // Arithmetic is unchanged, so ranks stay bit-identical.
+    var ranks = deg.select(col("src").as("id"), col("deg"),
       lit(1000000L).as("rank_micro"))
     var i = 0
     while (i < iters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst"),
           expr("rank_micro div deg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("csum"))
-      ranks = deg.select(col("src").as("id"))
+      ranks = deg.select(col("src").as("id"), col("deg"))
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("deg"),
           (lit(base) + expr(s"($dampingMilli * coalesce(csum, 0L)) div 1000"))
             .as("rank_micro"))
       i += 1
     }
-    val out = graft.core.Caches.scoped(ranks)
+    val out = graft.core.Caches.scoped(ranks.drop("deg"))
     out.count() // one action fills the cache through all rounds
     half.unpersist()
     edges.unpersist()
