@@ -423,8 +423,10 @@ object LlmQueries {
       val docs = Tables.documents(s, d)
       val en = docs.where(col("lang") === "en")
         .select(explode(tokens(col("text"))).as("token")).distinct()
-      val base = docs
-        .select(explode(tokens(col("text"))).as("token")).distinct()
+      // scoped persist (r21): `base` feeds BOTH probe branches of the
+      // union — unpinned, the corpus tokenize + distinct ran twice
+      val base = graft.core.Caches.scoped(docs
+        .select(explode(tokens(col("text"))).as("token")).distinct())
       val probes = base.union(base.select(concat(col("token"), lit("zz"))
         .as("token"))).distinct()
       val sk = graft.llmops.Sketches.bloomSketch(en, "token",
@@ -434,8 +436,10 @@ object LlmQueries {
     }),
 
     "llm_hll_distinct" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      // scoped persist (r21): sketch + exact-count branches share the
+      // token stream (was two corpus tokenizations)
+      val toks = graft.core.Caches.scoped(Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok")))
       graft.llmops.Sketches.hllDistinct(toks, "source", "tok", p = 4)
         .join(toks.groupBy("source")
           .agg(countDistinct("tok").as("exact_distinct")), Seq("source"))
@@ -454,8 +458,10 @@ object LlmQueries {
     // Count-min sketch (4 x 256) over the token stream: point estimates
     // for the 20 most frequent tokens beside their exact counts.
     "llm_cms_counts" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("tok"))
+      // scoped persist (r21): sketch + exact-top-20 branches share the
+      // token stream (was two corpus tokenizations)
+      val toks = graft.core.Caches.scoped(Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok")))
       val sk = graft.llmops.Sketches.cmSketch(toks, "tok", depth = 4,
         width = 256)
       val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
@@ -470,8 +476,10 @@ object LlmQueries {
     // estimate beside the exact value -- cross-source similarity from
     // signatures alone (the raw token sets never meet).
     "llm_bottomk_sim" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      // scoped persist (r21): the token stream feeds the KMV sketch AND
+      // the exact-set branch — unpinned, the corpus tokenized twice
+      val toks = graft.core.Caches.scoped(Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok")))
       val sk = graft.llmops.Sketches.bottomK(toks, "source", "tok", k = 32)
       val est = graft.llmops.Sketches.bottomKJaccardPairs(sk, "source", 32)
       val sets = toks.distinct().groupBy("source")
