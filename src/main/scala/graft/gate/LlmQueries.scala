@@ -1355,23 +1355,22 @@ object LlmQueries {
     // Chunk -> document embedding: overlapping token windows, each
     // deterministically embedded, mean-pooled per doc in chunk order
     // (zip_with element sums, ONE division by chunk count).
-    "llm_doc_embedding" -> ((s, d) => {
-      val chunked = TextAnalysis.chunkDocuments(
-        Tables.documents(s, d).select("doc_id", "text"), "text",
-        window = 32, stride = 24)
-      val e = graft.embed.DeterministicEmbedder(dims = 4)
-      // compiled embed() (byte-equal to embedCol -- OpsSpec asserts it);
-      // the HOF form re-ran the per-token md5 fold interpretively per
-      // chunk and dominated this gate's wall time.
-      val embedUdf = udf((s: String) => e.embed(s))
-      VectorFunctions.meanPool(
-        chunked.withColumn("emb", embedUdf(col("chunk_text"))),
-        "doc_id", "emb", "chunk_idx")
+    "llm_doc_embedding" -> ((s, d) =>
+      // ONE compiled map-side pass per doc (r21): chunk + embed +
+      // mean-pool inside the UDF -- the chunk explode and the
+      // groupBy(doc_id) shuffle of per-chunk vectors are gone, and each
+      // distinct (token, dim) md5 is hashed once per DOCUMENT instead
+      // of once per containing chunk. Bit-equal to the staged
+      // chunkDocuments + embed + meanPool composition (LlmOpsSpec pins
+      // it; oracle unchanged).
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.chunkedMeanEmbeddingUdf(32, 24, 4)(col("text"))
+            .as("doc_embedding"))
         .select(col("doc_id"),
           posexplode(col("doc_embedding")).as(Seq("dim", "v")))
         .select(col("doc_id"), col("dim"),
-          floor(col("v") * 1000000).cast("long").as("v_micro"))
-    }),
+          floor(col("v") * 1000000).cast("long").as("v_micro"))),
 
     // Gopher-style repetition signals (micro-quantized integer ratios).
     "llm_repetition" -> ((s, d) =>

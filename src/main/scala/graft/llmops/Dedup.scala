@@ -469,15 +469,22 @@ object Dedup {
     require(bits > 0 && bits % 4 == 0 && bits <= 128,
       s"bits must be a positive multiple of 4 <= 128, got $bits")
     udf((toks: Seq[String]) => {
+      // one digest per DISTINCT token, vote weighted by count (exact:
+      // the per-occurrence +/-1 sum is count * (+/-1) in integers)
+      val counts = new java.util.HashMap[String, Int]()
+      toks.foreach(t => counts.put(t, counts.getOrDefault(t, 0) + 1))
       val md = java.security.MessageDigest.getInstance("MD5")
       val votes = new Array[Int](bits)
-      toks.foreach { t =>
-        val d = md.digest(t.getBytes("UTF-8"))
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        val d = md.digest(e.getKey.getBytes("UTF-8"))
         var j = 0
         while (j < bits) {
           val nibIdx = j / 4
           val nib = (d(nibIdx / 2) >> (4 * (1 - nibIdx % 2))) & 0xf
-          votes(j) += (((nib >> (3 - j % 4)) & 1) * 2) - 1
+          votes(j) += ((((nib >> (3 - j % 4)) & 1) * 2) - 1) * c
           j += 1
         }
       }
@@ -511,19 +518,32 @@ object Dedup {
         val toks =
           if (text == null) Array.empty[String]
           else TextAnalysis.alnumTokens(text)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val votes = new Array[Int](b)
+        // ONE digest per DISTINCT token, vote weighted by its count:
+        // the per-occurrence sum of +/-1 is count * (+/-1) exactly
+        // (integer arithmetic, order-free), and natural-language token
+        // streams are Zipf-repetitive, so this cuts the md5 work by the
+        // corpus repetition factor. Bit extraction unchanged.
+        val counts = new java.util.HashMap[String, Int](toks.length * 2)
         var i = 0
         while (i < toks.length) {
-          val d = md.digest(toks(i).getBytes("UTF-8"))
+          val t = toks(i)
+          counts.put(t, counts.getOrDefault(t, 0) + 1)
+          i += 1
+        }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val votes = new Array[Int](b)
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue
+          val d = md.digest(e.getKey.getBytes("UTF-8"))
           var j = 0
           while (j < b) {
             val nibIdx = j / 4
             val nib = (d(nibIdx / 2) >> (4 * (1 - nibIdx % 2))) & 0xf
-            votes(j) += (((nib >> (3 - j % 4)) & 1) * 2) - 1
+            votes(j) += ((((nib >> (3 - j % 4)) & 1) * 2) - 1) * c
             j += 1
           }
-          i += 1
         }
         val out = new Array[Char](b)
         var j = 0
@@ -821,30 +841,90 @@ object Dedup {
     * groupBy; hot hashes (boilerplate spans) are the skew risk, so the
     * join key is the hash itself and AQE's skew-split applies.
     */
+  // --- shared window-fingerprint core (r21) --------------------------
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def hexOf(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Hex MD5 of every `window`-token rolling window (short docs -> one
+    * whole-stream hash), computed over ONE joined byte buffer: tokens
+    * are [a-z0-9]+ runs (pure ASCII), so the UTF-8 bytes of
+    * `slice.mkString(" ")` are a CONTIGUOUS RANGE of the space-joined
+    * full token stream. One `md.update(buf, off, len)` per window
+    * replaces the per-window slice + mkString + getBytes allocations
+    * that dominated this scan family's wall (every window re-copied
+    * `window` tokens); digests are byte-identical by construction and
+    * LlmOpsSpec pins equality with the column-expression form.
+    */
+  private[llmops] def windowHexes(toks: Array[String],
+      window: Int): Array[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = toks.length
+    var total = 0
+    var i = 0
+    while (i < n) { total += toks(i).length + 1; i += 1 }
+    val buf = new Array[Byte](math.max(total - 1, 0))
+    val starts = new Array[Int](math.max(n, 1))
+    var p = 0
+    i = 0
+    while (i < n) {
+      starts(i) = p
+      val t = toks(i)
+      var j = 0
+      while (j < t.length) { buf(p) = t.charAt(j).toByte; p += 1; j += 1 }
+      if (i < n - 1) { buf(p) = ' '.toByte; p += 1 }
+      i += 1
+    }
+    if (n < window) {
+      md.update(buf, 0, buf.length)
+      Array(hexOf(md.digest()))
+    } else {
+      val out = new Array[String](n - window + 1)
+      i = 0
+      while (i <= n - window) {
+        val end = starts(i + window - 1) + toks(i + window - 1).length
+        md.update(buf, starts(i), end - starts(i))
+        out(i) = hexOf(md.digest())
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Compiled rolling-window fingerprints: byte-equal to
     * TextFunctions.windowFingerprints (md5 hex of each space-joined
-    * `window`-token slice; short docs -> one whole-doc hash), one
-    * reused digest instead of a per-(window, element) HOF walk.
+    * `window`-token slice; short docs -> one whole-doc hash), via the
+    * joined-buffer [[windowHexes]] core.
     */
   def windowFingerprintsUdf(window: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) =>
+      windowHexes(TextAnalysis.alnumTokens(text), window).toSeq)
+
+  /** [[windowFingerprintsUdf]] deduplicated INSIDE the pass in first-
+    * occurrence order — exactly `array_distinct(windowFingerprintsUdf)`
+    * without the second interpreted array walk. The per-doc distinct
+    * frame is what every fingerprint self-join consumes.
+    */
+  def distinctWindowFingerprintsUdf(window: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => {
-      val toks = text.toLowerCase(java.util.Locale.ROOT)
-        .split("[^a-z0-9]+").filter(_.nonEmpty)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def hex(s: String): String = {
-        val d = md.digest(s.getBytes("UTF-8"))
-        val out = new Array[Char](32)
-        var i = 0
-        while (i < 16) {
-          out(2 * i) = "0123456789abcdef" ((d(i) >> 4) & 0xf)
-          out(2 * i + 1) = "0123456789abcdef" (d(i) & 0xf)
-          i += 1
-        }
-        new String(out)
+      val hs = windowHexes(TextAnalysis.alnumTokens(text), window)
+      val seen = new java.util.HashSet[String](hs.length * 2)
+      val out = new scala.collection.mutable.ArrayBuffer[String](hs.length)
+      var i = 0
+      while (i < hs.length) {
+        if (seen.add(hs(i))) out += hs(i)
+        i += 1
       }
-      if (toks.length < window) Seq(hex(toks.mkString(" ")))
-      else (0 to toks.length - window).map(i =>
-        hex(toks.slice(i, i + window).mkString(" ")))
+      out.toSeq
     })
 
   /** Drop window fingerprints shared by more than `maxDocFreq` documents
@@ -882,7 +962,7 @@ object Dedup {
     // then join). Harnesses release scoped caches between queries.
     val wf = graft.core.Caches.scoped(
       df.select(col(idCol).as("id"),
-        explode(array_distinct(windowFingerprintsUdf(window)(col(textCol))))
+        explode(distinctWindowFingerprintsUdf(window)(col(textCol)))
           .as("wh")))
     val capped = dropHotFingerprints(wf, maxDocFreq)
     capped.as("l").join(capped.as("r"),
@@ -902,27 +982,18 @@ object Dedup {
     */
   def windowFingerprintPositionsUdf(window: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => {
-      val toks = text.toLowerCase(java.util.Locale.ROOT)
-        .split("[^a-z0-9]+").filter(_.nonEmpty)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def hex(s: String): String = {
-        val d = md.digest(s.getBytes("UTF-8"))
-        val out = new Array[Char](32)
+      val toks = TextAnalysis.alnumTokens(text)
+      val hs = windowHexes(toks, window)
+      if (toks.length < window) Seq((0, hs(0)))
+      else {
+        val seen = new java.util.HashSet[String](hs.length * 2)
+        val out = new scala.collection.mutable.ArrayBuffer[(Int, String)]()
         var i = 0
-        while (i < 16) {
-          out(2 * i) = "0123456789abcdef" ((d(i) >> 4) & 0xf)
-          out(2 * i + 1) = "0123456789abcdef" (d(i) & 0xf)
+        while (i < hs.length) {
+          if (seen.add(hs(i))) out += ((i, hs(i)))
           i += 1
         }
-        new String(out)
-      }
-      if (toks.length < window) Seq((0, hex(toks.mkString(" "))))
-      else {
-        val seen = scala.collection.mutable.HashSet.empty[String]
-        (0 to toks.length - window).flatMap { i =>
-          val h = hex(toks.slice(i, i + window).mkString(" "))
-          if (seen.add(h)) Some((i, h)) else None
-        }
+        out.toSeq
       }
     })
 
@@ -1013,7 +1084,7 @@ object Dedup {
     // scoped-persisted: FOUR consumers (sizes, hot count, two join sides).
     val wf = graft.core.Caches.scoped(
       df.select(col(idCol).as("id"),
-        explode(array_distinct(windowFingerprintsUdf(window)(col(textCol))))
+        explode(distinctWindowFingerprintsUdf(window)(col(textCol)))
           .as("wh")))
     // Denominators stay UNCAPPED (a doc's full distinct-window count):
     // capping only the shared-window numerator UNDER-estimates
@@ -1386,24 +1457,9 @@ object Dedup {
       k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
     val winnowUdf = udf((text: String) => {
-      val toks = text.toLowerCase(java.util.Locale.ROOT)
-        .split("[^a-z0-9]+").filter(_.nonEmpty)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def hex(s: String): String = {
-        val d = md.digest(s.getBytes("UTF-8"))
-        val out = new Array[Char](32)
-        var i = 0
-        while (i < 16) {
-          out(2 * i) = "0123456789abcdef" ((d(i) >> 4) & 0xf)
-          out(2 * i + 1) = "0123456789abcdef" (d(i) & 0xf)
-          i += 1
-        }
-        new String(out)
-      }
-      val hs: Array[String] =
-        if (toks.length < k) Array(hex(toks.mkString(" ")))
-        else (0 to toks.length - k).map(i =>
-          hex(toks.slice(i, i + k).mkString(" "))).toArray
+      // k-gram hashes via the joined-buffer core (byte-identical; the
+      // short-doc branch is windowHexes' own `n < window` path)
+      val hs = windowHexes(TextAnalysis.alnumTokens(text), k)
       val weff = math.min(w, hs.length)
       val sel = scala.collection.mutable.ArrayBuffer.empty[WinnowFp]
       var q = 0

@@ -428,6 +428,83 @@ object TextAnalysis {
       .drop("c")
   }
 
+  /** Chunk -> mean-pooled document embedding in ONE compiled map-side
+    * pass: tokenizes once, walks the [[chunkDocuments]] windows (same
+    * window/stride/nChunks arithmetic), embeds each window with the
+    * [[graft.embed.DeterministicEmbedder]] definition (bucket(token, d)
+    * = u32(md5("token:d")[0..3]) % 10000; integer sum per chunk; ONE
+    * double division + clamp), and mean-pools in chunk order (left
+    * fold from 0.0 — bit-equal to meanPool's fold from the first
+    * vector since 0.0 + v == v for the clamped non-negative values;
+    * ONE division by nChunks). Replaces the chunk explode + embed UDF
+    * + groupBy(doc) collect_list/sort/zip_with composition: the
+    * per-chunk vector shuffle disappears and each distinct (token, d)
+    * md5 is computed ONCE PER DOCUMENT instead of once per containing
+    * chunk (overlapping windows re-hashed every token window/stride
+    * ~1.3x, and repeated tokens again). LlmOpsSpec pins bit-equality
+    * with the staged composition.
+    */
+  def chunkedMeanEmbeddingUdf(window: Int, stride: Int, dims: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(window > 0 && stride > 0 && dims > 0)
+    udf((text: String) => {
+      if (text == null) null
+      else {
+        val toks = alnumTokens(text)
+        val n = toks.length
+        val nChunks = math.max(
+          math.ceil((n - window).toDouble / stride).toInt + 1, 1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new java.util.HashMap[String, Array[Int]]()
+        def bucketsOf(t: String): Array[Int] = {
+          var b = memo.get(t)
+          if (b == null) {
+            b = new Array[Int](dims)
+            var d0 = 0
+            while (d0 < dims) {
+              val dg = md.digest((t + ":" + d0).getBytes("UTF-8"))
+              val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+                ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+              b(d0) = (h % 10000L).toInt
+              d0 += 1
+            }
+            memo.put(t, b)
+          }
+          b
+        }
+        val acc = new Array[Double](dims)
+        var ci = 0
+        while (ci < nChunks) {
+          val start = ci * stride
+          val end = math.min(start + window, n)
+          // an empty trailing chunk embeds to zeros: adds nothing
+          if (end > start) {
+            val sums = new Array[Long](dims)
+            var i = start
+            while (i < end) {
+              val b = bucketsOf(toks(i))
+              var d0 = 0
+              while (d0 < dims) { sums(d0) += b(d0); d0 += 1 }
+              i += 1
+            }
+            val len = (end - start).toDouble
+            var d0 = 0
+            while (d0 < dims) {
+              val v = sums(d0).toDouble / (len * 10000.0)
+              acc(d0) += math.max(0.0, math.min(1.0, v))
+              d0 += 1
+            }
+          }
+          ci += 1
+        }
+        val out = new Array[Double](dims)
+        var d0 = 0
+        while (d0 < dims) { out(d0) = acc(d0) / nChunks.toDouble; d0 += 1 }
+        out
+      }
+    })
+  }
+
   /** Corpus vocabulary: token -> document frequency + total count
     * (the groupBy that feeds tokenizer training / stopword mining).
     *
@@ -495,8 +572,12 @@ object TextAnalysis {
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
-    val docToks = df.select(col(idCol).as("doc_id"),
-      tokens(col(textCol)).as("ws"))
+    // scoped-persisted: docLen (itself read by the score join AND the
+    // corpus-stats agg) and tf both derive from this frame -- unpinned,
+    // the corpus tokenized three times.
+    val docToks = graft.core.Caches.scoped(
+      df.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("ws")))
     val docLen = docToks.select(col("doc_id"), size(col("ws")).as("dl"))
     val stats = docLen.agg(count(lit(1)).as("n_docs"),
       sum(col("dl").cast("long")).as("dl_sum"))
@@ -593,7 +674,12 @@ object TextAnalysis {
     */
   def collocations(df: DataFrame, textCol: String, minCount: Int,
       k: Int): DataFrame = {
-    val toks = df.select(tokens(col(textCol)).as("ws"))
+    // scoped-persisted: THREE consumers on different aggregation keys
+    // (bigram counts, unigram counts, corpus bigram total) -- unpinned,
+    // each re-ran the corpus tokenize. At 100 TB this is the stage-table
+    // pattern (write the token arrays once, aggregate thrice).
+    val toks = graft.core.Caches.scoped(
+      df.select(tokens(col(textCol)).as("ws")))
     val bi = toks.select(explode(
         graft.functions.TextFunctions.shingles(col("ws"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c12"))

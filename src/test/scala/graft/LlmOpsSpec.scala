@@ -1557,6 +1557,56 @@ class LlmOpsSpec extends SparkSpec {
     assert(shorty.getSeq[String](0) == shorty.getSeq[String](1))
   }
 
+  test("distinct window fingerprints == array_distinct of the expression " +
+    "form; positions UDF == first index of each distinct hash") {
+    import spark.implicits._
+    val edge = Seq((9001L, "one two"), (9002L, ""),
+      (9003L, "KKelvin sign 42 mixes UNICODE with digits and CAPS"),
+      (9004L, ("dup " * 30) + "tail")).toDF("doc_id", "text")
+    val sample = docs.limit(50).select("doc_id", "text").union(edge)
+    val rows = sample.select(
+      array_distinct(windowFingerprints(col("text"), 12)).as("expr"),
+      graft.llmops.Dedup.distinctWindowFingerprintsUdf(12)(col("text"))
+        .as("udf"),
+      windowFingerprints(col("text"), 12).as("all"),
+      graft.llmops.Dedup.windowFingerprintPositionsUdf(12)(col("text"))
+        .as("pos"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      // positions: (first index of hash, hash), in first-occurrence order
+      val all = r.getSeq[String](2)
+      val want = all.zipWithIndex.groupBy(_._1)
+        .map { case (h, xs) => (xs.map(_._2).min, h) }.toSeq.sortBy(_._1)
+      val got = r.getSeq[org.apache.spark.sql.Row](3)
+        .map(p => (p.getInt(0), p.getString(1)))
+      assert(got == want)
+    }
+  }
+
+  test("chunkedMeanEmbeddingUdf bit-equal to chunk + embed + meanPool") {
+    import spark.implicits._
+    val edge = Seq((9001L, "one two"), (9002L, ""),
+      (9003L, ("word " * 100).trim)).toDF("doc_id", "text")
+    val sample = docs.limit(60).select("doc_id", "text").union(edge)
+    val e = graft.embed.DeterministicEmbedder(dims = 4)
+    val embedUdf = udf((s: String) => e.embed(s))
+    val staged = graft.functions.VectorFunctions.meanPool(
+      TextAnalysis.chunkDocuments(sample, "text", window = 32, stride = 24)
+        .withColumn("emb", embedUdf(col("chunk_text"))),
+      "doc_id", "emb", "chunk_idx")
+      .select(col("doc_id"), col("doc_embedding"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val fused = sample.select(col("doc_id"),
+      TextAnalysis.chunkedMeanEmbeddingUdf(32, 24, 4)(col("text"))
+        .as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(fused.keySet == staged.keySet)
+    // bit-equality, not approx: same integer bucket sums, same fold
+    // order, same single divisions
+    staged.foreach { case (id, v) => assert(fused(id) == v, s"doc $id") }
+  }
+
   test("compiled simhash is byte-equal to the column expression") {
     val both = docs.limit(50).select(
       simhash(tokens(col("text")), 16).as("expr16"),
