@@ -151,8 +151,24 @@ object Bench {
       // alphabetically contiguous -- i.e. a time window, not a plan)
       tOffsets(name) = sinceStart()
       gcOffsets(name) = gcSec()
-      val cold = run()
-      val reps = if (failed) Seq(cold) else Seq(run(), run(), run())
+      // release the operator-internal scoped persists BETWEEN runs, not
+      // once per gate (r22, verdict item 2): Spark's CacheManager
+      // matches canonicalized plans, so a warm repeat's freshly-built
+      // frame resolves to the cold run's already-materialized
+      // InMemoryRelation -- every Caches.scoped pin would otherwise move
+      // its subtree OUT of the warm timed region, inflating warm/min for
+      // pinned gates (the r21 sketch pins read warm 1.4x better while
+      // cold got worse -- exactly this artifact). Releasing after each
+      // run makes every run pay its own persist; dropping them between
+      // gates also stops a 160+-gate session from evicting the warm
+      // fixture caches. The release itself is outside the timed region
+      // (unpersist is non-blocking bookkeeping).
+      def runReleased(): Double = {
+        val s = run(); graft.core.Caches.releaseScoped(); s
+      }
+      val cold = runReleased()
+      val reps = if (failed) Seq(cold)
+        else Seq(runReleased(), runReleased(), runReleased())
       val warm = if (failed) cold else reps.sorted.apply(1)
       results(name) = if (failed) -cold else cold
       warmResults(name) = if (failed) -warm else warm
@@ -161,11 +177,6 @@ object Bench {
       // operator is fine -- the min is the honest per-gate capability
       // bound (it cannot be inflated by a burst, only by the plan).
       warmMin(name) = if (failed) -cold else reps.min
-      // release the operator-internal scoped persists this query pinned
-      // (each run re-persists its own frames, so the four runs above
-      // never reuse them anyway; dropping them between QUERIES stops a
-      // 100+-gate session from evicting the warm fixture caches)
-      graft.core.Caches.releaseScoped()
     }
 
     // 1b) SOAK: a SECOND full sweep (one run per gate) in the same JVM.

@@ -469,22 +469,19 @@ object Dedup {
     require(bits > 0 && bits % 4 == 0 && bits <= 128,
       s"bits must be a positive multiple of 4 <= 128, got $bits")
     udf((toks: Seq[String]) => {
-      // one digest per DISTINCT token, vote weighted by count (exact:
-      // the per-occurrence +/-1 sum is count * (+/-1) in integers)
-      val counts = new java.util.HashMap[String, Int]()
-      toks.foreach(t => counts.put(t, counts.getOrDefault(t, 0) + 1))
+      // one digest per token OCCURRENCE (r22: the r21 count-weighted
+      // form — HashMap distinct-count, digest × count votes — lost the
+      // same-host gate A/B 9–19% on every simhash gate: this corpus's
+      // per-doc token repetition is too low to amortize the map)
       val md = java.security.MessageDigest.getInstance("MD5")
       val votes = new Array[Int](bits)
-      val it = counts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val c = e.getValue
-        val d = md.digest(e.getKey.getBytes("UTF-8"))
+      toks.foreach { t =>
+        val d = md.digest(t.getBytes("UTF-8"))
         var j = 0
         while (j < bits) {
           val nibIdx = j / 4
           val nib = (d(nibIdx / 2) >> (4 * (1 - nibIdx % 2))) & 0xf
-          votes(j) += ((((nib >> (3 - j % 4)) & 1) * 2) - 1) * c
+          votes(j) += (((nib >> (3 - j % 4)) & 1) * 2) - 1
           j += 1
         }
       }
@@ -518,32 +515,21 @@ object Dedup {
         val toks =
           if (text == null) Array.empty[String]
           else TextAnalysis.alnumTokens(text)
-        // ONE digest per DISTINCT token, vote weighted by its count:
-        // the per-occurrence sum of +/-1 is count * (+/-1) exactly
-        // (integer arithmetic, order-free), and natural-language token
-        // streams are Zipf-repetitive, so this cuts the md5 work by the
-        // corpus repetition factor. Bit extraction unchanged.
-        val counts = new java.util.HashMap[String, Int](toks.length * 2)
-        var i = 0
-        while (i < toks.length) {
-          val t = toks(i)
-          counts.put(t, counts.getOrDefault(t, 0) + 1)
-          i += 1
-        }
+        // one digest per token occurrence (r22 revert — see
+        // [[simhashUdfFor]]: count-weighting lost the gate A/B here)
         val md = java.security.MessageDigest.getInstance("MD5")
         val votes = new Array[Int](b)
-        val it = counts.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val c = e.getValue
-          val d = md.digest(e.getKey.getBytes("UTF-8"))
+        var i = 0
+        while (i < toks.length) {
+          val d = md.digest(toks(i).getBytes("UTF-8"))
           var j = 0
           while (j < b) {
             val nibIdx = j / 4
             val nib = (d(nibIdx / 2) >> (4 * (1 - nibIdx % 2))) & 0xf
-            votes(j) += ((((nib >> (3 - j % 4)) & 1) * 2) - 1) * c
+            votes(j) += (((nib >> (3 - j % 4)) & 1) * 2) - 1
             j += 1
           }
+          i += 1
         }
         val out = new Array[Char](b)
         var j = 0

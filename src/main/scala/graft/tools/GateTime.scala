@@ -36,12 +36,18 @@ object GateTime {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     names.foreach { name =>
-      def run(): Double = time(all(name)(spark, sfDir).count())
+      // releaseScoped BETWEEN runs (r22, same fix as Bench): the
+      // CacheManager matches canonicalized plans, so without it warm
+      // repeats reuse the cold run's materialized scoped persists and
+      // pinned subtrees fall out of the warm timed region.
+      def run(): Double = {
+        val s = time(all(name)(spark, sfDir).count())
+        graft.core.Caches.releaseScoped(); s
+      }
       val cold = run()
       val reps = Seq(run(), run(), run()).sorted
       println(f"[gatetime] $name%-24s cold=$cold%6.3f " +
         f"warm=${reps(1)}%6.3f min=${reps.head}%6.3f")
-      graft.core.Caches.releaseScoped()
     }
     spark.stop()
   }
