@@ -421,14 +421,19 @@ object LlmQueries {
     // the answers including the false positives bit-for-bit.
     "llm_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val en = docs.where(col("lang") === "en")
-        .select(explode(tokens(col("text"))).as("token")).distinct()
-      // scoped persist (r21): `base` feeds BOTH probe branches of the
-      // union — unpinned, the corpus tokenize + distinct ran twice
-      val base = graft.core.Caches.scoped(docs
-        .select(explode(tokens(col("text"))).as("token")).distinct())
-      val probes = base.union(base.select(concat(col("token"), lit("zz"))
-        .as("token"))).distinct()
+      // ONE corpus tokenize into a distinct (lang, token) pin (r22):
+      // the en sketch branch and the probe set both derive from it with
+      // vocabulary-sized post-aggregations — the r21 pin cached the raw
+      // token stream and the en branch still re-tokenized the corpus.
+      // Probes explode [token, token+"zz"] per token instead of a
+      // two-branch union of the pin (same multiset, one consumer).
+      val lt = graft.core.Caches.scoped(docs
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .distinct())
+      val en = lt.where(col("lang") === "en").select("token").distinct()
+      val base = lt.select("token").distinct()
+      val probes = base.select(explode(array(col("token"),
+          concat(col("token"), lit("zz")))).as("token")).distinct()
       val sk = graft.llmops.Sketches.bloomSketch(en, "token",
         mBits = 124, k = 3, salt = "bl")
       graft.llmops.Sketches.bloomContains(sk, probes, "token",
@@ -436,10 +441,14 @@ object LlmQueries {
     }),
 
     "llm_hll_distinct" -> ((s, d) => {
-      // scoped persist (r21): sketch + exact-count branches share the
-      // token stream (was two corpus tokenizations)
+      // pin the DISTINCT (source, tok) pairs, not the raw stream (r22):
+      // both consumers are duplicate-insensitive — HLL registers are
+      // per-bucket max(rho) and the exact branch is countDistinct — so
+      // the pin shrinks from the token stream to the vocabulary and the
+      // distinct's map-side partial aggregate shrinks the shuffle too
       val toks = graft.core.Caches.scoped(Tables.documents(s, d)
-        .select(col("source"), explode(tokens(col("text"))).as("tok")))
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .distinct())
       graft.llmops.Sketches.hllDistinct(toks, "source", "tok", p = 4)
         .join(toks.groupBy("source")
           .agg(countDistinct("tok").as("exact_distinct")), Seq("source"))
@@ -458,13 +467,17 @@ object LlmQueries {
     // Count-min sketch (4 x 256) over the token stream: point estimates
     // for the 20 most frequent tokens beside their exact counts.
     "llm_cms_counts" -> ((s, d) => {
-      // scoped persist (r21): sketch + exact-top-20 branches share the
-      // token stream (was two corpus tokenizations)
-      val toks = graft.core.Caches.scoped(Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("tok")))
-      val sk = graft.llmops.Sketches.cmSketch(toks, "tok", depth = 4,
-        width = 256)
-      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+      // pin the per-token COUNT aggregate, not the raw stream (r22):
+      // the sketch (cmSketchFromCounts — counts ride as weights) and
+      // the exact top-20 both derive from it, so the corpus tokenizes
+      // once into a vocabulary-sized pin and the sketch's first groupBy
+      // disappears
+      val counts = graft.core.Caches.scoped(Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("exact_count")))
+      val sk = graft.llmops.Sketches.cmSketchFromCounts(counts, "tok",
+        "exact_count", depth = 4, width = 256)
+      val top = counts
         .orderBy(desc("exact_count"), col("tok")).limit(20)
       graft.llmops.Sketches.cmEstimate(sk, top, "tok", depth = 4,
         width = 256)
@@ -476,13 +489,16 @@ object LlmQueries {
     // estimate beside the exact value -- cross-source similarity from
     // signatures alone (the raw token sets never meet).
     "llm_bottomk_sim" -> ((s, d) => {
-      // scoped persist (r21): the token stream feeds the KMV sketch AND
-      // the exact-set branch — unpinned, the corpus tokenized twice
+      // pin the DISTINCT (source, tok) pairs, not the raw stream (r22):
+      // bottomK dedups hashes internally (KMV is a distinct-set sketch)
+      // and the exact branch was toks.distinct() anyway — the pin
+      // shrinks from the token stream to the vocabulary
       val toks = graft.core.Caches.scoped(Tables.documents(s, d)
-        .select(col("source"), explode(tokens(col("text"))).as("tok")))
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .distinct())
       val sk = graft.llmops.Sketches.bottomK(toks, "source", "tok", k = 32)
       val est = graft.llmops.Sketches.bottomKJaccardPairs(sk, "source", 32)
-      val sets = toks.distinct().groupBy("source")
+      val sets = toks.groupBy("source")
         .agg(collect_set(col("tok")).as("st"))
       est
         .join(sets.select(col("source").as("g_a"), col("st").as("st_a")),
@@ -2408,10 +2424,15 @@ object LlmQueries {
       val docs = Tables.documents(s, d)
       val host = concat(lit("ex"),
         pmod(col("doc_id"), lit(4)).cast("string"), lit(".com"))
-      val urls = docs.select(concat(lit("https://"), host, lit("/p/"),
-          pmod(col("doc_id") * 13 + 2, lit(80)).cast("string")).as("url"))
-        .union(docs.select(concat(lit("https://"), host, lit("/q/"),
-          pmod(col("doc_id") * 7 + 1, lit(80)).cast("string")).as("url")))
+      // one corpus scan, not a two-branch union (r22, guide §2.4): both
+      // url families derive from the same row — explode an inline
+      // 2-array; same url multiset, same groupBy result, half the scans
+      val urls = docs.select(explode(array(
+          concat(lit("https://"), host, lit("/p/"),
+            pmod(col("doc_id") * 13 + 2, lit(80)).cast("string")),
+          concat(lit("https://"), host, lit("/q/"),
+            pmod(col("doc_id") * 7 + 1, lit(80)).cast("string"))))
+          .as("url"))
         .groupBy("url").agg(count(lit(1)).as("n_refs"))
       def pol(pid: Int, old: Boolean): String = (pid, old) match {
         case (0, true) => "User-agent: *\nDisallow: /\n"
@@ -2471,10 +2492,14 @@ object LlmQueries {
       val docs = Tables.documents(s, d)
       val host = concat(lit("ex"),
         pmod(col("doc_id"), lit(8)).cast("string"), lit(".com"))
-      val urls = docs.select(concat(lit("https://"), host, lit("/p/"),
-          pmod(col("doc_id") * 13 + 2, lit(80)).cast("string")).as("url"))
-        .union(docs.select(concat(lit("https://"), host, lit("/q/"),
-          pmod(col("doc_id") * 7 + 1, lit(80)).cast("string")).as("url")))
+      // one corpus scan, not a two-branch union (r22, guide §2.4) —
+      // same fusion as llm_pipeline15
+      val urls = docs.select(explode(array(
+          concat(lit("https://"), host, lit("/p/"),
+            pmod(col("doc_id") * 13 + 2, lit(80)).cast("string")),
+          concat(lit("https://"), host, lit("/q/"),
+            pmod(col("doc_id") * 7 + 1, lit(80)).cast("string"))))
+          .as("url"))
         .groupBy("url").agg(count(lit(1)).as("n_refs"))
       val fetches = Seq[(String, String, Int, Option[String],
           Option[String], String)](

@@ -125,13 +125,27 @@ object Sketches {
     * per-value counts == count of occurrences).
     */
   def cmSketch(df: DataFrame, valueCol: String, depth: Int = 4,
-      width: Int = 256): DataFrame = {
+      width: Int = 256): DataFrame =
+    cmSketchFromCounts(
+      df.groupBy(col(valueCol).cast("string").as("__v"))
+        .agg(count(lit(1)).as("__c")),
+      "__v", "__c", depth, width)
+
+  /** [[cmSketch]] from a pre-aggregated (value, count) frame — the
+    * r22 one-pass path for callers that already hold per-value counts
+    * (llm_cms_counts pins the token-count aggregate and derives both
+    * the sketch and the exact top-k from it). Identical output to
+    * cmSketch over the expanded stream: sum of per-value counts ==
+    * count of occurrences.
+    */
+  def cmSketchFromCounts(counts: DataFrame, valueCol: String,
+      countCol: String, depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 2)
-    df.groupBy(col(valueCol).cast("string").as("__v"))
-      .agg(count(lit(1)).as("__c"))
-      .select(col("__c"),
+    counts
+      .select(col(countCol).as("__c"),
         posexplode(transform(sequence(lit(0), lit(depth - 1)), r =>
-          hex8(concat(r.cast("string"), lit(":"), col("__v"))) % width))
+          hex8(concat(r.cast("string"), lit(":"),
+            col(valueCol).cast("string"))) % width))
           .as(Seq("row", "slot")))
       .groupBy("row", "slot")
       .agg(sum(col("__c")).as("cnt"))

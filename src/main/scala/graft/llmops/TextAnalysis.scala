@@ -572,19 +572,31 @@ object TextAnalysis {
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
-    // scoped-persisted: docLen (itself read by the score join AND the
-    // corpus-stats agg) and tf both derive from this frame -- unpinned,
-    // the corpus tokenized three times.
-    val docToks = graft.core.Caches.scoped(
+    // ONE corpus tokenize into a NARROW per-doc pin (r22, guide
+    // §2.3/§2.4): (doc_id, dl, per-query-term tf) computed MAP-SIDE.
+    // The previous pin cached the full token arrays (a second corpus
+    // copy — the r21 cold overhead) and the tf branch paid an explode
+    // + (doc, term) groupBy shuffle; per-doc term frequencies for a
+    // handful of query terms need neither. The docLen attach join is
+    // gone too — dl rides the tf rows.
+    val termsArr = array(terms.map(lit): _*)
+    val base = graft.core.Caches.scoped(
       df.select(col(idCol).as("doc_id"),
-        tokens(col(textCol)).as("ws")))
-    val docLen = docToks.select(col("doc_id"), size(col("ws")).as("dl"))
-    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+        bind(tokens(col(textCol))) { ws =>
+          struct(size(ws).as("dl"),
+            transform(termsArr, t =>
+              struct(t.as("tok"),
+                size(filter(ws, x => x === t)).as("tf"))).as("tfs"))
+        }.as("__b"))
+        .select(col("doc_id"), col("__b.dl").as("dl"),
+          col("__b.tfs").as("tfs")))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
       sum(col("dl").cast("long")).as("dl_sum"))
-    val tf = docToks
-      .select(col("doc_id"), explode(col("ws")).as("tok"))
-      .where(col("tok").isin(terms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("tfs")).as("t"))
+      .select(col("doc_id"), col("dl"), col("t.tok").as("tok"),
+        col("t.tf").cast("long").as("tf"))
+      .where(col("tf") > 0)
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val avgdl = col("dl_sum").cast("double") / col("n_docs").cast("double")
     val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
@@ -592,7 +604,6 @@ object TextAnalysis {
     val termScore = idf * (col("tf") * (k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl))
     tf.join(broadcast(dfreq), "tok")
-      .join(docLen, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("term_score_micro",
         floor(termScore * 1000000).cast("long"))
@@ -674,24 +685,35 @@ object TextAnalysis {
     */
   def collocations(df: DataFrame, textCol: String, minCount: Int,
       k: Int): DataFrame = {
-    // scoped-persisted: THREE consumers on different aggregation keys
-    // (bigram counts, unigram counts, corpus bigram total) -- unpinned,
-    // each re-ran the corpus tokenize. At 100 TB this is the stage-table
-    // pattern (write the token arrays once, aggregate thrice).
-    val toks = graft.core.Caches.scoped(
-      df.select(tokens(col(textCol)).as("ws")))
-    val bi = toks.select(explode(
-        graft.functions.TextFunctions.shingles(col("ws"), 2)).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+    // ONE corpus tokenize into ONE aggregated pin (r22, guide §2.3):
+    // every row of a doc's tagged stream — kind 0 = bigram, kind 1 =
+    // unigram, kind 2 = the doc's bigram-slot count — goes through a
+    // single (kind, key) groupBy whose map-side partial combine shrinks
+    // the shuffle to vocabulary size; the pinned frame is that tiny
+    // aggregate. The previous pin cached the full token ARRAYS (a
+    // second corpus copy — the r21 cold overhead) and still paid three
+    // separate aggregation passes over it.
+    val t = graft.functions.TextFunctions
+    val counts = graft.core.Caches.scoped(
+      df.select(explode(bind(tokens(col(textCol))) { ws =>
+          concat(
+            transform(t.shingles(ws, 2), bg =>
+              struct(lit(0).as("kind"), bg.as("key"))),
+            transform(ws, w => struct(lit(1).as("kind"), w.as("key"))),
+            array(struct(lit(2).as("kind"),
+              greatest(size(ws) - 1, lit(0)).cast("string").as("key"))))
+        }).as("e"))
+        .groupBy(col("e.kind").as("kind"), col("e.key").as("key"))
+        .agg(count(lit(1)).as("c")))
+    val bi = counts.where(col("kind") === 0)
+      .select(col("key").as("bigram"), col("c").as("c12"))
       .where(col("c12") >= minCount)
-    // persisted: attached to BOTH sides of every surviving bigram (t1 and
-    // t2 joins -- different keys, so exchange reuse can't dedup them);
-    // without it each attach join re-scans and re-aggregates the corpus.
-    val uni = graft.core.Caches.scoped(
-      toks.select(explode(col("ws")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c1")))
-    val total = toks.select(
-      sum(greatest(size(col("ws")) - 1, lit(0)).cast("long")).as("n_bi"))
+    val uni = counts.where(col("kind") === 1)
+      .select(col("key").as("tok"), col("c").as("c1"))
+    // kind-2 keys are per-doc bigram-slot counts as strings; the corpus
+    // total is sum(key * docs-with-that-count)
+    val total = counts.where(col("kind") === 2)
+      .agg(sum(col("key").cast("long") * col("c")).as("n_bi"))
     // tokens contain no spaces (tokenizer splits on non-alnum), so the
     // bigram splits back losslessly.
     bi.withColumn("t1", split(col("bigram"), " ").getItem(0))

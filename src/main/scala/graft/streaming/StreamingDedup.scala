@@ -87,6 +87,26 @@ object StreamingDedup {
       keepAlive: Option[Long] = None): DataFrame = {
     require(df.columns.contains(keyCol), s"missing key column '$keyCol'")
     val rowEnc = Encoders.row(df.schema)
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    // Map-side pre-dedup BEFORE the state shuffle (r22, guide §2.3:
+    // flatMapGroupsWithState ships every row; built-in aggregations
+    // would partial-aggregate map-side and this restores that): each
+    // input partition forwards only its FIRST row per key, so the
+    // shuffle into the state store carries at most
+    // (partitions × distinct keys) rows instead of every duplicate —
+    // at crawl scale (content-hash dedup of a 100 TB/day feed) the
+    // duplicate volume never leaves the scan stage. Semantics are
+    // unchanged: the operator's contract is "an arbitrary-but-
+    // deterministic-per-partition-order first row per key"; the state
+    // operator still picks one row per key across partitions, and a
+    // within-partition duplicate could never win anyway (state.exists
+    // is true from the first row of the group iterator on). The TTL
+    // path is also unchanged — expiry happens between micro-batches,
+    // and within one batch duplicates collapse in state regardless.
+    val prededup = (it: Iterator[Row]) => {
+      val seen = new java.util.HashSet[String]()
+      it.filter(r => seen.add(String.valueOf(r.get(keyIdx))))
+    }
     val timeout = keepAlive.fold(GroupStateTimeout.NoTimeout())(_ =>
       GroupStateTimeout.ProcessingTimeTimeout())
     val dedup = (key: String, rows: Iterator[Row],
@@ -105,7 +125,8 @@ object StreamingDedup {
       }
     }
     df.as(rowEnc)
-      .groupByKey((r: Row) => String.valueOf(r.getAs[Any](keyCol)))(
+      .mapPartitions(prededup)(rowEnc)
+      .groupByKey((r: Row) => String.valueOf(r.getAs[Any](keyIdx)))(
         Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(dedup)(
         Encoders.scalaBoolean, rowEnc)

@@ -47,12 +47,16 @@ object StreamProbe {
 
       // --- stream phase; odd reps shrink the state partitioning to the
       // actual state volume (600 windows x keys) to price the 32-way
-      // state store against an 8-way one
+      // state store against an 8-way one. args(2) = "dedup" probes the
+      // llm_stream_dedup body instead (r22).
       val t1 = System.nanoTime()
       val parts = if (rep % 2 == 1) "32" else "8"
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       val in = spark.readStream.schema(schema).parquet(srcDir.toString)
-      val out = graft.streaming.StreamingStats.windowedCounts(
+      val out = if (args.length > 2 && args(2) == "dedup")
+        graft.streaming.StreamingDedup.firstOccurrence(
+          in.select(col("user_id")), "user_id")
+      else graft.streaming.StreamingStats.windowedCounts(
         graft.core.Tables.withTsNanos(in)
           .withColumn("ts_t", timestamp_micros(expr("ts div 1000"))),
         "ts_t", "event_type", "6 hours", "0 seconds")
