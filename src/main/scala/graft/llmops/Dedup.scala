@@ -852,7 +852,19 @@ object Dedup {
     * LlmOpsSpec pins equality with the column-expression form.
     */
   private[llmops] def windowHexes(toks: Array[String],
-      window: Int): Array[String] = {
+      window: Int): Array[String] =
+    windowDigests(toks, window).map(hexOf)
+
+  /** Raw 16-byte MD5 digests of every `window`-token rolling window —
+    * the [[windowHexes]] core without the hex encode (r22): operators
+    * whose fingerprints never leave the plan (self-join keys, counts)
+    * shuffle and cache 16 BYTES per window instead of a 32-char string
+    * (guide §2.3 "narrower types") and skip the per-window hex pass.
+    * Hex ⇄ bytes is a bijection, so equality joins, distincts and
+    * document-frequency counts are identical either way.
+    */
+  private[llmops] def windowDigests(toks: Array[String],
+      window: Int): Array[Array[Byte]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val n = toks.length
     var total = 0
@@ -872,14 +884,14 @@ object Dedup {
     }
     if (n < window) {
       md.update(buf, 0, buf.length)
-      Array(hexOf(md.digest()))
+      Array(md.digest())
     } else {
-      val out = new Array[String](n - window + 1)
+      val out = new Array[Array[Byte]](n - window + 1)
       i = 0
       while (i <= n - window) {
         val end = starts(i + window - 1) + toks(i + window - 1).length
         md.update(buf, starts(i), end - starts(i))
-        out(i) = hexOf(md.digest())
+        out(i) = md.digest()
         i += 1
       }
       out
@@ -913,6 +925,26 @@ object Dedup {
       out.toSeq
     })
 
+  /** [[distinctWindowFingerprintsUdf]] emitting RAW 16-byte digests
+    * (r22): the form the fingerprint self-joins consume — the hashes
+    * never leave the plan, so the hex encode and half the shuffle/cache
+    * bytes disappear. Same first-occurrence order, same distinct set
+    * (hex ⇄ bytes bijection).
+    */
+  def distinctWindowFingerprintBytesUdf(window: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val hs = windowDigests(TextAnalysis.alnumTokens(text), window)
+      val seen = new java.util.HashSet[java.nio.ByteBuffer](hs.length * 2)
+      val out =
+        new scala.collection.mutable.ArrayBuffer[Array[Byte]](hs.length)
+      var i = 0
+      while (i < hs.length) {
+        if (seen.add(java.nio.ByteBuffer.wrap(hs(i)))) out += hs(i)
+        i += 1
+      }
+      out.toSeq
+    })
+
   /** Drop window fingerprints shared by more than `maxDocFreq` documents
     * before any fingerprint self-join. A span occurring in m documents
     * emits m^2/2 candidate pairs from the equi-join -- AQE's skew split
@@ -932,9 +964,15 @@ object Dedup {
     */
   private def dropHotFingerprints(wf: DataFrame, maxDocFreq: Int): DataFrame = {
     require(maxDocFreq > 0, "maxDocFreq must be positive")
-    val hot = wf.groupBy("wh").agg(count(lit(1)).as("__df"))
-      .where(col("__df") > maxDocFreq)
-      .select("wh")
+    // scoped-pinned (r22): `capped` is consumed by BOTH self-join sides,
+    // and each side's broadcast build re-ran the document-frequency
+    // aggregation (the r22 plan dump showed the HashAggregate+Exchange
+    // subtree twice). The hot set is tiny by definition (over-frequency
+    // fingerprints only).
+    val hot = graft.core.Caches.scoped(
+      wf.groupBy("wh").agg(count(lit(1)).as("__df"))
+        .where(col("__df") > maxDocFreq)
+        .select("wh"))
     wf.join(broadcast(hot), Seq("wh"), "left_anti")
   }
 
@@ -948,7 +986,7 @@ object Dedup {
     // then join). Harnesses release scoped caches between queries.
     val wf = graft.core.Caches.scoped(
       df.select(col(idCol).as("id"),
-        explode(distinctWindowFingerprintsUdf(window)(col(textCol)))
+        explode(distinctWindowFingerprintBytesUdf(window)(col(textCol)))
           .as("wh")))
     val capped = dropHotFingerprints(wf, maxDocFreq)
     capped.as("l").join(capped.as("r"),
@@ -983,6 +1021,27 @@ object Dedup {
       }
     })
 
+  /** [[windowFingerprintPositionsUdf]] with RAW 16-byte digests (r22 —
+    * see [[distinctWindowFingerprintBytesUdf]]).
+    */
+  def windowFingerprintPositionBytesUdf(window: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val toks = TextAnalysis.alnumTokens(text)
+      val hs = windowDigests(toks, window)
+      if (toks.length < window) Seq((0, hs(0)))
+      else {
+        val seen = new java.util.HashSet[java.nio.ByteBuffer](hs.length * 2)
+        val out =
+          new scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+        var i = 0
+        while (i < hs.length) {
+          if (seen.add(java.nio.ByteBuffer.wrap(hs(i)))) out += ((i, hs(i)))
+          i += 1
+        }
+        out.toSeq
+      }
+    })
+
   /** Duplicate-SPAN localization: where [[substringDupPairs]] says two
     * docs share spans, this says WHICH spans -- (id_a, id_b, a_start,
     * b_start) per shared distinct fingerprint, with each side's FIRST
@@ -999,7 +1058,8 @@ object Dedup {
       maxDocFreq: Int = 1000): DataFrame = {
     val wp = graft.core.Caches.scoped(
       df.select(col(idCol).as("id"),
-          explode(windowFingerprintPositionsUdf(window)(col(textCol))).as("w"))
+          explode(windowFingerprintPositionBytesUdf(window)(col(textCol)))
+            .as("w"))
         .select(col("id"), col("w._2").as("wh"),
           col("w._1").cast("long").as("start")))
       // distinct-per-doc by UDF construction (no groupBy shuffle);
@@ -1070,7 +1130,7 @@ object Dedup {
     // scoped-persisted: FOUR consumers (sizes, hot count, two join sides).
     val wf = graft.core.Caches.scoped(
       df.select(col(idCol).as("id"),
-        explode(distinctWindowFingerprintsUdf(window)(col(textCol)))
+        explode(distinctWindowFingerprintBytesUdf(window)(col(textCol)))
           .as("wh")))
     // Denominators stay UNCAPPED (a doc's full distinct-window count):
     // capping only the shared-window numerator UNDER-estimates

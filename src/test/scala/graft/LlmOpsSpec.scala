@@ -1584,6 +1584,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("binary window fingerprints hex-encode to the string forms (r22)") {
+    import spark.implicits._
+    val edge = Seq((9001L, "one two"), (9002L, ""),
+      (9003L, "KKelvin sign 42 mixes UNICODE with digits and CAPS"),
+      (9004L, ("dup " * 30) + "tail")).toDF("doc_id", "text")
+    val sample = docs.limit(50).select("doc_id", "text").union(edge)
+    val rows = sample.select(
+      graft.llmops.Dedup.distinctWindowFingerprintsUdf(12)(col("text"))
+        .as("hexes"),
+      graft.llmops.Dedup.distinctWindowFingerprintBytesUdf(12)(col("text"))
+        .as("bytes"),
+      graft.llmops.Dedup.windowFingerprintPositionsUdf(12)(col("text"))
+        .as("pos"),
+      graft.llmops.Dedup.windowFingerprintPositionBytesUdf(12)(col("text"))
+        .as("posb"))
+      .collect()
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      assert(r.getSeq[Array[Byte]](1).map(hex) == r.getSeq[String](0))
+      val ps = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(p => (p.getInt(0), p.getString(1)))
+      val pb = r.getSeq[org.apache.spark.sql.Row](3)
+        .map(p => (p.getInt(0), hex(p.getAs[Array[Byte]](1))))
+      assert(pb == ps)
+    }
+  }
+
   test("chunkedMeanEmbeddingUdf bit-equal to chunk + embed + meanPool") {
     import spark.implicits._
     val edge = Seq((9001L, "one two"), (9002L, ""),
