@@ -542,6 +542,49 @@ object Dedup {
     })
   }
 
+  private val simhashLongUdfCache =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+
+  /** [[simhashTextUdf]] packed into a LONG (r22): bit (bits-1-j) of the
+    * result == char j of the string form ('1' ↔ set), so any consumer
+    * that only compares, buckets or xors signatures can carry 8 bytes
+    * instead of `bits` chars. Same votes, same tokenizer; bits <= 64.
+    */
+  def simhashTextLongUdf(bits: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(bits > 0 && bits % 4 == 0 && bits <= 64,
+      s"bits must be a positive multiple of 4 <= 64, got $bits")
+    simhashLongUdfCache.computeIfAbsent(bits, { b =>
+      udf((text: String) => {
+        val toks =
+          if (text == null) Array.empty[String]
+          else TextAnalysis.alnumTokens(text)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val votes = new Array[Int](b)
+        var i = 0
+        while (i < toks.length) {
+          val d = md.digest(toks(i).getBytes("UTF-8"))
+          var j = 0
+          while (j < b) {
+            val nibIdx = j / 4
+            val nib = (d(nibIdx / 2) >> (4 * (1 - nibIdx % 2))) & 0xf
+            votes(j) += (((nib >> (3 - j % 4)) & 1) * 2) - 1
+            j += 1
+          }
+          i += 1
+        }
+        var sh = 0L
+        var j = 0
+        while (j < b) {
+          sh = (sh << 1) | (if (votes(j) > 0) 1L else 0L)
+          j += 1
+        }
+        sh
+      })
+    })
+  }
+
   /** SimHash near-dup pairs: `bits`-bit simhash, banded into bits/bandBits
     * chunks for candidate generation, hamming-distance verification.
     *
@@ -563,20 +606,30 @@ object Dedup {
       bits: Int = 64, bandBits: Int = 16, maxHamming: Int = 3,
       maxBucketPop: Int = DefaultHotCap): DataFrame = {
     require(maxBucketPop > 0, "maxBucketPop must be positive")
+    // the LONG representation below caps the operator at 64 bits — no
+    // caller exceeds the word2vec-conventional 64 (the gate uses 16)
+    require(bits <= 64, s"simhashPairs supports bits <= 64, got $bits")
     // scoped-persisted: the simhash-UDF corpus scan (one md5 per token)
     // has multiple consumers -- both self-join sides plus the capped
     // path's bucket-population aggregate -- and exchange reuse cannot
-    // cover the pops branch. (id, 16-char hash) is the narrowest frame
-    // in the operator; same rationale as minhashPairs' base pin.
+    // cover the pops branch. (id, LONG hash) is the narrowest frame in
+    // the operator (r22 — was a '0'/'1' CHAR string: 8 bytes instead
+    // of `bits` chars through the pin, the band explode and both join
+    // sides, and hamming becomes one xor+popcount instead of a char
+    // loop; bit j of the long = char j of the string, so band buckets,
+    // sub-splits and hamming counts are identical).
     val base = graft.core.Caches.scoped(
       df.select(col(idCol).as("id"),
-        simhashTextUdf(bits)(col(textCol)).as("sh")))
+        simhashTextLongUdf(bits)(col(textCol)).as("sh")))
     val nBands = bits / bandBits
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        (shiftrightunsigned(col("sh"), bits - (b + 1) * bandBits)
+          .bitwiseAND(lit(mask))).as("chunk"))
+    }
     val banded0 = base.select(col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
-        struct(b.as("band"),
-          col("sh").substr(b * bandBits + 1, lit(bandBits)).as("chunk"))))
-        .as("b"))
+      explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.chunk"))
     val banded =
       if (maxBucketPop == Int.MaxValue) banded0.withColumn("__sub", lit(0L))
@@ -609,12 +662,12 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
-      // codegen HammingDistance Expression, not the UDF: the verify
-      // loop stays inside whole-stage codegen and compares UTF8String
-      // bytes directly (bit-identical for the '0'/'1' simhash alphabet;
-      // parity spec-asserted against hammingUdf, kept as reference)
+      // xor + popcount over the LONG signatures (r22): equals the
+      // per-char diff count of the '0'/'1' strings bit-for-bit, inside
+      // whole-stage codegen (bit_count returns INT like the former
+      // HammingDistance expression, which remains for string callers)
       .withColumn("hamming",
-        graft.functions.HammingDistance(col("sh_a"), col("sh_b")))
+        expr("bit_count(sh_a ^ sh_b)"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
