@@ -781,6 +781,10 @@ object LlmQueries {
         lit("@example.com or 10.0.0."),
         (pmod(col("doc_id"), lit(250)) + 1).cast("string"),
         lit(" acct 12345678901"))
+      // measured r22: pinning `red` for its three consumers LOST the
+      // A/B (1.74 vs 0.92 s min) — the r21 native PII kernel made the
+      // redact pass cheaper than materializing a corpus-with-text cache,
+      // and the per-consumer shingle work is unaffected by the pin.
       val red = docs.select(col("doc_id"), col("lang"), col("n_chars"),
         graft.functions.PiiRedactExpr(aug).as("clean"))
       val scored = Curation.lmScores(red,
@@ -1313,10 +1317,16 @@ object LlmQueries {
     // constants.
     "llm_pipeline5" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val kept = TextAnalysis.gopherRules(docs, "text", minTokens = 25,
-        maxTokens = 100000, minStopHits = 2, repMilli = 300)
-        .where(col("keep"))
-        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      // scoped-pinned (r22): temperatureMix consumes its input TWICE
+      // (per-group counts + the threshold filter join) — unpinned, the
+      // gopher-rules UDF text pass ran over the corpus twice (the
+      // pipeline7 stage-table pattern, guide §2.4)
+      val kept = graft.core.Caches.scoped(
+        TextAnalysis.gopherRules(docs, "text", minTokens = 25,
+          maxTokens = 100000, minStopHits = 2, repMilli = 300)
+          .where(col("keep"))
+          .select(col("doc_id"), col("text"), col("source"),
+            col("n_chars")))
       val mixed = Curation.temperatureMix(kept, "doc_id", "source", "p5")
       val q = TextAnalysis.withQuality(mixed, "text")
         .select(col("doc_id"),

@@ -50,6 +50,10 @@ object RelationalQueries {
       val orders = Tables.orders(s, d)
       val customer = Tables.customer(s, d)
       val nation = Tables.nation(s, d)
+      // measured r22: pre-aggregating per custkey before the join is
+      // the 100 TB shape (§2.3) but LOSES ~7% at this SF — AQE
+      // broadcasts the customer side, so the big side never shuffles
+      // and the pre-agg only adds an exchange. Kept as-is.
       orders.join(customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
@@ -202,6 +206,11 @@ object RelationalQueries {
         .where(col("l_shipdate").cast("date") > "1996-01-01")
       val customer = Tables.customer(s, d)
         .where(col("c_mktsegment") === "BUILDING")
+      // measured r22: pre-aggregating revenue per order before the
+      // joins is the 100 TB shape (§2.3) but LOSES ~20% at this SF —
+      // AQE broadcasts the filtered orders/customer sides, so the
+      // line-item side never shuffles and the pre-agg only adds an
+      // exchange. Kept as-is.
       lineitem
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .join(customer, col("o_custkey") === col("c_custkey"))
@@ -215,14 +224,29 @@ object RelationalQueries {
 
     // TPC-H Q10 shape: returned-item revenue by customer, top-k.
     "q20_returned_items" -> ((s, d) => {
-      Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+      // pre-aggregate revenue per ORDER before any join (r22, guide
+      // §2.3 "aggregate before you shuffle"): each R-lineitem belongs
+      // to exactly one order and revenue is exact integer cents, so
+      // sum-of-per-order-sums == the flat sum; the join input shrinks
+      // from line items to distinct orders and the wide join carries
+      // one cents column. c_name/n_name are functionally dependent on
+      // c_custkey (unique keys), so grouping by custkey first and
+      // attaching names after is the identical grouping.
+      val orderRev = Tables.lineitem(s, d)
+        .where(col("l_returnflag") === "R")
+        .groupBy("l_orderkey")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("__or_cents"))
+      val custRev = orderRev
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(col("__or_cents")).as("revenue_cents"))
+      custRev
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("revenue_cents"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("revenue_cents"))
         .orderBy(desc("revenue_cents"), col("c_custkey"))
         .limit(20)
     }),

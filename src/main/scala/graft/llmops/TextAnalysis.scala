@@ -934,6 +934,10 @@ object TextAnalysis {
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[String]): DataFrame = {
     val t = graft.functions.TextFunctions
+    // measured r22: pinning a (doc, word, count) aggregate instead of
+    // the raw stream LOST the A/B on this low-repetition corpus (the
+    // (id, w) groupBy adds an exchange that count-compression cannot
+    // pay back). Kept as the r20 shape.
     val words = df.select(col(idCol).as("id"),
       explode(t.tokens(col(textCol))).as("w"))
     // distinct-word table: persisted for the same reason as bpeTrain's
